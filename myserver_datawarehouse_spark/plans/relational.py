@@ -1,0 +1,346 @@
+"""Core relational queries: joins, aggregations, windows, top-k.
+
+Covers SURVEY.md §2.3 (J1-J7), §2.4 (A1-A9), §2.5 (W1-W3), §2.6 (O1-O5),
+§2.7 set ops — each function is a `queries()` entry with a DuckDB oracle
+twin in registry.py.
+
+Float determinism policy (applies engine-wide): any SUM/AVG over doubles is
+accumulated in DECIMAL (exact, order-independent — a distributed sum must
+not depend on partition order) and only cast to DOUBLE at the output edge.
+This is also the right call at 100 TB: decimal partial aggregation is still
+map-side combinable, and results don't drift run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+
+def dec_sum(col, scale: str = "decimal(18,2)"):
+    """Exact, order-independent sum of a double column: cast each row to
+    decimal, sum (Spark widens precision), emit double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3-style grouped aggregate block (TPC-H Q1 shape).
+
+    Mirrors the reference's multi-aggregate stats pattern
+    (fact_gold_price.py:394-413) on `lineitem`. Fully codegen'd hash
+    aggregate with map-side partial agg — one shuffle on the group keys.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,10)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 star join: fact -> supplier -> nation -> region, grouped revenue.
+
+    The dims are small: Catalyst broadcast-hash-joins them (verified via
+    explain — no shuffle on the fact side until the final groupBy). Mirrors
+    cheap_expensive_chart.py:50-57's 3-way star join.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+STAR_JOIN_REVENUE_SQL = """
+SELECT
+  r_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+  COUNT(*) AS line_count
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W3 rank-filter: top-1 revenue supplier per nation — the canonical
+    Spark top-k-per-group (cheap_expensive_chart.py:62-80 pattern).
+
+    Revenue is an exact decimal so the ORDER BY inside the window is
+    deterministic; ties broken by s_suppkey.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    per_supp = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return (
+        per_supp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+TOP_SUPPLIER_PER_NATION_SQL = """
+WITH per_supp AS (
+  SELECT
+    s_nationkey, s_suppkey, s_name,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey, s_name
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey ASC) AS rn
+  FROM per_supp
+)
+SELECT s_nationkey, s_suppkey, s_name, CAST(revenue AS DOUBLE) AS revenue
+FROM ranked WHERE rn = 1 ORDER BY s_nationkey
+"""
+
+
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 unpartitioned window aggregate: share-of-total on a grouped result
+    (cheap_expensive_chart.py:75-77's SUM(COUNT(*)) OVER ()).
+
+    Note the scale caveat from SURVEY §2.5: an empty-frame window funnels
+    everything to one partition; fine on a grouped result of ~#groups rows
+    (here 5), wrong on a raw fact — there you'd broadcast a 1-row total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    grouped = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        grouped.select(
+            "event_type",
+            "cnt",
+            (F.col("cnt").cast("double") / total).alias("share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SHARE_OF_TOTAL_SQL = """
+SELECT
+  event_type,
+  COUNT(*) AS cnt,
+  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 anti-join (populate_sources_dag.py:115's Python set-difference,
+    re-expressed as the relational primitive it is)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi-join: customers having at least one high-value order
+    (scalar-subquery semi-join pattern, fact_gold_price.py:408-412)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000.0)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+BIG_SPENDER_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+ORDER BY c_custkey
+"""
+
+
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 merge/upsert semantics as a relational dedup: keep the newest row
+    per natural key — exactly what the reference's ON CONFLICT DO UPDATE
+    loop achieves (fact_gold_price.py:169-196), minus the N round trips.
+    At scale this is the Parquet-only merge strategy (window dedup before
+    partition overwrite)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+LATEST_EVENT_PER_USER_TYPE_SQL = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def first_appearance_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 group-by with first-appearance ordering
+    (populate_sources_dag.py:41-45: GROUP BY source ORDER BY MIN(id))."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.min("event_id").alias("first_event_id"))
+        .orderBy("first_event_id")
+    )
+
+
+FIRST_APPEARANCE_ORDER_SQL = """
+SELECT event_type, MIN(event_id) AS first_event_id
+FROM events GROUP BY event_type ORDER BY first_event_id
+"""
+
+
+def distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 DISTINCT scan (rebuild_all_time_interpolation.py:57-61)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+DISTINCT_SCAN_SQL = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set op: users who clicked but never purchased (EXCEPT)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == SQL EXCEPT (distinct semantics)
+    return clicks.subtract(buys).orderBy("user_id")
+
+
+SET_EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/V1 one-pass multi-aggregate stats block
+    (fact_gold_price.py:394-413): COUNT(*), conditional COUNT,
+    COUNT(DISTINCT), AVG/MIN/MAX, sample STDDEV."""
+    e = load_table(spark, sf_dir, "events")
+    val_dec = F.col("value").cast("decimal(18,2)")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.countDistinct("event_type").alias("unique_types"),
+        (F.sum(val_dec).cast("double") / F.count("value")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.stddev("value"), 6).alias("stddev_value"),
+    )
+
+
+STATS_PROFILE_SQL = """
+SELECT
+  COUNT(*) AS total_records,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+  COUNT(DISTINCT user_id) AS unique_users,
+  COUNT(DISTINCT event_type) AS unique_types,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  ROUND(STDDEV_SAMP(value), 6) AS stddev_value
+FROM events
+"""

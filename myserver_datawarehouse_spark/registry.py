@@ -1,0 +1,79 @@
+"""Query registry: the single source of truth wiring every implemented
+operator to (a) its Spark implementation and (b) its DuckDB oracle SQL.
+
+`__spark_entry__.py` (the driver contract) and `tools/verify_local.py`
+(the pre-flight differential harness) both read from here.
+
+Column-name discipline: the driver sorts columns by name before hashing, so
+every computed column is aliased identically in the Spark plan and the
+oracle SQL (see SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from myserver_datawarehouse_spark.plans import relational as R
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    section: str  # SURVEY.md §2 coverage tag
+
+
+_SPECS: list[QuerySpec] = [
+    QuerySpec("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL, "A1/A3"),
+    QuerySpec("star_join_revenue", R.star_join_revenue, R.STAR_JOIN_REVENUE_SQL, "J3"),
+    QuerySpec(
+        "top_supplier_per_nation",
+        R.top_supplier_per_nation,
+        R.TOP_SUPPLIER_PER_NATION_SQL,
+        "W1/W3",
+    ),
+    QuerySpec("share_of_total", R.share_of_total, R.SHARE_OF_TOTAL_SQL, "W2"),
+    QuerySpec(
+        "customers_without_orders",
+        R.customers_without_orders,
+        R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "J5",
+    ),
+    QuerySpec(
+        "big_spender_customers",
+        R.big_spender_customers,
+        R.BIG_SPENDER_CUSTOMERS_SQL,
+        "J7",
+    ),
+    QuerySpec(
+        "latest_event_per_user_type",
+        R.latest_event_per_user_type,
+        R.LATEST_EVENT_PER_USER_TYPE_SQL,
+        "S4",
+    ),
+    QuerySpec(
+        "first_appearance_order",
+        R.first_appearance_order,
+        R.FIRST_APPEARANCE_ORDER_SQL,
+        "A5",
+    ),
+    QuerySpec("distinct_scan", R.distinct_scan, R.DISTINCT_SCAN_SQL, "A9"),
+    QuerySpec("set_except", R.set_except, R.SET_EXCEPT_SQL, "§2.7"),
+    QuerySpec("stats_profile", R.stats_profile, R.STATS_PROFILE_SQL, "A3/V1"),
+]
+
+
+def specs() -> list[QuerySpec]:
+    return list(_SPECS)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.spark for s in _SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Centralizes the configuration that the whole engine depends on:
+
+- UTC session timezone: all timestamp <-> key derivations (date_id /
+  time_id, reference fact_gold_price.py:61-62) are defined against a fixed
+  zone; business-local time (Asia/Tehran in the reference) is an explicit
+  ``from_utc_timestamp`` conversion, never an ambient setting.
+- AQE on: runtime coalescing + skew-join handling are the 100 TB story for
+  the shuffle-heavy operators (grouped interpolation, LSH bucket joins).
+- shuffle.partitions sized for the local harness; on a real cluster this
+  is overridden (or left to AQE's coalescing with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+# Business timezone of the reference deployment (fact_gold_price.py:61).
+BUSINESS_TZ = "Asia/Tehran"
+
+
+def get_spark(
+    app_name: str = "myserver-datawarehouse-spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism. On a real cluster the
+    master/memory settings come from spark-submit; everything set here is
+    master-agnostic semantics (timezone, AQE, Arrow) plus local defaults.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Cap in-memory partition bytes so a 100 TB scan splits sanely;
+        # harmless locally.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
