@@ -46,10 +46,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-             / F.count(F.lit(1))).alias("avg_qty"),
+            # ROUND(…, 2) at the output edge: Spark's and DuckDB's
+            # DECIMAL(38,10)→DOUBLE casts differ in the last ulp; rounding
+            # to cents makes both sides land on the same nearest double.
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -62,9 +68,9 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -93,7 +99,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy("r_name", "n_name")
@@ -104,7 +110,7 @@ STAR_JOIN_REVENUE_SQL = """
 SELECT
   r_name,
   n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
   COUNT(*) AS line_count
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -142,7 +148,7 @@ def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_nationkey",
             "s_suppkey",
             "s_name",
-            F.col("revenue").cast("double").alias("revenue"),
+            F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
         )
         .orderBy("s_nationkey")
     )
@@ -159,7 +165,7 @@ WITH per_supp AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey ASC) AS rn
   FROM per_supp
 )
-SELECT s_nationkey, s_suppkey, s_name, CAST(revenue AS DOUBLE) AS revenue
+SELECT s_nationkey, s_suppkey, s_name, ROUND(CAST(revenue AS DOUBLE), 2) AS revenue
 FROM ranked WHERE rn = 1 ORDER BY s_nationkey
 """
 
@@ -325,7 +331,9 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
         F.countDistinct("user_id").alias("unique_users"),
         F.countDistinct("event_type").alias("unique_types"),
-        (F.sum(val_dec).cast("double") / F.count("value")).alias("avg_value"),
+        F.round(
+            F.sum(val_dec).cast("double") / F.count("value"), 6
+        ).alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.round(F.stddev("value"), 6).alias("stddev_value"),
@@ -338,7 +346,7 @@ SELECT
   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
   COUNT(DISTINCT user_id) AS unique_users,
   COUNT(DISTINCT event_type) AS unique_types,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
   MIN(value) AS min_value,
   MAX(value) AS max_value,
   ROUND(STDDEV_SAMP(value), 6) AS stddev_value

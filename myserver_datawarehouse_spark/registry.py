@@ -71,6 +71,12 @@ def specs() -> list[QuerySpec]:
     return list(_SPECS)
 
 
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``entry()`` smoke query: must run fast on sf0.001 and
+    return ≥0 rows with a stable schema."""
+    return R.star_join_revenue(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {s.name: s.spark for s in _SPECS}
 

@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Parquet TIMESTAMP(NANOS) (e.g. events.ts) is unreadable natively;
+        # read as long and convert in the source layer (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Cap in-memory partition bytes so a 100 TB scan splits sanely;
         # harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -3,7 +3,6 @@
 The reference reads via SQL pushed to Postgres (fact_gold_price.py:46-71);
 here the equivalent is a parquet scan whose filters/projections Catalyst
 pushes into the file source — `.explain()` shows PushedFilters/ReadSchema.
-A JDBC mirror of S1 lives in sources/jdbc.py.
 """
 
 from __future__ import annotations
@@ -11,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -29,8 +29,17 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one TESTDATA table. Plain parquet read — filter/column pruning
     is left to Catalyst (do NOT .cache() here; let pushdown reach the scan).
+
+    `events.ts` is parquet TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it scans as a long, converted here
+    to a microsecond timestamp via INTEGER division (`ts div 1000`) — long
+    arithmetic matches DuckDB's nanos→micros truncation exactly, whereas
+    `/1000` would round through a double and drift the last microsecond.
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
