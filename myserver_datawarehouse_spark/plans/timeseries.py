@@ -1,0 +1,159 @@
+"""Registry queries for the time-series core (T1/T2, SURVEY.md §2.9) over
+the driver's `events` table.
+
+Grain: (event_type, date_id) groups, minute grid bounded to the observed
+[min, max] minute per group (the rebuild_all_time_interpolation.py:74-99
+shape). The DuckDB oracles mirror every expression shape exactly — same
+decimal accumulation, same linear-blend operand order — so double outputs
+are bit-identical (see plans/relational.py float policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators import timeseries as TS
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+KEYS = ["event_type", "date_id"]
+
+
+def _event_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "date_id", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    return TS.minute_observations(e, KEYS)
+
+
+_OBS_SQL = """
+  SELECT event_type,
+         CAST(strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)), '%Y%m%d') AS INT) AS date_id,
+         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_ts,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS value
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+"""
+
+_GRID_SQL = """
+  bounds AS (
+    SELECT event_type, date_id, MIN(minute_ts) AS t0, MAX(minute_ts) AS t1
+    FROM obs GROUP BY 1, 2
+  ),
+  grid AS (
+    SELECT event_type, date_id,
+           unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute_ts
+    FROM bounds
+  ),
+  g AS (
+    SELECT grid.event_type, grid.date_id, grid.minute_ts, o.value
+    FROM grid LEFT JOIN obs o USING (event_type, date_id, minute_ts)
+  )
+"""
+
+
+def gapfill_missing_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: emit every missing minute per (event_type, date) group."""
+    obs = _event_minutes(spark, sf_dir)
+    missing = TS.gapfill_missing(obs, KEYS)
+    return (
+        TS.with_minute_ts(missing)
+        .select(*KEYS, "minute_ts")
+        .orderBy(*KEYS, "minute_ts")
+    )
+
+
+GAPFILL_MISSING_MINUTES_SQL = f"""
+WITH obs AS ({_OBS_SQL}), {_GRID_SQL}
+SELECT event_type, date_id, minute_ts
+FROM g WHERE value IS NULL
+ORDER BY event_type, date_id, minute_ts
+"""
+
+
+def interpolate_minutes_bracketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 bracketing mode: window-function linear fill (the 100 TB path)."""
+    obs = _event_minutes(spark, sf_dir)
+    filled = TS.interpolate_bracketing(obs, KEYS)
+    return (
+        TS.with_minute_ts(filled)
+        .select(*KEYS, "minute_ts", "value", "is_interpolated")
+        .orderBy(*KEYS, "minute_ts")
+    )
+
+
+INTERPOLATE_MINUTES_BRACKETING_SQL = f"""
+WITH obs AS ({_OBS_SQL}), {_GRID_SQL},
+f AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER w_before AS pv,
+    last_value(CASE WHEN value IS NOT NULL THEN minute_ts END IGNORE NULLS)
+      OVER w_before AS pt,
+    first_value(value IGNORE NULLS) OVER w_after AS nv,
+    first_value(CASE WHEN value IS NOT NULL THEN minute_ts END IGNORE NULLS)
+      OVER w_after AS nt
+  FROM g
+  WINDOW
+    w_before AS (PARTITION BY event_type, date_id ORDER BY minute_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_after AS (PARTITION BY event_type, date_id ORDER BY minute_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, date_id, minute_ts,
+  COALESCE(value,
+           pv + CAST(date_diff('second', pt, minute_ts) AS DOUBLE)
+                * (nv - pv)
+                / CAST(date_diff('second', pt, nt) AS DOUBLE)
+  ) AS value,
+  (value IS NULL) AS is_interpolated
+FROM f
+ORDER BY event_type, date_id, minute_ts
+"""
+
+
+def interpolate_minutes_nearest2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 exact parity mode: the reference's nearest-2 numpy kernel as a
+    grouped applyInPandas (fact_gold_price.py:317-351 semantics)."""
+    obs = _event_minutes(spark, sf_dir)
+    filled = TS.interpolate_nearest2(obs, KEYS)
+    return (
+        TS.with_minute_ts(filled)
+        .select(*KEYS, "minute_ts", "value", "is_interpolated")
+        .orderBy(*KEYS, "minute_ts")
+    )
+
+
+INTERPOLATE_MINUTES_NEAREST2_SQL = f"""
+WITH obs AS ({_OBS_SQL}), {_GRID_SQL},
+missing AS (
+  SELECT event_type, date_id, minute_ts FROM g WHERE value IS NULL
+),
+near AS (
+  SELECT m.event_type, m.date_id, m.minute_ts, o.minute_ts AS t, o.value AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.event_type, m.date_id, m.minute_ts
+           ORDER BY ABS(date_diff('second', o.minute_ts, m.minute_ts)), o.minute_ts
+         ) AS rn
+  FROM missing m JOIN obs o USING (event_type, date_id)
+),
+pair AS (
+  SELECT event_type, date_id, minute_ts,
+    MAX(CASE WHEN rn = 1 THEN t END) AS t1,
+    MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+    MAX(CASE WHEN rn = 2 THEN t END) AS t2,
+    MAX(CASE WHEN rn = 2 THEN v END) AS v2
+  FROM near WHERE rn <= 2 GROUP BY 1, 2, 3
+)
+SELECT event_type, date_id, minute_ts,
+  CASE WHEN t2 IS NULL OR t1 = t2 THEN v1
+       ELSE v1 + CAST(date_diff('second', t1, minute_ts) AS DOUBLE)
+                 * (v2 - v1)
+                 / CAST(date_diff('second', t1, t2) AS DOUBLE)
+  END AS value,
+  TRUE AS is_interpolated
+FROM pair
+UNION ALL
+SELECT event_type, date_id, minute_ts, value, FALSE AS is_interpolated
+FROM obs
+ORDER BY event_type, date_id, minute_ts
+"""

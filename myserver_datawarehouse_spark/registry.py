@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from myserver_datawarehouse_spark.plans import relational as R
+from myserver_datawarehouse_spark.plans import timeseries as T
 
 
 @dataclass(frozen=True)
@@ -64,6 +65,24 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("distinct_scan", R.distinct_scan, R.DISTINCT_SCAN_SQL, "A9"),
     QuerySpec("set_except", R.set_except, R.SET_EXCEPT_SQL, "§2.7"),
     QuerySpec("stats_profile", R.stats_profile, R.STATS_PROFILE_SQL, "A3/V1"),
+    QuerySpec(
+        "gapfill_missing_minutes",
+        T.gapfill_missing_minutes,
+        T.GAPFILL_MISSING_MINUTES_SQL,
+        "T1/J6",
+    ),
+    QuerySpec(
+        "interpolate_minutes_bracketing",
+        T.interpolate_minutes_bracketing,
+        T.INTERPOLATE_MINUTES_BRACKETING_SQL,
+        "T2/T3 (bracketing mode)",
+    ),
+    QuerySpec(
+        "interpolate_minutes_nearest2",
+        T.interpolate_minutes_nearest2,
+        T.INTERPOLATE_MINUTES_NEAREST2_SQL,
+        "T2/T3/T4 (nearest-2 parity mode, applyInPandas)",
+    ),
 ]
 
 
