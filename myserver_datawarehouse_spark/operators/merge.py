@@ -1,0 +1,128 @@
+"""Bulk merge/upsert writer (reference S4-S7, SURVEY.md §2.1).
+
+The reference loads facts with a row-at-a-time
+``INSERT ... ON CONFLICT (id) DO UPDATE`` loop
+(`fact_gold_price.py:169-196`) — idempotent, but N network round trips per
+batch. The Spark-native equivalent is **bulk merge**: union the incoming
+batch with the existing table, keep the winning row per natural key with
+one window, and overwrite — no per-row DML anywhere.
+
+Scale design:
+- Partition the table by a pruning column (`date_id` in the reference — all
+  its queries filter or join on it, SURVEY.md §1.3) and use **dynamic
+  partition overwrite** so a merge only rewrites the partitions the batch
+  touches: an hourly batch touching 1-2 dates rewrites 1-2 partitions of a
+  100 TB table, not the table.
+- The dedup window shuffles on the natural key — at 1000 executors that is
+  one hash exchange of (existing ∩ touched partitions) + batch, the minimum
+  any merge must move. Updates win over existing rows via an explicit
+  precedence column, not wall-clock timestamps, so re-runs are exactly
+  idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_PRECEDENCE = "__precedence"
+_RN = "__rn"
+
+
+def dedup_latest(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence = ()
+) -> DataFrame:
+    """Keep one winning row per key: highest `order_by` (descending), the
+    relational core of ON CONFLICT DO UPDATE (fact_gold_price.py:172-179).
+    Deterministic: callers must pass a tiebreak-complete ordering."""
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() if isinstance(c, str) else c for c in order_by]
+    )
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Upsert `updates` into the parquet table at `target_path` by natural
+    key. New keys insert; existing keys take the update's row. Running the
+    same batch twice yields a byte-identical table (idempotent by
+    construction, the reference's re-run safety property)."""
+    if _table_exists(target_path):
+        existing = spark.read.parquet(target_path)
+        if partition_by:
+            # Only the partitions the batch touches participate: partition
+            # pruning on the existing side + dynamic partition overwrite on
+            # the write side. An hourly batch rewrites O(batch dates), not
+            # O(table).
+            touched = updates.select(*partition_by).distinct()
+            existing = existing.join(
+                F.broadcast(touched), list(partition_by), "left_semi"
+            )
+        merged = dedup_latest(
+            updates.withColumn(_PRECEDENCE, F.lit(1)).unionByName(
+                existing.withColumn(_PRECEDENCE, F.lit(0))
+            ),
+            keys,
+            order_by=[_PRECEDENCE],
+        ).drop(_PRECEDENCE)
+    else:
+        merged = dedup_latest(updates.withColumn(_PRECEDENCE, F.lit(1)), keys,
+                              order_by=[_PRECEDENCE]).drop(_PRECEDENCE)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if partition_by:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # Overwrite reads lazily from the same path it replaces: materialize
+        # the merged rows first (localCheckpoint breaks the lineage) so the
+        # scan completes before files are swapped.
+        merged = merged.localCheckpoint(eager=True)
+        _write(merged, target_path, partition_by, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def append(df: DataFrame, target_path: str, partition_by: Sequence[str] = ()) -> None:
+    """S5 append sink (fact_gold_price.py:357-364), bulk."""
+    _write(df, target_path, partition_by, mode="append")
+
+
+def overwrite(df: DataFrame, target_path: str, partition_by: Sequence[str] = ()) -> None:
+    """S7 truncate-and-reload (rebuild_all_time_interpolation.py:16-17)."""
+    _write(df, target_path, partition_by, mode="overwrite")
+
+
+def create_if_not_exists(
+    spark: SparkSession, target_path: str, template: DataFrame,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """S6 idempotent DDL (fact_gold_price.py:125-138): materialize an empty
+    table with the template's schema unless one already exists."""
+    if not _table_exists(target_path):
+        _write(template.limit(0), target_path, partition_by, mode="overwrite")
+
+
+def _table_exists(target_path: str) -> bool:
+    return os.path.isdir(target_path) and any(
+        not f.startswith((".", "_")) for f in os.listdir(target_path)
+    )
+
+
+def _write(
+    df: DataFrame, target_path: str, partition_by: Sequence[str], mode: str
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)

@@ -1,0 +1,116 @@
+"""Registry queries for the generated dimensions (S9, P10-P12, P14, A4).
+
+`as_of` is pinned to 2024-01-31 (the driver's events data spans January
+2024) so every evaluation-date-dependent flag is deterministic and
+oracle-checkable (SURVEY.md §7 risk iv).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators import dims as D
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+AS_OF = "2024-01-31"
+DATE_START = "2023-06-01"
+DATE_END = "2024-06-30"
+
+
+def dim_date_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full derived-column recompute (dim_date_etl_dag.py:46-75) as a
+    deterministic generated table."""
+    return D.build_dim_date(spark, DATE_START, DATE_END, AS_OF).orderBy("date_id")
+
+
+_PREV_SQL = ",\n".join(
+    f"  CASE WHEN d >= DATE '{AS_OF}' - INTERVAL {n} DAY AND d < DATE '{AS_OF}'"
+    f" THEN 1 ELSE 0 END AS prev_{n}_days"
+    for n in D.PREV_WINDOWS
+)
+
+DIM_DATE_FLAGS_SQL = f"""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '{DATE_START}', DATE '{DATE_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+)
+SELECT
+  CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
+  strftime(d, '%Y-%m-%d') AS date_string,
+  date_diff('day', d, DATE '{AS_OF}') AS day_lag,
+  CASE WHEN d = DATE '{AS_OF}' THEN 1 ELSE 0 END AS today,
+  CASE WHEN d = DATE '{AS_OF}' - INTERVAL 1 DAY THEN 1 ELSE 0 END AS yesterday,
+{_PREV_SQL},
+  (EXTRACT(YEAR FROM DATE '{AS_OF}') - EXTRACT(YEAR FROM d)) * 12
+    + (EXTRACT(MONTH FROM DATE '{AS_OF}') - EXTRACT(MONTH FROM d)) AS persian_month_lag,
+  (EXTRACT(YEAR FROM DATE '{AS_OF}') - EXTRACT(YEAR FROM d)) * 52
+    + (EXTRACT(WEEK FROM DATE '{AS_OF}') - EXTRACT(WEEK FROM d)) AS persian_week_lag,
+  EXTRACT(YEAR FROM DATE '{AS_OF}') - EXTRACT(YEAR FROM d) AS persian_year_lag,
+  (EXTRACT(YEAR FROM DATE '{AS_OF}') - EXTRACT(YEAR FROM d)) * 52
+    + (EXTRACT(WEEK FROM DATE '{AS_OF}') - EXTRACT(WEEK FROM d)) + 1 AS persian_shifted_week_lag,
+  (EXTRACT(MONTH FROM d) = EXTRACT(MONTH FROM DATE '{AS_OF}' - INTERVAL 1 MONTH)
+   AND EXTRACT(YEAR FROM d) = EXTRACT(YEAR FROM DATE '{AS_OF}' - INTERVAL 1 MONTH))
+    AS is_last_month_mtd
+FROM days
+ORDER BY date_id
+"""
+
+
+def dim_time_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static second-of-day dimension (fact_gold_price.py:283-288)."""
+    return D.build_dim_time(spark).orderBy("time_id")
+
+
+DIM_TIME_TABLE_SQL = """
+SELECT
+  CAST((i // 3600) * 10000 + ((i % 3600) // 60) * 100 + (i % 60) AS INT) AS time_id,
+  CAST(i // 3600 AS INT) AS hour24,
+  CAST((i % 3600) // 60 AS INT) AS minute,
+  CAST(i % 60 AS INT) AS second,
+  lpad(CAST(i // 3600 AS VARCHAR), 2, '0') || ':'
+    || lpad(CAST((i % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+    || lpad(CAST(i % 60 AS VARCHAR), 2, '0') AS minutefullstring24
+FROM range(86400) t(i)
+ORDER BY time_id
+"""
+
+
+def sources_dim_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources dimension derived from `documents.source`: first-appearance
+    id ordering (A5) + deterministic MD5 color (P14)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.sources_from(docs, "source", "doc_id")
+
+
+SOURCES_DIM_COLORS_SQL = """
+SELECT source AS name, MIN(doc_id) AS first_id,
+       '#' || substr(md5(source), 1, 6) AS color
+FROM documents
+GROUP BY source
+ORDER BY first_id
+"""
+
+
+def dim_date_flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: SUM of 0/1 flag columns — the reference's post-update statistics
+    block (dim_date_etl_dag.py:82-93)."""
+    dd = D.build_dim_date(spark, DATE_START, DATE_END, AS_OF)
+    return dd.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum("today").alias("today_count"),
+        F.sum("yesterday").alias("yesterday_count"),
+        F.sum("prev_7_days").alias("prev_7_days_count"),
+        F.sum("prev_30_days").alias("prev_30_days_count"),
+    )
+
+
+DIM_DATE_FLAG_STATS_SQL = f"""
+WITH dd AS ({DIM_DATE_FLAGS_SQL.replace("ORDER BY date_id", "")})
+SELECT COUNT(*) AS total_rows,
+       SUM(today) AS today_count,
+       SUM(yesterday) AS yesterday_count,
+       SUM(prev_7_days) AS prev_7_days_count,
+       SUM(prev_30_days) AS prev_30_days_count
+FROM dd
+"""

@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from myserver_datawarehouse_spark.plans import relational as R
+from myserver_datawarehouse_spark.plans import dims as DM
 from myserver_datawarehouse_spark.plans import timeseries as T
 
 
@@ -82,6 +83,14 @@ _SPECS: list[QuerySpec] = [
         T.interpolate_minutes_nearest2,
         T.INTERPOLATE_MINUTES_NEAREST2_SQL,
         "T2/T3/T4 (nearest-2 parity mode, applyInPandas)",
+    ),
+    QuerySpec("dim_date_flags", DM.dim_date_flags, DM.DIM_DATE_FLAGS_SQL, "S9/P10-P12/P18"),
+    QuerySpec("dim_time_table", DM.dim_time_table, DM.DIM_TIME_TABLE_SQL, "§1.1 dim_time"),
+    QuerySpec(
+        "sources_dim_colors", DM.sources_dim_colors, DM.SOURCES_DIM_COLORS_SQL, "P14/A5"
+    ),
+    QuerySpec(
+        "dim_date_flag_stats", DM.dim_date_flag_stats, DM.DIM_DATE_FLAG_STATS_SQL, "A4"
     ),
 ]
 
