@@ -186,16 +186,22 @@ def _nearest2_fill(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([out_actual, out_missing], ignore_index=True)
 
 
+def fill_nearest2(grid_with_values: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Apply the nearest-2 kernel to an already-joined (grid ∪ observed)
+    frame — callers that build non-default grids (e.g. the hourly
+    pipeline's fixed 60-minute grid) enter here."""
+    keys_schema = StructType([grid_with_values.schema[k] for k in keys])
+    return grid_with_values.groupBy(*keys).applyInPandas(
+        _nearest2_fill, schema=_nearest2_schema(keys_schema)
+    )
+
+
 def interpolate_nearest2(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
     """T2 (exact parity mode): the reference's nearest-2 semantics via one
     grouped `applyInPandas`. Group size is bounded by the grid span (≤1440
     rows/day-group), so executor memory is flat regardless of total scale.
     """
-    g = _grid_with_values(obs, keys)
-    keys_schema = StructType([g.schema[k] for k in keys])
-    return g.groupBy(*keys).applyInPandas(
-        _nearest2_fill, schema=_nearest2_schema(keys_schema)
-    )
+    return fill_nearest2(_grid_with_values(obs, keys), keys)
 
 
 def with_minute_ts(df: DataFrame, col: str = "minute_epoch") -> DataFrame:
@@ -229,6 +235,7 @@ __all__: Iterable[str] = [
     "gapfill_missing",
     "interpolate_bracketing",
     "interpolate_nearest2",
+    "fill_nearest2",
     "hour_grid",
     "with_minute_ts",
 ]

@@ -1,0 +1,131 @@
+"""The flagship end-to-end pipeline (SURVEY.md §3.1), Spark-first.
+
+Mirrors the reference's hourly fact ETL chain
+(`fact_gold_price.py:526`: create → extract → load → interpolate →
+validate) as ONE lazy Spark job instead of five Airflow tasks exchanging
+rows through XCom:
+
+    closed-hour extract (S2) → key derivation (P2-P7) → broadcast dim join
+    (J1/J2) → bulk merge (S4) → hour-grid gap-fill (T1) → nearest-2
+    interpolation (T2/T3) → validation aggregates (V1-V3)
+
+Deviations from the reference, on purpose:
+- The extract window is half-open [H, H+1h) rather than the reference's
+  inclusive BETWEEN (fact_gold_price.py:64-66), which double-reads the
+  boundary minute into two consecutive hourly batches and relies on upsert
+  to repair it. Half-open gives exactly-once row ownership.
+- Interpolation runs on epoch-second minutes, not HHMMSS integers, so the
+  cross-midnight +240000 hack (fact_gold_price_temp.py:343-346) is
+  unnecessary.
+
+Only two driver-side actions exist: the 1-row hour-bound probe and the
+merge write. Everything else is one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.functions import keys as K
+from myserver_datawarehouse_spark.operators import merge as M
+from myserver_datawarehouse_spark.operators import quality as Q
+from myserver_datawarehouse_spark.operators import timeseries as TS
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+GROUP_KEYS = ["event_type"]
+
+
+def last_closed_hour(spark: SparkSession, sf_dir: str) -> int:
+    """S2 window bound: floor(max ts) to the hour, minus one hour — the
+    last *closed* hour in the data (the reference anchors on wall-clock
+    CURRENT_TIMESTAMP; a reproducible engine anchors on the data)."""
+    row = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.unix_timestamp(F.date_trunc("hour", F.max("ts"))).alias("h"))
+        .first()
+    )
+    return int(row["h"]) - 3600
+
+
+def busiest_hour(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic demo anchor: the hour with the most events (ties →
+    earliest hour). The sparse low-sf tails make `last_closed_hour` a
+    near-empty batch; the busiest hour exercises gap-fill + interpolation
+    meaningfully at every scale factor."""
+    row = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h")
+        )
+        .count()
+        .orderBy(F.desc("count"), "h")
+        .first()
+    )
+    return int(row["h"])
+
+
+def extract_hour(spark: SparkSession, sf_dir: str, hour_start: int) -> DataFrame:
+    """S2 closed-window extract + P3/P4/P7 key derivation. The ts filter
+    pushes down to the parquet scan; key expressions stay in codegen."""
+    lo = F.timestamp_seconds(F.lit(hour_start))
+    hi = F.timestamp_seconds(F.lit(hour_start + 3600))
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .withColumn("date_id", K.date_id("ts"))
+        .withColumn("time_id", K.time_id("ts"))
+        .withColumn("rounded_time_id", K.rounded_time_id(F.col("time_id")))
+    )
+
+
+def hourly_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str | None = None,
+    hour_start: int | None = None,
+) -> DataFrame:
+    """Run the full chain for one closed hour (default: the busiest hour in
+    the data); returns the interpolated minute table (event_type,
+    minute_ts, value, is_interpolated, date_id, time_id,
+    rounded_time_id)."""
+    if hour_start is None:
+        hour_start = busiest_hour(spark, sf_dir)
+    batch = extract_hour(spark, sf_dir, hour_start)
+
+    # S4: idempotent bulk merge into the fact table (temp dir when the
+    # caller doesn't maintain one — the driver's smoke run).
+    fact_path = (workdir or tempfile.mkdtemp(prefix="dw_fact_")) + "/fact_events"
+    M.merge_upsert(spark, fact_path, batch, keys=["event_id"],
+                   partition_by=["date_id"])
+    fact = spark.read.parquet(fact_path)
+
+    # T1/T2: gap-fill the 60-minute hour grid per group and fill missing
+    # minutes with the reference's nearest-2 kernel.
+    obs = TS.minute_observations(fact, GROUP_KEYS)
+    grid = TS.hour_grid(obs, GROUP_KEYS, hour_start)
+    g = grid.join(obs, [*GROUP_KEYS, "minute_epoch"], "left")
+    filled = TS.fill_nearest2(g, GROUP_KEYS)
+
+    out = TS.with_minute_ts(filled).select(
+        *GROUP_KEYS,
+        "minute_ts",
+        "value",
+        "is_interpolated",
+        K.date_id("minute_ts").alias("date_id"),
+        K.time_id("minute_ts").alias("time_id"),
+        K.rounded_time_id(K.time_id("minute_ts")).alias("rounded_time_id"),
+    )
+    return out.orderBy(*GROUP_KEYS, "minute_ts")
+
+
+def validate(interpolated: DataFrame) -> DataFrame:
+    """V1+V2+V3 in one pass over the pipeline output."""
+    profile = Q.interpolation_profile(interpolated, GROUP_KEYS)
+    completeness = Q.completeness_check(interpolated, GROUP_KEYS, 60)
+    nulls = Q.null_count(interpolated, "value")
+    return profile.crossJoin(
+        completeness.select("expected_records", "is_complete")
+    ).crossJoin(nulls)

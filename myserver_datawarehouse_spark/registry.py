@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from myserver_datawarehouse_spark.plans import relational as R
 from myserver_datawarehouse_spark.plans import dims as DM
+from myserver_datawarehouse_spark.plans import flagship as FL
 from myserver_datawarehouse_spark.plans import timeseries as T
 
 
@@ -92,6 +93,18 @@ _SPECS: list[QuerySpec] = [
     QuerySpec(
         "dim_date_flag_stats", DM.dim_date_flag_stats, DM.DIM_DATE_FLAG_STATS_SQL, "A4"
     ),
+    QuerySpec(
+        "flagship_hourly_pipeline",
+        FL.flagship_hourly_pipeline,
+        FL.FLAGSHIP_HOURLY_PIPELINE_SQL,
+        "§3.1 S2/S4/P3-P7/T1-T3/V (composed)",
+    ),
+    QuerySpec(
+        "pipeline_validation",
+        FL.pipeline_validation,
+        FL.PIPELINE_VALIDATION_SQL,
+        "V1/V2/V3",
+    ),
 ]
 
 
@@ -100,9 +113,9 @@ def specs() -> list[QuerySpec]:
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The driver's ``entry()`` smoke query: must run fast on sf0.001 and
-    return ≥0 rows with a stable schema."""
-    return R.star_join_revenue(spark, sf_dir)
+    """The driver's ``entry()`` smoke query: the full hourly pipeline
+    (extract → merge → gap-fill → interpolate) on sf0.001."""
+    return FL.flagship_hourly_pipeline(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

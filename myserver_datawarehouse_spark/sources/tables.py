@@ -36,6 +36,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arithmetic matches DuckDB's nanos→micros truncation exactly, whereas
     `/1000` would round through a double and drift the last microsecond.
     """
+    # The caller may hand us a session without our factory config (the
+    # driver builds its own). Both confs are runtime-settable and
+    # correctness-critical: UTC pins every date_id/time_id derivation to
+    # the oracle's tz-naive arithmetic (session.py's policy), nanosAsLong
+    # makes TIMESTAMP(NANOS) parquet readable at all.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
