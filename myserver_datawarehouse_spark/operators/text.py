@@ -1,0 +1,208 @@
+"""Text-pipeline column kernels: normalization, hashing, shingling,
+MinHash, SimHash, winnowing fingerprints (SURVEY.md LLM-data-pipeline
+addendum; the reference's only text op is the MD5 color hash at
+populate_sources_dag.py:62-72 — everything here generalizes that
+hash-as-a-column discipline to document processing).
+
+Everything is built from higher-order array functions (`transform`,
+`aggregate`, `filter`) over one tokenized column — zero Python UDFs, zero
+explodes in the signature path. At 100 TB this matters twice over: the
+whole signature computation stays inside WholeStageCodegen with no
+shuffle, and the only shuffles in the dedup pipeline are the band-bucket
+join and the final pair dedup, both on short synthetic keys.
+
+Cross-engine determinism: the shared 60-bit hash primitive is
+md5(seed|value) -> first 15 hex chars -> BIGINT, verified bit-identical
+between Spark (`conv(..., 16, 10)`) and DuckDB (`('0x' || ...)::BIGINT`).
+60 bits keeps every value positive and below DuckDB's 1<<63 overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list used for quality scoring and stopword-ratio features.
+# Deliberately tiny and embedded as a literal so the Spark plan and the
+# DuckDB oracle share one definition (see plans/llm_text.py).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+SIMHASH_BITS = 60
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, trim, collapse runs of whitespace to single spaces."""
+    return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+
+
+def content_hash(col: Column | str) -> Column:
+    """Exact-dedup key: sha256 hex of the normalized text."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def hash60(col: Column | str, seed: int | None = None) -> Column:
+    """The shared 60-bit hash: md5 -> 15 hex chars -> bigint.
+
+    `seed` prefixes the input with "<seed>|" so one primitive yields an
+    arbitrary family of independent hash functions (MinHash seeds,
+    hyperplane ids, band ids).
+    """
+    c = _c(col)
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}|"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(tokens: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-grams as space-joined strings (array<string>).
+
+    `transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(...)))` —
+    array-local, no explode. `distinct=False` keeps the positional
+    sequence (required by winnowing, which is order-sensitive).
+    """
+    t = _c(tokens)
+    n = F.size(t)
+    # Guard n < k explicitly: Spark's sequence(1, 0) counts DOWN to [1, 0]
+    # (DuckDB's generate_series(1, 0) is empty), so short docs need their
+    # own empty-array branch.
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def minhash_signature(shingle_col: Column | str, n_hashes: int = 16) -> Column:
+    """MinHash signature (array<bigint>, length n_hashes).
+
+    sig[s] = min over shingles of hash60(s, shingle). Pure array math per
+    row; the signature for a 10 KB document is 128 bytes regardless of
+    document size, which is what makes LSH join-able at 100 TB.
+    """
+    sh = _c(shingle_col)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x, s=s: hash60(x, s)))
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig: Column | str, bands: int, rows: int) -> Column:
+    """Band keys for LSH bucketing (array<string>, length `bands`).
+
+    Band b's key is "<b>:<hash60 of its `rows` signature slots joined>".
+    Docs sharing ANY band key become candidate pairs — the classic
+    (bands, rows) S-curve: P(candidate) = 1 - (1 - j^rows)^bands.
+    """
+    s = _c(sig)
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                hash60(
+                    F.concat_ws(",", *[s[b * rows + r] for r in range(rows)]),
+                    seed=b,
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays, as double."""
+    inter = F.size(F.array_intersect(_c(a), _c(b)))
+    union = F.size(F.array_union(_c(a), _c(b)))
+    return inter.cast("double") / union.cast("double")
+
+
+def simhash(tokens: Column | str) -> Column:
+    """60-bit SimHash of a token array, as one BIGINT.
+
+    Classic Charikar scheme: each token votes +1/-1 on every bit of its
+    hash60; bit i of the result is 1 iff the vote sum is positive. Token
+    multiplicity is preserved (repeated tokens vote repeatedly). Built as
+    transform-over-bits + aggregate-over-tokens — array-local, codegen'd.
+    """
+    hashes = F.transform(_c(tokens), lambda t: hash60(t))
+    # `F.shiftright`/`F.shiftleft` require a Python-int shift; the shift
+    # here is the lambda-bound bit index, so go through the SQL functions
+    # (which accept column shifts) via call_function.
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda v, i: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_chunks(sim: Column | str, n_chunks: int = 4) -> Column:
+    """Split a 60-bit simhash into `n_chunks` 15-bit chunks (array<int>).
+
+    Pigeonhole banding: two docs within hamming distance < n_chunks share
+    at least one identical chunk, so a join on (chunk_idx, chunk_value)
+    finds all pairs with hamming <= n_chunks - 1 without an all-pairs scan.
+    """
+    width = SIMHASH_BITS // n_chunks
+    s = _c(sim)
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftright(s, c * width).bitwiseAND(F.lit(mask)).cast("int")
+            for c in range(n_chunks)
+        ]
+    )
+
+
+def hamming60(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 60-bit simhashes."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def winnow_fingerprints(shingle_hashes: Column | str, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al. 2003) fingerprint set: the distinct
+    minima of every `window`-length sliding window over the positional
+    shingle-hash sequence (array<bigint>, sorted).
+
+    Guarantees any match of length >= window + k - 1 tokens shares a
+    fingerprint, with ~2/(window+1) of hashes retained.
+    """
+    h = _c(shingle_hashes)
+    n = F.size(h)
+    mins = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.array_min(F.slice(h, i, window)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_sort(F.array_distinct(mins))

@@ -1,0 +1,526 @@
+"""LLM-training-data text pipeline over the `documents` table: exact and
+near dedup, quality scoring, language ID, fingerprinting.
+
+The reference has no document processing (its one text op is the MD5
+color hash, populate_sources_dag.py:62-72); these operators are the
+large-scale-pipeline addendum from SURVEY.md. Every query here has a
+bit-exact DuckDB oracle: both engines derive all hashes from the shared
+md5->60-bit primitive (operators/text.py `hash60`), so even the LSH
+banding and SimHash pair sets match exactly by construction.
+
+Scale notes (100 TB):
+- Signatures (minhash/simhash/winnow) are per-row array math — no
+  shuffle, fully codegen'd, linear scan.
+- Near-dup joins are BUCKETED (LSH band keys / simhash chunks), never
+  all-pairs: the shuffle key space is ~#docs x bands, and bucket
+  population is bounded by collision rate, not corpus size. The one
+  all-pairs query (`ngram_jaccard_pairs`) is the exact-recall baseline,
+  deliberately restricted to a deterministic doc_id sample and documented
+  as test-scale-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators import text as TX
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- params
+
+SHINGLE_K = 3
+MINHASH_N = 16
+LSH_BANDS = 8
+LSH_ROWS = 2
+JACCARD_TAU = 0.5
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = SIMHASH_CHUNKS - 1  # pigeonhole guarantee of chunk banding
+WINNOW_WINDOW = 4
+SAMPLE_MOD = 4  # ngram_jaccard_pairs doc_id sample
+
+# Shared oracle fragments -------------------------------------------------
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+_TOKS_SQL = f"""
+  SELECT doc_id, lang, source,
+         {_NORM_SQL} AS norm,
+         string_split({_NORM_SQL}, ' ') AS tks
+  FROM documents
+"""
+
+
+def _d_hash60(expr: str, seed=None) -> str:
+    """DuckDB twin of operators/text.hash60 (verified bit-identical)."""
+    if seed is not None:
+        expr = f"'{seed}|' || ({expr})"
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+# k=3 positional shingles; DuckDB generate_series(1,0) is already empty
+# for short docs (Spark side needs the explicit guard in TX.shingles).
+_SH_POS_SQL = (
+    "[array_to_string(tks[i:i+2], ' ') "
+    "FOR i IN generate_series(1, len(tks) - 2)]"
+)
+_SH_SQL = f"""
+  SELECT doc_id, list_distinct({_SH_POS_SQL}) AS sh
+  FROM toks
+"""
+
+_STOP_SQL = "('" + "', '".join(TX.STOPWORDS) + "')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content sha256: one row per distinct
+    content, with the canonical (min) doc_id and the copy count.
+
+    At 100 TB this is one hash-aggregate shuffle on a 64-char key with
+    map-side partials — the cheapest possible dedup.
+    """
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(TX.content_hash("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH toks AS ({_TOKS_SQL})
+SELECT sha256(norm) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM toks
+GROUP BY 1
+ORDER BY content_hash
+"""
+
+
+def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (shingle k=3, 16 hashes,
+    8 bands x 2 rows, Jaccard >= 0.5 verified exactly on candidates).
+
+    Shape: signature (array-local) -> explode band keys -> self-join on
+    band key (the ONLY all-to-all step, keyed by bucket) -> distinct
+    candidate pairs -> exact-Jaccard verify. Candidate volume scales with
+    bucket collisions, not corpus^2. The oracle mirrors the banding, so
+    candidacy itself — not just the final filter — is compared.
+    """
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", TX.shingles(TX.tokenize("text"), SHINGLE_K).alias("sh")
+    )
+    sig = sh.select(
+        "doc_id", TX.minhash_signature("sh", MINHASH_N).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id", F.explode(TX.lsh_band_keys("sig", LSH_BANDS, LSH_ROWS)).alias("bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+    )
+    return (
+        pairs.select(
+            "doc_a", "doc_b", F.round(TX.jaccard("sh_a", "sh_b"), 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_SQL = (
+    "["
+    + ", ".join(
+        f"list_min([{_d_hash60('x', seed=s)} FOR x IN sh])" for s in range(MINHASH_N)
+    )
+    + "]"
+)
+
+
+def _band_key_sql(b: int) -> str:
+    slots = " || ',' || ".join(
+        f"sig[{b * LSH_ROWS + r + 1}]::VARCHAR" for r in range(LSH_ROWS)
+    )
+    return f"'{b}:' || ({_d_hash60(slots, seed=b)})::VARCHAR"
+
+
+_BAND_KEYS_SQL = "[" + ", ".join(_band_key_sql(b) for b in range(LSH_BANDS)) + "]"
+
+NEAR_DUP_MINHASH_LSH_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SH_SQL}),
+sig AS (SELECT doc_id, sh, {_MINHASH_SQL} AS sig FROM sh),
+bands AS (SELECT doc_id, unnest({_BAND_KEYS_SQL}) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM pairs
+WHERE jaccard >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 60-bit signatures, 4x15-bit chunk
+    banding, hamming distance <= 3 (the pigeonhole-complete radius).
+
+    Join key is (chunk_idx, chunk_value): at 100 TB the candidate volume
+    per 15-bit bucket is corpus/32768 per chunk — bounded fan-out, no
+    all-pairs. Exactly mirrors the oracle bit-for-bit.
+    """
+    d = _docs(spark, sf_dir)
+    sim = d.select(
+        "doc_id", TX.simhash(TX.tokenize("text")).alias("simhash")
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(TX.simhash_chunks("simhash", SIMHASH_CHUNKS)).alias("c", "cv"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            TX.hamming60(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= HAMMING_MAX).orderBy("doc_a", "doc_b")
+
+
+_CHUNK_W = TX.SIMHASH_BITS // SIMHASH_CHUNKS
+_CHUNK_MASK = (1 << _CHUNK_W) - 1
+
+NEAR_DUP_SIMHASH_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+hs AS (SELECT doc_id, [{_d_hash60('x')} FOR x IN tks] AS hashes FROM toks),
+votes AS (
+  SELECT doc_id,
+         [CAST(list_sum([CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END
+                          FOR h IN hashes]) AS BIGINT)
+          FOR i IN generate_series(0, {TX.SIMHASH_BITS - 1})] AS v
+  FROM hs
+),
+sim AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i)
+                             ELSE 0::BIGINT END
+                        FOR i IN generate_series(0, {TX.SIMHASH_BITS - 1})])
+              AS BIGINT) AS simhash
+  FROM votes
+),
+chunks AS (
+  SELECT doc_id, simhash, c,
+         CAST((simhash >> (c * {_CHUNK_W})) & {_CHUNK_MASK} AS INT) AS cv
+  FROM sim, LATERAL unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS u(c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard (>= 0.5) on a deterministic
+    doc_id % {SAMPLE_MOD} sample — the recall baseline the LSH variants
+    are judged against in tests.
+
+    All-pairs is O(n^2) BY DESIGN and test-scale-only; the sample bound
+    keeps it so. The production path at 100 TB is near_dup_minhash_lsh.
+    """
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    sh = d.select(
+        "doc_id", TX.shingles(TX.tokenize("text"), SHINGLE_K).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.round(TX.jaccard("sh_a", "sh_b"), 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS (
+  SELECT doc_id, list_distinct({_SH_POS_SQL}) AS sh
+  FROM toks WHERE doc_id % {SAMPLE_MOD} = 0
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------- quality / stats
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + tier: token/unique/stopword counts
+    and ratios, normalized length, CASE-tiered quality label.
+
+    Pure array math per row (no shuffle at all until the final sort);
+    the 100 TB plan is a single codegen'd scan.
+    """
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+    n_tok = F.size(tks)
+    n_uniq = F.size(F.array_distinct(tks))
+    n_stop = F.size(F.filter(tks, lambda t: t.isin(*TX.STOPWORDS)))
+    uniq_ratio = F.round(n_uniq.cast("double") / n_tok.cast("double"), 6)
+    stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 6)
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_uniq.alias("n_uniq_tokens"),
+            n_stop.alias("n_stopwords"),
+            uniq_ratio.alias("uniq_ratio"),
+            stop_ratio.alias("stop_ratio"),
+            F.length(TX.normalize_text("text")).alias("n_chars_norm"),
+        )
+        .withColumn(
+            "quality",
+            F.when(
+                (F.col("n_tokens") >= 30)
+                & (F.col("uniq_ratio") >= 0.25)
+                & (F.col("stop_ratio") <= 0.3),
+                F.lit("good"),
+            )
+            .when(F.col("n_tokens") >= 10, F.lit("fair"))
+            .otherwise(F.lit("poor")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_SCORES_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+feat AS (
+  SELECT doc_id,
+         len(tks) AS n_tokens,
+         len(list_distinct(tks)) AS n_uniq_tokens,
+         len([t FOR t IN tks IF t IN {_STOP_SQL}]) AS n_stopwords,
+         ROUND(CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks), 6) AS uniq_ratio,
+         ROUND(CAST(len([t FOR t IN tks IF t IN {_STOP_SQL}]) AS DOUBLE)
+               / len(tks), 6) AS stop_ratio,
+         length(norm) AS n_chars_norm
+  FROM toks
+)
+SELECT *,
+       CASE WHEN n_tokens >= 30 AND uniq_ratio >= 0.25 AND stop_ratio <= 0.3
+              THEN 'good'
+            WHEN n_tokens >= 10 THEN 'fair'
+            ELSE 'poor' END AS quality
+FROM feat
+ORDER BY doc_id
+"""
+
+
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): doc/token/char rollup.
+
+    One hash-aggregate shuffle on a tiny key space; the token counting
+    itself is map-side array math.
+    """
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.size(tks).alias("n_tok"),
+            F.length(TX.normalize_text("text")).alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TEXT_STATS_BY_LANG_SQL = f"""
+WITH toks AS ({_TOKS_SQL})
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(len(tks)) AS sum_tokens,
+       ROUND(CAST(SUM(len(tks)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       MAX(length(norm)) AS max_chars,
+       MIN(length(norm)) AS min_chars
+FROM toks
+GROUP BY 1, 2
+ORDER BY lang, source
+"""
+
+
+# Marker-token profiles for the n-gram/stopword language-ID heuristic.
+# Tiny embedded profiles (shared literal with the oracle); real pipelines
+# swap in fastText-style models via the same argmax shape.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "una", "y"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+_LANG_ORDER = tuple(LANG_MARKERS)  # tie-break priority, shared with oracle
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token argmax) vs the labeled lang:
+    confusion-matrix counts. Zero-hit docs predict 'und'.
+
+    Per-row array math + one small aggregate; the argmax CASE priority
+    order is the deterministic tie-break, identical in the oracle.
+    """
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+
+    # NB: a `lambda t, m=m:` default-arg closure would be seen by PySpark
+    # as a two-arg (element, index) lambda — build via a factory instead.
+    def _hits(markers):
+        return F.size(F.filter(tks, lambda t: t.isin(*markers)))
+
+    hits = {lang: _hits(m) for lang, m in LANG_MARKERS.items()}
+    gmax = F.greatest(*hits.values())
+    pred = F.when(gmax == 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        pred = pred.when(hits[lang] == gmax, F.lit(lang))
+    return (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    return (
+        "len([t FOR t IN tks IF t IN ('"
+        + "', '".join(LANG_MARKERS[lang])
+        + "')])"
+    )
+
+
+LANG_ID_CONFUSION_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+hits AS (
+  SELECT lang,
+         {", ".join(f"{_marker_sql(lg)} AS h_{lg}" for lg in _LANG_ORDER)},
+         greatest({", ".join(f"{_marker_sql(lg)}" for lg in _LANG_ORDER)}) AS gmax
+  FROM toks
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN gmax = 0 THEN 'und'
+              {" ".join(f"WHEN h_{lg} = gmax THEN '{lg}'" for lg in _LANG_ORDER)}
+         END AS lang_pred
+  FROM hits
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred
+GROUP BY 1, 2
+ORDER BY lang, lang_pred
+"""
+
+
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling min-hash over positional 3-gram
+    hashes, window 4): per-doc fingerprint-set size and extrema.
+
+    The fingerprint set is the plagiarism/containment index key at scale:
+    ~2/(w+1) of shingle hashes survive, so the inverted index is a
+    constant fraction of corpus size.
+    """
+    d = _docs(spark, sf_dir)
+    grams = TX.shingles(TX.tokenize("text"), SHINGLE_K, distinct=False)
+    hashes = F.transform(grams, lambda g: TX.hash60(g))
+    fp = TX.winnow_fingerprints(hashes, WINNOW_WINDOW)
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.element_at(fp, 1).alias("fp_min"),
+        F.element_at(fp, -1).alias("fp_max"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_WINNOW_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+hs AS (
+  SELECT doc_id, [{_d_hash60('g')} FOR g IN {_SH_POS_SQL}] AS h
+  FROM toks
+),
+fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(h[i:i + {WINNOW_WINDOW - 1}])
+            FOR i IN generate_series(1, len(h) - {WINNOW_WINDOW - 1})]
+         )) AS fps
+  FROM hs
+)
+SELECT doc_id,
+       len(fps) AS n_fingerprints,
+       fps[1] AS fp_min,
+       fps[len(fps)] AS fp_max
+FROM fp
+ORDER BY doc_id
+"""

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from myserver_datawarehouse_spark.plans import relational as R
 from myserver_datawarehouse_spark.plans import dims as DM
 from myserver_datawarehouse_spark.plans import flagship as FL
+from myserver_datawarehouse_spark.plans import llm_text as LT
 from myserver_datawarehouse_spark.plans import timeseries as T
 
 
@@ -104,6 +105,49 @@ _SPECS: list[QuerySpec] = [
         FL.pipeline_validation,
         FL.PIPELINE_VALIDATION_SQL,
         "V1/V2/V3",
+    ),
+    QuerySpec("dedup_exact", LT.dedup_exact, LT.DEDUP_EXACT_SQL, "LLM exact dedup"),
+    QuerySpec(
+        "near_dup_minhash_lsh",
+        LT.near_dup_minhash_lsh,
+        LT.NEAR_DUP_MINHASH_LSH_SQL,
+        "LLM MinHash+LSH near-dup",
+    ),
+    QuerySpec(
+        "near_dup_simhash",
+        LT.near_dup_simhash,
+        LT.NEAR_DUP_SIMHASH_SQL,
+        "LLM SimHash near-dup",
+    ),
+    QuerySpec(
+        "ngram_jaccard_pairs",
+        LT.ngram_jaccard_pairs,
+        LT.NGRAM_JACCARD_PAIRS_SQL,
+        "LLM n-gram Jaccard baseline",
+    ),
+    QuerySpec(
+        "text_quality_scores",
+        LT.text_quality_scores,
+        LT.TEXT_QUALITY_SCORES_SQL,
+        "LLM quality scoring",
+    ),
+    QuerySpec(
+        "text_stats_by_lang",
+        LT.text_stats_by_lang,
+        LT.TEXT_STATS_BY_LANG_SQL,
+        "LLM corpus stats",
+    ),
+    QuerySpec(
+        "lang_id_confusion",
+        LT.lang_id_confusion,
+        LT.LANG_ID_CONFUSION_SQL,
+        "LLM language ID",
+    ),
+    QuerySpec(
+        "doc_fingerprint_winnow",
+        LT.doc_fingerprint_winnow,
+        LT.DOC_FINGERPRINT_WINNOW_SQL,
+        "LLM winnowing fingerprint",
     ),
 ]
 
