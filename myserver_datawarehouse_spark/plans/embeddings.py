@@ -1,0 +1,212 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+FLOAT[64], label): brute-force cosine top-k, sign-bucketed ANN, and
+per-label norm stats.
+
+Oracle parity: Spark's left-to-right `aggregate` fold over
+`zip_with(a, b, double-mul)` is bit-identical to DuckDB's
+`list_dot_product` over `DOUBLE[]`, and sqrt/division are IEEE-exact in
+both — so cosine scores match to the last bit and only the final ROUND(6)
+guards display formatting. Ranking ties are broken on (rounded score,
+neighbor id) in both engines.
+
+Scale notes (100 TB):
+- Brute-force top-k broadcasts the PROBE side (a handful of query
+  vectors) and streams the corpus once — a map-only plan plus one small
+  top-k-per-query aggregate; this is the right plan for few queries.
+- The bucketed variant (`sign_bucket`) is the many-queries path: the
+  self-join is keyed on a small int bucket, so candidate volume is
+  sum over buckets of |bucket|^2, tunable by bit count — never corpus^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators import vectors as V
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+N_PROBES = 8
+TOP_K = 5
+BUCKET_BITS = 4
+BUCKET_TOP_K = 3
+
+# DuckDB fragments ---------------------------------------------------------
+
+_COS_SQL = """
+  CASE WHEN sqrt(list_dot_product(q, q)) > 0
+        AND sqrt(list_dot_product(v, v)) > 0
+       THEN list_dot_product(q, v)
+            / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v)))
+  END
+"""
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(BUCKET_BITS)
+)
+
+
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for {N_PROBES} probe vectors.
+
+    The probe side is explicitly broadcast: the corpus scan is map-only
+    (no shuffle of the big side), and the only shuffle is the per-query
+    top-k window over N_PROBES x corpus candidate rows, partitioned by
+    query_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        e.join(F.broadcast(probes), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine("q", "embedding"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
+EMBEDDING_TOPK_BRUTEFORCE_SQL = f"""
+WITH p AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT query_id, vec_id, ROUND({_COS_SQL}, 6) AS cosine
+  FROM p CROSS JOIN e
+  WHERE vec_id != query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id
+  ) AS rn
+  FROM s WHERE cosine IS NOT NULL
+)
+SELECT query_id, vec_id, cosine FROM r
+WHERE rn <= {TOP_K}
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-local ANN: top-{BUCKET_TOP_K} cosine neighbors for EVERY
+    vector, searched only within its {BUCKET_BITS}-bit sign bucket.
+
+    This is the IVF-shaped scale path: the self-join shuffles both sides
+    once on the bucket id, each bucket's candidates fit a task, and
+    recall is traded against cost by the bit count (probing adjacent
+    buckets would raise recall; kept single-probe here to stay
+    oracle-exact).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        V.sign_bucket("embedding", BUCKET_BITS).alias("bucket"),
+    )
+    a = e.select(
+        F.col("vec_id"), F.col("embedding").alias("q"), F.col("bucket")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+        F.col("bucket"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "bucket",
+            F.round(V.cosine("q", "v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BUCKET_TOP_K)
+        .select("vec_id", "neighbor_id", "bucket", "cosine")
+        .orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
+    )
+
+
+EMBEDDING_ANN_BUCKETED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+s AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id, a.bucket,
+         ROUND(CASE WHEN sqrt(list_dot_product(a.vec, a.vec)) > 0
+                     AND sqrt(list_dot_product(b.vec, b.vec)) > 0
+                    THEN list_dot_product(a.vec, b.vec)
+                         / (sqrt(list_dot_product(a.vec, a.vec))
+                            * sqrt(list_dot_product(b.vec, b.vec)))
+               END, 6) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+  ) AS rn
+  FROM s WHERE cosine IS NOT NULL
+)
+SELECT vec_id, neighbor_id, bucket, cosine FROM r
+WHERE rn <= {BUCKET_TOP_K}
+ORDER BY vec_id, cosine DESC, neighbor_id
+"""
+
+
+def embedding_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus profile: vector count, norm extrema, bucket
+    spread. MIN/MAX/COUNT only — order-independent under any partitioning
+    (the engine's float-determinism policy; see plans/relational.py).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        V.norm2("embedding").alias("nrm"),
+        V.sign_bucket("embedding", BUCKET_BITS).alias("bucket"),
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.countDistinct("bucket").alias("n_buckets"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_STATS_BY_LABEL_SQL = f"""
+WITH e AS (
+  SELECT label,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm,
+       COUNT(DISTINCT bucket) AS n_buckets
+FROM e
+GROUP BY 1
+ORDER BY label
+"""

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from myserver_datawarehouse_spark.plans import relational as R
 from myserver_datawarehouse_spark.plans import dims as DM
 from myserver_datawarehouse_spark.plans import flagship as FL
+from myserver_datawarehouse_spark.plans import embeddings as EM
 from myserver_datawarehouse_spark.plans import llm_text as LT
 from myserver_datawarehouse_spark.plans import timeseries as T
 
@@ -148,6 +149,24 @@ _SPECS: list[QuerySpec] = [
         LT.doc_fingerprint_winnow,
         LT.DOC_FINGERPRINT_WINNOW_SQL,
         "LLM winnowing fingerprint",
+    ),
+    QuerySpec(
+        "embedding_topk_bruteforce",
+        EM.embedding_topk_bruteforce,
+        EM.EMBEDDING_TOPK_BRUTEFORCE_SQL,
+        "LLM ANN brute-force baseline",
+    ),
+    QuerySpec(
+        "embedding_ann_bucketed",
+        EM.embedding_ann_bucketed,
+        EM.EMBEDDING_ANN_BUCKETED_SQL,
+        "LLM ANN sign-bucketed",
+    ),
+    QuerySpec(
+        "embedding_norm_stats_by_label",
+        EM.embedding_norm_stats_by_label,
+        EM.EMBEDDING_NORM_STATS_BY_LABEL_SQL,
+        "LLM embedding stats",
     ),
 ]
 
