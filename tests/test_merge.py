@@ -1,0 +1,73 @@
+"""Merge/upsert writer semantics (S4-S7): idempotency, update-wins,
+partition-scoped rewrite, idempotent DDL."""
+
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators import merge as M
+
+
+def rows_of(spark, path):
+    return {
+        tuple(r) for r in spark.read.parquet(path).select("id", "v", "d").collect()
+    }
+
+
+def batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, d int")
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t")
+    b = batch(spark, [(1, "a", 10), (2, "b", 10)])
+    M.merge_upsert(spark, p, b, keys=["id"], partition_by=["d"])
+    first = rows_of(spark, p)
+    M.merge_upsert(spark, p, b, keys=["id"], partition_by=["d"])
+    assert rows_of(spark, p) == first == {(1, "a", 10), (2, "b", 10)}
+
+
+def test_merge_update_wins_insert_new(spark, tmp_path):
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10), (2, "b", 10)]), keys=["id"])
+    M.merge_upsert(spark, p, batch(spark, [(2, "B", 10), (3, "c", 10)]), keys=["id"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 10), (3, "c", 10)}
+
+
+def test_partitioned_merge_keeps_untouched_partitions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    M.merge_upsert(
+        spark, p, batch(spark, [(1, "a", 10), (2, "b", 20)]), keys=["id"],
+        partition_by=["d"],
+    )
+    # second batch touches only partition d=20
+    M.merge_upsert(
+        spark, p, batch(spark, [(2, "B", 20), (3, "c", 20)]), keys=["id"],
+        partition_by=["d"],
+    )
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20), (3, "c", 20)}
+
+
+def test_batch_internal_dups_deduped(spark, tmp_path):
+    # window-dedup inside one batch: highest precedence row per key wins
+    p = str(tmp_path / "t")
+    b = batch(spark, [(1, "x", 10), (1, "y", 10)])
+    deduped = M.dedup_latest(b, keys=["id"], order_by=["v"])
+    M.merge_upsert(spark, p, deduped, keys=["id"])
+    assert rows_of(spark, p) == {(1, "y", 10)}
+
+
+def test_create_if_not_exists_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tpl = batch(spark, [(1, "a", 10)])
+    M.create_if_not_exists(spark, p, tpl)
+    assert spark.read.parquet(p).count() == 0
+    # existing data is never clobbered
+    M.append(batch(spark, [(5, "z", 1)]), p)
+    M.create_if_not_exists(spark, p, tpl)
+    assert rows_of(spark, p) == {(5, "z", 1)}
+
+
+def test_overwrite_truncates(spark, tmp_path):
+    p = str(tmp_path / "t")
+    M.append(batch(spark, [(1, "a", 10)]), p)
+    M.overwrite(batch(spark, [(9, "n", 1)]), p)
+    assert rows_of(spark, p) == {(9, "n", 1)}
