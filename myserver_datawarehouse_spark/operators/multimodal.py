@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque `binary` payloads with typed
+metadata, decoded/feature-extracted via Arrow-batched `mapInPandas`
+(SURVEY.md LLM-data-pipeline addendum — the reference is text/SQL only;
+this is the image/audio/video column layer a training-data pipeline
+needs).
+
+Design:
+- Media travels as one `binary` column plus a metadata struct
+  (media_type, n_bytes). Spark never interprets the bytes; only the
+  Pandas kernel does, one Arrow batch at a time — the schema, partition
+  behavior, and batch shape are real and tested.
+- REAL decoding (PIL/librosa/ffmpeg) is unavailable in this container:
+  `decode_media` is the clearly-marked stub (NotImplementedError unless
+  the lib imports). `extract_features` is the production plumbing running
+  a deterministic kernel (sizes, md5, type-dependent shape fields) so the
+  whole path is differential-testable against a SQL oracle.
+- Scale: mapInPandas streams Arrow batches — executor memory is bounded
+  by `spark.sql.execution.arrow.maxRecordsPerBatch` x max payload size,
+  independent of partition row count. Payload-heavy tables should set
+  `maxPartitionBytes` low enough that a partition's blobs fit a task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - decode libs are absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, payload_md5 string, "
+    "width int, height int, sample_rate int, n_frames int"
+)
+
+
+def with_fake_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic binary payload + metadata to the documents
+    table (UTF-8 bytes of the text stand in for media bytes; media_type
+    cycles by doc_id). Real pipelines replace this with a binary-file /
+    blob-store read — everything downstream is unchanged."""
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.col("doc_id") % len(MEDIA_TYPES)).cast("int") + 1,
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            mt.alias("media_type"), F.length(payload).alias("n_bytes")
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):  # pragma: no cover
+    """STUB: real decode needs PIL/librosa/ffmpeg, none of which exist in
+    this container. The function is the single seam where they plug in."""
+    if media_type == "image" and _HAVE_PIL:
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    raise NotImplementedError(
+        f"decoding media_type={media_type!r} requires image/audio libs "
+        "not present in this environment"
+    )
+
+
+def _feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic per-payload features, vectorized per Arrow batch.
+
+    Shape fields are a seeded fake "decode" (derived from byte length) so
+    the pipeline is end-to-end testable; swapping in `decode_media` output
+    changes only this kernel's body, not the Spark plan.
+    """
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        md5 = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+        is_img = pdf["media_type"] == "image"
+        is_aud = pdf["media_type"] == "audio"
+        is_vid = pdf["media_type"] == "video"
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": n.astype("int64"),
+                "payload_md5": md5,
+                "width": (n % 640 + 1).where(is_img | is_vid).astype("Int32"),
+                "height": (n % 480 + 1).where(is_img | is_vid).astype("Int32"),
+                "sample_rate": pd.Series(16000, index=pdf.index)
+                .where(is_aud)
+                .astype("Int32"),
+                "n_frames": (n % 16 + 1).where(is_vid).astype("Int32"),
+            }
+        )
+        yield out
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Run the feature kernel over (doc_id, media_type, payload) via
+    mapInPandas — the production decode/resize/frame-sample plumbing."""
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        _feature_kernel, schema=FEATURE_SCHEMA
+    )

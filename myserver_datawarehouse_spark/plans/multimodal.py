@@ -1,0 +1,105 @@
+"""Registry queries for the multimodal column layer: per-payload feature
+extraction (mapInPandas) and a per-type rollup, both with exact DuckDB
+oracles (the fake-decode fields are deterministic functions of byte
+length, so the Arrow kernel and the SQL twin agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators import multimodal as MM
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+_MT_CASE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed feature row through the real mapInPandas
+    plumbing (operators/multimodal.py). The oracle recomputes every
+    feature relationally: md5(text) over UTF-8 bytes equals the kernel's
+    hashlib.md5(payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.with_fake_payload(docs)
+    feats = MM.extract_features(media)
+    # Output edge: nullable ints become NaN floats through the Arrow/pandas
+    # bridge the correctness harness rides on — emit -1 sentinels instead
+    # (mirrored in the oracle); the operator layer keeps real NULLs.
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "payload_md5",
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).alias(c)
+            for c in ("width", "height", "sample_rate", "n_frames")
+        ],
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT doc_id, {_MT_CASE} AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS payload_md5
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes, payload_md5,
+       COALESCE(CASE WHEN media_type IN ('image', 'video')
+                     THEN CAST(n_bytes % 640 + 1 AS INT) END, -1) AS width,
+       COALESCE(CASE WHEN media_type IN ('image', 'video')
+                     THEN CAST(n_bytes % 480 + 1 AS INT) END, -1) AS height,
+       COALESCE(CASE WHEN media_type = 'audio' THEN 16000 END, -1)
+         AS sample_rate,
+       COALESCE(CASE WHEN media_type = 'video'
+                     THEN CAST(n_bytes % 16 + 1 AS INT) END, -1) AS n_frames
+FROM m
+ORDER BY doc_id
+"""
+
+
+def multimodal_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per media type over the extracted features — the
+    post-extraction aggregate a curation pipeline runs (count, byte
+    volume, shape extrema)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.with_fake_payload(docs))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.coalesce(F.min("width"), F.lit(-1)).alias("min_width"),
+            F.coalesce(F.max("height"), F.lit(-1)).alias("max_height"),
+            F.countDistinct("payload_md5").alias("n_distinct_payloads"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MULTIMODAL_TYPE_ROLLUP_SQL = f"""
+WITH m AS (
+  SELECT doc_id, {_MT_CASE} AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS payload_md5
+  FROM documents
+)
+SELECT media_type,
+       COUNT(*) AS n_items,
+       SUM(n_bytes) AS total_bytes,
+       MAX(n_bytes) AS max_bytes,
+       COALESCE(MIN(CASE WHEN media_type IN ('image', 'video')
+                          THEN CAST(n_bytes % 640 + 1 AS INT) END), -1)
+         AS min_width,
+       COALESCE(MAX(CASE WHEN media_type IN ('image', 'video')
+                          THEN CAST(n_bytes % 480 + 1 AS INT) END), -1)
+         AS max_height,
+       COUNT(DISTINCT payload_md5) AS n_distinct_payloads
+FROM m
+GROUP BY 1
+ORDER BY media_type
+"""

@@ -21,6 +21,7 @@ from myserver_datawarehouse_spark.plans import dims as DM
 from myserver_datawarehouse_spark.plans import flagship as FL
 from myserver_datawarehouse_spark.plans import embeddings as EM
 from myserver_datawarehouse_spark.plans import llm_text as LT
+from myserver_datawarehouse_spark.plans import multimodal as MMQ
 from myserver_datawarehouse_spark.plans import timeseries as T
 
 
@@ -167,6 +168,18 @@ _SPECS: list[QuerySpec] = [
         EM.embedding_norm_stats_by_label,
         EM.EMBEDDING_NORM_STATS_BY_LABEL_SQL,
         "LLM embedding stats",
+    ),
+    QuerySpec(
+        "multimodal_features",
+        MMQ.multimodal_features,
+        MMQ.MULTIMODAL_FEATURES_SQL,
+        "LLM multimodal mapInPandas",
+    ),
+    QuerySpec(
+        "multimodal_type_rollup",
+        MMQ.multimodal_type_rollup,
+        MMQ.MULTIMODAL_TYPE_ROLLUP_SQL,
+        "LLM multimodal rollup",
     ),
 ]
 

@@ -1,0 +1,46 @@
+"""Multimodal plumbing: payload/meta schema, mapInPandas feature kernel,
+decode stub gating (operators/multimodal.py)."""
+
+import hashlib
+
+import pytest
+
+from myserver_datawarehouse_spark.operators import multimodal as MM
+
+
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, "alpha"), (1, "bravo charlie"), (2, "delta")],
+        "doc_id long, text string",
+    )
+
+
+def test_payload_schema_and_media_type_cycle(spark):
+    m = MM.with_fake_payload(docs(spark))
+    assert dict(m.dtypes)["payload"] == "binary"
+    assert dict(m.dtypes)["meta"].startswith("struct<media_type:string,n_bytes:int")
+    got = {r.doc_id: r for r in m.collect()}
+    assert [got[i].media_type for i in range(3)] == ["image", "audio", "video"]
+    assert bytes(got[0].payload) == b"alpha"
+    assert got[1].meta.n_bytes == len(b"bravo charlie")
+
+
+def test_feature_kernel_values(spark):
+    feats = {
+        r.doc_id: r
+        for r in MM.extract_features(MM.with_fake_payload(docs(spark))).collect()
+    }
+    assert feats[0].payload_md5 == hashlib.md5(b"alpha").hexdigest()
+    assert feats[0].width == 5 % 640 + 1 and feats[0].height == 5 % 480 + 1
+    assert feats[0].sample_rate is None and feats[0].n_frames is None
+    assert feats[1].sample_rate == 16000 and feats[1].width is None
+    assert feats[2].n_frames == 5 % 16 + 1
+
+
+def test_decode_stub_raises_without_libs():
+    if MM._HAVE_PIL:
+        pytest.skip("PIL present; stub path not reachable")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"xx", "image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"xx", "audio")
