@@ -22,6 +22,7 @@ from myserver_datawarehouse_spark.plans import flagship as FL
 from myserver_datawarehouse_spark.plans import embeddings as EM
 from myserver_datawarehouse_spark.plans import llm_text as LT
 from myserver_datawarehouse_spark.plans import multimodal as MMQ
+from myserver_datawarehouse_spark.plans import streaming_plans as ST
 from myserver_datawarehouse_spark.plans import timeseries as T
 
 
@@ -180,6 +181,18 @@ _SPECS: list[QuerySpec] = [
         MMQ.multimodal_type_rollup,
         MMQ.MULTIMODAL_TYPE_ROLLUP_SQL,
         "LLM multimodal rollup",
+    ),
+    QuerySpec(
+        "streaming_minute_agg",
+        ST.streaming_minute_agg,
+        ST.STREAMING_MINUTE_AGG_SQL,
+        "§2.12 streaming window agg",
+    ),
+    QuerySpec(
+        "streaming_dedup_counts",
+        ST.streaming_dedup_counts,
+        ST.STREAMING_DEDUP_COUNTS_SQL,
+        "§2.12 streaming dedup",
     ),
 ]
 
