@@ -44,6 +44,22 @@ def duration_hhmm(minute_count: Column | str) -> Column:
     )
 
 
+def lenient_cast(col: Column | str, dtype: str = "double") -> Column:
+    """P16 lenient numeric coercion (fact_gold_price.py:96-99's
+    pd.to_numeric(errors='coerce')): unparsable values become NULL
+    instead of failing the job — Spark's try_cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast(dtype)
+
+
+def reconstruct_timestamp(date_string: Column | str, time_string: Column | str) -> Column:
+    """P8 timestamp reconstruction from dimension strings
+    (fact_gold_price.py:273: date_string + ' ' + minutefullstring24)."""
+    d = F.col(date_string) if isinstance(date_string, str) else date_string
+    t = F.col(time_string) if isinstance(time_string, str) else time_string
+    return F.to_timestamp(F.concat_ws(" ", d, t), "yyyy-MM-dd HH:mm:ss")
+
+
 def md5_fingerprint(text: Column | str, length: int = 16) -> Column:
     """Exact-content fingerprint: md5 hex prefix."""
     t = F.col(text) if isinstance(text, str) else text

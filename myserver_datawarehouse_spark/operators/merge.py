@@ -93,6 +93,65 @@ def merge_upsert(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def merge_upsert_coalesce(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    keep_cols: Sequence[str] = (),
+) -> None:
+    """P13 COALESCE-on-merge (populate_sources_dag.py:142-148): updates
+    win per key, but for `keep_cols` a NULL update value keeps the
+    existing value (e.g. created_at / manually-set color survive
+    refreshes). Implemented as one full-outer join on the key — the same
+    single shuffle as the window merge, no per-row DML."""
+    if not _table_exists(target_path):
+        merge_upsert(spark, target_path, updates, keys)
+        return
+    existing = spark.read.parquet(target_path)
+    u, e = updates.alias("u"), existing.alias("e")
+    cond = None
+    for k in keys:
+        c = F.col(f"u.{k}").eqNullSafe(F.col(f"e.{k}"))
+        cond = c if cond is None else cond & c
+    cols = []
+    for name in updates.columns:
+        if name in keys:
+            cols.append(F.coalesce(F.col(f"u.{name}"), F.col(f"e.{name}")).alias(name))
+        elif name in keep_cols:
+            cols.append(F.coalesce(F.col(f"u.{name}"), F.col(f"e.{name}")).alias(name))
+        else:
+            # update wins outright — but rows only in `existing` keep theirs
+            cols.append(
+                F.when(F.col(f"u.{keys[0]}").isNotNull(), F.col(f"u.{name}"))
+                .otherwise(F.col(f"e.{name}"))
+                .alias(name)
+            )
+    merged = u.join(e, cond, "full_outer").select(*cols)
+    merged = merged.localCheckpoint(eager=True)
+    _write(merged, target_path, (), mode="overwrite")
+
+
+def ensure_columns(
+    spark: SparkSession, target_path: str, columns: dict[str, str]
+) -> list[str]:
+    """S8 guarded schema evolution (populate_sources_dag.py:91-104's
+    information_schema probe + ALTER TABLE ADD COLUMN): add each missing
+    column as typed NULLs. Returns the columns actually added. No-op when
+    everything already exists — idempotent like the reference's guard."""
+    if not _table_exists(target_path):
+        raise FileNotFoundError(target_path)
+    df = spark.read.parquet(target_path)
+    missing = [c for c in columns if c not in df.columns]
+    if not missing:
+        return []
+    for c in missing:
+        df = df.withColumn(c, F.lit(None).cast(columns[c]))
+    df = df.localCheckpoint(eager=True)
+    _write(df, target_path, (), mode="overwrite")
+    return missing
+
+
 def append(df: DataFrame, target_path: str, partition_by: Sequence[str] = ()) -> None:
     """S5 append sink (fact_gold_price.py:357-364), bulk."""
     _write(df, target_path, partition_by, mode="append")

@@ -114,3 +114,66 @@ SELECT COUNT(*) AS total_rows,
        SUM(prev_30_days) AS prev_30_days_count
 FROM dd
 """
+
+
+def dim_date_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 dim_date integrity block (dim_date_etl_dag.py:113-130): key
+    uniqueness, contiguity (row count == day span), exactly-one
+    today/yesterday, and the prev-window sums at their defining sizes."""
+    dd = D.build_dim_date(spark, DATE_START, DATE_END, AS_OF)
+    return dd.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("date_id").alias("n_distinct_ids"),
+        (F.datediff(F.lit(DATE_END).cast("date"), F.lit(DATE_START).cast("date")) + 1)
+        .alias("expected_days"),
+        F.min("date_id").alias("min_date_id"),
+        F.max("date_id").alias("max_date_id"),
+        F.sum("today").alias("n_today"),
+        F.sum("yesterday").alias("n_yesterday"),
+        F.sum("prev_7_days").alias("sum_prev_7"),
+        F.sum("prev_360_days").alias("sum_prev_360"),
+    )
+
+
+DIM_DATE_INTEGRITY_SQL = f"""
+WITH dd AS ({DIM_DATE_FLAGS_SQL.replace("ORDER BY date_id", "")})
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT date_id) AS n_distinct_ids,
+       date_diff('day', DATE '{DATE_START}', DATE '{DATE_END}') + 1
+         AS expected_days,
+       MIN(date_id) AS min_date_id,
+       MAX(date_id) AS max_date_id,
+       SUM(today) AS n_today,
+       SUM(yesterday) AS n_yesterday,
+       SUM(prev_7_days) AS sum_prev_7,
+       SUM(prev_360_days) AS sum_prev_360
+FROM dd
+"""
+
+
+def sources_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 sources summary (populate_sources_dag.py:208-238): the derived
+    sources dimension joined back to per-source corpus counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    dim = D.sources_from(docs, "source", "doc_id")
+    stats = docs.groupBy(F.col("source").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return (
+        dim.join(F.broadcast(stats), "name")
+        .select("name", "color", "first_id", "n_docs", "n_langs")
+        .orderBy("first_id")
+    )
+
+
+SOURCES_SUMMARY_SQL = """
+SELECT source AS name,
+       '#' || substr(md5(source), 1, 6) AS color,
+       MIN(doc_id) AS first_id,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY first_id
+"""

@@ -1,0 +1,231 @@
+"""The composed ranking report and operational probe queries
+(cheap_expensive_chart.py:40-84, A7, P8, P16, V4, V5).
+
+`ranking_report` is the reference's flagship analytics query re-expressed
+over `events`: per-minute average value per event_type (the "source"),
+rank each minute's types cheapest/most-expensive, then per type count the
+minutes won and format the share of the day as the reference's HH:MM
+duration string. Rounding inside the duration formula uses the explicit
+floor(x + 0.5) form in BOTH engines — Spark ROUND is HALF_UP while
+DuckDB's double ROUND is banker's, so the naive translation drifts on
+exact midpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.functions.scalar import (
+    color_for_name,
+    lenient_cast,
+    reconstruct_timestamp,
+)
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+
+def _pad2(c):
+    return F.lpad(c.cast("int").cast("string"), 2, "0")
+
+
+def _duration_expr(cnt, total):
+    """Reference duration formula (cheap_expensive_chart.py:73-78) with
+    engine-neutral rounding: frac rounded to 2dp, scaled to 24h, minutes
+    rounded half-up via floor(x + 0.5)."""
+    frac = F.floor(cnt * 100.0 / total + 0.5) / 100.0
+    hours = F.floor(frac * 24)
+    mins = F.floor((frac * 24 - hours) * 60 + 0.5)
+    return F.concat(_pad2(hours), F.lit(":"), _pad2(mins))
+
+
+def ranking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest + most-expensive winners per minute, composed W1/W2/W3 +
+    P14 color + P15 duration (cheap_expensive_chart.py:40-84). Restricted
+    to the latest event date (the reference's `dd.yesterday = 1`), joined
+    declaratively via a broadcast scalar frame rather than a collect().
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    max_day = e.agg(F.max(F.to_date("ts")).alias("max_day"))
+    mt = (
+        e.join(F.broadcast(max_day), F.to_date("ts") == F.col("max_day"))
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("minute_ts"),
+            F.col("event_type").alias("source"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("price")
+        )
+    )
+    w_cheap = Window.partitionBy("minute_ts").orderBy("price", "source")
+    w_exp = Window.partitionBy("minute_ts").orderBy(F.col("price").desc(), "source")
+    ranked = mt.select(
+        "*",
+        F.row_number().over(w_cheap).alias("cheap"),
+        F.row_number().over(w_exp).alias("expensive"),
+    )
+
+    def winners(flag: str) -> DataFrame:
+        g = (
+            ranked.filter(F.col(flag) == 1)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("minute_count"))
+        )
+        total = F.sum("minute_count").over(Window.partitionBy())
+        return g.select(
+            F.lit(flag).alias("ranking"),
+            "source",
+            color_for_name("source").alias("color"),
+            "minute_count",
+            _duration_expr(F.col("minute_count"), total).alias("duration"),
+        )
+
+    return (
+        winners("cheap")
+        .unionByName(winners("expensive"))
+        .orderBy("ranking", F.col("minute_count").desc(), "source")
+    )
+
+
+RANKING_REPORT_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+  FROM events WHERE value IS NOT NULL
+),
+mt AS (
+  SELECT date_trunc('minute', ts) AS minute_ts, event_type AS source,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+           AS price
+  FROM e
+  WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM e)
+  GROUP BY 1, 2
+),
+mt2 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY minute_ts ORDER BY price, source) AS cheap,
+    ROW_NUMBER() OVER (PARTITION BY minute_ts ORDER BY price DESC, source)
+      AS expensive
+  FROM mt
+),
+wins AS (
+  SELECT 'cheap' AS ranking, source, COUNT(*) AS minute_count
+  FROM mt2 WHERE cheap = 1 GROUP BY source
+  UNION ALL
+  SELECT 'expensive' AS ranking, source, COUNT(*) AS minute_count
+  FROM mt2 WHERE expensive = 1 GROUP BY source
+),
+d AS (
+  SELECT *,
+         FLOOR(minute_count * 100.0
+               / SUM(minute_count) OVER (PARTITION BY ranking) + 0.5) / 100.0
+           AS frac
+  FROM wins
+)
+SELECT ranking, source,
+       '#' || substr(md5(source), 1, 6) AS color,
+       minute_count,
+       lpad(CAST(CAST(FLOOR(frac * 24) AS INT) AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST(CAST(FLOOR((frac * 24 - FLOOR(frac * 24)) * 60 + 0.5) AS INT)
+                      AS VARCHAR), 2, '0') AS duration
+FROM d
+ORDER BY ranking, minute_count DESC, source
+"""
+
+
+def freshness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A6: per-type freshness + range probe — MAX(timestamp) is the
+    reference's staleness check (fact_gold_price.py:446-452)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FRESHNESS_PROBE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+def timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P18: rebuild timestamps from dimension-style strings
+    (date_string + 'HH:mm:ss', fact_gold_price.py:273) and count exact
+    second-truncated roundtrips per type — the bounds check that string
+    reconstruction loses nothing."""
+    e = load_table(spark, sf_dir, "events")
+    rebuilt = reconstruct_timestamp(
+        F.date_format("ts", "yyyy-MM-dd"), F.date_format("ts", "HH:mm:ss")
+    )
+    return (
+        e.select(
+            "event_type",
+            (rebuilt == F.date_trunc("second", F.col("ts")))
+            .cast("int")
+            .alias("ok"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("ok").alias("n_roundtrip_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TIMESTAMP_ROUNDTRIP_SQL = """
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT event_type,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN CAST(strftime(ts, '%Y-%m-%d') || ' '
+                         || strftime(ts, '%H:%M:%S') AS TIMESTAMP)
+                     = date_trunc('second', ts)
+                THEN 1 ELSE 0 END) AS n_roundtrip_exact
+FROM e
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+def source_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 lenient numeric coercion: parse the numeric suffix of
+    documents.source with try_cast (unparsable -> NULL, never a job
+    failure — pd.to_numeric(errors='coerce') semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            lenient_cast(F.substring("source", 4, 10), "int").alias("src_num"),
+            lenient_cast(F.col("lang"), "int").alias("lang_num"),  # always NULL
+        )
+        .groupBy("source", "src_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("lang_num").alias("n_lang_numeric"),
+        )
+        .orderBy("src_num", "source")
+    )
+
+
+SOURCE_NUMERIC_IDS_SQL = """
+SELECT source,
+       TRY_CAST(substr(source, 4, 10) AS INT) AS src_num,
+       COUNT(*) AS n_docs,
+       COUNT(TRY_CAST(lang AS INT)) AS n_lang_numeric
+FROM documents
+GROUP BY 1, 2
+ORDER BY src_num, source
+"""

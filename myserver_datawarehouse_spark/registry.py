@@ -22,6 +22,7 @@ from myserver_datawarehouse_spark.plans import flagship as FL
 from myserver_datawarehouse_spark.plans import embeddings as EM
 from myserver_datawarehouse_spark.plans import llm_text as LT
 from myserver_datawarehouse_spark.plans import multimodal as MMQ
+from myserver_datawarehouse_spark.plans import report as RP
 from myserver_datawarehouse_spark.plans import streaming_plans as ST
 from myserver_datawarehouse_spark.plans import timeseries as T
 
@@ -193,6 +194,36 @@ _SPECS: list[QuerySpec] = [
         ST.streaming_dedup_counts,
         ST.STREAMING_DEDUP_COUNTS_SQL,
         "§2.12 streaming dedup",
+    ),
+    QuerySpec(
+        "ranking_report",
+        RP.ranking_report,
+        RP.RANKING_REPORT_SQL,
+        "W1-W3/P14/P15 composed report",
+    ),
+    QuerySpec(
+        "freshness_probe", RP.freshness_probe, RP.FRESHNESS_PROBE_SQL, "A6/A7"
+    ),
+    QuerySpec(
+        "timestamp_roundtrip",
+        RP.timestamp_roundtrip,
+        RP.TIMESTAMP_ROUNDTRIP_SQL,
+        "P8/P18",
+    ),
+    QuerySpec(
+        "source_numeric_ids",
+        RP.source_numeric_ids,
+        RP.SOURCE_NUMERIC_IDS_SQL,
+        "P16",
+    ),
+    QuerySpec(
+        "dim_date_integrity",
+        DM.dim_date_integrity,
+        DM.DIM_DATE_INTEGRITY_SQL,
+        "V4",
+    ),
+    QuerySpec(
+        "sources_summary", DM.sources_summary, DM.SOURCES_SUMMARY_SQL, "V5"
     ),
 ]
 
