@@ -84,19 +84,54 @@ def shingles(tokens: Column | str, k: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
-def minhash_signature(shingle_col: Column | str, n_hashes: int = 16) -> Column:
-    """MinHash signature (array<bigint>, length n_hashes).
+# Universal-hash family for MinHash: one md5 per shingle, then
+# (a_s * x + b_s) mod P per signature slot — 16x less hashing than
+# md5-per-seed, and the integer mix is exact in both engines. P = 2^31-1
+# keeps every product below 2^60 (no bigint overflow in either engine).
+MINHASH_P = 2_147_483_647
 
-    sig[s] = min over shingles of hash60(s, shingle). Pure array math per
-    row; the signature for a 10 KB document is 128 bytes regardless of
-    document size, which is what makes LSH join-able at 100 TB.
+
+def _mh_const(kind: str, s: int) -> int:
+    import hashlib
+
+    v = int(hashlib.md5(f"minhash-{kind}-{s}".encode()).hexdigest()[:7], 16)
+    return v | 1 if kind == "a" else v  # odd multiplier
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    return [(_mh_const("a", s), _mh_const("b", s)) for s in range(n_hashes)]
+
+
+def minhash_signature_from_hashes(
+    base_hashes: Column | str, n_hashes: int = 16
+) -> Column:
+    """MinHash signature (array<bigint>, length n_hashes) over a
+    PRE-MATERIALIZED array of per-shingle hash60 values.
+
+    sig[s] = min over shingles of (a_s * (h mod P) + b_s) mod P. Pure
+    array math per row; the signature for a 10 KB document is 128 bytes
+    regardless of document size, which is what makes LSH join-able at
+    100 TB. Materializing the base hashes as a real column matters: each
+    slot references them, and Catalyst re-inlines cheap-looking aliases
+    into every consumer (see simhash_from_hashes).
     """
-    sh = _c(shingle_col)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda x, s=s: hash60(x, s)))
-            for s in range(n_hashes)
-        ]
+    base = _c(base_hashes)
+    p = F.lit(MINHASH_P)
+
+    # closure factory, NOT default-arg lambdas (PySpark reads extra
+    # defaulted params as (element, index) lambda arity)
+    def _slot(a: int, b: int) -> Column:
+        return F.array_min(F.transform(base, lambda x: (F.lit(a) * (x % p) + b) % p))
+
+    return F.array(*[_slot(a, b) for a, b in minhash_params(n_hashes)])
+
+
+def minhash_signature(shingle_col: Column | str, n_hashes: int = 16) -> Column:
+    """Convenience form over raw shingle strings (tests / small data);
+    query plans should materialize `transform(sh, hash60)` and call
+    minhash_signature_from_hashes."""
+    return minhash_signature_from_hashes(
+        F.transform(_c(shingle_col), lambda x: hash60(x)), n_hashes
     )
 
 
@@ -132,21 +167,43 @@ def jaccard(a: Column | str, b: Column | str) -> Column:
 def simhash(tokens: Column | str) -> Column:
     """60-bit SimHash of a token array, as one BIGINT.
 
+    Convenience form: hashes the tokens inline, which embeds the md5
+    expression inside the 60-bit vote loop — Spark does NOT
+    common-subexpression-eliminate across higher-order lambdas, so the
+    hashes recompute 60x per row. Fine for tests/small data; query plans
+    must materialize `transform(tokens, hash60)` as a column and call
+    `simhash_from_hashes` (at sf0.1 this is a 60x wall-clock difference).
+    """
+    return simhash_from_hashes(F.transform(_c(tokens), lambda t: hash60(t)))
+
+
+def simhash_from_hashes(token_hashes: Column | str) -> Column:
+    """SimHash from an array<bigint> of token hashes.
+
     Classic Charikar scheme: each token votes +1/-1 on every bit of its
     hash60; bit i of the result is 1 iff the vote sum is positive. Token
-    multiplicity is preserved (repeated tokens vote repeatedly). Built as
-    transform-over-bits + aggregate-over-tokens — array-local, codegen'd.
+    multiplicity is preserved (repeated tokens vote repeatedly).
+
+    Shape matters for performance: the hash array is consumed ONLY as the
+    top-level input of one `aggregate` fold (accumulating the 60-bit vote
+    vector in a single pass). A transform-over-bits formulation would
+    reference the hashes inside a lambda, and after Catalyst's
+    CollapseProject inlines the md5 expression that means 60x re-hashing
+    per row — measured 5x this query's total runtime at sf0.1.
     """
-    hashes = F.transform(_c(tokens), lambda t: hash60(t))
+    hashes = _c(token_hashes)
+    zero_l = F.lit(0).cast("long")
+    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
     # `F.shiftright`/`F.shiftleft` require a Python-int shift; the shift
     # here is the lambda-bound bit index, so go through the SQL functions
     # (which accept column shifts) via call_function.
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(zero_l, SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda a, i: a
             + F.when(
                 F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1),
@@ -154,13 +211,13 @@ def simhash(tokens: Column | str) -> Column:
     )
     return F.aggregate(
         F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            votes,
+            bits,
             lambda v, i: F.when(
                 v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long")),
+            ).otherwise(zero_l),
         ),
-        F.lit(0).cast("long"),
+        zero_l,
         lambda acc, x: acc + x,
     )
 
@@ -195,6 +252,11 @@ def winnow_fingerprints(shingle_hashes: Column | str, window: int = 4) -> Column
 
     Guarantees any match of length >= window + k - 1 tokens shares a
     fingerprint, with ~2/(window+1) of hashes retained.
+
+    `shingle_hashes` MUST be a materialized column, not an inline md5
+    expression: the sliding window references it once per position, and
+    Spark re-evaluates inline expressions inside lambdas (an O(n^2) md5
+    blow-up otherwise).
     """
     h = _c(shingle_hashes)
     n = F.size(h)

@@ -106,11 +106,47 @@ def _null_safe_on(keys: Sequence[str]):
     return cond
 
 
+def _lead_gaps(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Per observed row, the run of missing minutes up to (exclusive) the
+    next observation in its group, plus both bracketing observations.
+
+    Gaps-and-islands with one `lead` window — a single shuffle on the
+    group keys and NO grid materialization, no anti-join: the bounded
+    grid's missing minutes are exactly the union of these runs (grid
+    endpoints are observed, so nothing is missing outside them). NULL
+    keys group together under partitionBy, which a key-equality join
+    would silently drop. This is the 100 TB shape: the old
+    grid-anti-join form cost two extra scans of obs plus a join; this is
+    one sort-shuffle, then map-side explode.
+    """
+    w = Window.partitionBy(*keys).orderBy("minute_epoch")
+    return (
+        obs.select(
+            *keys,
+            F.col("minute_epoch").alias("pt"),
+            F.col("value").alias("pv"),
+            F.lead("minute_epoch").over(w).alias("nt"),
+            F.lead("value").over(w).alias("nv"),
+        )
+        .filter(F.col("nt") > F.col("pt") + MINUTE)
+        .select(
+            *keys,
+            "pt",
+            "pv",
+            "nt",
+            "nv",
+            F.explode(
+                F.sequence(F.col("pt") + MINUTE, F.col("nt") - MINUTE, F.lit(MINUTE))
+            ).alias("minute_epoch"),
+        )
+    )
+
+
 def gapfill_missing(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """T1: minutes present in the grid but not observed (grid anti-join
-    observed — the relational form of fact_gold_price.py:312-315)."""
-    grid = bounded_minute_grid(obs, keys).alias("g")
-    return grid.join(obs.alias("o"), _null_safe_on(keys), "left_anti")
+    """T1: minutes of the bounded grid not observed (the relational form
+    of fact_gold_price.py:312-315), generated directly from the gap runs
+    between consecutive observations — see _lead_gaps."""
+    return _lead_gaps(obs, keys).select(*keys, "minute_epoch")
 
 
 def _grid_with_values(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -124,33 +160,31 @@ def _grid_with_values(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
 
 def interpolate_bracketing(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
     """T2 (bracketing mode): fill each missing minute from the nearest
-    observation strictly before and strictly after, linear blend over epoch
-    seconds. Within a bounded grid both sides always exist (grid endpoints
-    are observed). Pure window functions — no Python in the hot path.
+    observation strictly before and strictly after, linear blend over
+    epoch seconds. Within a bounded grid both sides always exist (grid
+    endpoints are observed), so the bracketing pair IS the lead pair of
+    the gap run — the interpolation happens at gap-generation time
+    (_lead_gaps), one window pass, no grid join, no second window.
     """
-    g = _grid_with_values(obs, keys)
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("minute_epoch")
-    before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    obs_t = F.when(F.col("value").isNotNull(), F.col("minute_epoch"))
-    pv = F.last("value", ignorenulls=True).over(before)
-    pt = F.last(obs_t, ignorenulls=True).over(before)
-    nv = F.first("value", ignorenulls=True).over(after)
-    nt = F.first(obs_t, ignorenulls=True).over(after)
+    gaps = _lead_gaps(obs, keys)
     # y = y1 + (x - x1) * (y2 - y1) / (x2 - x1); identical expression shape
     # in the DuckDB oracle so the IEEE result is bit-identical. Deliberately
     # NOT rounded: the blend lands on exact decimal midpoints (inputs are
     # 6dp-rounded) where engines' ROUND implementations disagree, while the
     # raw IEEE result is deterministic.
-    interp = pv + (F.col("minute_epoch") - pt).cast("double") * (nv - pv) / (
-        nt - pt
-    ).cast("double")
-    return g.select(
+    interp = F.col("pv") + (F.col("minute_epoch") - F.col("pt")).cast("double") * (
+        F.col("nv") - F.col("pv")
+    ) / (F.col("nt") - F.col("pt")).cast("double")
+    filled = gaps.select(
         *keys,
         "minute_epoch",
-        F.coalesce("value", interp).alias("value"),
-        F.col("value").isNull().alias("is_interpolated"),
+        interp.alias("value"),
+        F.lit(True).alias("is_interpolated"),
     )
+    actual = obs.select(
+        *keys, "minute_epoch", "value", F.lit(False).alias("is_interpolated")
+    )
+    return actual.unionByName(filled)
 
 
 def _nearest2_schema(keys_schema: StructType) -> StructType:

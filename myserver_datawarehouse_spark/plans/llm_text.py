@@ -123,8 +123,13 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", TX.shingles(TX.tokenize("text"), SHINGLE_K).alias("sh")
     )
-    sig = sh.select(
-        "doc_id", TX.minhash_signature("sh", MINHASH_N).alias("sig")
+    # one md5 per shingle, materialized; the 16 slots are cheap integer
+    # mixes over it (see operators/text.minhash_signature_from_hashes)
+    base = sh.select(
+        "doc_id", F.transform("sh", lambda x: TX.hash60(x)).alias("mh")
+    )
+    sig = base.select(
+        "doc_id", TX.minhash_signature_from_hashes("mh", MINHASH_N).alias("sig")
     )
     bands = sig.select(
         "doc_id", F.explode(TX.lsh_band_keys("sig", LSH_BANDS, LSH_ROWS)).alias("bk")
@@ -149,10 +154,13 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_P = TX.MINHASH_P
+_MH_BASE_SQL = f"[({_d_hash60('x')}) % {_MINHASH_P} FOR x IN sh]"
 _MINHASH_SQL = (
     "["
     + ", ".join(
-        f"list_min([{_d_hash60('x', seed=s)} FOR x IN sh])" for s in range(MINHASH_N)
+        f"list_min([({a} * h + {b}) % {_MINHASH_P} FOR h IN mh])"
+        for a, b in TX.minhash_params(MINHASH_N)
     )
     + "]"
 )
@@ -170,7 +178,8 @@ _BAND_KEYS_SQL = "[" + ", ".join(_band_key_sql(b) for b in range(LSH_BANDS)) + "
 NEAR_DUP_MINHASH_LSH_SQL = f"""
 WITH toks AS ({_TOKS_SQL}),
 sh AS ({_SH_SQL}),
-sig AS (SELECT doc_id, sh, {_MINHASH_SQL} AS sig FROM sh),
+mhb AS (SELECT doc_id, {_MH_BASE_SQL} AS mh FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_SQL} AS sig FROM mhb),
 bands AS (SELECT doc_id, unnest({_BAND_KEYS_SQL}) AS bk FROM sig),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -199,9 +208,13 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs. Exactly mirrors the oracle bit-for-bit.
     """
     d = _docs(spark, sf_dir)
-    sim = d.select(
-        "doc_id", TX.simhash(TX.tokenize("text")).alias("simhash")
+    # materialize token hashes before the 60-bit vote loop (see
+    # operators/text.simhash_from_hashes: inline md5 would recompute 60x)
+    th = d.select(
+        "doc_id",
+        F.transform(TX.tokenize("text"), lambda t: TX.hash60(t)).alias("th"),
     )
+    sim = th.select("doc_id", TX.simhash_from_hashes("th").alias("simhash"))
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -272,16 +285,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it so. The production path at 100 TB is near_dup_minhash_lsh.
     """
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % SAMPLE_MOD == 0)
-    sh = d.select(
-        "doc_id", TX.shingles(TX.tokenize("text"), SHINGLE_K).alias("sh")
+    # Per-pair cost is what kills an O(n^2) baseline: intersect 60-bit
+    # shingle HASHES (long arrays — far cheaper than string compares) and
+    # derive the union size as na + nb - inter instead of materializing
+    # the union. Hash values are the shared md5 primitive, so the oracle
+    # sees identical sets (collisions, if any, collapse identically).
+    mh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                TX.shingles(TX.tokenize("text"), SHINGLE_K),
+                lambda x: TX.hash60(x),
+            )
+        ).alias("mh"),
+    ).withColumn("n", F.size("mh"))
+    a = mh.select(
+        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), F.col("n").alias("na")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    b = mh.select(
+        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"), F.col("n").alias("nb")
+    )
+    # Size pruning inside the join condition: J(A,B) <= min/max sizes, so
+    # failing pairs never reach the intersect. Same predicate in the oracle.
+    prune = F.least("na", "nb").cast("double") >= JACCARD_TAU * F.greatest("na", "nb")
+    inter = F.size(F.array_intersect("mh_a", "mh_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", F.round(TX.jaccard("sh_a", "sh_b"), 6).alias("jaccard")
-        )
+        a.join(b, (F.col("doc_a") < F.col("doc_b")) & prune)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_TAU)
         .orderBy("doc_a", "doc_b")
     )
@@ -292,12 +323,20 @@ WITH toks AS ({_TOKS_SQL}),
 sh AS (
   SELECT doc_id, list_distinct({_SH_POS_SQL}) AS sh
   FROM toks WHERE doc_id % {SAMPLE_MOD} = 0
+),
+mh AS (
+  SELECT doc_id, list_distinct([{_d_hash60('x')} FOR x IN sh]) AS mh,
+         len(list_distinct([{_d_hash60('x')} FOR x IN sh])) AS n
+  FROM sh
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         ROUND(CAST(len(list_intersect(a.mh, b.mh)) AS DOUBLE)
+               / CAST(a.n + b.n - len(list_intersect(a.mh, b.mh)) AS DOUBLE),
+               6) AS jaccard
+  FROM mh a JOIN mh b
+    ON a.doc_id < b.doc_id
+   AND CAST(least(a.n, b.n) AS DOUBLE) >= {JACCARD_TAU} * greatest(a.n, b.n)
 )
 WHERE jaccard >= {JACCARD_TAU}
 ORDER BY doc_a, doc_b
@@ -493,13 +532,20 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     grams = TX.shingles(TX.tokenize("text"), SHINGLE_K, distinct=False)
-    hashes = F.transform(grams, lambda g: TX.hash60(g))
-    fp = TX.winnow_fingerprints(hashes, WINNOW_WINDOW)
-    return d.select(
+    # materialize the positional hash sequence before the sliding-window
+    # minima: the window slices it once per position, and an inline md5
+    # expression would be re-evaluated per slice (O(n^2) hashing)
+    hs = d.select(
+        "doc_id", F.transform(grams, lambda g: TX.hash60(g)).alias("h")
+    )
+    fps = hs.select(
+        "doc_id", TX.winnow_fingerprints("h", WINNOW_WINDOW).alias("fp")
+    )
+    return fps.select(
         "doc_id",
-        F.size(fp).alias("n_fingerprints"),
-        F.element_at(fp, 1).alias("fp_min"),
-        F.element_at(fp, -1).alias("fp_max"),
+        F.size("fp").alias("n_fingerprints"),
+        F.element_at("fp", 1).alias("fp_min"),
+        F.element_at("fp", -1).alias("fp_max"),
     ).orderBy("doc_id")
 
 
