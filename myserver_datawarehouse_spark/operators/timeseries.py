@@ -142,6 +142,14 @@ def _lead_gaps(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
+def gap_runs(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Public form of _lead_gaps: each missing minute together with its
+    bracketing observations (pt/pv before, nt/nv after). Callers that need
+    gap *metadata* — e.g. whether a run crosses midnight (T4) — enter here
+    instead of re-deriving the window."""
+    return _lead_gaps(obs, keys)
+
+
 def gapfill_missing(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
     """T1: minutes of the bounded grid not observed (the relational form
     of fact_gold_price.py:312-315), generated directly from the gap runs
@@ -281,6 +289,7 @@ def hour_grid(
 __all__: Iterable[str] = [
     "minute_observations",
     "bounded_minute_grid",
+    "gap_runs",
     "gapfill_missing",
     "interpolate_bracketing",
     "interpolate_nearest2",

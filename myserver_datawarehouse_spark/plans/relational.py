@@ -352,3 +352,36 @@ SELECT
   ROUND(STDDEV_SAMP(value), 6) AS stddev_value
 FROM events
 """
+
+
+def first_last_event_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: global top-1 by sort — the reference's boundary-anchor probes
+    (`fact_gold_price_temp.py:282-317`: last observation of one hour /
+    first of the next, each `ORDER BY ... LIMIT 1`). A global sort-limit-1
+    in Spark is a cheap per-partition top-1 + driver merge (TakeOrdered),
+    not a full sort — exactly what you want at 100 TB. event_id breaks
+    ties deterministically."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    first = e.orderBy(F.col("ts").asc(), F.col("event_id").asc()).limit(1)
+    last = e.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(1)
+    return (
+        first.select(F.lit("first").alias("which"), "event_id", "ts", "value")
+        .unionByName(
+            last.select(F.lit("last").alias("which"), "event_id", "ts", "value")
+        )
+        .orderBy("which")
+    )
+
+
+FIRST_LAST_EVENT_PROBE_SQL = """
+SELECT * FROM (
+  SELECT 'first' AS which, event_id, ts, value
+  FROM events ORDER BY ts ASC, event_id ASC LIMIT 1
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'last' AS which, event_id, ts, value
+  FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+)
+ORDER BY which
+"""

@@ -123,6 +123,121 @@ def interpolate_minutes_nearest2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interpolate_cross_midnight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: interpolation across the date boundary (fact_gold_price_temp.py:
+    240-394). The reference needed a one-off backfill DAG with a +240000
+    HHMMSS hack to linearize hour-23 gaps; on real epoch timestamps the
+    boundary is a non-event — we key by event_type only (no date in the
+    grain) and simply emit the gap runs whose bracketing observations fall
+    on different calendar dates, linearly filled."""
+    e = load_table(spark, sf_dir, "events")
+    obs = TS.minute_observations(e, ["event_type"])
+    gaps = TS.gap_runs(obs, ["event_type"])
+    crossing = gaps.filter(
+        F.to_date(F.timestamp_seconds("pt")) != F.to_date(F.timestamp_seconds("nt"))
+    )
+    interp = F.col("pv") + (F.col("minute_epoch") - F.col("pt")).cast("double") * (
+        F.col("nv") - F.col("pv")
+    ) / (F.col("nt") - F.col("pt")).cast("double")
+    return (
+        crossing.select(
+            "event_type",
+            F.timestamp_seconds("minute_epoch").alias("minute_ts"),
+            F.date_format(F.timestamp_seconds("minute_epoch"), "yyyyMMdd")
+            .cast("int")
+            .alias("date_id"),
+            interp.alias("value"),
+        )
+        .orderBy("event_type", "minute_ts")
+    )
+
+
+INTERPOLATE_CROSS_MIDNIGHT_SQL = """
+WITH obs AS (
+  SELECT event_type,
+         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_ts,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS value
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+runs AS (
+  SELECT event_type, minute_ts AS pt, value AS pv,
+         lead(minute_ts) OVER w AS nt, lead(value) OVER w AS nv
+  FROM obs
+  WINDOW w AS (PARTITION BY event_type ORDER BY minute_ts)
+),
+crossing AS (
+  SELECT * FROM runs
+  WHERE nt > pt + INTERVAL 1 MINUTE AND CAST(pt AS DATE) != CAST(nt AS DATE)
+),
+g AS (
+  SELECT event_type, pt, pv, nt, nv,
+         unnest(generate_series(pt + INTERVAL 1 MINUTE,
+                                nt - INTERVAL 1 MINUTE,
+                                INTERVAL 1 MINUTE)) AS minute_ts
+  FROM crossing
+)
+SELECT event_type, minute_ts,
+  CAST(strftime(minute_ts, '%Y%m%d') AS INT) AS date_id,
+  pv + CAST(date_diff('second', pt, minute_ts) AS DOUBLE)
+       * (nv - pv)
+       / CAST(date_diff('second', pt, nt) AS DOUBLE) AS value
+FROM g
+ORDER BY event_type, minute_ts
+"""
+
+
+def full_history_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the all-dates rebuild (rebuild_all_time_interpolation.py:5-204) as
+    ONE Spark job — no per-date driver loop; the shuffle partitions on the
+    group keys ARE the reference's "per-date to avoid memory issues"
+    batching. Returns the per-date rebuild log the reference prints
+    (rebuild_all_time_interpolation.py:185-193): row counts + interp rate.
+    The truncate+overwrite write path (S7) is exercised in
+    tests/test_merge.py over this same frame."""
+    obs = _event_minutes(spark, sf_dir)
+    filled = TS.interpolate_bracketing(obs, KEYS)
+    interp_cnt = F.count(F.when(F.col("is_interpolated"), 1))
+    total = F.count("*")
+    return (
+        filled.groupBy("date_id")
+        .agg(
+            total.alias("total_minutes"),
+            F.count(F.when(~F.col("is_interpolated"), 1)).alias("actual_cnt"),
+            interp_cnt.alias("interpolated_cnt"),
+            F.round(interp_cnt.cast("double") * 100.0 / total, 2).alias(
+                "interp_rate_pct"
+            ),
+        )
+        .orderBy("date_id")
+    )
+
+
+FULL_HISTORY_REBUILD_SQL = f"""
+WITH obs AS ({_OBS_SQL}), {_GRID_SQL},
+f AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER w_before AS pv,
+    first_value(value IGNORE NULLS) OVER w_after AS nv
+  FROM g
+  WINDOW
+    w_before AS (PARTITION BY event_type, date_id ORDER BY minute_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_after AS (PARTITION BY event_type, date_id ORDER BY minute_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT date_id,
+  COUNT(*) AS total_minutes,
+  COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS actual_cnt,
+  COUNT(CASE WHEN value IS NULL THEN 1 END) AS interpolated_cnt,
+  ROUND(CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) * 100.0
+        / COUNT(*), 2) AS interp_rate_pct
+FROM f
+GROUP BY date_id
+ORDER BY date_id
+"""
+
+
 INTERPOLATE_MINUTES_NEAREST2_SQL = f"""
 WITH obs AS ({_OBS_SQL}), {_GRID_SQL},
 missing AS (

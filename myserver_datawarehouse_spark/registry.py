@@ -90,6 +90,24 @@ _SPECS: list[QuerySpec] = [
         T.INTERPOLATE_MINUTES_NEAREST2_SQL,
         "T2/T3/T4 (nearest-2 parity mode, applyInPandas)",
     ),
+    QuerySpec(
+        "interpolate_cross_midnight",
+        T.interpolate_cross_midnight,
+        T.INTERPOLATE_CROSS_MIDNIGHT_SQL,
+        "T4 (date-boundary gap runs on real timestamps)",
+    ),
+    QuerySpec(
+        "full_history_rebuild",
+        T.full_history_rebuild,
+        T.FULL_HISTORY_REBUILD_SQL,
+        "T5/S7/A6 (all-dates rebuild log, one job)",
+    ),
+    QuerySpec(
+        "first_last_event_probe",
+        R.first_last_event_probe,
+        R.FIRST_LAST_EVENT_PROBE_SQL,
+        "O3 (global sort-limit-1 anchors)",
+    ),
     QuerySpec("dim_date_flags", DM.dim_date_flags, DM.DIM_DATE_FLAGS_SQL, "S9/P10-P12/P18"),
     QuerySpec("dim_time_table", DM.dim_time_table, DM.DIM_TIME_TABLE_SQL, "§1.1 dim_time"),
     QuerySpec(

@@ -136,3 +136,16 @@ def test_minute_observations_mean_and_truncation(spark):
     assert len(got) == 1
     assert got[0].minute_epoch == BASE
     assert got[0].value == pytest.approx(15.0)
+
+
+def test_gap_runs_expose_bracketing_anchors(spark):
+    # T4 support: each missing minute carries its bracketing pair, so a
+    # caller can detect runs whose anchors straddle midnight.
+    obs = obs_df(
+        spark,
+        [("a", "b", MIDNIGHT - 120, 10.0), ("a", "b", MIDNIGHT + 60, 40.0)],
+    )
+    runs = TS.gap_runs(obs, KEYS).collect()
+    assert {r.minute_epoch for r in runs} == {MIDNIGHT - 60, MIDNIGHT}
+    for r in runs:
+        assert (r.pt, r.pv, r.nt, r.nv) == (MIDNIGHT - 120, 10.0, MIDNIGHT + 60, 40.0)
