@@ -229,3 +229,50 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY src_num, source
 """
+
+
+def sheets_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extract + P19 serialization (gold_price_to_sheets.py:46-82): the
+    interpolated fact joined to dim_date (J1, USING date_id) and dim_time
+    (J2, ON dt.time_id = fact.rounded_time_id — equi-join on a non-key
+    column), one source selected, presentation-sorted (O4), timestamps
+    stringified Spark-side. `sinks.SheetsSink.write` collects this frame as
+    the `[headers]+rows` grid; the network write is the injectable edge."""
+    from myserver_datawarehouse_spark import pipeline as P
+    from myserver_datawarehouse_spark.operators import dims as D
+    from myserver_datawarehouse_spark.plans.dims import AS_OF, DATE_END, DATE_START
+    from myserver_datawarehouse_spark.sinks import serialize_for_export
+
+    fact = P.hourly_pipeline(spark, sf_dir).filter(F.col("event_type") == "click")
+    dd = D.build_dim_date(spark, DATE_START, DATE_END, AS_OF).select(
+        "date_id", "date_string"
+    )
+    dt = D.build_dim_time(spark).select("time_id", "minutefullstring24")
+    joined = (
+        fact.join(F.broadcast(dd), "date_id")
+        .join(F.broadcast(dt), fact.rounded_time_id == dt.time_id)
+        .orderBy("date_id", fact.time_id)
+        .select(
+            "date_string",
+            "minutefullstring24",
+            "minute_ts",
+            "value",
+            "is_interpolated",
+        )
+    )
+    return serialize_for_export(joined)
+
+
+from myserver_datawarehouse_spark.plans.flagship import _PIPELINE_CTE  # noqa: E402
+
+SHEETS_EXPORT_FRAME_SQL = f"""
+WITH {_PIPELINE_CTE}
+SELECT strftime(minute_ts, '%Y-%m-%d') AS date_string,
+       strftime(minute_ts, '%H:%M:%S') AS minutefullstring24,
+       strftime(minute_ts, '%Y-%m-%d %H:%M:%S') AS minute_ts,
+       value,
+       is_interpolated
+FROM result
+WHERE event_type = 'click'
+ORDER BY date_id, time_id
+"""

@@ -108,6 +108,12 @@ _SPECS: list[QuerySpec] = [
         R.FIRST_LAST_EVENT_PROBE_SQL,
         "O3 (global sort-limit-1 anchors)",
     ),
+    QuerySpec(
+        "sheets_export_frame",
+        RP.sheets_export_frame,
+        RP.SHEETS_EXPORT_FRAME_SQL,
+        "S10/P19/J1/J2/O4 (sheets extract, serialized)",
+    ),
     QuerySpec("dim_date_flags", DM.dim_date_flags, DM.DIM_DATE_FLAGS_SQL, "S9/P10-P12/P18"),
     QuerySpec("dim_time_table", DM.dim_time_table, DM.DIM_TIME_TABLE_SQL, "§1.1 dim_time"),
     QuerySpec(
