@@ -223,3 +223,177 @@ FROM e
 GROUP BY 1
 ORDER BY label
 """
+
+
+NEAR_DUP_TAU = 0.35
+IVF_CENT_MOD = 37  # centroids = vec_id % 37 == 0: ~N/37 cells, grows with corpus
+IVF_NPROBE = 2
+IVF_TOP_K = 3
+
+
+def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (i < j) with cosine >= tau,
+    candidates restricted to the same sign bucket (the LSH property: a
+    high-cosine pair almost surely agrees on leading signs, so the bucket
+    join prunes the pair space from corpus^2 to sum(|bucket|^2) while
+    keeping the dup recall of the threshold).
+
+    This is the embedding leg of the dedup family (exact sha2 / MinHash /
+    SimHash / n-gram Jaccard live in plans/llm_text.py): at 100 TB the
+    bucket id is the shuffle key, each bucket's pair loop is task-local,
+    and tau gates the expensive pair emission."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        V.sign_bucket("embedding", BUCKET_BITS).alias("bucket"),
+        V.norm2("embedding").alias("nrm"),
+    )
+    a = e.select("bucket", F.col("vec_id"), F.col("embedding").alias("q"),
+                 F.col("nrm").alias("na"))
+    b = e.select("bucket", F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("v"), F.col("nrm").alias("nb"))
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        V.dot("q", "v") / (F.col("na") * F.col("nb")),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .orderBy("vec_id", "neighbor_id")
+    )
+
+
+NEAR_DUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id, b.vec_id AS neighbor_id,
+       ROUND(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE sqrt(list_dot_product(a.vec, a.vec)) > 0
+  AND sqrt(list_dot_product(b.vec, b.vec)) > 0
+  AND ROUND(list_dot_product(a.vec, b.vec)
+            / (sqrt(list_dot_product(a.vec, a.vec))
+               * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {NEAR_DUP_TAU}
+ORDER BY a.vec_id, b.vec_id
+"""
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (every {IVF_CENT_MOD}th
+    vector is a centroid), each corpus vector assigned to its max-cosine
+    cell, probes search the {IVF_NPROBE} nearest cells only.
+
+    The scale anatomy mirrors a real IVF index: centroid table is tiny and
+    BROADCAST (assignment is a map-only pass over the corpus — no
+    shuffle); the inverted lists are the corpus hash-partitioned by
+    cell_id; a probe touches nprobe cells, so query cost is
+    nprobe * avg-cell-size instead of corpus. A trained k-means quantizer
+    would only change the centroid table, not this plan."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm2("embedding").alias("nrm")
+    )
+    cent = e.filter(F.col("vec_id") % IVF_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("nc"),
+    )
+    cos_cent = F.when(
+        (F.col("nrm") > 0) & (F.col("nc") > 0),
+        V.dot("embedding", "c") / (F.col("nrm") * F.col("nc")),
+    )
+    w_asn = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc_nulls_last(), F.col("cid")
+    )
+    asn = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cid", cos_cent.alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(w_asn))
+    )
+    cells = asn.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
+    )
+    probe_cells = (
+        asn.filter((F.col("vec_id") < N_PROBES) & (F.col("rn") <= IVF_NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("nrm").alias("nq"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    cos = F.when(
+        (F.col("nq") > 0) & (F.col("nrm") > 0),
+        V.dot("q", "embedding") / (F.col("nq") * F.col("nrm")),
+    )
+    scored = (
+        cells.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "cell", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select("query_id", "vec_id", "cell", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
+EMBEDDING_ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
+  WHERE vec_id % {IVF_CENT_MOD} = 0
+),
+asn AS (
+  SELECT e.vec_id, e.vec, e.nrm, cent.cid,
+         CASE WHEN e.nrm > 0 AND cent.nc > 0
+              THEN list_dot_product(e.vec, cent.c) / (e.nrm * cent.nc) END
+           AS cent_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY (CASE WHEN e.nrm > 0 AND cent.nc > 0
+                          THEN list_dot_product(e.vec, cent.c)
+                               / (e.nrm * cent.nc) END) DESC NULLS LAST,
+                    cent.cid
+         ) AS rn
+  FROM e CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, vec, nrm, cid AS cell FROM asn WHERE rn = 1
+),
+probe_cells AS (
+  SELECT vec_id AS query_id, vec AS q, nrm AS nq, cid AS cell
+  FROM asn WHERE vec_id < {N_PROBES} AND rn <= {IVF_NPROBE}
+),
+s AS (
+  SELECT p.query_id, c.vec_id, c.cell,
+         ROUND(CASE WHEN p.nq > 0 AND c.nrm > 0
+                    THEN list_dot_product(p.q, c.vec) / (p.nq * c.nrm) END,
+               6) AS cosine
+  FROM cells c JOIN probe_cells p USING (cell)
+  WHERE p.query_id != c.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id
+  ) AS rn
+  FROM s WHERE cosine IS NOT NULL
+)
+SELECT query_id, vec_id, cell, cosine FROM r
+WHERE rn <= {IVF_TOP_K}
+ORDER BY query_id, cosine DESC, vec_id
+"""

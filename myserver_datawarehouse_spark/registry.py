@@ -109,6 +109,18 @@ _SPECS: list[QuerySpec] = [
         "O3 (global sort-limit-1 anchors)",
     ),
     QuerySpec(
+        "near_dup_embedding_cosine",
+        EM.near_dup_embedding_cosine,
+        EM.NEAR_DUP_EMBEDDING_COSINE_SQL,
+        "dedup: embedding-cosine near-dup (sign-bucket pruned)",
+    ),
+    QuerySpec(
+        "embedding_ann_ivf",
+        EM.embedding_ann_ivf,
+        EM.EMBEDDING_ANN_IVF_SQL,
+        "ANN: IVF cells, broadcast quantizer, nprobe search",
+    ),
+    QuerySpec(
         "sheets_export_frame",
         RP.sheets_export_frame,
         RP.SHEETS_EXPORT_FRAME_SQL,

@@ -41,3 +41,58 @@ def test_sign_bucket(spark):
     assert one(spark, [([-1.0, -1.0, -1.0, -1.0], [0.0])], V.sign_bucket("a", 4)) == 0
     # zero counts as non-negative
     assert one(spark, [([0.0, 0.0, 0.0, 0.0], [0.0])], V.sign_bucket("a", 4)) == 15
+
+
+def test_ivf_assignment_picks_max_cosine_cell(spark):
+    # Corpus of axis-aligned vectors; centroids at vec_id 0 (x-axis) and
+    # 37 (y-axis). A vector near the y-axis must land in cell 37 and an
+    # x-ish probe must rank cell 0 first.
+    from myserver_datawarehouse_spark.plans import embeddings as E
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # centroid: x axis
+        (37, [0.0, 1.0, 0.0, 0.0]),     # centroid: y axis
+        (5, [0.9, 0.1, 0.0, 0.0]),      # x-ish
+        (6, [0.1, 0.9, 0.0, 0.0]),      # y-ish
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], "l") for i, v in rows],
+        "vec_id long, embedding array<double>, label string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = E.embedding_ann_ivf(spark, d).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    # probe 5 (x-ish, nprobe=2 → both cells searched): nearest neighbor by
+    # cosine is centroid 0 itself (cos≈0.993) ahead of y-ish 6 (cos≈0.22)
+    q5 = by_query[5]
+    assert q5[0].vec_id == 0 and q5[0].cell in (0, 37)
+    assert {r.vec_id for r in q5} <= {0, 37, 6}
+
+
+def test_near_dup_embedding_cosine_threshold(spark):
+    from myserver_datawarehouse_spark.plans import embeddings as E
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.14, 0.0, 0.0]),   # near-dup of 1 (cos≈0.990)
+        (3, [0.0, 0.0, 1.0, 1.0]),     # same bucket sign pattern? bits: +,+ →
+        (4, [-1.0, -1.0, -1.0, -1.0]), # negative bucket, alone
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], "l") for i, v in rows],
+        "vec_id long, embedding array<double>, label string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        pairs = {(r.vec_id, r.neighbor_id): r.cosine
+                 for r in E.near_dup_embedding_cosine(spark, d).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.98
+    assert all(i < j for i, j in pairs)          # canonical orientation
+    assert (1, 4) not in pairs and (2, 4) not in pairs
