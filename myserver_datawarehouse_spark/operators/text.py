@@ -19,7 +19,7 @@ between Spark (`conv(..., 16, 10)`) and DuckDB (`('0x' || ...)::BIGINT`).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword list used for quality scoring and stopword-ratio features.
@@ -82,6 +82,35 @@ def shingles(tokens: Column | str, k: int = 3, distinct: bool = True) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams) if distinct else grams
+
+
+def shingle_rows(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word k-grams as ROWS (id, pos, g) instead of an array column.
+
+    posexplode the tokens, then assemble each gram from `lead` over a
+    per-document window — token hashing/concat runs once per position in
+    whole-stage codegen, where the array form (`shingles`) pays Spark's
+    interpreted higher-order-function path per element (measured ~10s per
+    pass over 5k docs at sf0.1 vs ~1s for this). `pos` is gapless and
+    0-based, so winnowing's order-sensitive sliding window works directly.
+    Docs with fewer than k tokens yield no rows (the array form's empty
+    array).
+    """
+    tok = df.select(id_col, F.posexplode(tokenize(text_col)).alias("pos", "t"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    grams = tok.select(
+        id_col,
+        "pos",
+        F.concat_ws(" ", *parts).alias("g"),
+        F.lead("t", k - 1).over(w).alias("_last"),
+    )
+    return grams.where(F.col("_last").isNotNull()).select(id_col, "pos", "g")
 
 
 # Universal-hash family for MinHash: one md5 per shingle, then

@@ -120,16 +120,34 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidacy itself — not just the final filter — is compared.
     """
     d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id", TX.shingles(TX.tokenize("text"), SHINGLE_K).alias("sh")
+    # Everything runs over ROW-wise hashed shingles (one codegen'd md5 per
+    # position — see operators/text.shingle_rows; the array-HOF form costs
+    # ~10s/pass at sf0.1 on Spark's interpreted lambda path):
+    # - the 16 signature slots are codegen'd MIN aggregates over the
+    #   hashed rows (map-side partials), not higher-order array folds;
+    # - candidate verification counts shared hashes per candidate pair via
+    #   an equi-join on the hash value — no per-pair array intersect.
+    # Docs with zero shingles drop out at the explode instead of carrying
+    # all-NULL signatures; their candidate pairs were jaccard-NULL-
+    # filtered anyway (identically in the oracle).
+    hs = (
+        TX.shingle_rows(d, SHINGLE_K)
+        .select("doc_id", TX.hash60("g").alias("h"))
+        .distinct()
     )
-    # one md5 per shingle, materialized; the 16 slots are cheap integer
-    # mixes over it (see operators/text.minhash_signature_from_hashes)
-    base = sh.select(
-        "doc_id", F.transform("sh", lambda x: TX.hash60(x)).alias("mh")
-    )
-    sig = base.select(
-        "doc_id", TX.minhash_signature_from_hashes("mh", MINHASH_N).alias("sig")
+    p = F.lit(TX.MINHASH_P)
+    sig = (
+        hs.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(f"s{i}")
+                for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
+        )
     )
     bands = sig.select(
         "doc_id", F.explode(TX.lsh_band_keys("sig", LSH_BANDS, LSH_ROWS)).alias("bk")
@@ -140,15 +158,35 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
-    )
-    return (
-        pairs.select(
-            "doc_a", "doc_b", F.round(TX.jaccard("sh_a", "sh_b"), 6).alias("jaccard")
+    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        F.broadcast(cand)
+        .join(hs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(
+            hs.alias("hb"),
+            (F.col("doc_b") == F.col("hb.doc_id"))
+            & (F.col("ha.h") == F.col("hb.h")),
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_TAU)
         .orderBy("doc_a", "doc_b")
     )
@@ -178,6 +216,10 @@ _BAND_KEYS_SQL = "[" + ", ".join(_band_key_sql(b) for b in range(LSH_BANDS)) + "
 NEAR_DUP_MINHASH_LSH_SQL = f"""
 WITH toks AS ({_TOKS_SQL}),
 sh AS ({_SH_SQL}),
+-- distinct raw 60-bit shingle hashes: the verify set (hash collisions, if
+-- any, collapse identically to the Spark equi-join-on-hash count)
+mhd AS (SELECT doc_id, list_distinct([{_d_hash60('x')} FOR x IN sh]) AS mh
+        FROM sh),
 mhb AS (SELECT doc_id, {_MH_BASE_SQL} AS mh FROM sh),
 sig AS (SELECT doc_id, {_MINHASH_SQL} AS sig FROM mhb),
 bands AS (SELECT doc_id, unnest({_BAND_KEYS_SQL}) AS bk FROM sig),
@@ -187,11 +229,13 @@ cand AS (
 ),
 pairs AS (
   SELECT c.doc_a, c.doc_b,
-         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+         ROUND(CAST(len(list_intersect(sa.mh, sb.mh)) AS DOUBLE)
+               / CAST(len(sa.mh) + len(sb.mh)
+                      - len(list_intersect(sa.mh, sb.mh)) AS DOUBLE),
+               6) AS jaccard
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b
+  JOIN mhd sa ON sa.doc_id = c.doc_a
+  JOIN mhd sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM pairs
 WHERE jaccard >= {JACCARD_TAU}
@@ -208,13 +252,36 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs. Exactly mirrors the oracle bit-for-bit.
     """
     d = _docs(spark, sf_dir)
-    # materialize token hashes before the 60-bit vote loop (see
-    # operators/text.simhash_from_hashes: inline md5 would recompute 60x)
-    th = d.select(
-        "doc_id",
-        F.transform(TX.tokenize("text"), lambda t: TX.hash60(t)).alias("th"),
+    # Votes via explode + 60 codegen'd conditional SUMs instead of the
+    # higher-order fold (operators/text.simhash_from_hashes — kept for
+    # array-level callers): per-token rows hash once each, the 60 bit
+    # sums run in one whole-stage-codegen hash aggregate with map-side
+    # partials, and the fold's interpreted 60-wide zip_with disappears
+    # (measured ~5x on this query at sf0.1). `split` always yields >= 1
+    # token, so no doc is lost to the explode.
+    th = d.select("doc_id", F.explode(TX.tokenize("text")).alias("t")).select(
+        "doc_id", TX.hash60("t").alias("h")
     )
-    sim = th.select("doc_id", TX.simhash_from_hashes("th").alias("simhash"))
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(TX.SIMHASH_BITS)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(TX.SIMHASH_BITS)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    sim = votes.select("doc_id", total.alias("simhash"))
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -290,29 +357,56 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive the union size as na + nb - inter instead of materializing
     # the union. Hash values are the shared md5 primitive, so the oracle
     # sees identical sets (collisions, if any, collapse identically).
-    mh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                TX.shingles(TX.tokenize("text"), SHINGLE_K),
-                lambda x: TX.hash60(x),
-            )
-        ).alias("mh"),
-    ).withColumn("n", F.size("mh"))
-    a = mh.select(
-        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), F.col("n").alias("na")
+    # Distributed set-similarity join: explode each doc's distinct shingle
+    # HASHES and equi-join on the hash value — a pair's match count IS its
+    # intersection size, so no per-pair array intersect ever runs and the
+    # shuffle key is the shingle hash (a pair costs one row per shared
+    # shingle, bounded by shingle frequency). Union size is na + nb -
+    # inter. Pairs sharing no shingle never materialize — they can't pass
+    # tau > 0 anyway. Hash values are the shared md5 primitive, so the
+    # oracle sees identical sets (collisions, if any, collapse
+    # identically).
+    h = (
+        TX.shingle_rows(d, SHINGLE_K)
+        .select("doc_id", TX.hash60("g").alias("h"))
+        .distinct()
     )
-    b = mh.select(
-        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"), F.col("n").alias("nb")
+    sizes = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # Size pruning inside the join condition: J(A,B) <= min/max sizes, so
-    # failing pairs never reach the intersect. Same predicate in the oracle.
-    prune = F.least("na", "nb").cast("double") >= JACCARD_TAU * F.greatest("na", "nb")
-    inter = F.size(F.array_intersect("mh_a", "mh_b"))
-    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
+    # Size prune (J <= min-size/max-size) on the counted pairs — same
+    # surviving set as the oracle's join-condition prune.
+    sized = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= JACCARD_TAU * F.greatest("na", "nb")
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
     return (
-        a.join(b, (F.col("doc_a") < F.col("doc_b")) & prune)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        sized.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_TAU)
         .orderBy("doc_a", "doc_b")
     )
@@ -530,23 +624,54 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/(w+1) of shingle hashes survive, so the inverted index is a
     constant fraction of corpus size.
     """
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
-    grams = TX.shingles(TX.tokenize("text"), SHINGLE_K, distinct=False)
-    # materialize the positional hash sequence before the sliding-window
-    # minima: the window slices it once per position, and an inline md5
-    # expression would be re-evaluated per slice (O(n^2) hashing)
-    hs = d.select(
-        "doc_id", F.transform(grams, lambda g: TX.hash60(g)).alias("h")
+    # Sliding-window minima via row-wise shingles + a window MIN over a
+    # 4-row frame instead of the array-lambda slice loop
+    # (operators/text.winnow_fingerprints — kept for array-level callers):
+    # each positional shingle hashes ONCE in codegen, WindowExec computes
+    # the running minima with one per-doc sort, and the fingerprint stats
+    # collapse to countDistinct/min/max aggregates — no array
+    # materialization at all. shingle_rows' pos is gapless/0-based, which
+    # the order-sensitive window needs. Docs with < window shingles have
+    # no valid window; the left join restores them as (0, NULL, NULL),
+    # matching the empty-fingerprint-array output of the array form and
+    # the oracle.
+    pos = TX.shingle_rows(d, SHINGLE_K).select(
+        "doc_id", "pos", TX.hash60("g").alias("h")
     )
-    fps = hs.select(
-        "doc_id", TX.winnow_fingerprints("h", WINNOW_WINDOW).alias("fp")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
     )
-    return fps.select(
-        "doc_id",
-        F.size("fp").alias("n_fingerprints"),
-        F.element_at("fp", 1).alias("fp_min"),
-        F.element_at("fp", -1).alias("fp_max"),
-    ).orderBy("doc_id")
+    n_w = Window.partitionBy("doc_id")
+    mins = (
+        pos.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(w).alias("wmin"),
+            F.count(F.lit(1)).over(n_w).alias("n"),
+        )
+        .filter(F.col("pos") <= F.col("n") - WINNOW_WINDOW)
+    )
+    stats = mins.groupBy("doc_id").agg(
+        F.countDistinct("wmin").cast("int").alias("n_fingerprints"),
+        F.min("wmin").alias("fp_min"),
+        F.max("wmin").alias("fp_max"),
+    )
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            "fp_min",
+            "fp_max",
+        )
+        .orderBy("doc_id")
+    )
 
 
 DOC_FINGERPRINT_WINNOW_SQL = f"""
