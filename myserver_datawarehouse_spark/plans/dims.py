@@ -177,3 +177,97 @@ FROM documents
 GROUP BY source
 ORDER BY first_id
 """
+
+
+def sources_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sources-dimension maintenance cycle (populate_sources_dag.py:
+    41-148) as one relational query: J5 anti-join finds new names, P14
+    assigns their colors, P13 COALESCE keeps existing colors on upsert, a
+    deterministic synthetic deleted_at exercises the P9 soft-delete
+    filter, and the output carries V5's lifecycle flags.
+
+    "Existing" = sources seen among even doc_ids (the prior load);
+    "extracted" = all sources. Sources whose numeric suffix is divisible
+    by 5 are marked deleted at a fixed timestamp (the driver tables have
+    no deleted_at column, so the lifecycle synthesizes one
+    deterministically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = D.sources_from(docs.filter(F.col("doc_id") % 2 == 0))
+    extracted = D.sources_from(docs)
+    new_names = extracted.join(existing, "name", "left_anti")
+    merged = (
+        existing.alias("o")
+        .join(new_names.alias("n"), "name", "full_outer")
+        .select(
+            "name",
+            # update wins for ordinary columns, keep-existing for color
+            # (populate_sources_dag.py:146 COALESCE(sources.color,
+            # EXCLUDED.color))
+            F.coalesce(F.col("n.first_id"), F.col("o.first_id")).alias("first_id"),
+            F.coalesce(F.col("o.color"), F.col("n.color")).alias("color"),
+            F.col("o.name").isNull().alias("is_new"),
+        )
+    )
+    from myserver_datawarehouse_spark.functions.scalar import lenient_cast
+
+    src_num = lenient_cast(F.substring("name", 4, 10), "int")
+    with_del = merged.withColumn(
+        "deleted_at",
+        F.when(src_num % 5 == 0, F.lit("2024-01-15 00:00:00").cast("timestamp")),
+    )
+    active = D.soft_delete_filter(with_del)
+    return (
+        with_del.select(
+            "name",
+            "first_id",
+            "color",
+            "is_new",
+            F.col("deleted_at").isNotNull().alias("is_deleted"),
+        )
+        .join(active.select("name", F.lit(True).alias("is_active")), "name", "left")
+        .select(
+            "name",
+            "first_id",
+            "color",
+            "is_new",
+            "is_deleted",
+            F.coalesce("is_active", F.lit(False)).alias("is_active"),
+        )
+        .orderBy("name")
+    )
+
+
+SOURCES_LIFECYCLE_SQL = """
+WITH existing AS (
+  SELECT source AS name, MIN(doc_id) AS first_id,
+         '#' || substr(md5(source), 1, 6) AS color
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+),
+extracted AS (
+  SELECT source AS name, MIN(doc_id) AS first_id,
+         '#' || substr(md5(source), 1, 6) AS color
+  FROM documents GROUP BY source
+),
+new_names AS (
+  SELECT * FROM extracted e
+  WHERE NOT EXISTS (SELECT 1 FROM existing x WHERE x.name = e.name)
+),
+merged AS (
+  SELECT COALESCE(o.name, n.name) AS name,
+         COALESCE(n.first_id, o.first_id) AS first_id,
+         COALESCE(o.color, n.color) AS color,
+         o.name IS NULL AS is_new
+  FROM existing o FULL OUTER JOIN new_names n USING (name)
+),
+with_del AS (
+  SELECT *,
+         CASE WHEN TRY_CAST(substr(name, 4, 10) AS INT) % 5 = 0
+              THEN TIMESTAMP '2024-01-15 00:00:00' END AS deleted_at
+  FROM merged
+)
+SELECT name, first_id, color, is_new,
+       deleted_at IS NOT NULL AS is_deleted,
+       deleted_at IS NULL AS is_active
+FROM with_del
+ORDER BY name
+"""

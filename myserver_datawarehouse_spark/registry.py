@@ -109,6 +109,12 @@ _SPECS: list[QuerySpec] = [
         "O3 (global sort-limit-1 anchors)",
     ),
     QuerySpec(
+        "sources_lifecycle",
+        DM.sources_lifecycle,
+        DM.SOURCES_LIFECYCLE_SQL,
+        "J5/P9/P13/P14/V5 (sources SCD-lite cycle)",
+    ),
+    QuerySpec(
         "near_dup_embedding_cosine",
         EM.near_dup_embedding_cosine,
         EM.NEAR_DUP_EMBEDDING_COSINE_SQL,
