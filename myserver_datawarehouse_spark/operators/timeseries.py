@@ -39,6 +39,8 @@ from collections.abc import Iterable, Sequence
 
 import numpy as np
 import pandas as pd
+
+from myserver_datawarehouse_spark.functions import keys as K
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -65,7 +67,7 @@ def minute_observations(
     The mean is summed in DECIMAL so it is order-independent across
     partitions (a distributed sum of doubles is not reproducible).
     """
-    minute_epoch = (F.unix_timestamp(F.date_trunc("minute", F.col(ts_col)))).alias(
+    minute_epoch = F.unix_timestamp(K.minute_bucket(F.col(ts_col))).alias(
         "minute_epoch"
     )
     return (

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myserver_datawarehouse_spark.functions.scalar import (
+    md5_fingerprint as _fingerprint,
+)
 from myserver_datawarehouse_spark.operators import text as TX
 from myserver_datawarehouse_spark.sources.tables import load_table
 
@@ -463,6 +466,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             uniq_ratio.alias("uniq_ratio"),
             stop_ratio.alias("stop_ratio"),
             F.length(TX.normalize_text("text")).alias("n_chars_norm"),
+            _fingerprint(TX.normalize_text("text")).alias("fingerprint"),
         )
         .withColumn(
             "quality",
@@ -489,7 +493,8 @@ feat AS (
          ROUND(CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks), 6) AS uniq_ratio,
          ROUND(CAST(len([t FOR t IN tks IF t IN {_STOP_SQL}]) AS DOUBLE)
                / len(tks), 6) AS stop_ratio,
-         length(norm) AS n_chars_norm
+         length(norm) AS n_chars_norm,
+         substring(md5(norm), 1, 16) AS fingerprint
   FROM toks
 )
 SELECT *,

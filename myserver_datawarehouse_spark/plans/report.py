@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from myserver_datawarehouse_spark.functions.scalar import (
     color_for_name,
+    duration_hhmm,
     lenient_cast,
     reconstruct_timestamp,
 )
@@ -81,6 +82,7 @@ def ranking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             color_for_name("source").alias("color"),
             "minute_count",
             _duration_expr(F.col("minute_count"), total).alias("duration"),
+            duration_hhmm(F.col("minute_count")).alias("span_hhmm"),
         )
 
     return (
@@ -129,7 +131,10 @@ SELECT ranking, source,
        minute_count,
        lpad(CAST(CAST(FLOOR(frac * 24) AS INT) AS VARCHAR), 2, '0') || ':'
          || lpad(CAST(CAST(FLOOR((frac * 24 - FLOOR(frac * 24)) * 60 + 0.5) AS INT)
-                      AS VARCHAR), 2, '0') AS duration
+                      AS VARCHAR), 2, '0') AS duration,
+       lpad(CAST(CAST(FLOOR(minute_count / 60) AS INT) AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST(CAST(minute_count % 60 AS INT) AS VARCHAR), 2, '0')
+         AS span_hhmm
 FROM d
 ORDER BY ranking, minute_count DESC, source
 """
@@ -275,4 +280,76 @@ SELECT strftime(minute_ts, '%Y-%m-%d') AS date_string,
 FROM result
 WHERE event_type = 'click'
 ORDER BY date_id, time_id
+"""
+
+
+def normalized_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract-normalize block (fact_gold_price.py:52-68) as a query:
+    P1 CASE currency normalization (IRR -> ROUND(price/10), IRT ->
+    ROUND(price), unknown -> NULL), P2 business-timezone conversion, P3
+    business-local date key, rolled up per (currency, business date) with
+    the V3 null-price count.
+
+    The driver's events table has no currency column, so one is derived
+    deterministically from event_id (with a sliver of unknown-currency
+    rows to exercise the CASE fall-through). Oracle parity: values are
+    non-negative, so Spark's HALF_UP ROUND equals FLOOR(x + 0.5), which
+    is what the oracle computes (DuckDB's double ROUND is banker's);
+    Asia/Tehran has no DST as of 2024, and both engines share IANA tz
+    rules for the conversion."""
+    from myserver_datawarehouse_spark.functions.keys import date_id, to_business_tz
+    from myserver_datawarehouse_spark.functions.scalar import currency_normalize
+
+    e = load_table(spark, sf_dir, "events")
+    currency = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("XXX"))
+        .when(F.col("event_id") % 2 == 0, F.lit("IRR"))
+        .otherwise(F.lit("IRT"))
+    )
+    q = e.select(
+        currency.alias("currency"),
+        currency_normalize(currency, F.col("value")).alias("price"),
+        to_business_tz("ts").alias("local_ts"),
+    )
+    return (
+        q.groupBy("currency", date_id("local_ts").alias("biz_date_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_quotes"),
+            F.count(F.when(F.col("price").isNull(), 1)).alias("n_null_price"),
+            # COALESCE(0): an all-NULL-price group (unknown currency) must
+            # not round-trip as NaN through pandas on the Spark side vs NULL
+            # on the oracle side
+            F.coalesce(
+                F.round(
+                    F.sum(F.col("price").cast("decimal(18,2)")).cast("double"), 2
+                ),
+                F.lit(0.0),
+            ).alias("sum_price"),
+        )
+        .orderBy("currency", "biz_date_id")
+    )
+
+
+NORMALIZED_QUOTES_SQL = """
+WITH q AS (
+  SELECT
+    CASE WHEN event_id % 7 = 0 THEN 'XXX'
+         WHEN event_id % 2 = 0 THEN 'IRR'
+         ELSE 'IRT' END AS currency,
+    CASE WHEN event_id % 7 = 0 THEN NULL
+         WHEN event_id % 2 = 0 THEN FLOOR(value / 10 + 0.5)
+         ELSE FLOOR(value + 0.5) END AS price,
+    (CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tehran'
+      AS local_ts
+  FROM events
+)
+SELECT currency,
+       CAST(strftime(local_ts, '%Y%m%d') AS INT) AS biz_date_id,
+       COUNT(*) AS n_quotes,
+       COUNT(CASE WHEN price IS NULL THEN 1 END) AS n_null_price,
+       COALESCE(ROUND(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2), 0.0)
+         AS sum_price
+FROM q
+GROUP BY 1, 2
+ORDER BY currency, biz_date_id
 """

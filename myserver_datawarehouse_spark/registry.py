@@ -127,6 +127,12 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "normalized_quotes",
+        RP.normalized_quotes,
+        RP.NORMALIZED_QUOTES_SQL,
+        "P1/P2/P3/V3 (currency normalize + business tz)",
+    ),
+    QuerySpec(
         "sheets_export_frame",
         RP.sheets_export_frame,
         RP.SHEETS_EXPORT_FRAME_SQL,
