@@ -9,14 +9,20 @@ md5->60-bit primitive (operators/text.py `hash60`), so even the LSH
 banding and SimHash pair sets match exactly by construction.
 
 Scale notes (100 TB):
-- Signatures (minhash/simhash/winnow) are per-row array math — no
-  shuffle, fully codegen'd, linear scan.
+- Signatures (minhash/simhash/winnow) run over ROW-wise hashed
+  shingles/tokens (operators/text.shingle_rows + codegen'd aggregates):
+  one md5 per position, map-side partial MIN/SUM — Spark's higher-order
+  array lambdas are interpreted, so the array forms exist only for
+  array-level callers, not the query paths.
 - Near-dup joins are BUCKETED (LSH band keys / simhash chunks), never
   all-pairs: the shuffle key space is ~#docs x bands, and bucket
-  population is bounded by collision rate, not corpus size. The one
-  all-pairs query (`ngram_jaccard_pairs`) is the exact-recall baseline,
-  deliberately restricted to a deterministic doc_id sample and documented
-  as test-scale-only.
+  population is bounded by collision rate, not corpus size.
+- `ngram_jaccard_pairs` (the exact-recall baseline for LSH tuning) is a
+  distributed set-similarity join: pair intersection sizes come from an
+  equi-join on the shingle hash, so cost is sum over shingles of
+  frequency^2 — bounded by shingle hotness, not corpus^2. It still runs
+  on a deterministic doc_id sample because auditing LSH recall on a
+  slice is its job.
 """
 
 from __future__ import annotations
