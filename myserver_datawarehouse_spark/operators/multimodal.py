@@ -113,3 +113,56 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         _feature_kernel, schema=FEATURE_SCHEMA
     )
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
+    """STUB: real resize needs PIL; single seam like decode_media."""
+    if _HAVE_PIL:
+        import io
+
+        return Image.open(io.BytesIO(payload)).resize((width, height))
+    raise NotImplementedError(
+        "image resize requires PIL, not present in this environment"
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def _frame_sample_kernel(k: int):
+    """Kernel factory: evenly sample k frame indices of each video's fake
+    frame count (n_bytes % 16 + 1, matching _feature_kernel) and emit one
+    row per sampled frame with a deterministic frame fingerprint
+    (md5(payload || idx) stands in for the decoded frame hash)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) % 16 + 1
+                if n_frames == 1:
+                    idxs = [0]
+                else:
+                    idxs = sorted(
+                        {i * (n_frames - 1) // (k - 1) for i in range(k)}
+                    )
+                for idx in idxs:
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_md5"].append(
+                        hashlib.md5(bytes(payload) + str(idx).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
+    """Frame-sampling plumbing over video payloads via mapInPandas: the
+    Spark side (filter to videos, Arrow batching, exploded output schema)
+    is real; the decode inside the kernel is the deterministic fake
+    (swap in decode_media/ffmpeg for production)."""
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select("doc_id", "payload").mapInPandas(
+        _frame_sample_kernel(k), schema=FRAME_SCHEMA
+    )

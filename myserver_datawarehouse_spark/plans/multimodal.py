@@ -103,3 +103,36 @@ FROM m
 GROUP BY 1
 ORDER BY media_type
 """
+
+
+FRAME_K = 4
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: k={FRAME_K} evenly spaced
+    indices of each fake frame count, one output row per sampled frame
+    with its deterministic fingerprint (operators/multimodal.sample_frames
+    — mapInPandas; the ffmpeg decode is the stubbed seam)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.with_fake_payload(docs)
+    return MM.sample_frames(media, FRAME_K).orderBy("doc_id", "frame_idx")
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) % 16 + 1 AS n_frames
+  FROM documents
+  WHERE {_MT_CASE} = 'video'
+),
+idx AS (
+  SELECT DISTINCT doc_id, text,
+         CASE WHEN n_frames = 1 THEN 0
+              ELSE (i * (n_frames - 1)) // {FRAME_K - 1} END AS frame_idx
+  FROM v, LATERAL unnest(generate_series(0, {FRAME_K - 1})) AS u(i)
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(text || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM idx
+ORDER BY doc_id, frame_idx
+"""

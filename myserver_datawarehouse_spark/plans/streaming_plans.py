@@ -49,3 +49,50 @@ FROM events
 GROUP BY 1
 ORDER BY event_type
 """
+
+
+def streaming_gap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-type gap-run
+    tracker drained via availableNow; the last update per key is the
+    final state snapshot (single-file source => typically one batch, but
+    the rank guard keeps it correct under any batching)."""
+    from pyspark.sql import Window
+
+    stream = SJ.events_stream(spark, sf_dir)
+    out = SJ.run_update_available_now(
+        SJ.gap_state_query(stream), spark, "streaming_gap_state_sink"
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "n_gap_runs", "last_minute_ts")
+        .orderBy("event_type")
+    )
+
+
+STREAMING_GAP_STATE_SQL = """
+WITH e AS (
+  SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m
+  FROM events WHERE value IS NOT NULL
+),
+cnt AS (
+  SELECT event_type, COUNT(*) AS n_events, MAX(m) AS last_minute_ts
+  FROM e GROUP BY 1
+),
+u AS (SELECT DISTINCT event_type, m FROM e),
+runs AS (
+  SELECT event_type,
+         COUNT(CASE WHEN date_diff('second', pm, m) > 60 THEN 1 END)
+           AS n_gap_runs
+  FROM (
+    SELECT event_type, m,
+           lag(m) OVER (PARTITION BY event_type ORDER BY m) AS pm
+    FROM u
+  )
+  GROUP BY 1
+)
+SELECT c.event_type, c.n_events, r.n_gap_runs, c.last_minute_ts
+FROM cnt c JOIN runs r USING (event_type)
+ORDER BY event_type
+"""

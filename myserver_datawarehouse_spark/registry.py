@@ -127,6 +127,18 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "multimodal_frame_sample",
+        MMQ.multimodal_frame_sample,
+        MMQ.MULTIMODAL_FRAME_SAMPLE_SQL,
+        "multimodal: frame sampling via mapInPandas",
+    ),
+    QuerySpec(
+        "streaming_gap_state",
+        ST.streaming_gap_state,
+        ST.STREAMING_GAP_STATE_SQL,
+        "§2.12 applyInPandasWithState custom stateful operator",
+    ),
+    QuerySpec(
         "normalized_quotes",
         RP.normalized_quotes,
         RP.NORMALIZED_QUOTES_SQL,

@@ -116,3 +116,88 @@ def run_available_now(
     finally:
         q.stop()
     return agg.sparkSession.table(sink_name)
+
+
+# ---------------------------------------------------------------- stateful
+
+GAP_STATE_SCHEMA = "n_events long, n_gap_runs long, last_minute long"
+GAP_OUTPUT_SCHEMA = (
+    "event_type string, n_events long, n_gap_runs long, last_minute_ts timestamp"
+)
+
+
+def _gap_state_fn(key, pdfs, state):
+    """Custom stateful kernel (applyInPandasWithState): per event_type,
+    carry (total events, gap-run count, last observed minute) across
+    micro-batches in O(1) state.
+
+    A "gap run" is a transition between consecutive distinct observed
+    minutes more than one minute apart — the streaming analog of the batch
+    gap detector (operators/timeseries._lead_gaps), counting runs instead
+    of materializing missing minutes so state stays constant-size no
+    matter how long the stream runs."""
+    import pandas as pd  # local import: runs on executors
+
+    (event_type,) = key
+    n_events, n_gap_runs, last_minute = (
+        state.get if state.exists else (0, 0, None)
+    )
+    minutes = []
+    for pdf in pdfs:
+        n_events += len(pdf)
+        minutes.append((pdf["ts"].astype("int64") // 10**9 // 60) * 60)
+    if minutes:
+        uniq = pd.concat(minutes).drop_duplicates().sort_values().tolist()
+        prev = last_minute
+        for m in uniq:
+            if prev is not None and m - prev > 60:
+                n_gap_runs += 1
+            prev = m
+        last_minute = int(uniq[-1]) if uniq else last_minute
+    state.update((n_events, n_gap_runs, last_minute))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_events": [n_events],
+            "n_gap_runs": [n_gap_runs],
+            "last_minute_ts": [pd.Timestamp(last_minute, unit="s")],
+        }
+    )
+
+
+def gap_state_query(stream: DataFrame):
+    """SURVEY.md §2.12 custom stateful operator: the gap tracker as an
+    `applyInPandasWithState` streaming query (update mode, no timeout —
+    state is 3 numbers per key, bounded forever)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _gap_state_fn,
+            outputStructType=GAP_OUTPUT_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_update_available_now(
+    q: DataFrame, spark: SparkSession, sink_name: str
+) -> DataFrame:
+    """Drain a bounded source through an update-mode stateful query into a
+    memory sink; the LAST update per key is the final state snapshot."""
+    sq = (
+        q.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination()
+    finally:
+        sq.stop()
+    return spark.table(sink_name)

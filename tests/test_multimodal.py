@@ -44,3 +44,31 @@ def test_decode_stub_raises_without_libs():
         MM.decode_media(b"xx", "image")
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"xx", "audio")
+
+
+def test_sample_frames_even_spacing(spark):
+    from myserver_datawarehouse_spark.operators import multimodal as MM
+    import hashlib
+
+    # payload of 25 bytes -> n_frames = 25 % 16 + 1 = 10; k=4 evenly
+    # spaced over [0, 9] -> {0, 3, 6, 9}
+    media = spark.createDataFrame(
+        [(1, "video", b"x" * 25), (2, "image", b"y" * 25)],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = MM.sample_frames(media, 4).collect()
+    assert {r.doc_id for r in rows} == {1}  # images filtered out
+    assert sorted(r.frame_idx for r in rows) == [0, 3, 6, 9]
+    want = hashlib.md5(b"x" * 25 + b"0").hexdigest()
+    assert {r.frame_md5 for r in rows if r.frame_idx == 0} == {want}
+
+
+def test_sample_frames_single_frame(spark):
+    from myserver_datawarehouse_spark.operators import multimodal as MM
+
+    # 16 bytes -> n_frames = 16 % 16 + 1 = 1 -> only index 0
+    media = spark.createDataFrame(
+        [(1, "video", b"z" * 16)], "doc_id long, media_type string, payload binary"
+    )
+    rows = MM.sample_frames(media, 4).collect()
+    assert [(r.doc_id, r.frame_idx) for r in rows] == [(1, 0)]

@@ -40,3 +40,80 @@ def test_streaming_dedup_counts_equals_batch(spark):
         F.countDistinct("event_id").alias("n_unique_events")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_gap_state_carries_across_batches(spark, tmp_path):
+    # Two parquet files drained one-per-trigger: the gap between batch 1's
+    # last minute and batch 2's first minute must be counted from STATE,
+    # not from within-batch context.
+    import datetime as dt
+    import os
+
+    from pyspark.sql.types import Row
+
+    def ev(i, minute, typ="a", value=1.0):
+        return Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1, 0, minute, 0),
+            user_id=1,
+            event_type=typ,
+            value=value,
+            props="{}",
+        )
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+
+    # The file-stream source lists plain files (the driver's testdata are
+    # single parquet FILES, not directories); stage each batch dir and
+    # copy its part file in as f<N>.parquet.
+    import glob
+    import shutil
+
+    def write_file(rows, name):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    # batch 1: minutes 0, 1; batch 2: minutes 5 (gap), 6
+    write_file([ev(1, 0), ev(2, 1)], "f1")
+    write_file([ev(3, 5), ev(4, 6)], "f2")
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = SJ.run_update_available_now(
+        SJ.gap_state_query(stream), spark, "t_gap_state"
+    )
+    # last update per key = final state
+    final = (
+        out.orderBy(F2.col("n_events").desc()).limit(1).collect()[0]
+    )
+    assert final.event_type == "a"
+    assert final.n_events == 4
+    assert final.n_gap_runs == 1  # minutes 1 -> 5, detected across batches
+    assert final.last_minute_ts == dt.datetime(2024, 1, 1, 0, 6, 0)
