@@ -706,3 +706,56 @@ SELECT doc_id,
 FROM fp
 ORDER BY doc_id
 """
+
+
+BPE_ISH_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways a data pipeline needs it: whitespace
+    tokens (the analysis tokenizer) and a BPE-ish lexer count
+    (alphanumeric runs + individual punctuation — the budget estimate
+    for LLM token costs). Pure per-row regexp math in codegen over the
+    normalized text; one tiny rollup per (lang, source)."""
+    d = _docs(spark, sf_dir)
+    norm = TX.normalize_text("text")
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.size(F.split(norm, " ")).alias("n_ws"),
+        F.regexp_count(norm, F.lit(BPE_ISH_RE)).alias("n_bpe"),
+        F.length(norm).alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("sum_ws_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TOKEN_COUNTS_SQL = rf"""
+WITH toks AS ({_TOKS_SQL}),
+per_doc AS (
+  SELECT lang, source,
+         len(tks) AS n_ws,
+         len(regexp_extract_all(norm, '{BPE_ISH_RE}')) AS n_bpe,
+         length(norm) AS n_chars
+  FROM toks
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_ws) AS sum_ws_tokens,
+       SUM(n_bpe) AS sum_bpe_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
+         AS chars_per_bpe_token
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY lang, source
+"""

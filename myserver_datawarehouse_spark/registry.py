@@ -127,6 +127,12 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "token_counts",
+        LT.token_counts,
+        LT.TOKEN_COUNTS_SQL,
+        "text: whitespace + BPE-ish token counting",
+    ),
+    QuerySpec(
         "multimodal_frame_sample",
         MMQ.multimodal_frame_sample,
         MMQ.MULTIMODAL_FRAME_SAMPLE_SQL,
