@@ -98,23 +98,52 @@ def dedup_counts_query(stream: DataFrame):
     )
 
 
+# Stateful streaming stages hash-partition their state store by the group
+# key; the partition count is pinned by the checkpoint at first start. Our
+# streaming keys are low-cardinality (event_type: a handful of values), so
+# 32 state partitions means 32 store init/commit cycles per micro-batch for
+# ~5 live keys — per-batch fixed cost dominates. Size state partitions to
+# key cardinality (production would do the same when creating the
+# checkpoint; re-sizing later requires a state rebuild).
+STREAM_STATE_PARTITIONS = 8
+
+
+class _scoped_shuffle_partitions:
+    """Set spark.sql.shuffle.partitions for the duration of a streaming
+    query start (the stream's state partitioning is captured at .start()),
+    restoring the session value after."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark = spark
+        self._n = str(n)
+
+    def __enter__(self):
+        self._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._n)
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
+
 def run_available_now(
     agg: DataFrame, spark: SparkSession, sink_name: str
 ) -> DataFrame:
     """Drain the bounded source through the streaming query into a memory
     sink (complete mode: every window emits regardless of watermark
     closure) and return the sink table. Registry/test harness path."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return agg.sparkSession.table(sink_name)
 
 
@@ -189,15 +218,16 @@ def run_update_available_now(
 ) -> DataFrame:
     """Drain a bounded source through an update-mode stateful query into a
     memory sink; the LAST update per key is the final state snapshot."""
-    sq = (
-        q.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        sq.awaitTermination()
-    finally:
-        sq.stop()
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        sq = (
+            q.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            sq.awaitTermination()
+        finally:
+            sq.stop()
     return spark.table(sink_name)
