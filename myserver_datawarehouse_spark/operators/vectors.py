@@ -3,12 +3,20 @@ norms, cosine, sign-bit bucketing (SURVEY.md LLM-data-pipeline addendum —
 the reference has no vector ops; this is the similarity-search layer a
 training-data pipeline needs).
 
-All kernels are higher-order array functions — JVM-side, codegen'd, no
-Python UDFs. Determinism: products are accumulated left-to-right in
-DOUBLE by `aggregate` (a fixed fold order), which is bit-identical to
-DuckDB's `list_dot_product` over `DOUBLE[]` (verified on the driver's
-embeddings table). Per-row math has no partition-order dependence, so
-results are stable under any parallelism.
+Two tiers:
+- Row-wise kernels (`dot`/`norm2`/`cosine`/`sign_bucket`) are higher-order
+  array functions — JVM-side, no Python. Determinism: products are
+  accumulated left-to-right in DOUBLE by `aggregate` (a fixed fold
+  order), bit-identical to DuckDB's `list_dot_product` over `DOUBLE[]`.
+  (Measured: the interpreted HOF fold beats an unrolled 64-term codegen
+  expression ~3.5x — element_at chains don't win here; don't "optimize"
+  back.)
+- `gemm_probe_scores` is the Arrow-batched BLAS tier for many-pair
+  scoring (mapInPandas + numpy gemm), the 100 TB path when arithmetic
+  volume, not row plumbing, dominates.
+
+Per-row math has no partition-order dependence, so results are stable
+under any parallelism.
 """
 
 from __future__ import annotations
@@ -39,6 +47,67 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     na, nb = norm2(a), norm2(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def gemm_probe_scores(
+    corpus,
+    probes_pdf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Batch-BLAS probe scoring: cosine of every (probe, corpus vector)
+    pair via one numpy gemm per Arrow batch (`mapInPandas`).
+
+    This is the many-FLOP scale path: the interpreted `aggregate` fold
+    costs ~µs per 64-dim dot, while a (batch x dim) @ (dim x probes) gemm
+    amortizes to ~ns — the same plan shape (map-only corpus pass, probes
+    on the small side) at 100 TB with 3 orders more arithmetic headroom.
+    The probe table rides in a broadcast variable (it is the tiny side a
+    JVM plan would broadcast-join; collecting it is the `fit` step, not a
+    driver loop over the corpus).
+
+    FP note: BLAS accumulation order is blocked, not left-to-right, so raw
+    scores can differ from the `dot()` fold in the last ulp; outputs are
+    rounded to 6 dp, where both paths agree (verified empirically against
+    the DuckDB oracle at sf0.01 and sf0.1 — see plans/embeddings.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    Q = np.array(
+        [np.asarray(v, dtype=np.float64) for v in probes_pdf[vec_col]]
+    )
+    qids = probes_pdf[id_col].to_numpy()
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bq = spark.sparkContext.broadcast((qids, Q, qn))
+
+    def score(batches):
+        b_qids, b_Q, b_qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt((V * V).sum(axis=1))
+            S = V @ b_Q.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = S / (vn[:, None] * b_qn[None, :])
+            n, p = C.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(b_qids[None, :], n, axis=0).ravel(),
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), p),
+                    "cosine": np.round(C.ravel(), 6),
+                }
+            )
+            ok = (np.repeat(vn, p) > 0) & (np.tile(b_qn, n) > 0)
+            yield out[ok & (out["query_id"] != out["vec_id"])]
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, vec_id long, cosine double"
+    )
 
 
 def sign_bucket(a: Column | str, n_bits: int = 4) -> Column:

@@ -226,6 +226,12 @@ _SPECS: list[QuerySpec] = [
         "LLM ANN brute-force baseline",
     ),
     QuerySpec(
+        "embedding_topk_gemm",
+        EM.embedding_topk_gemm,
+        EM.EMBEDDING_TOPK_GEMM_SQL,
+        "LLM ANN brute-force, BLAS tier (mapInPandas gemm)",
+    ),
+    QuerySpec(
         "embedding_ann_bucketed",
         EM.embedding_ann_bucketed,
         EM.EMBEDDING_ANN_BUCKETED_SQL,

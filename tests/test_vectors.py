@@ -96,3 +96,15 @@ def test_near_dup_embedding_cosine_threshold(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.98
     assert all(i < j for i, j in pairs)          # canonical orientation
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_gemm_topk_matches_hof_bruteforce(spark):
+    """The BLAS tier (mapInPandas gemm) and the JVM fold tier must agree
+    exactly after the 6-dp output rounding on real testdata."""
+    from myserver_datawarehouse_spark.plans import embeddings as E
+
+    sf = "/root/testdata/sf0.001"
+    a = E.embedding_topk_gemm(spark, sf).collect()
+    b = E.embedding_topk_bruteforce(spark, sf).collect()
+    assert a == b
+    assert len(a) > 0
