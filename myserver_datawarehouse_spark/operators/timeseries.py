@@ -225,24 +225,30 @@ def _nearest2_fill(pdf: pd.DataFrame) -> pd.DataFrame:
     t = actual["minute_epoch"].to_numpy(np.int64)
     v = actual["value"].to_numpy(np.float64)
     m = missing["minute_epoch"].to_numpy(np.int64)
-    # The 2 nearest neighbors of a probe in a sorted array are a contiguous
-    # index window around the insertion point: candidates i-2..i+1 suffice.
+    val = _nearest2_values(t, v, m)
+    out_missing = missing.assign(value=val, is_interpolated=True)
+    return pd.concat([out_actual, out_missing], ignore_index=True)
+
+
+def _nearest2_values(t: np.ndarray, v: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Interpolated values at probe minutes `m` from sorted actuals (t, v).
+
+    The 2 nearest neighbors of a probe in a sorted array are a contiguous
+    index window around the insertion point: candidates i-2..i+1 suffice.
+    Stable argsort on distance with candidates in ascending-time order ==
+    the reference's np.argsort over the full time-sorted array."""
     i = np.searchsorted(t, m)
     cand = np.stack([i - 2, i - 1, i, i + 1], axis=1)
     valid = (cand >= 0) & (cand < len(t))
     ci = np.clip(cand, 0, len(t) - 1)
     dist = np.where(valid, np.abs(t[ci] - m[:, None]), np.iinfo(np.int64).max)
-    # stable argsort on (distance) with candidates in ascending-time order
-    # == the reference's np.argsort over the full time-sorted array.
     order = np.argsort(dist, axis=1, kind="stable")[:, :2]
     pick = np.take_along_axis(ci, order, axis=1)
     t1, t2 = t[pick[:, 0]], t[pick[:, 1]]
     v1, v2 = v[pick[:, 0]], v[pick[:, 1]]
     same = t1 == t2
     denom = np.where(same, 1, t2 - t1)
-    val = np.where(same, v1, v1 + (m - t1) * (v2 - v1) / denom)
-    out_missing = missing.assign(value=val, is_interpolated=True)
-    return pd.concat([out_actual, out_missing], ignore_index=True)
+    return np.where(same, v1, v1 + (m - t1) * (v2 - v1) / denom)
 
 
 def fill_nearest2(grid_with_values: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -259,8 +265,42 @@ def interpolate_nearest2(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
     """T2 (exact parity mode): the reference's nearest-2 semantics via one
     grouped `applyInPandas`. Group size is bounded by the grid span (≤1440
     rows/day-group), so executor memory is flat regardless of total scale.
-    """
-    return fill_nearest2(_grid_with_values(obs, keys), keys)
+
+    The bounded [min, max] grid is generated INSIDE the kernel from the
+    group's own observations (`np.arange`), not joined in Spark: only the
+    actuals shuffle and cross Arrow (the missing minutes never exist JVM-
+    side), saving the grid build + left join — measured ~2x on the sf0.1
+    events grain vs the explicit-grid path. Callers with a grid that is
+    not derivable from the group (the hourly pipeline's fixed hour) use
+    `fill_nearest2` on a pre-joined frame instead."""
+    keys_schema = StructType([obs.schema[k] for k in keys])
+
+    def fill(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        actual = pdf.sort_values("minute_epoch")
+        out_actual = actual.assign(is_interpolated=False)
+        t = actual["minute_epoch"].to_numpy(np.int64)
+        if len(t) < 2:
+            return out_actual
+        grid = np.arange(t[0], t[-1] + MINUTE, MINUTE)
+        m = grid[~np.isin(grid, t)]
+        if m.size == 0:
+            return out_actual
+        v = actual["value"].to_numpy(np.float64)
+        val = _nearest2_values(t, v, m)
+        out_missing = pd.DataFrame(
+            {
+                **{k: pd.Series([kv] * m.size, dtype=pdf[k].dtype)
+                   for k, kv in zip(keys, key)},
+                "minute_epoch": m,
+                "value": val,
+                "is_interpolated": True,
+            }
+        )
+        return pd.concat([out_actual, out_missing], ignore_index=True)
+
+    return obs.select(*keys, "minute_epoch", "value").groupBy(*keys).applyInPandas(
+        fill, schema=_nearest2_schema(keys_schema)
+    )
 
 
 def with_minute_ts(df: DataFrame, col: str = "minute_epoch") -> DataFrame:

@@ -79,9 +79,11 @@ def main() -> int:
     spark = get_spark("verify-local")
     con = duck_connect(sf_dir)
     failed = []
+    ran = 0
     for spec in registry.specs():
         if only and spec.name not in only:
             continue
+        ran += 1
         try:
             df = spec.spark(spark, sf_dir)
             if spec.oracle is None:
@@ -98,7 +100,7 @@ def main() -> int:
                 print(f"       {p}")
         else:
             print(f"[ ok ] {spec.name} ({spec.section})")
-    print(f"\n{len(registry.specs()) - len(failed)}/{len(registry.specs())} passing")
+    print(f"\n{ran - len(failed)}/{ran} passing")
     return 1 if failed else 0
 
 
