@@ -217,6 +217,27 @@ ORDER BY vec_id, cosine DESC, neighbor_id
 """
 
 
+def embedding_ann_bucketed_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-local ANN, BLAS tier: identical semantics and oracle as
+    `embedding_ann_bucketed`, but each bucket's |bucket|^2 dot products
+    run as one numpy gemm in an applyInPandas kernel
+    (operators/vectors.gemm_bucket_topk) instead of a self-join + fold —
+    ~4x at sf0.1, wider as buckets grow. One shuffle (hash by bucket id),
+    no pair rows outside the kernel."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        V.sign_bucket("embedding", BUCKET_BITS).alias("bucket"),
+    )
+    scored = V.gemm_bucket_topk(e, BUCKET_TOP_K)
+    return scored.select("vec_id", "neighbor_id", "bucket", "cosine").orderBy(
+        "vec_id", F.col("cosine").desc(), "neighbor_id"
+    )
+
+
+EMBEDDING_ANN_BUCKETED_GEMM_SQL = EMBEDDING_ANN_BUCKETED_SQL
+
+
 def embedding_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus profile: vector count, norm extrema, bucket
     spread. MIN/MAX/COUNT only — order-independent under any partitioning

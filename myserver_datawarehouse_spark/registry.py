@@ -238,6 +238,12 @@ _SPECS: list[QuerySpec] = [
         "LLM ANN sign-bucketed",
     ),
     QuerySpec(
+        "embedding_ann_bucketed_gemm",
+        EM.embedding_ann_bucketed_gemm,
+        EM.EMBEDDING_ANN_BUCKETED_GEMM_SQL,
+        "LLM ANN sign-bucketed, BLAS tier (per-bucket gemm)",
+    ),
+    QuerySpec(
         "embedding_norm_stats_by_label",
         EM.embedding_norm_stats_by_label,
         EM.EMBEDDING_NORM_STATS_BY_LABEL_SQL,

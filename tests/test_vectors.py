@@ -108,3 +108,14 @@ def test_gemm_topk_matches_hof_bruteforce(spark):
     b = E.embedding_topk_bruteforce(spark, sf).collect()
     assert a == b
     assert len(a) > 0
+
+
+def test_gemm_bucket_topk_matches_hof(spark):
+    """Per-bucket gemm tier must agree with the self-join + fold tier."""
+    from myserver_datawarehouse_spark.plans import embeddings as E
+
+    sf = "/root/testdata/sf0.001"
+    a = E.embedding_ann_bucketed_gemm(spark, sf).collect()
+    b = E.embedding_ann_bucketed(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
