@@ -178,6 +178,56 @@ def gemm_bucket_topk(
     )
 
 
+def gemm_bucket_pairs(
+    bucketed,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+):
+    """Bucket-local near-dup pairs (i < j, cosine >= tau) via one gemm per
+    bucket — the dedup twin of `gemm_bucket_topk`. Only the upper triangle
+    is emitted, and tau gates emission inside the kernel, so the output
+    volume is the dup count, never |bucket|^2 rows."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def pairs(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = np.sqrt((M * M).sum(axis=1))
+        S = M @ M.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.round(S / (nrm[:, None] * nrm[None, :]), 6)
+        iu, ju = np.triu_indices(n, k=1)  # ids sorted asc => i<j orientation
+        ok = (nrm[iu] > 0) & (nrm[ju] > 0)
+        cos = C[iu, ju]
+        keep = ok & (cos >= tau)
+        return pd.DataFrame(
+            {
+                id_col: ids[iu[keep]],
+                "neighbor_id": ids[ju[keep]],
+                "cosine": cos[keep],
+            }
+        )
+
+    return bucketed.select(id_col, vec_col, bucket_col).groupBy(bucket_col).applyInPandas(
+        pairs, f"{id_col} long, neighbor_id long, cosine double"
+    )
+
+
 def sign_bucket(a: Column | str, n_bits: int = 4) -> Column:
     """Sign-bit coarse quantizer: bucket id from the signs of the first
     `n_bits` dimensions (0..2^n_bits - 1).

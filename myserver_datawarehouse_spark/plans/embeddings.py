@@ -339,6 +339,27 @@ ORDER BY a.vec_id, b.vec_id
 """
 
 
+def near_dup_embedding_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, BLAS tier: same bucket pruning, threshold
+    and oracle as `near_dup_embedding_cosine`, with each bucket's upper-
+    triangle pair scores computed by one gemm (operators/vectors.
+    gemm_bucket_pairs); tau gates emission inside the kernel so pair rows
+    above threshold are the only kernel output."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        V.sign_bucket("embedding", BUCKET_BITS).alias("bucket"),
+    )
+    return (
+        V.gemm_bucket_pairs(e, NEAR_DUP_TAU)
+        .select("vec_id", "neighbor_id", "cosine")
+        .orderBy("vec_id", "neighbor_id")
+    )
+
+
+NEAR_DUP_EMBEDDING_COSINE_GEMM_SQL = NEAR_DUP_EMBEDDING_COSINE_SQL
+
+
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic coarse quantizer (every {IVF_CENT_MOD}th
     vector is a centroid), each corpus vector assigned to its max-cosine

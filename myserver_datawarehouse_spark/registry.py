@@ -121,6 +121,12 @@ _SPECS: list[QuerySpec] = [
         "dedup: embedding-cosine near-dup (sign-bucket pruned)",
     ),
     QuerySpec(
+        "near_dup_embedding_cosine_gemm",
+        EM.near_dup_embedding_cosine_gemm,
+        EM.NEAR_DUP_EMBEDDING_COSINE_GEMM_SQL,
+        "dedup: embedding-cosine near-dup, BLAS tier",
+    ),
+    QuerySpec(
         "embedding_ann_ivf",
         EM.embedding_ann_ivf,
         EM.EMBEDDING_ANN_IVF_SQL,

@@ -119,3 +119,13 @@ def test_gemm_bucket_topk_matches_hof(spark):
     b = E.embedding_ann_bucketed(spark, sf).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) > 0
+
+
+def test_gemm_bucket_pairs_matches_hof(spark):
+    """Pair-emit gemm tier must agree with the join-form near-dup query."""
+    from myserver_datawarehouse_spark.plans import embeddings as E
+
+    sf = "/root/testdata/sf0.001"
+    a = E.near_dup_embedding_cosine_gemm(spark, sf).collect()
+    b = E.near_dup_embedding_cosine(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
