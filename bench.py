@@ -53,6 +53,12 @@ def main() -> None:
         load_table(spark, sf_dir, t).write.format("noop").mode(
             "overwrite"
         ).save()
+    # Spin up the Python worker pool + Arrow serializers once (workers are
+    # reused across jobs in steady state; first pandas-UDF query shouldn't
+    # be charged daemon startup).
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for spec in registry.specs():
