@@ -145,16 +145,21 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     p = F.lit(TX.MINHASH_P)
+    # Shingle-set size rides along as a 17th aggregate in the signature
+    # pass (one groupBy over hs instead of two full recomputes of the
+    # shingle lineage — hs is lineage, not a materialized table).
     sig = (
         hs.groupBy("doc_id")
         .agg(
+            F.count(F.lit(1)).alias("n"),
             *[
                 F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(f"s{i}")
                 for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
-            ]
+            ],
         )
         .select(
             "doc_id",
+            "n",
             F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
         )
     )
@@ -167,7 +172,7 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sig.select("doc_id", "n")
     inter = (
         F.broadcast(cand)
         .join(hs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
