@@ -385,3 +385,36 @@ SELECT * FROM (
 )
 ORDER BY which
 """
+
+
+def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user counts via deterministic salting
+    (operators/skew.salted_distinct_count): event_type is a handful of
+    hot keys over the whole events table — the aggregation-skew shape
+    where a direct COUNT(DISTINCT) funnels each hot key's final merge
+    through one reducer. Salting on hash(user_id) makes the partial
+    counts disjoint, so the rollup is a plain SUM and the hot key runs
+    n_salts-way parallel. Result is identical to the direct aggregate
+    (the oracle computes it directly)."""
+    from myserver_datawarehouse_spark.operators.skew import salted_distinct_count
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    distincts = salted_distinct_count(
+        e, ["event_type"], "user_id", n_salts=16, alias="n_users"
+    )
+    return (
+        counts.join(distincts, "event_type")
+        .select("event_type", "n_events", "n_users")
+        .orderBy("event_type")
+    )
+
+
+SALTED_USER_COUNTS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""

@@ -73,6 +73,12 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("set_except", R.set_except, R.SET_EXCEPT_SQL, "§2.7"),
     QuerySpec("stats_profile", R.stats_profile, R.STATS_PROFILE_SQL, "A3/V1"),
     QuerySpec(
+        "salted_user_counts",
+        R.salted_user_counts,
+        R.SALTED_USER_COUNTS_SQL,
+        "skew: salted exact distinct-count over hot keys",
+    ),
+    QuerySpec(
         "gapfill_missing_minutes",
         T.gapfill_missing_minutes,
         T.GAPFILL_MISSING_MINUTES_SQL,
