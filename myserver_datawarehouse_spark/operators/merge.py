@@ -185,3 +185,35 @@ def _write(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target_path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_keys: Sequence[str],
+    n_buckets: int,
+    sort_keys: Sequence[str] = (),
+) -> None:
+    """Bucketed catalog table: hash-partition rows into `n_buckets` files
+    per partition by `bucket_keys` at WRITE time.
+
+    This is the co-located-join primitive the path writers can't express:
+    two tables bucketed the same way (same keys, same count) join and
+    aggregate WITHOUT a shuffle — the exchange happens once at write and
+    every subsequent read reuses it (verified by the no-Exchange plan
+    assertion in tests/test_bucketing.py). At 100 TB this converts the
+    fact-to-fact joins (e.g. observed minutes vs interpolated minutes,
+    doc shingles vs doc signatures) from a per-query shuffle of the big
+    side into a write-once layout decision; `sort_keys` additionally
+    pre-sorts within buckets so sort-merge joins skip their sort.
+
+    Bucketing requires the session catalog (saveAsTable) — plain
+    `.parquet(path)` writes can't record bucket metadata."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_keys)
+    )
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.saveAsTable(table_name)
