@@ -574,15 +574,10 @@ LANG_MARKERS = {
 _LANG_ORDER = tuple(LANG_MARKERS)  # tie-break priority, shared with oracle
 
 
-def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (marker-token argmax) vs the labeled lang:
-    confusion-matrix counts. Zero-hit docs predict 'und'.
-
-    Per-row array math + one small aggregate; the argmax CASE priority
-    order is the deterministic tie-break, identical in the oracle.
-    """
-    d = _docs(spark, sf_dir)
-    tks = TX.tokenize("text")
+def _lang_pred_expr(tks):
+    """Marker-token argmax language prediction over a token-array column;
+    'und' when no marker hits. Shared by lang_id_confusion and the
+    curation pipeline (identical CASE priority in both oracles)."""
 
     # NB: a `lambda t, m=m:` default-arg closure would be seen by PySpark
     # as a two-arg (element, index) lambda — build via a factory instead.
@@ -594,6 +589,18 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(gmax == 0, F.lit("und"))
     for lang in _LANG_ORDER:
         pred = pred.when(hits[lang] == gmax, F.lit(lang))
+    return pred
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token argmax) vs the labeled lang:
+    confusion-matrix counts. Zero-hit docs predict 'und'.
+
+    Per-row array math + one small aggregate; the argmax CASE priority
+    order is the deterministic tie-break, identical in the oracle.
+    """
+    d = _docs(spark, sf_dir)
+    pred = _lang_pred_expr(TX.tokenize("text"))
     return (
         d.select("lang", pred.alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -761,6 +768,114 @@ SELECT lang, source,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
          AS chars_per_bpe_token
 FROM per_doc
+GROUP BY 1, 2
+ORDER BY lang, source
+"""
+
+
+# ------------------------------------------------- curation pipeline
+
+
+CURATION_MIN_TOKENS = 10
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data twin of the flagship hourly pipeline: the full
+    curation funnel — token-count quality gate, language-ID agreement
+    gate, exact dedup (canonical = min doc_id per content hash among
+    survivors) — composed as ONE plan, rolled up per (lang, source) with
+    per-stage survivor counts and the kept token budget.
+
+    Plan shape: one codegen'd scan computes every per-doc feature (no
+    joins between stages — the funnel is CASE math over one row), then
+    one window over content_hash for canonical election, then one small
+    rollup. At 100 TB that is: scan, one hash shuffle on content_hash,
+    one tiny aggregate — the cheapest shape a multi-stage funnel can
+    have; each stage's counts come for free from the same pass."""
+    d = _docs(spark, sf_dir)
+    norm = TX.normalize_text("text")
+    tks = TX.tokenize("text")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tks).alias("n_tokens"),
+        _lang_pred_expr(tks).alias("lang_pred"),
+        TX.content_hash("text").alias("content_hash"),
+    ).select(
+        "*",
+        (F.col("n_tokens") >= CURATION_MIN_TOKENS).alias("quality_ok"),
+    ).select(
+        "*",
+        (F.col("quality_ok") & (F.col("lang_pred") == F.col("lang"))).alias(
+            "survives"
+        ),
+    )
+    from pyspark.sql import Window
+
+    ranked = feat.withColumn(
+        "kept",
+        F.col("survives")
+        & (
+            F.row_number().over(
+                Window.partitionBy(
+                    "content_hash", "survives"
+                ).orderBy("doc_id")
+            )
+            == 1
+        ),
+    )
+    return (
+        ranked.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("quality_ok").cast("long")).alias("n_quality"),
+            F.sum(F.col("survives").cast("long")).alias("n_lang_ok"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)
+            ).alias("tokens_kept"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_CURATION_PIPELINE_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+feat AS (
+  SELECT doc_id, lang, source,
+         len(tks) AS n_tokens,
+         CASE WHEN greatest({", ".join(_marker_sql(lg) for lg in _LANG_ORDER)}) = 0
+                THEN 'und'
+              {" ".join(
+                  f"WHEN {_marker_sql(lg)} = greatest("
+                  + ", ".join(_marker_sql(l2) for l2 in _LANG_ORDER)
+                  + f") THEN '{lg}'"
+                  for lg in _LANG_ORDER)}
+         END AS lang_pred,
+         sha256(norm) AS content_hash
+  FROM toks
+),
+flags AS (
+  SELECT *,
+         n_tokens >= {CURATION_MIN_TOKENS} AS quality_ok,
+         (n_tokens >= {CURATION_MIN_TOKENS} AND lang_pred = lang) AS survives
+  FROM feat
+),
+ranked AS (
+  SELECT *,
+         survives AND ROW_NUMBER() OVER (
+           PARTITION BY content_hash, survives ORDER BY doc_id
+         ) = 1 AS kept
+  FROM flags
+)
+SELECT lang, source,
+       COUNT(*) AS n_raw,
+       SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality,
+       SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS n_lang_ok,
+       SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS tokens_kept
+FROM ranked
 GROUP BY 1, 2
 ORDER BY lang, source
 """

@@ -232,6 +232,12 @@ _SPECS: list[QuerySpec] = [
         "LLM winnowing fingerprint",
     ),
     QuerySpec(
+        "corpus_curation_pipeline",
+        LT.corpus_curation_pipeline,
+        LT.CORPUS_CURATION_PIPELINE_SQL,
+        "LLM curation funnel: quality -> lang-ID -> dedup, one plan",
+    ),
+    QuerySpec(
         "embedding_topk_bruteforce",
         EM.embedding_topk_bruteforce,
         EM.EMBEDDING_TOPK_BRUTEFORCE_SQL,
