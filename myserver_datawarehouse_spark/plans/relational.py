@@ -418,3 +418,51 @@ FROM events
 GROUP BY 1
 ORDER BY event_type
 """
+
+
+def events_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment (operators/asof.py): every click event carries the
+    user's most recent purchase value at-or-before the click. Executed as
+    tagged-union + one carry-forward window — one shuffle on user_id, no
+    join, no pair blowup on hot users. Oracle: DuckDB's native ASOF LEFT
+    JOIN over the identical pre-aggregated purchase stream."""
+    from myserver_datawarehouse_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join_backward(
+        clicks, purchases, ["user_id"], "ts", ["purchase_value"]
+    )
+    # The operator yields NULL payload for never-purchased users; the
+    # differential harness reads Spark doubles via pandas where NULL
+    # becomes NaN, so both engines emit an explicit sentinel instead.
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("purchase_value", F.lit(-1.0)).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_ENRICHMENT_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.purchase_value, -1.0) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+ORDER BY l.event_id
+"""

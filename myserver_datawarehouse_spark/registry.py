@@ -73,6 +73,12 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("set_except", R.set_except, R.SET_EXCEPT_SQL, "§2.7"),
     QuerySpec("stats_profile", R.stats_profile, R.STATS_PROFILE_SQL, "A3/V1"),
     QuerySpec(
+        "events_asof_enrichment",
+        R.events_asof_enrichment,
+        R.EVENTS_ASOF_ENRICHMENT_SQL,
+        "as-of join (backward): union + carry window, no pair join",
+    ),
+    QuerySpec(
         "salted_user_counts",
         R.salted_user_counts,
         R.SALTED_USER_COUNTS_SQL,
