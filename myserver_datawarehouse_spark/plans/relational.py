@@ -466,3 +466,74 @@ SELECT l.event_id, l.user_id, l.ts,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
 ORDER BY l.event_id
 """
+
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than {SESSION_GAP_MIN} minutes; per-session rollup of event
+    count and span. Two stacked windows over the SAME (user_id, ts)
+    ordering — lag to flag session starts, running SUM to number them —
+    so Catalyst plans ONE shuffle + ONE sort and both window functions
+    ride it; the (user_id, session_id) rollup is satisfied by the same
+    user_id partitioning (subset distribution), so the whole query is one
+    data shuffle plus the presentation sort (verified: 2 Exchanges total).
+    The batch twin of the streaming gap tracker (streaming/jobs.py)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            ).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+USER_SESSIONIZATION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, SUM(is_start) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+FROM sessioned
+GROUP BY 1, 2
+ORDER BY user_id, session_id
+"""

@@ -79,6 +79,12 @@ _SPECS: list[QuerySpec] = [
         "as-of join (backward): union + carry window, no pair join",
     ),
     QuerySpec(
+        "user_sessionization",
+        R.user_sessionization,
+        R.USER_SESSIONIZATION_SQL,
+        "sessionization: gap flag + running sum, one sort for both windows",
+    ),
+    QuerySpec(
         "salted_user_counts",
         R.salted_user_counts,
         R.SALTED_USER_COUNTS_SQL,
