@@ -537,3 +537,80 @@ FROM sessioned
 GROUP BY 1, 2
 ORDER BY user_id, session_id
 """
+
+
+PCTL_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile block per event_type (warehouse-staple addendum;
+    the reference's stats block A3 stops at AVG/STDDEV). Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the linear-
+    interpolation definition, so outputs match to the last bit (6-dp
+    rounded at the edge like every double here).
+
+    Exact percentiles sort each group's values; at 100 TB swap in
+    `approx_percentile(value, qs, accuracy)` — same plan shape, bounded
+    memory (KLL-sketch-style mergeable state), no sort."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(F.expr(f"percentile(value, {q})"), 6).alias(
+                    f"p{int(q * 100)}"
+                )
+                for q in PCTL_QS
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {", ".join(
+           f"ROUND(quantile_cont(value, {q}), 6) AS p{int(q * 100)}"
+           for q in PCTL_QS)}
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping over (l_returnflag, l_linestatus): subtotals and a
+    grand total in ONE aggregation pass (Catalyst expands the grouping
+    sets map-side; still a single shuffle with partial aggregation).
+    Beyond the reference surface — its report stacks UNIONed queries for
+    totals; a warehouse engine gets them from the same scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""

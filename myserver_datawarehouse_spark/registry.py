@@ -79,6 +79,18 @@ _SPECS: list[QuerySpec] = [
         "as-of join (backward): union + carry window, no pair join",
     ),
     QuerySpec(
+        "value_percentiles",
+        R.value_percentiles,
+        R.VALUE_PERCENTILES_SQL,
+        "percentile block (exact; approx_percentile is the 100 TB swap)",
+    ),
+    QuerySpec(
+        "revenue_rollup",
+        R.revenue_rollup,
+        R.REVENUE_ROLLUP_SQL,
+        "ROLLUP grouping sets: subtotals + grand total in one pass",
+    ),
+    QuerySpec(
         "user_sessionization",
         R.user_sessionization,
         R.USER_SESSIONIZATION_SQL,
