@@ -614,3 +614,26 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
+
+
+def share_of_total_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2's 100 TB form: the total comes from a broadcast 1-row aggregate
+    cross-joined onto the grouped rows, instead of an empty-frame window
+    that funnels everything to one partition. Same output and oracle as
+    `share_of_total`; this variant stays fully parallel when the grouped
+    result itself is large (high-cardinality keys)."""
+    e = load_table(spark, sf_dir, "events")
+    grouped = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = grouped.agg(F.sum("cnt").alias("_total"))
+    return (
+        grouped.join(F.broadcast(total))
+        .select(
+            "event_type",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total")).alias("share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SHARE_OF_TOTAL_BROADCAST_SQL = SHARE_OF_TOTAL_SQL

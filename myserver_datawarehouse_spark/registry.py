@@ -46,6 +46,12 @@ _SPECS: list[QuerySpec] = [
     ),
     QuerySpec("share_of_total", R.share_of_total, R.SHARE_OF_TOTAL_SQL, "W2"),
     QuerySpec(
+        "share_of_total_broadcast",
+        R.share_of_total_broadcast,
+        R.SHARE_OF_TOTAL_BROADCAST_SQL,
+        "W2, 100 TB form: broadcast 1-row total, no global window",
+    ),
+    QuerySpec(
         "customers_without_orders",
         R.customers_without_orders,
         R.CUSTOMERS_WITHOUT_ORDERS_SQL,
