@@ -879,3 +879,63 @@ FROM ranked
 GROUP BY 1, 2
 ORDER BY lang, source
 """
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each doc into {CHUNK_SIZE}-token
+    windows every {CHUNK_STRIDE} tokens ({CHUNK_SIZE - CHUNK_STRIDE}-token
+    overlap) — the context-window prep step of a training pipeline. One
+    row per chunk with its token count and content hash.
+
+    Map-only until the presentation sort: tokenize once, explode the
+    start offsets (array math, no join), slice per window — output volume
+    is rows x (len/stride), the expansion is the operator's job, and no
+    shuffle touches the full text (chunks reduce to hashes in the same
+    projection)."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", TX.tokenize("text").alias("tks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("tks") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        base.select(
+            "doc_id", "tks", F.posexplode(starts).alias("chunk_idx", "start")
+        )
+        .filter(F.col("start") < F.size("tks"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice("tks", F.col("start") + 1, CHUNK_SIZE).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+DOCUMENT_CHUNKS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+starts AS (
+  SELECT doc_id, tks, i AS start, (i // {CHUNK_STRIDE}) AS chunk_idx
+  FROM toks,
+       LATERAL unnest(generate_series(0, greatest(len(tks) - 1, 0),
+                                      {CHUNK_STRIDE})) AS u(i)
+  WHERE i < len(tks)
+)
+SELECT doc_id, chunk_idx,
+       len(tks[start + 1 : start + {CHUNK_SIZE}]) AS n_tokens,
+       md5(array_to_string(tks[start + 1 : start + {CHUNK_SIZE}], ' '))
+         AS chunk_hash
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""

@@ -169,6 +169,12 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "document_chunks",
+        LT.document_chunks,
+        LT.DOCUMENT_CHUNKS_SQL,
+        "text: sliding-window chunking (context-window prep)",
+    ),
+    QuerySpec(
         "token_counts",
         LT.token_counts,
         LT.TOKEN_COUNTS_SQL,
