@@ -939,3 +939,63 @@ SELECT doc_id, chunk_idx,
 FROM starts
 ORDER BY doc_id, chunk_idx
 """
+
+
+# Per-language sampling rates (percent); unlisted languages default to 20.
+SAMPLE_RATES = {"en": 60, "de": 35}
+SAMPLE_DEFAULT = 20
+SAMPLE_SEED = 7
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language fraction of
+    docs, gated by hash(doc_id) % 100 < rate — the downsampling/upsampling
+    mix step of corpus assembly. Hash-gating (vs rand()) makes the sample
+    REPRODUCIBLE under retries and partitioning, auditable row-by-row, and
+    stable as the corpus grows (a doc's membership never flips when other
+    docs arrive). Map-only scan + tiny rollup; rates live in one literal
+    CASE so the same plan serves any stratum mix."""
+    d = _docs(spark, sf_dir)
+    gate = TX.hash60(F.col("doc_id").cast("string"), seed=SAMPLE_SEED) % 100
+    rate = F.lit(SAMPLE_DEFAULT)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    sampled = d.select(
+        "lang", "source", (gate < rate).cast("long").alias("in_sample")
+    )
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("in_sample").alias("n_sampled"),
+            F.round(
+                F.sum("in_sample").cast("double") / F.count(F.lit(1)), 6
+            ).alias("achieved_rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT} END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH gated AS (
+  SELECT lang, source,
+         CASE WHEN ({_d_hash60("doc_id::VARCHAR", seed=SAMPLE_SEED)}) % 100
+                   < {_rate_sql()}
+              THEN 1 ELSE 0 END AS in_sample
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(in_sample) AS n_sampled,
+       ROUND(CAST(SUM(in_sample) AS DOUBLE) / COUNT(*), 6) AS achieved_rate
+FROM gated
+GROUP BY 1, 2
+ORDER BY lang, source
+"""

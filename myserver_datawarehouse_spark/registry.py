@@ -169,6 +169,12 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "stratified_sample",
+        LT.stratified_sample,
+        LT.STRATIFIED_SAMPLE_SQL,
+        "text: deterministic hash-gated stratified sampling",
+    ),
+    QuerySpec(
         "document_chunks",
         LT.document_chunks,
         LT.DOCUMENT_CHUNKS_SQL,
