@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from myserver_datawarehouse_spark.functions.scalar import (
@@ -118,8 +118,12 @@ ORDER BY content_hash
 """
 
 
-def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs (shingle k=3, 16 hashes,
+def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) —
+    shared by `near_dup_minhash_lsh` (its ordered presentation surface)
+    and `dedup_clusters` (the edge set for component labeling).
+
+    MinHash + LSH near-duplicate pairs (shingle k=3, 16 hashes,
     8 bands x 2 rows, Jaccard >= 0.5 verified exactly on candidates).
 
     Shape: signature (array-local) -> explode band keys -> self-join on
@@ -202,8 +206,13 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_TAU)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs; see `_minhash_pair_frame` for
+    the full plan shape."""
+    return _minhash_pair_frame(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 _MINHASH_P = TX.MINHASH_P
@@ -998,4 +1007,296 @@ SELECT lang, source,
 FROM gated
 GROUP BY 1, 2
 ORDER BY lang, source
+"""
+
+
+# ------------------------------------------------------------- clusters
+
+CLUSTER_MAX_ITERS = 50
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph, labeling every clustered doc with the min doc_id of its
+    component (the canonical survivor) and the component size. Pair lists
+    alone under-remove: A~B and B~C must collapse to ONE surviving doc
+    even when A~C was never emitted — that closure is exactly connected
+    components.
+
+    Iterative min-label propagation: each round joins current labels onto
+    the undirected edge list and keeps the per-node min. Rounds needed =
+    graph diameter — near-dup clusters are near-cliques, so 2-4 rounds in
+    practice. Each round is one shuffle join + one hash aggregate over
+    the EDGE set (only docs with >= 1 near-dup pair enter — orders of
+    magnitude smaller than the corpus at 100 TB); `localCheckpoint`
+    truncates lineage so the plan does not grow per round. Convergence:
+    labels only ever decrease, so SUM(label) strictly decreases iff any
+    label changed — one cheap scalar action per round, no change-count
+    join. The oracle computes the same fixpoint with a recursive CTE.
+    """
+    pairs = _minhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Materialize edges once: the LSH lineage (shingle -> signature ->
+    # band join -> verify) must not re-execute every round.
+    edges = fwd.union(rev).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CLUSTER_MAX_ITERS):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "n_members")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({NEAR_DUP_MINHASH_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+members AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT m.doc_id, m.cluster_id, s.n_members
+FROM members m
+JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY 1) s
+  USING (cluster_id)
+ORDER BY m.doc_id
+"""
+
+
+# ----------------------------------------------------------- repetition
+
+# Gopher/C4-style repetition gates, kept as exact rationals so the flag
+# decisions are integer arithmetic (bit-identical in both engines):
+# flag if top-token frac > 1/5, top-bigram frac > 9/50, or distinct
+# ratio < 1/2.
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates per (lang, source): the
+    duplicate-text heuristics every corpus-curation pipeline runs
+    (most-common token share, most-common bigram share, type/token
+    ratio), with flag thresholds evaluated as cross-multiplied integers —
+    no float compares in the decision path.
+
+    Shape: explode tokens -> two stacked hash-aggregates (doc×token then
+    doc) + the bigram twin over shingle_rows -> per-doc flags -> tiny
+    rollup. All shuffles key on doc_id or (doc_id, gram): uniform keys,
+    map-side partials, no skew risk at 100 TB.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(TX.tokenize("text")).alias("t"))
+    tok_doc = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_token_n"),
+        )
+    )
+    bg_doc = (
+        TX.shingle_rows(d, 2)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
+    )
+    flagged = (
+        (F.col("top_token_n") * 5 > F.col("n_tokens"))
+        | (F.col("top_bigram_n") * 50 > F.col("n_bigrams") * 9)
+        | (F.col("n_distinct") * 2 < F.col("n_tokens"))
+    )
+    per = (
+        d.select("doc_id", "lang", "source")
+        .join(tok_doc, "doc_id")
+        .join(bg_doc, "doc_id", "left")
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            "n_distinct",
+            "top_token_n",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        )
+        .withColumn("flagged", flagged.cast("long"))
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("flagged").alias("n_flagged"),
+            F.round(
+                F.sum("top_token_n").cast("double") / F.sum("n_tokens"), 6
+            ).alias("top_token_rate"),
+            F.round(
+                F.sum("top_bigram_n").cast("double")
+                / F.nullif(F.sum("n_bigrams"), F.lit(0)),
+                6,
+            ).alias("top_bigram_rate"),
+            F.round(
+                F.sum("n_distinct").cast("double") / F.sum("n_tokens"), 6
+            ).alias("distinct_rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_BG_POS_SQL = (
+    "[array_to_string(tks[i:i+1], ' ') "
+    "FOR i IN generate_series(1, len(tks) - 1)]"
+)
+
+TEXT_REPETITION_STATS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tokc AS (
+  SELECT doc_id, t, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(tks) AS t FROM toks)
+  GROUP BY 1, 2
+),
+tokd AS (
+  SELECT doc_id, SUM(n) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(n) AS top_token_n
+  FROM tokc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, unnest({_BG_POS_SQL}) AS g FROM toks
+),
+bgc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+bgd AS (
+  SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bigram_n
+  FROM bgc GROUP BY 1
+),
+per AS (
+  SELECT d.lang, d.source, t.n_tokens, t.n_distinct, t.top_token_n,
+         COALESCE(b.n_bigrams, 0) AS n_bigrams,
+         COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+         CASE WHEN t.top_token_n * 5 > t.n_tokens
+                OR COALESCE(b.top_bigram_n, 0) * 50
+                   > COALESCE(b.n_bigrams, 0) * 9
+                OR t.n_distinct * 2 < t.n_tokens
+              THEN 1 ELSE 0 END AS flagged
+  FROM tokd t
+  JOIN (SELECT doc_id, lang, source FROM toks) d USING (doc_id)
+  LEFT JOIN bgd b ON b.doc_id = t.doc_id
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(flagged) AS n_flagged,
+       ROUND(CAST(SUM(top_token_n) AS DOUBLE) / SUM(n_tokens), 6)
+         AS top_token_rate,
+       ROUND(CAST(SUM(top_bigram_n) AS DOUBLE) / NULLIF(SUM(n_bigrams), 0), 6)
+         AS top_bigram_rate,
+       ROUND(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens), 6)
+         AS distinct_rate
+FROM per
+GROUP BY 1, 2
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------- tfidf
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per language by TF-IDF (stopwords
+    excluded; idf = ln(N/df) over the whole corpus) — the
+    topic/keyword-profiling step of corpus analysis.
+
+    Shape: explode tokens -> tf aggregate on (lang, term) + df aggregate
+    on term (a distinct + count, i.e. two stacked partial aggs) ->
+    shuffle join on term -> per-lang top-k window over ~|vocab per lang|
+    rows. The corpus size N rides in as a broadcast 1-row aggregate, not
+    a driver-side collect. At 100 TB the vocabulary, not the corpus,
+    bounds the join and window inputs.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "lang", "doc_id", F.explode(TX.tokenize("text")).alias("t")
+    ).filter(~F.col("t").isin(*TX.STOPWORDS))
+    tf = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score", F.col("tf") * F.log(F.col("n_total") / F.col("df_docs"))
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "lang",
+            "rank",
+            F.col("t").alias("term"),
+            "tf",
+            "df_docs",
+            F.round("score", 6).alias("tfidf"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (
+  SELECT lang, doc_id, unnest(tks) AS t FROM toks
+),
+tokf AS (SELECT * FROM tok WHERE t NOT IN {_STOP_SQL}),
+tf AS (SELECT lang, t, COUNT(*) AS tf FROM tokf GROUP BY 1, 2),
+dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df_docs FROM tokf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_total FROM documents),
+scored AS (
+  SELECT tf.lang, tf.t, tf.tf, dfreq.df_docs,
+         tf.tf * ln(CAST(n_total AS DOUBLE) / df_docs) AS score
+  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+),
+ranked AS (
+  SELECT lang, t, tf, df_docs, score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, t)
+           AS rank
+  FROM scored
+)
+SELECT lang, rank, t AS term, tf, df_docs, ROUND(score, 6) AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY lang, rank
 """

@@ -637,3 +637,130 @@ def share_of_total_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHARE_OF_TOTAL_BROADCAST_SQL = SHARE_OF_TOTAL_SQL
+
+
+# Value-band dimension for the range join: label, [lo, hi) bounds.
+VALUE_BANDS = [
+    ("b0_micro", 0.0, 10.0),
+    ("b1_small", 10.0, 50.0),
+    ("b2_mid", 50.0, 150.0),
+    ("b3_large", 150.0, 1.0e12),
+]
+
+
+def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: each event matched to the value band with
+    lo <= value < hi, then rolled up per (band, event_type). The binning
+    pattern behind histogram/tiering reports when the bands are data, not
+    literals.
+
+    Plan: the band table is tiny and explicitly broadcast, so Spark runs
+    a broadcast-nested-loop join — per-row cost is |bands| comparisons,
+    embarrassingly parallel over the fact scan, with NO shuffle of the
+    fact side before the final small rollup. A shuffle range join would
+    only be warranted when the band side also scales; an interval tree
+    inside a pandas UDF when |bands| explodes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        VALUE_BANDS, schema="band string, lo double, hi double"
+    )
+    j = e.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return (
+        j.groupBy("band", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dec_sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band", "event_type")
+    )
+
+
+_BANDS_VALUES_SQL = ", ".join(
+    f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in VALUE_BANDS
+)
+
+EVENTS_VALUE_BAND_JOIN_SQL = f"""
+SELECT b.band, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events e
+JOIN (VALUES {_BANDS_VALUES_SQL}) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY 1, 2
+ORDER BY band, event_type
+"""
+
+
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute, hour, day, and
+    grand-total rollups of the events stream in ONE aggregation pass via
+    ROLLUP over the truncation hierarchy (minute ⊂ hour ⊂ day makes the
+    rollup lattice exactly the resolution ladder). `grain` is the
+    grouping_id: 0=minute, 1=hour, 3=day, 7=total.
+
+    One shuffle with map-side partials for all four resolutions — the
+    multi-pass alternative re-scans the fact once per grain. At 100 TB
+    this is the materialized-view refresh shape: each output grain is
+    bounded by time-range cardinality, not event count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day_ts"),
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            F.date_trunc("minute", "ts").alias("minute_ts"),
+            "value",
+        )
+        .rollup("day_ts", "hour_ts", "minute_ts")
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dec_sum("value"), 2).alias("sum_value"),
+        )
+        # Buckets leave as formatted strings: rollup rows carry NULL
+        # buckets by construction, and null-timestamp cells round-trip
+        # as NaT through Arrow while string nulls stay NULL — the
+        # differential harness (and any downstream BI sink) compares
+        # string nulls cleanly.
+        .select(
+            F.date_format("day_ts", "yyyy-MM-dd HH:mm:ss").alias("day_b"),
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_b"),
+            F.date_format("minute_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "minute_b"
+            ),
+            "grain",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy(
+            F.col("day_b").asc_nulls_first(),
+            F.col("hour_b").asc_nulls_first(),
+            F.col("minute_b").asc_nulls_first(),
+        )
+    )
+
+
+EVENTS_MULTIRES_ROLLUP_SQL = """
+WITH g AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+         date_trunc('hour', ts) AS hour_ts,
+         date_trunc('minute', ts) AS minute_ts,
+         value
+  FROM events
+)
+SELECT strftime(day_ts, '%Y-%m-%d %H:%M:%S') AS day_b,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_b,
+       strftime(minute_ts, '%Y-%m-%d %H:%M:%S') AS minute_b,
+       GROUPING(day_ts, hour_ts, minute_ts) AS grain,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM g
+GROUP BY ROLLUP (day_ts, hour_ts, minute_ts)
+ORDER BY day_b NULLS FIRST, hour_b NULLS FIRST, minute_b NULLS FIRST
+"""

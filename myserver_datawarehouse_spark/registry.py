@@ -109,6 +109,18 @@ _SPECS: list[QuerySpec] = [
         "skew: salted exact distinct-count over hot keys",
     ),
     QuerySpec(
+        "events_value_band_join",
+        R.events_value_band_join,
+        R.EVENTS_VALUE_BAND_JOIN_SQL,
+        "range join: broadcast-nested-loop banding + rollup",
+    ),
+    QuerySpec(
+        "events_multires_rollup",
+        R.events_multires_rollup,
+        R.EVENTS_MULTIRES_ROLLUP_SQL,
+        "continuous aggregate: minute/hour/day/total in one ROLLUP pass",
+    ),
+    QuerySpec(
         "gapfill_missing_minutes",
         T.gapfill_missing_minutes,
         T.GAPFILL_MISSING_MINUTES_SQL,
@@ -236,6 +248,24 @@ _SPECS: list[QuerySpec] = [
         LT.near_dup_minhash_lsh,
         LT.NEAR_DUP_MINHASH_LSH_SQL,
         "LLM MinHash+LSH near-dup",
+    ),
+    QuerySpec(
+        "dedup_clusters",
+        LT.dedup_clusters,
+        LT.DEDUP_CLUSTERS_SQL,
+        "LLM dedup: connected components over LSH pairs (iterative)",
+    ),
+    QuerySpec(
+        "text_repetition_stats",
+        LT.text_repetition_stats,
+        LT.TEXT_REPETITION_STATS_SQL,
+        "LLM quality: Gopher-style repetition gates, integer decisions",
+    ),
+    QuerySpec(
+        "tfidf_top_terms",
+        LT.tfidf_top_terms,
+        LT.TFIDF_TOP_TERMS_SQL,
+        "LLM analysis: per-lang TF-IDF top terms",
     ),
     QuerySpec(
         "near_dup_simhash",
