@@ -648,6 +648,10 @@ VALUE_BANDS = [
 ]
 
 
+def _bands_values_literal() -> str:
+    return ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in VALUE_BANDS)
+
+
 def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join: each event matched to the value band with
     lo <= value < hi, then rolled up per (band, event_type). The binning
@@ -662,8 +666,12 @@ def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a pandas UDF when |bands| explodes.
     """
     e = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        VALUE_BANDS, schema="band string, lo double, hi double"
+    # VALUES literal, not createDataFrame: the latter ships the rows
+    # through a Python RDD (applySchemaToPythonRDD), which drags Python
+    # workers into an otherwise all-JVM plan just to build 4 rows.
+    bands = spark.sql(
+        "SELECT band, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi "
+        f"FROM (VALUES {_bands_values_literal()}) AS b(band, lo, hi)"
     )
     j = e.join(
         F.broadcast(bands),
@@ -679,9 +687,7 @@ def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BANDS_VALUES_SQL = ", ".join(
-    f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in VALUE_BANDS
-)
+_BANDS_VALUES_SQL = _bands_values_literal()
 
 EVENTS_VALUE_BAND_JOIN_SQL = f"""
 SELECT b.band, e.event_type,
