@@ -1300,3 +1300,87 @@ SELECT lang, rank, t AS term, tf, df_docs, ROUND(score, 6) AS tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 ORDER BY lang, rank
 """
+
+
+# -------------------------------------------------------------- packing
+
+PACK_CAPACITY = 256  # tokens per context window
+
+
+def context_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context-window packing accounting: stream each
+    language's docs in doc_id order, concatenate token counts, and cut
+    windows of PACK_CAPACITY tokens — bin(doc) = floor(tokens_before /
+    capacity), the exact bin layout GPT-style pretraining gets from
+    concatenating the corpus and chunking fixed-length sequences.
+    Output: per-lang packing efficiency (bins used, mean fill,
+    utilization vs the no-packing one-doc-one-window baseline).
+
+    Shape: token counts are map-side array math; the running sum is ONE
+    ordered window per lang. Languages partition the corpus, so at
+    100 TB the stream order inside a lang must be made shuffle-stable:
+    doc_id order gives that for free (and is why the window orders by
+    doc_id, not arrival). A per-lang window serializes per-lang — the
+    scale form runs the same window keyed by (lang, shard) where shard =
+    hash(doc_id) div stream-chunk, packing each shard independently
+    (identical utilization, embarrassingly parallel); kept single-key
+    here for oracle parity.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", "doc_id", F.size(TX.tokenize("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    binned = toks.select(
+        "lang",
+        "n_tok",
+        (
+            (F.sum("n_tok").over(w) - F.col("n_tok"))
+            / F.lit(PACK_CAPACITY)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.countDistinct("bin").alias("n_bins"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.countDistinct("bin"), 6
+            ).alias("avg_fill"),
+            F.round(
+                F.sum("n_tok").cast("double")
+                / (F.countDistinct("bin") * PACK_CAPACITY),
+                6,
+            ).alias("utilization"),
+        )
+        .orderBy("lang")
+    )
+
+
+CONTEXT_PACK_BINS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+counted AS (
+  SELECT lang, doc_id, len(tks) AS n_tok FROM toks
+),
+binned AS (
+  SELECT lang, n_tok,
+         CAST(FLOOR(CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_tok AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT)
+           AS bin
+  FROM counted
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS sum_tokens,
+       COUNT(DISTINCT bin) AS n_bins,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(DISTINCT bin), 6)
+         AS avg_fill,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE)
+             / (COUNT(DISTINCT bin) * {PACK_CAPACITY}), 6) AS utilization
+FROM binned
+GROUP BY 1
+ORDER BY lang
+"""

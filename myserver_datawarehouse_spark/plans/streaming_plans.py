@@ -96,3 +96,45 @@ SELECT c.event_type, c.n_events, r.n_gap_runs, c.last_minute_ts
 FROM cnt c JOIN runs r USING (event_type)
 ORDER BY event_type
 """
+
+
+def streaming_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast band join + hourly rollup, drained via
+    availableNow (stateless stream-side join; see jobs.band_join_query)."""
+    from myserver_datawarehouse_spark.plans.relational import (
+        _bands_values_literal,
+    )
+
+    bands = spark.sql(
+        "SELECT band, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi "
+        f"FROM (VALUES {_bands_values_literal()}) AS b(band, lo, hi)"
+    )
+    stream = SJ.events_stream(spark, sf_dir)
+    out = SJ.run_available_now(
+        SJ.band_join_query(stream, bands), spark, "streaming_band_rollup_sink"
+    )
+    return out.orderBy("band", "hour_ts")
+
+
+def _streaming_band_rollup_sql() -> str:
+    from myserver_datawarehouse_spark.plans.relational import (
+        _bands_values_literal,
+    )
+
+    return f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         AS hour_ts,
+       b.band,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events e
+JOIN (VALUES {_bands_values_literal()}) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+ORDER BY band, hour_ts
+"""
+
+
+STREAMING_BAND_ROLLUP_SQL = _streaming_band_rollup_sql()

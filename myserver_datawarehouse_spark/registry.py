@@ -187,6 +187,12 @@ _SPECS: list[QuerySpec] = [
         "text: deterministic hash-gated stratified sampling",
     ),
     QuerySpec(
+        "context_pack_bins",
+        LT.context_pack_bins,
+        LT.CONTEXT_PACK_BINS_SQL,
+        "text: concat-and-chunk context-window packing accounting",
+    ),
+    QuerySpec(
         "document_chunks",
         LT.document_chunks,
         LT.DOCUMENT_CHUNKS_SQL,
@@ -362,6 +368,12 @@ _SPECS: list[QuerySpec] = [
         ST.streaming_dedup_counts,
         ST.STREAMING_DEDUP_COUNTS_SQL,
         "§2.12 streaming dedup",
+    ),
+    QuerySpec(
+        "streaming_band_rollup",
+        ST.streaming_band_rollup,
+        ST.STREAMING_BAND_ROLLUP_SQL,
+        "§2.12 stream-static broadcast join + hourly rollup",
     ),
     QuerySpec(
         "ranking_report",

@@ -231,3 +231,35 @@ def run_update_available_now(
         finally:
             sq.stop()
     return spark.table(sink_name)
+
+
+def band_join_query(stream: DataFrame, bands: DataFrame):
+    """Stream-static enrichment join: every micro-batch joins against the
+    static (broadcast) band dimension — STATELESS on the stream side, the
+    third join shape §2.12 needs beyond windowed aggs and dedup (the
+    batch twin is plans/relational.events_value_band_join). Hourly
+    windowed rollup per band on top; decimal accumulation keeps the
+    result independent of batch arrival order."""
+    j = (
+        stream.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+    )
+    return (
+        j.groupBy(F.window("ts", "1 hour"), F.col("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_ts"),
+            "band",
+            "n_events",
+            "sum_value",
+        )
+    )
