@@ -472,3 +472,79 @@ SELECT query_id, vec_id, cell, cosine FROM r
 WHERE rn <= {IVF_TOP_K}
 ORDER BY query_id, cosine DESC, vec_id
 """
+
+
+# ------------------------------------------------------------ centroids
+
+
+def lang_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal rollup: join documents to their embeddings (doc_id =
+    vec_id), average each language's vectors into a centroid, and emit
+    pairwise centroid cosines — the corpus-drift / language-proximity
+    probe of embedding-space monitoring.
+
+    Shape: posexplode the vectors -> per-(lang, pos) mean with DECIMAL
+    accumulation (the element sums are the one order-dependent float
+    reduction here; decimal partials keep them exact and map-side
+    combinable) -> collect each centroid back into an ordered array ->
+    |langs|² pair join on arrays. At 100 TB only the explode/aggregate
+    stage sees data volume — the shuffle carries |langs| × dim partial
+    sums; the pair stage is a handful of rows. Cosines run through the
+    same left-to-right fold both engines evaluate sequentially
+    (operators/vectors.dot ↔ list_dot_product).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    el = d.join(e, d.doc_id == e.vec_id).select(
+        "lang", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = el.groupBy("lang", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cvec = (
+        cent.groupBy("lang")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("sc"))
+        .select("lang", F.expr("transform(sc, x -> x.c)").alias("cvec"))
+    )
+    a, b = cvec.alias("a"), cvec.alias("b")
+    return (
+        a.join(b, F.col("a.lang") < F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.round(V.cosine(F.col("a.cvec"), F.col("b.cvec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+LANG_CENTROID_SIMILARITY_SQL = """
+WITH el AS (
+  SELECT d.lang,
+         generate_subscripts(e.embedding, 1) - 1 AS pos,
+         unnest(e.embedding) AS v
+  FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id
+),
+cent AS (
+  SELECT lang, pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM el
+  GROUP BY 1, 2
+),
+cvecs AS (
+  SELECT lang, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       ROUND(list_dot_product(a.cvec, b.cvec)
+             / (sqrt(list_dot_product(a.cvec, a.cvec))
+                * sqrt(list_dot_product(b.cvec, b.cvec))), 6) AS cosine
+FROM cvecs a
+JOIN cvecs b ON a.lang < b.lang
+ORDER BY lang_a, lang_b
+"""

