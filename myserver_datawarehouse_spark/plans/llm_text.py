@@ -132,7 +132,13 @@ def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket collisions, not corpus^2. The oracle mirrors the banding, so
     candidacy itself — not just the final filter — is compared.
     """
-    d = _docs(spark, sf_dir)
+    return _minhash_pairs_for(_docs(spark, sf_dir))
+
+
+def _minhash_pairs_for(d: DataFrame) -> DataFrame:
+    """The LSH pair plan over any (doc_id, text) frame — the corpus for
+    the standalone queries, the curation survivors for the composed
+    corpus build."""
     # Everything runs over ROW-wise hashed shingles (one codegen'd md5 per
     # position — see operators/text.shingle_rows; the array-HOF form costs
     # ~10s/pass at sf0.1 on Spark's interpreted lambda path):
@@ -788,21 +794,12 @@ ORDER BY lang, source
 CURATION_MIN_TOKENS = 10
 
 
-def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LLM-data twin of the flagship hourly pipeline: the full
-    curation funnel — token-count quality gate, language-ID agreement
-    gate, exact dedup (canonical = min doc_id per content hash among
-    survivors) — composed as ONE plan, rolled up per (lang, source) with
-    per-stage survivor counts and the kept token budget.
-
-    Plan shape: one codegen'd scan computes every per-doc feature (no
-    joins between stages — the funnel is CASE math over one row), then
-    one window over content_hash for canonical election, then one small
-    rollup. At 100 TB that is: scan, one hash shuffle on content_hash,
-    one tiny aggregate — the cheapest shape a multi-stage funnel can
-    have; each stage's counts come for free from the same pass."""
-    d = _docs(spark, sf_dir)
-    norm = TX.normalize_text("text")
+def _curation_ranked(d: DataFrame) -> DataFrame:
+    """Per-doc curation funnel flags over any (doc_id, lang, source, text)
+    frame: n_tokens, lang_pred, content_hash, quality_ok, survives, and
+    `kept` (survivor + exact-dedup canonical election). Shared by
+    `corpus_curation_pipeline` (rollup surface) and
+    `corpus_build_pipeline` (feeds the near-dup stage)."""
     tks = TX.tokenize("text")
     feat = d.select(
         "doc_id",
@@ -820,20 +817,34 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survives"
         ),
     )
-    from pyspark.sql import Window
-
-    ranked = feat.withColumn(
+    return feat.withColumn(
         "kept",
         F.col("survives")
         & (
             F.row_number().over(
-                Window.partitionBy(
-                    "content_hash", "survives"
-                ).orderBy("doc_id")
+                Window.partitionBy("content_hash", "survives").orderBy(
+                    "doc_id"
+                )
             )
             == 1
         ),
     )
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data twin of the flagship hourly pipeline: the full
+    curation funnel — token-count quality gate, language-ID agreement
+    gate, exact dedup (canonical = min doc_id per content hash among
+    survivors) — composed as ONE plan, rolled up per (lang, source) with
+    per-stage survivor counts and the kept token budget.
+
+    Plan shape: one codegen'd scan computes every per-doc feature (no
+    joins between stages — the funnel is CASE math over one row), then
+    one window over content_hash for canonical election, then one small
+    rollup. At 100 TB that is: scan, one hash shuffle on content_hash,
+    one tiny aggregate — the cheapest shape a multi-stage funnel can
+    have; each stage's counts come for free from the same pass."""
+    ranked = _curation_ranked(_docs(spark, sf_dir))
     return (
         ranked.groupBy("lang", "source")
         .agg(
@@ -1035,6 +1046,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The oracle computes the same fixpoint with a recursive CTE.
     """
     pairs = _minhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_labels(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "n_members")
+        .orderBy("doc_id")
+    )
+
+
+def _cc_min_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected (doc_a, doc_b) pair list via
+    min-label propagation; returns (doc_id, label) for every doc with at
+    least one pair. See `dedup_clusters` for the scale argument."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     # Materialize edges once: the LSH lineage (shingle -> signature ->
@@ -1061,12 +1085,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur == prev:
             break
         prev = cur
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
-    return (
-        labels.join(F.broadcast(sizes), "label")
-        .select("doc_id", F.col("label").alias("cluster_id"), "n_members")
-        .orderBy("doc_id")
-    )
+    return labels
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -1383,4 +1402,137 @@ SELECT lang,
 FROM binned
 GROUP BY 1
 ORDER BY lang
+"""
+
+
+# ------------------------------------------------------------ full build
+
+
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build: curation gates (token-count quality +
+    lang-ID agreement) -> exact-dedup canonical election -> MinHash-LSH
+    near-dup CLUSTER collapse (connected components, keep the min doc per
+    cluster) -> per-lang funnel counts and the final kept token budget.
+    One composed plan from the same operators the standalone queries
+    verify individually.
+
+    Funnel ordering IS the scale story: the cheap map-side gates and the
+    one content-hash shuffle run over the full corpus, and only the
+    SURVIVORS enter the expensive stage (shingling + LSH + the iterative
+    component labeling) — at 100 TB the near-dup stage's input is the
+    already-curated fraction, and its loop state is the pair graph, not
+    the corpus (see `dedup_clusters`).
+    """
+    d = _docs(spark, sf_dir)
+    ranked = _curation_ranked(d)
+    kept_docs = d.join(
+        ranked.filter("kept").select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = _minhash_pairs_for(kept_docs).select("doc_a", "doc_b")
+    labels = _cc_min_labels(pairs)
+    removed = (
+        labels.filter(F.col("doc_id") != F.col("label"))
+        .select("doc_id")
+        .withColumn("_rm", F.lit(True))
+    )
+    final = ranked.join(F.broadcast(removed), "doc_id", "left")
+    final_kept = F.col("kept") & F.col("_rm").isNull()
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("kept").cast("long")).alias("n_curated"),
+            F.sum(final_kept.cast("long")).alias("n_final"),
+            F.sum(F.when(final_kept, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_final"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _pairs_cte_chain(toks_rel: str) -> str:
+    """The shingle→signature→band→verify CTE chain over any relation with
+    (doc_id, tks) — shared bodies with NEAR_DUP_MINHASH_LSH_SQL."""
+    return f"""sh AS (
+  SELECT doc_id, list_distinct({_SH_POS_SQL}) AS sh FROM {toks_rel}
+),
+mhd AS (SELECT doc_id, list_distinct([{_d_hash60('x')} FOR x IN sh]) AS mh
+        FROM sh),
+mhb AS (SELECT doc_id, {_MH_BASE_SQL} AS mh FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_SQL} AS sig FROM mhb),
+bands AS (SELECT doc_id, unnest({_BAND_KEYS_SQL}) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(sa.mh, sb.mh)) AS DOUBLE)
+               / CAST(len(sa.mh) + len(sb.mh)
+                      - len(list_intersect(sa.mh, sb.mh)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN mhd sa ON sa.doc_id = c.doc_a
+  JOIN mhd sb ON sb.doc_id = c.doc_b
+)"""
+
+
+_CB_GMAX = "greatest(" + ", ".join(_marker_sql(lg) for lg in _LANG_ORDER) + ")"
+_CB_LANG_PRED_CASE = (
+    f"CASE WHEN {_CB_GMAX} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_marker_sql(lg)} = {_CB_GMAX} THEN '{lg}'"
+        for lg in _LANG_ORDER
+    )
+    + " END"
+)
+
+CORPUS_BUILD_PIPELINE_SQL = f"""
+WITH RECURSIVE toks AS ({_TOKS_SQL}),
+feat AS (
+  SELECT doc_id, lang, source, tks,
+         len(tks) AS n_tokens,
+         {_CB_LANG_PRED_CASE} AS lang_pred,
+         sha256(norm) AS content_hash
+  FROM toks
+),
+flags AS (
+  SELECT *,
+         (n_tokens >= {CURATION_MIN_TOKENS} AND lang_pred = lang) AS survives
+  FROM feat
+),
+ranked AS (
+  SELECT *,
+         survives AND ROW_NUMBER() OVER (
+           PARTITION BY content_hash, survives ORDER BY doc_id
+         ) = 1 AS kept
+  FROM flags
+),
+kept_toks AS (SELECT doc_id, tks FROM ranked WHERE kept),
+{_pairs_cte_chain("kept_toks")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= {JACCARD_TAU}
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= {JACCARD_TAU}
+),
+reach AS (
+  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+members AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+removed AS (SELECT doc_id FROM members WHERE doc_id != cluster_id)
+SELECT r.lang,
+       COUNT(*) AS n_raw,
+       SUM(CASE WHEN r.kept THEN 1 ELSE 0 END) AS n_curated,
+       SUM(CASE WHEN r.kept AND rm.doc_id IS NULL THEN 1 ELSE 0 END)
+         AS n_final,
+       SUM(CASE WHEN r.kept AND rm.doc_id IS NULL THEN r.n_tokens ELSE 0 END)
+         AS tokens_final
+FROM ranked r
+LEFT JOIN removed rm ON rm.doc_id = r.doc_id
+GROUP BY 1
+ORDER BY r.lang
 """

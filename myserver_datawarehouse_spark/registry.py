@@ -316,6 +316,12 @@ _SPECS: list[QuerySpec] = [
         "LLM curation funnel: quality -> lang-ID -> dedup, one plan",
     ),
     QuerySpec(
+        "corpus_build_pipeline",
+        LT.corpus_build_pipeline,
+        LT.CORPUS_BUILD_PIPELINE_SQL,
+        "LLM flagship: curation -> exact dedup -> cluster collapse funnel",
+    ),
+    QuerySpec(
         "embedding_topk_bruteforce",
         EM.embedding_topk_bruteforce,
         EM.EMBEDDING_TOPK_BRUTEFORCE_SQL,

@@ -118,3 +118,20 @@ def test_multires_rollup_grain_consistency(spark):
     assert len(by_grain[7]) == 1  # single grand-total row
     # Hierarchy: #minute rows >= #hour rows >= #day rows.
     assert len(by_grain[0]) >= len(by_grain[1]) >= len(by_grain[3])
+
+
+def test_corpus_build_funnel_monotone(spark):
+    rows = LT.corpus_build_pipeline(spark, SF).collect()
+    assert rows
+    total_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_raw for r in rows) == total_docs
+    for r in rows:
+        assert r.n_final <= r.n_curated <= r.n_raw
+        assert r.tokens_final >= 0
+    # Curation stage agrees with the standalone curation rollup.
+    cur = LT.corpus_curation_pipeline(spark, SF).collect()
+    kept_by_lang = {}
+    for c in cur:
+        kept_by_lang[c.lang] = kept_by_lang.get(c.lang, 0) + c.n_kept
+    for r in rows:
+        assert r.n_curated == kept_by_lang.get(r.lang, 0)
