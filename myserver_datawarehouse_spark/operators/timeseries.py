@@ -339,3 +339,26 @@ __all__: Iterable[str] = [
     "hour_grid",
     "with_minute_ts",
 ]
+
+
+def fill_locf(obs: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """T2's third mode: last-observation-carried-forward fill of the
+    bounded minute grid. Each missing minute takes the previous observed
+    value — the imputation used when a stale quote is better than an
+    invented midpoint (order books, sensor snapshots).
+
+    Same gap-run lineage as bracketing (_lead_gaps): one sort-shuffle on
+    the group keys, map-side explode, no grid join — the carried value is
+    the run's own `pv`, so LOCF is strictly cheaper than interpolation
+    (no blend arithmetic, no second bracket)."""
+    gaps = _lead_gaps(obs, keys)
+    filled = gaps.select(
+        *keys,
+        "minute_epoch",
+        F.col("pv").alias("value"),
+        F.lit(True).alias("is_filled"),
+    )
+    actual = obs.select(
+        *keys, "minute_epoch", "value", F.lit(False).alias("is_filled")
+    )
+    return actual.unionByName(filled)

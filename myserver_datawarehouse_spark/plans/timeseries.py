@@ -272,3 +272,29 @@ SELECT event_type, date_id, minute_ts, value, FALSE AS is_interpolated
 FROM obs
 ORDER BY event_type, date_id, minute_ts
 """
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2's carry-forward mode (LOCF) on the bounded minute grid; the
+    oracle states the same fill as an IGNORE NULLS running last_value
+    frame over the gap-filled grid."""
+    obs = _event_minutes(spark, sf_dir)
+    filled = TS.fill_locf(obs, KEYS)
+    return (
+        TS.with_minute_ts(filled)
+        .select(*KEYS, "minute_ts", "value", "is_filled")
+        .orderBy(*KEYS, "minute_ts")
+    )
+
+
+GAPFILL_LOCF_SQL = f"""
+WITH obs AS ({_OBS_SQL}), {_GRID_SQL}
+SELECT event_type, date_id, minute_ts,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY event_type, date_id ORDER BY minute_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       (value IS NULL) AS is_filled
+FROM g
+ORDER BY event_type, date_id, minute_ts
+"""

@@ -133,6 +133,12 @@ _SPECS: list[QuerySpec] = [
         "T2/T3 (bracketing mode)",
     ),
     QuerySpec(
+        "gapfill_locf",
+        T.gapfill_locf,
+        T.GAPFILL_LOCF_SQL,
+        "T2 carry-forward mode (LOCF) on the bounded minute grid",
+    ),
+    QuerySpec(
         "interpolate_minutes_nearest2",
         T.interpolate_minutes_nearest2,
         T.INTERPOLATE_MINUTES_NEAREST2_SQL,

@@ -149,3 +149,25 @@ def test_gap_runs_expose_bracketing_anchors(spark):
     assert {r.minute_epoch for r in runs} == {MIDNIGHT - 60, MIDNIGHT}
     for r in runs:
         assert (r.pt, r.pv, r.nt, r.nv) == (MIDNIGHT - 120, 10.0, MIDNIGHT + 60, 40.0)
+
+
+def test_locf_carries_previous_value(spark):
+    m = TS.MINUTE
+    obs = obs_df(
+        spark,
+        [
+            ("a", "b", BASE, 10.0),
+            ("a", "b", BASE + 3 * m, 40.0),  # 2-minute interior gap
+            (None, "b", BASE, 7.0),  # NULL key group must survive
+            (None, "b", BASE + 2 * m, 9.0),
+        ],
+    )
+    got = {
+        (r.src, r.side, r.minute_epoch): (r.value, r.is_filled)
+        for r in TS.fill_locf(obs, KEYS).collect()
+    }
+    assert got[("a", "b", BASE + 1 * m)] == (10.0, True)  # carried, not blended
+    assert got[("a", "b", BASE + 2 * m)] == (10.0, True)
+    assert got[("a", "b", BASE + 3 * m)] == (40.0, False)
+    assert got[(None, "b", BASE + 1 * m)] == (7.0, True)
+    assert len(got) == 7
