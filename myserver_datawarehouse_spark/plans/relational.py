@@ -770,3 +770,43 @@ FROM g
 GROUP BY ROLLUP (day_ts, hour_ts, minute_ts)
 ORDER BY day_b NULLS FIRST, hour_b NULLS FIRST, minute_b NULLS FIRST
 """
+
+
+# Pivot columns pinned (not inferred) so the output schema is static —
+# required for a verifiable contract AND the right call at scale: an
+# inferred pivot runs an extra distinct scan just to learn the schema.
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide format: one row per day, one count column per event
+    type — the report/export shape BI layers ask of a warehouse.
+
+    `pivot` with an explicit value list compiles to ONE hash aggregate
+    with conditional partials (same plan as hand-written CASE sums, which
+    is exactly what the oracle states) — one shuffle keyed by date, no
+    per-type scans, no schema-inference pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("date_id", F.date_format("ts", "yyyyMMdd").cast("int"))
+        .groupBy("date_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("date_id")
+    )
+
+
+_PIVOT_CASE_SQL = ",\n       ".join(
+    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+    for t in EVENT_TYPES
+)
+
+EVENTS_DAILY_PIVOT_SQL = f"""
+SELECT CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT) AS date_id,
+       {_PIVOT_CASE_SQL}
+FROM events
+GROUP BY 1
+ORDER BY date_id
+"""

@@ -109,6 +109,12 @@ _SPECS: list[QuerySpec] = [
         "skew: salted exact distinct-count over hot keys",
     ),
     QuerySpec(
+        "events_daily_pivot",
+        R.events_daily_pivot,
+        R.EVENTS_DAILY_PIVOT_SQL,
+        "pivot: wide per-day event-type counts in one conditional agg",
+    ),
+    QuerySpec(
         "events_value_band_join",
         R.events_value_band_join,
         R.EVENTS_VALUE_BAND_JOIN_SQL,
