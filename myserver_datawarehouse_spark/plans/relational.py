@@ -810,3 +810,22 @@ FROM events
 GROUP BY 1
 ORDER BY date_id
 """
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set op twin of `set_except`: users who both clicked AND
+    purchased (INTERSECT, distinct semantics). Catalyst rewrites
+    intersect to a left-semi join over distinct rows — one shuffle per
+    side on user_id, no row explosion."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).orderBy("user_id")
+
+
+SET_INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""

@@ -77,6 +77,12 @@ _SPECS: list[QuerySpec] = [
     ),
     QuerySpec("distinct_scan", R.distinct_scan, R.DISTINCT_SCAN_SQL, "A9"),
     QuerySpec("set_except", R.set_except, R.SET_EXCEPT_SQL, "§2.7"),
+    QuerySpec(
+        "set_intersect",
+        R.set_intersect,
+        R.SET_INTERSECT_SQL,
+        "§2.7 INTERSECT (semi-join rewrite)",
+    ),
     QuerySpec("stats_profile", R.stats_profile, R.STATS_PROFILE_SQL, "A3/V1"),
     QuerySpec(
         "events_asof_enrichment",
