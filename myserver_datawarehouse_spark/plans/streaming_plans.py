@@ -138,3 +138,36 @@ ORDER BY band, hour_ts
 
 
 STREAMING_BAND_ROLLUP_SQL = _streaming_band_rollup_sql()
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join (click -> purchase attribution within 1 hour),
+    drained via availableNow in append mode."""
+    stream = SJ.events_stream(spark, sf_dir)
+    out = SJ.run_available_now(
+        SJ.click_attribution_query(stream),
+        spark,
+        "streaming_click_attribution_sink",
+        mode="append",
+    )
+    return out.orderBy("user_id", "click_id", "buy_id")
+
+
+STREAMING_CLICK_ATTRIBUTION_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS bts, event_id AS buy_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id AS user_id, c.click_id, b.buy_id,
+       CAST(FLOOR(date_diff('second', c.cts, b.bts) / 60.0) AS BIGINT)
+         AS minutes_to_buy
+FROM c
+JOIN b ON c.user_id = b.user_id
+      AND b.bts >= c.cts
+      AND b.bts <= c.cts + INTERVAL 1 HOUR
+ORDER BY c.user_id, click_id, buy_id
+"""

@@ -400,6 +400,12 @@ _SPECS: list[QuerySpec] = [
         "§2.12 streaming dedup",
     ),
     QuerySpec(
+        "streaming_click_attribution",
+        ST.streaming_click_attribution,
+        ST.STREAMING_CLICK_ATTRIBUTION_SQL,
+        "§2.12 stream-stream time-range join (append drain)",
+    ),
+    QuerySpec(
         "streaming_band_rollup",
         ST.streaming_band_rollup,
         ST.STREAMING_BAND_ROLLUP_SQL,

@@ -127,16 +127,18 @@ class _scoped_shuffle_partitions:
 
 
 def run_available_now(
-    agg: DataFrame, spark: SparkSession, sink_name: str
+    agg: DataFrame, spark: SparkSession, sink_name: str, mode: str = "complete"
 ) -> DataFrame:
     """Drain the bounded source through the streaming query into a memory
-    sink (complete mode: every window emits regardless of watermark
-    closure) and return the sink table. Registry/test harness path."""
+    sink (default complete mode: every window emits regardless of
+    watermark closure; stream-stream joins require append — inner-join
+    matches emit on arrival, so the drain still yields every pair) and
+    return the sink table. Registry/test harness path."""
     with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink_name)
-            .outputMode("complete")
+            .outputMode(mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -262,4 +264,45 @@ def band_join_query(stream: DataFrame, bands: DataFrame):
             "n_events",
             "sum_value",
         )
+    )
+
+
+def click_attribution_query(stream: DataFrame):
+    """Stream-stream inner join: attribute each purchase to every click
+    by the same user in the preceding hour. The hardest §2.12 shape —
+    BOTH sides buffer state, and the two watermarks + the time-range
+    bound are what let Spark evict it: a click older than the watermark
+    minus the join range can never match a future purchase. Inner-join
+    matches emit on arrival (append mode), so a bounded drain produces
+    the complete pair set deterministically."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    j = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    mins = F.floor(
+        (F.col("buy_ts").cast("long") - F.col("click_ts").cast("long")) / 60
+    ).cast("long")
+    return j.select(
+        "user_id", "click_id", "buy_id", mins.alias("minutes_to_buy")
     )
