@@ -1,5 +1,6 @@
-"""Backward as-of join: enrich each left row with the most recent right
-row at-or-before its timestamp, per key.
+"""As-of joins (backward and forward): enrich each left row with the
+nearest right row at-or-before (backward) or at-or-after (forward) its
+timestamp, per key.
 
 The reference's nearest-2 interpolation is its only as-of-shaped
 computation (SURVEY.md §2.3 note); a training-data pipeline needs the
@@ -45,6 +46,33 @@ def asof_join_backward(
     otherwise which same-timestamp row wins is partition-order-dependent.
     """
     left_cols = [c for c in left.columns]
+    # Equal-ts ordering decides inclusivity: inclusive puts right rows
+    # first (visible to same-ts left rows); strict puts left rows first.
+    tie = F.col("_is_left").asc() if not strict else F.col("_is_left").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = _tagged_union(
+        left, right, keys, ts_col, payload_cols
+    ).withColumn("_carry", F.last("_p", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_left")).select(
+        *left_cols,
+        *[F.col(f"_carry.{c}").alias(c) for c in payload_cols],
+    )
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Union of left rows (payload NULL) and right rows (left columns
+    NULL except keys/ts), with `_is_left` tag and `_p` payload struct —
+    the shared input of both as-of directions."""
+    left_cols = [c for c in left.columns]
     payload_struct = F.struct(*[F.col(c) for c in payload_cols])
     lt = left.select(
         *left_cols,
@@ -63,17 +91,36 @@ def asof_join_backward(
         F.lit(False).alias("_is_left"),
         payload_struct.alias("_p"),
     )
-    # Equal-ts ordering decides inclusivity: inclusive puts right rows
-    # first (visible to same-ts left rows); strict puts left rows first.
-    tie = F.col("_is_left").asc() if not strict else F.col("_is_left").desc()
+    return lt.unionByName(rt)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Forward twin of `asof_join_backward`: every left row, plus
+    `payload_cols` from the EARLIEST right row with r.ts >= l.ts (or >
+    when strict) and equal keys; NULL payload when none exists. Same
+    union-and-carry shape, with `first(..., ignorenulls)` over the
+    following frame instead of `last` over the preceding one — identical
+    one-shuffle/one-sort cost and skew posture.
+    """
+    left_cols = [c for c in left.columns]
+    # Inclusive: right rows at the same ts sort AFTER left rows, landing
+    # inside the left row's [current, following] frame; strict flips it.
+    tie = F.col("_is_left").desc() if not strict else F.col("_is_left").asc()
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(ts_col).asc(), tie)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    carried = lt.unionByName(rt).withColumn(
-        "_carry", F.last("_p", ignorenulls=True).over(w)
-    )
+    carried = _tagged_union(
+        left, right, keys, ts_col, payload_cols
+    ).withColumn("_carry", F.first("_p", ignorenulls=True).over(w))
     return carried.filter(F.col("_is_left")).select(
         *left_cols,
         *[F.col(f"_carry.{c}").alias(c) for c in payload_cols],

@@ -829,3 +829,51 @@ INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
 ORDER BY user_id
 """
+
+
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of enrichment (operators/asof.py): every click carries
+    the user's NEXT purchase value at-or-after the click — the
+    label-attachment direction of training-data prep (outcome joined to
+    the event that preceded it). Same tagged-union + one carry window as
+    the backward form; no pair join. Oracle: DuckDB ASOF with the
+    forward inequality."""
+    from myserver_datawarehouse_spark.operators.asof import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    out = asof_join_forward(
+        clicks, purchases, ["user_id"], "ts", ["next_purchase_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("next_purchase_value", F.lit(-1.0)).alias(
+            "next_purchase_value"
+        ),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_FORWARD_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS next_purchase_value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.next_purchase_value, -1.0) AS next_purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+ORDER BY l.event_id
+"""

@@ -91,6 +91,12 @@ _SPECS: list[QuerySpec] = [
         "as-of join (backward): union + carry window, no pair join",
     ),
     QuerySpec(
+        "events_asof_forward",
+        R.events_asof_forward,
+        R.EVENTS_ASOF_FORWARD_SQL,
+        "as-of join (forward): label attachment, carry-back window",
+    ),
+    QuerySpec(
         "value_percentiles",
         R.value_percentiles,
         R.VALUE_PERCENTILES_SQL,

@@ -58,3 +58,31 @@ def test_left_columns_preserved(spark):
     out = asof_join_backward(left, right, ["k"], "ts", ["v"])
     assert out.columns == ["k", "ts", "tag", "v"]
     assert out.count() == 4
+
+
+def test_inclusive_forward(spark):
+    from myserver_datawarehouse_spark.operators.asof import asof_join_forward
+
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.ts): r.v
+        for r in asof_join_forward(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    assert out[(1, 100)] == 10.0  # equal ts visible (inclusive)
+    assert out[(1, 200)] is None  # nothing after
+    assert out[(2, 150)] == 30.0
+    assert out[(3, 50)] is None
+
+
+def test_strict_forward_excludes_equal_ts(spark):
+    from myserver_datawarehouse_spark.operators.asof import asof_join_forward
+
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.ts): r.v
+        for r in asof_join_forward(
+            left, right, ["k"], "ts", ["v"], strict=True
+        ).collect()
+    }
+    assert out[(1, 100)] == 20.0  # equal ts skipped -> next one (ts=150)
+    assert out[(2, 150)] is None
