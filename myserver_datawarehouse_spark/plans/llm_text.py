@@ -1536,3 +1536,96 @@ LEFT JOIN removed rm ON rm.doc_id = r.doc_id
 GROUP BY 1
 ORDER BY r.lang
 """
+
+
+# ------------------------------------------------------------ perplexity
+
+XENT_FLAG_THRESHOLD = -6  # flag docs whose mean token logprob < -6 nats
+
+
+def unigram_xent_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: score each doc by its unigram
+    cross-entropy against the corpus's own token distribution (mean
+    -ln p(token)); rare-token-heavy docs score high and get flagged.
+    Real pipelines swap in a trained LM — the dataflow (model join +
+    per-doc reduction + stratum rollup) is identical.
+
+    Exactness shape: per-token logprobs are doubles rounded to 6dp and
+    cast to DECIMAL(18,6) BEFORE the per-doc sum — the only
+    order-dependent reduction becomes exact decimal addition, and the
+    low-probability flag compares decimals to an integer-scaled
+    threshold (sum_lnp < -6·n_tokens), so no float enters any decision
+    or accumulated value. One token-frequency aggregate, one join on
+    token (vocabulary-bounded), one doc rollup, one stratum rollup.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(TX.tokenize("text")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    lnp = freq.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("cnt") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lnp"),
+    )
+    per_doc = (
+        tok.join(lnp, "t")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("lnp").alias("sum_lnp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn(
+            "low_prob",
+            (
+                F.col("sum_lnp")
+                < F.lit(XENT_FLAG_THRESHOLD) * F.col("n_tokens")
+            ).cast("long"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("low_prob").alias("n_low_prob"),
+            F.round(
+                F.sum("sum_lnp").cast("double") / F.sum("n_tokens"), 6
+            ).alias("mean_lnp_per_token"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+UNIGRAM_XENT_QUALITY_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (
+  SELECT doc_id, lang, source, unnest(tks) AS t FROM toks
+),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
+total AS (SELECT SUM(cnt) AS n_total FROM freq),
+lnp AS (
+  SELECT t,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n_total), 6) AS DECIMAL(18,6))
+           AS lnp
+  FROM freq CROSS JOIN total
+),
+per_doc AS (
+  SELECT doc_id, lang, source,
+         SUM(lnp) AS sum_lnp,
+         COUNT(*) AS n_tokens,
+         CASE WHEN SUM(lnp) < {XENT_FLAG_THRESHOLD} * COUNT(*)
+              THEN 1 ELSE 0 END AS low_prob
+  FROM tok JOIN lnp USING (t)
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(low_prob) AS n_low_prob,
+       ROUND(CAST(SUM(sum_lnp) AS DOUBLE) / SUM(n_tokens), 6)
+         AS mean_lnp_per_token
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY lang, source
+"""

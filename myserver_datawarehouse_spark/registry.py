@@ -316,6 +316,12 @@ _SPECS: list[QuerySpec] = [
         "LLM quality scoring",
     ),
     QuerySpec(
+        "unigram_xent_quality",
+        LT.unigram_xent_quality,
+        LT.UNIGRAM_XENT_QUALITY_SQL,
+        "LLM quality: unigram cross-entropy (perplexity proxy), exact",
+    ),
+    QuerySpec(
         "text_stats_by_lang",
         LT.text_stats_by_lang,
         LT.TEXT_STATS_BY_LANG_SQL,
