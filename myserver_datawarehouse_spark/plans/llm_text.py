@@ -1629,3 +1629,77 @@ FROM per_doc
 GROUP BY 1, 2
 ORDER BY lang, source
 """
+
+
+# -------------------------------------------------------- contamination
+
+# Benchmark probe n-grams (stand-ins for eval-set shingles; a real run
+# loads these from the benchmark corpus — the plan is unchanged).
+CONTAMINATION_PROBES = [
+    "stream table hash",
+    "row column sort",
+    "window fast query",
+    "held out probe zzz",  # deliberate miss: zero-hit path stays covered
+]
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination probe: count which documents contain any
+    benchmark shingle (word 3-gram containment, the n-gram-overlap
+    decontamination rule of LLM training pipelines). Zero-hit probes are
+    reported with n_docs=0, not dropped — the report must prove absence,
+    not just presence.
+
+    Shape: the probe set is tiny and BROADCAST; the corpus side is the
+    same row-wise shingle lineage every dedup query uses, so the join is
+    a broadcast hash join inside the shingle scan — no shuffle of corpus
+    data, cost one corpus pass regardless of probe count. At real scale
+    the probe set is the benchmark suite's shingle table (still tiny
+    next to 100 TB of corpus).
+    """
+    d = _docs(spark, sf_dir)
+    probes = spark.sql(
+        "SELECT probe FROM (VALUES "
+        + ", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)
+        + ") AS t(probe)"
+    )
+    sh = TX.shingle_rows(d, SHINGLE_K).select("doc_id", "g").distinct()
+    hits = (
+        sh.join(F.broadcast(probes), sh.g == probes.probe)
+        .groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+    return (
+        probes.join(hits, "probe", "left")
+        .select(
+            "probe",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("first_doc_id", F.lit(-1)).alias("first_doc_id"),
+        )
+        .orderBy("probe")
+    )
+
+
+_PROBES_VALUES_SQL = ", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)
+
+BENCHMARK_CONTAMINATION_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SH_POS_SQL}) AS g FROM toks
+),
+probes AS (SELECT probe FROM (VALUES {_PROBES_VALUES_SQL}) AS t(probe)),
+hits AS (
+  SELECT probe, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+  FROM sh JOIN probes ON sh.g = probes.probe
+  GROUP BY 1
+)
+SELECT p.probe AS probe,
+       COALESCE(h.n_docs, 0) AS n_docs,
+       COALESCE(h.first_doc_id, -1) AS first_doc_id
+FROM probes p
+LEFT JOIN hits h ON h.probe = p.probe
+ORDER BY p.probe
+"""

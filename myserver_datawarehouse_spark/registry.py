@@ -334,6 +334,12 @@ _SPECS: list[QuerySpec] = [
         "LLM language ID",
     ),
     QuerySpec(
+        "benchmark_contamination",
+        LT.benchmark_contamination,
+        LT.BENCHMARK_CONTAMINATION_SQL,
+        "LLM decontamination: broadcast probe-shingle containment",
+    ),
+    QuerySpec(
         "doc_fingerprint_winnow",
         LT.doc_fingerprint_winnow,
         LT.DOC_FINGERPRINT_WINNOW_SQL,
