@@ -66,3 +66,15 @@ def test_dedup_exact_partial_aggregates(spark):
     # Exactly two exchanges: the agg hash shuffle + the output sort's
     # range partitioning (counted via the per-operator detail headers).
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_contamination_probes_are_broadcast(spark):
+    plan = plan_of(LT.benchmark_contamination(spark, SF))
+    # The probe side must broadcast — corpus shingles never shuffle for
+    # the containment join.
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tfidf_corpus_total_is_broadcast(spark):
+    plan = plan_of(LT.tfidf_top_terms(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
