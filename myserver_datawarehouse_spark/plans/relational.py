@@ -877,3 +877,50 @@ SELECT l.event_id, l.user_id, l.ts,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
 ORDER BY l.event_id
 """
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the `props` JSON string
+    with an explicit schema and aggregate the extracted field — the
+    schema-on-read shape for event payloads.
+
+    `from_json` with a declared schema parses ONCE per row inside
+    whole-stage codegen and scales to any field count; per-field
+    `get_json_object` re-parses the document per field. Malformed
+    documents yield NULL (counted explicitly — a parse-failure rate is a
+    data-quality signal, not a silent drop). All aggregates integer-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k long").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_unparsed,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       SUM(k) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM parsed
+GROUP BY 1
+ORDER BY event_type
+"""

@@ -121,6 +121,12 @@ _SPECS: list[QuerySpec] = [
         "skew: salted exact distinct-count over hot keys",
     ),
     QuerySpec(
+        "events_json_props",
+        R.events_json_props,
+        R.EVENTS_JSON_PROPS_SQL,
+        "semi-structured: schema-on-read JSON parse + exact rollup",
+    ),
+    QuerySpec(
         "events_daily_pivot",
         R.events_daily_pivot,
         R.EVENTS_DAILY_PIVOT_SQL,
