@@ -1703,3 +1703,66 @@ FROM probes p
 LEFT JOIN hits h ON h.probe = p.probe
 ORDER BY p.probe
 """
+
+
+# ---------------------------------------------------------------- splits
+
+SPLIT_SEED = 11
+# Cumulative percent bounds: [0,90) train, [90,95) val, [95,100) test.
+SPLIT_BOUNDS = [("train", 0, 90), ("val", 90, 95), ("test", 95, 100)]
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way corpus split: split(doc) = bucket of
+    hash(doc_id) % 100 against fixed cumulative bounds — the multi-way
+    sibling of `stratified_sample`. Hash assignment (never rand(), never
+    row position) means: a doc's split NEVER changes as the corpus grows
+    or repartitions (no train/test leakage across dataset versions),
+    retries are idempotent, and membership is auditable row-by-row.
+    Rolled up per (split, lang) with token budgets; split sizes converge
+    to the bounds by the hash's uniformity, never exactly — the report
+    shows achieved, not nominal, fractions.
+    """
+    d = _docs(spark, sf_dir)
+    bucket = TX.hash60(F.col("doc_id").cast("string"), seed=SPLIT_SEED) % 100
+    split = F.lit(None).cast("string")
+    for name, lo, hi in SPLIT_BOUNDS:
+        split = F.when((bucket >= lo) & (bucket < hi), name).otherwise(split)
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(TX.tokenize("text")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'"
+        for name, lo, hi in SPLIT_BOUNDS
+    )
+    + " END"
+)
+
+TRAIN_VAL_TEST_SPLIT_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+bucketed AS (
+  SELECT lang, len(tks) AS n_tok,
+         ({_d_hash60("doc_id::VARCHAR", seed=SPLIT_SEED)}) % 100 AS b
+  FROM toks
+)
+SELECT {_SPLIT_CASE_SQL} AS split, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS sum_tokens
+FROM bucketed
+GROUP BY 1, 2
+ORDER BY split, lang
+"""

@@ -217,6 +217,12 @@ _SPECS: list[QuerySpec] = [
         "text: deterministic hash-gated stratified sampling",
     ),
     QuerySpec(
+        "train_val_test_split",
+        LT.train_val_test_split,
+        LT.TRAIN_VAL_TEST_SPLIT_SQL,
+        "text: deterministic hash-bucketed train/val/test split",
+    ),
+    QuerySpec(
         "context_pack_bins",
         LT.context_pack_bins,
         LT.CONTEXT_PACK_BINS_SQL,
