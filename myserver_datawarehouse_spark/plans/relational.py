@@ -924,3 +924,60 @@ FROM parsed
 GROUP BY 1
 ORDER BY event_type
 """
+
+
+def user_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE user segmentation: rank users into spend quartiles, then
+    profile each quartile (count, spend range, share of total) — the
+    cohort-bucketing report shape.
+
+    The per-user spend is an exact decimal sum (one fact shuffle on
+    user_id); NTILE runs over |users| rows with a wholly deterministic
+    sort (spend exact-decimal desc, user_id tie-break). The quartile
+    profile is a second tiny aggregate. An unpartitioned NTILE serializes
+    its input — fine over |users|-sized aggregates; at larger cohort
+    counts the swap is percent_rank over pre-binned keys or ntile within
+    hash shards.
+    """
+    e = load_table(spark, sf_dir, "events")
+    spend = (
+        e.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
+    q = spend.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("spend").cast("double"), 2).alias("min_spend"),
+            F.round(F.max("spend").cast("double"), 2).alias("max_spend"),
+            F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+USER_SPEND_QUARTILES_SQL = """
+WITH spend AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS spend
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+q AS (
+  SELECT *, NTILE(4) OVER (ORDER BY spend DESC, user_id ASC) AS quartile
+  FROM spend
+)
+SELECT quartile,
+       COUNT(*) AS n_users,
+       ROUND(CAST(MIN(spend) AS DOUBLE), 2) AS min_spend,
+       ROUND(CAST(MAX(spend) AS DOUBLE), 2) AS max_spend,
+       ROUND(CAST(SUM(spend) AS DOUBLE), 2) AS total_spend
+FROM q
+GROUP BY 1
+ORDER BY quartile
+"""

@@ -298,3 +298,58 @@ SELECT event_type, date_id, minute_ts,
 FROM g
 ORDER BY event_type, date_id, minute_ts
 """
+
+
+ROLLING_WINDOW_MINUTES = 7
+
+
+def rolling_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-minute moving average over the per-type minute series —
+    the smoothing pass of any monitoring/reporting layer, and the
+    explicit ROWS-frame window the reference never needed (SURVEY §2.5
+    notes its windows are frameless).
+
+    The frame sum accumulates the 6dp-rounded minute means in DECIMAL:
+    within a sorted frame the order is defined, but decimal keeps the
+    result independent of how Spark merges partial buffers — same policy
+    as every other sum. One shuffle on event_type, one sort.
+    """
+    from pyspark.sql import Window
+
+    obs = _event_minutes(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_epoch")
+        .rowsBetween(-(ROLLING_WINDOW_MINUTES - 1), 0)
+    )
+    val_dec = F.col("value").cast("decimal(18,6)")
+    return (
+        TS.with_minute_ts(
+            obs.select(
+                "event_type",
+                "minute_epoch",
+                F.round(
+                    F.sum(val_dec).over(w).cast("double")
+                    / F.count(F.lit(1)).over(w),
+                    6,
+                ).alias("rolling_avg"),
+                F.count(F.lit(1)).over(w).alias("n_in_window"),
+            )
+        )
+        .select("event_type", "minute_ts", "rolling_avg", "n_in_window")
+        .orderBy("event_type", "minute_ts")
+    )
+
+
+ROLLING_MINUTE_AVG_SQL = f"""
+WITH obs AS ({_OBS_SQL})
+SELECT event_type, minute_ts,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS rolling_avg,
+       COUNT(*) OVER w AS n_in_window
+FROM obs
+WINDOW w AS (PARTITION BY event_type ORDER BY minute_ts
+             ROWS BETWEEN {ROLLING_WINDOW_MINUTES - 1} PRECEDING
+                      AND CURRENT ROW)
+ORDER BY event_type, minute_ts
+"""

@@ -157,6 +157,18 @@ _SPECS: list[QuerySpec] = [
         "T2/T3 (bracketing mode)",
     ),
     QuerySpec(
+        "user_spend_quartiles",
+        R.user_spend_quartiles,
+        R.USER_SPEND_QUARTILES_SQL,
+        "NTILE cohort bucketing over exact per-user spend",
+    ),
+    QuerySpec(
+        "rolling_minute_avg",
+        T.rolling_minute_avg,
+        T.ROLLING_MINUTE_AVG_SQL,
+        "ROWS-frame trailing moving average on the minute series",
+    ),
+    QuerySpec(
         "gapfill_locf",
         T.gapfill_locf,
         T.GAPFILL_LOCF_SQL,
