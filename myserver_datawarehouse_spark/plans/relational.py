@@ -981,3 +981,76 @@ FROM q
 GROUP BY 1
 ORDER BY quartile
 """
+
+
+SNAPSHOT_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC/audit shape): compare the user set of two
+    time windows and classify each user as retained / churned / new,
+    with per-class activity counts. The pattern behind "what changed
+    between yesterday's load and today's".
+
+    Full-outer join of two pre-aggregated (user-grain) sides — the join
+    input is |users|, not events; both aggregates shuffle once on
+    user_id and AQE coalesces the tiny join. At 100 TB the windows come
+    from partition pruning on the date key, so each side scans only its
+    own partitions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_SPLIT_TS).cast("timestamp")
+    w1 = (
+        e.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    w2 = (
+        e.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    j = w1.join(w2, "user_id", "full_outer")
+    status = (
+        F.when(F.col("n_before").isNotNull() & F.col("n_after").isNotNull(), "retained")
+        .when(F.col("n_before").isNotNull(), "churned")
+        .otherwise("new")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_before").alias("events_before"),
+            F.sum("n_after").alias("events_after"),
+        )
+        .orderBy("status")
+    )
+
+
+USER_SNAPSHOT_DIFF_SQL = f"""
+WITH w1 AS (
+  SELECT user_id, COUNT(*) AS n_before FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{SNAPSHOT_SPLIT_TS}'
+  GROUP BY 1
+),
+w2 AS (
+  SELECT user_id, COUNT(*) AS n_after FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{SNAPSHOT_SPLIT_TS}'
+  GROUP BY 1
+)
+SELECT CASE WHEN w1.user_id IS NOT NULL AND w2.user_id IS NOT NULL
+              THEN 'retained'
+            WHEN w1.user_id IS NOT NULL THEN 'churned'
+            ELSE 'new' END AS status,
+       COUNT(*) AS n_users,
+       SUM(COALESCE(n_before, 0)) AS events_before,
+       SUM(COALESCE(n_after, 0)) AS events_after
+FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+GROUP BY 1
+ORDER BY status
+"""

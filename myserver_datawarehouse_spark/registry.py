@@ -115,6 +115,12 @@ _SPECS: list[QuerySpec] = [
         "sessionization: gap flag + running sum, one sort for both windows",
     ),
     QuerySpec(
+        "user_snapshot_diff",
+        R.user_snapshot_diff,
+        R.USER_SNAPSHOT_DIFF_SQL,
+        "CDC/audit: full-outer snapshot diff at user grain",
+    ),
+    QuerySpec(
         "salted_user_counts",
         R.salted_user_counts,
         R.SALTED_USER_COUNTS_SQL,
