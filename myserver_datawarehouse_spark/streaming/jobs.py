@@ -32,33 +32,41 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet carries TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong the scan yields a long (see
-# sources/tables.py — streaming uses the same reader).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events.parquet carries TIMESTAMP(NANOS); depending on the Spark build
+# the scan yields either a long of nanos (legacy nanosAsLong path) or a
+# native TIMESTAMP_NTZ truncated to micros. The streaming source needs an
+# explicit schema, so `events_stream` probes the batch reader's resolved
+# type for `ts` and declares the same, then normalizes to TIMESTAMP —
+# identical semantics to sources/tables.load_table.
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table with the nanos->timestamp
-    conversion applied (integer division: parity with the batch reader)."""
+    """File-source stream of the events table with `ts` normalized to a
+    session-zone TIMESTAMP (parity with the batch reader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def minute_agg_query(stream: DataFrame):
