@@ -1775,3 +1775,252 @@ FROM bucketed
 GROUP BY 1, 2
 ORDER BY split, lang
 """
+
+
+# --------------------------------------------------- mixture rebalancing
+
+MIX_GATE_MOD = 1_000_000
+MIX_SEED = 11
+
+
+def data_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalancing: downsample every language to the token
+    budget of the smallest language (equal-mixture target), gated by a
+    deterministic per-doc hash so membership is reproducible under
+    retries and stable as the corpus grows.
+
+    The per-lang acceptance threshold is computed in INTEGER arithmetic
+    (`target_tokens * MOD div lang_tokens`) so the gate decision has no
+    float in it — the oracle reproduces it exactly. Two corpus passes
+    (one for the per-lang token totals, one to apply the gate); the
+    totals table is |langs| rows and broadcast back. At 100 TB the
+    second pass is the unavoidable one — the totals pass can ride an
+    existing stats table instead of a rescan.
+    """
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokenize("text")).cast("long").alias("n_tok"),
+    )
+    totals = per_doc.groupBy("lang").agg(
+        F.sum("n_tok").alias("lang_tokens"),
+    )
+    target = totals.agg(F.min("lang_tokens").alias("target_tokens"))
+    rates = totals.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "lang_tokens",
+        "target_tokens",
+        F.expr(f"target_tokens * {MIX_GATE_MOD} div lang_tokens").alias(
+            "keep_threshold"
+        ),
+    )
+    gate = TX.hash60(F.col("doc_id").cast("string"), seed=MIX_SEED) % MIX_GATE_MOD
+    gated = per_doc.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "lang_tokens",
+        "keep_threshold",
+        "n_tok",
+        (gate < F.col("keep_threshold")).cast("long").alias("kept"),
+    )
+    return (
+        gated.groupBy("lang", "lang_tokens", "keep_threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_tok")).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DATA_MIXTURE_REBALANCE_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (SELECT lang, SUM(n_tok) AS lang_tokens FROM per_doc GROUP BY 1),
+tgt AS (SELECT MIN(lang_tokens) AS target_tokens FROM tot),
+rates AS (
+  SELECT lang, lang_tokens,
+         (target_tokens * {MIX_GATE_MOD}) // lang_tokens AS keep_threshold
+  FROM tot, tgt
+),
+gated AS (
+  SELECT p.lang, r.lang_tokens, r.keep_threshold, p.n_tok,
+         CASE WHEN ({_d_hash60("p.doc_id::VARCHAR", seed=MIX_SEED)})
+                   % {MIX_GATE_MOD} < r.keep_threshold
+              THEN 1 ELSE 0 END AS kept
+  FROM per_doc p JOIN rates r USING (lang)
+)
+SELECT lang, lang_tokens, keep_threshold,
+       COUNT(*) AS n_docs,
+       SUM(kept) AS n_kept,
+       SUM(kept * n_tok) AS kept_tokens
+FROM gated
+GROUP BY 1, 2, 3
+ORDER BY lang
+"""
+
+
+# --------------------------------------------- quality percentile filter
+
+QUALITY_KEEP_QUARTER = 4  # keep the top 1/4 per language
+
+
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based curation: keep each language's top quartile by
+    lexical-diversity score (unique-token ratio, doc_id tie-break so the
+    cut is total-ordered and engine-independent).
+
+    The ranking window runs per lang — at 100 TB a single per-lang sort
+    serializes a hot language, so the production form pre-bins scores
+    (e.g. 6-dp buckets) and takes the quantile from the bucket histogram
+    instead of a full sort; kept exact here for oracle parity.
+    """
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(tks).cast("long").alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(tks)).cast("double")
+            / F.size(tks).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    ranked = scored.select(
+        "lang",
+        "n_tok",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    kept = ranked.filter(
+        F.col("rn") <= F.expr(f"(n_lang + {QUALITY_KEEP_QUARTER - 1}) div {QUALITY_KEEP_QUARTER}")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n_lang").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("score").alias("cutoff_score"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_PERCENTILE_FILTER_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(tks) AS BIGINT) AS n_tok,
+         ROUND(CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks), 6)
+           AS score
+  FROM toks
+),
+ranked AS (
+  SELECT lang, n_tok, score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored
+)
+SELECT lang,
+       MAX(n_lang) AS n_docs,
+       COUNT(*) AS n_kept,
+       MIN(score) AS cutoff_score,
+       SUM(n_tok) AS kept_tokens
+FROM ranked
+WHERE rn <= (n_lang + {QUALITY_KEEP_QUARTER - 1}) // {QUALITY_KEEP_QUARTER}
+GROUP BY 1
+ORDER BY lang
+"""
+
+
+# ------------------------------------------------------ incremental dedup
+
+INCR_NEW_MOD = 10
+INCR_NEW_MIN = 8  # doc_id % 10 in {8,9} => the "new batch" (~20%)
+
+
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the continuous-crawl shape: a NEW batch of
+    documents is deduplicated against the EXISTING corpus (content-hash
+    anti-join) and within itself (first-by-doc_id wins), emitting the
+    ingest/duplicate funnel per language.
+
+    The batch split is deterministic (doc_id % {INCR_NEW_MOD} >=
+    {INCR_NEW_MIN}). At 100 TB the corpus side of the anti-join is the
+    big one: it shuffles only the 64-char digest column (not text), and
+    a real deployment fronts it with a digest bloom filter / index table
+    so the common no-hit case never touches the corpus shuffle.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", TX.content_hash("text").alias("h")
+    )
+    is_new = F.col("doc_id") % INCR_NEW_MOD >= INCR_NEW_MIN
+    corpus_hashes = d.filter(~is_new).select("h").distinct()
+    new_docs = d.filter(is_new)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        new_docs.join(
+            corpus_hashes.select(F.col("h"), F.lit(True).alias("_in_corpus")),
+            "h",
+            "left",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "lang",
+            F.col("_in_corpus").isNotNull().alias("dup_corpus"),
+            (F.col("_in_corpus").isNull() & (F.col("rn") > 1)).alias(
+                "dup_in_batch"
+            ),
+        )
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("dup_corpus").cast("long")).alias("n_dup_vs_corpus"),
+            F.sum(F.col("dup_in_batch").cast("long")).alias("n_dup_in_batch"),
+            F.sum(
+                (~F.col("dup_corpus") & ~F.col("dup_in_batch")).cast("long")
+            ).alias("n_ingested"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_INCREMENTAL_NEW_DOCS_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, sha256({_NORM_SQL}) AS h FROM documents
+),
+corpus AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % {INCR_NEW_MOD} < {INCR_NEW_MIN}
+),
+newdocs AS (
+  SELECT * FROM hashed WHERE doc_id % {INCR_NEW_MOD} >= {INCR_NEW_MIN}
+),
+flagged AS (
+  SELECT n.lang,
+         (c.h IS NOT NULL) AS dup_corpus,
+         (c.h IS NULL AND
+          ROW_NUMBER() OVER (PARTITION BY n.h ORDER BY n.doc_id) > 1)
+           AS dup_in_batch
+  FROM newdocs n LEFT JOIN corpus c ON n.h = c.h
+)
+SELECT lang,
+       COUNT(*) AS n_new,
+       SUM(CASE WHEN dup_corpus THEN 1 ELSE 0 END) AS n_dup_vs_corpus,
+       SUM(CASE WHEN dup_in_batch THEN 1 ELSE 0 END) AS n_dup_in_batch,
+       SUM(CASE WHEN NOT dup_corpus AND NOT dup_in_batch THEN 1 ELSE 0 END)
+         AS n_ingested
+FROM flagged
+GROUP BY 1
+ORDER BY lang
+"""

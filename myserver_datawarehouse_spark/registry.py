@@ -489,6 +489,24 @@ _SPECS: list[QuerySpec] = [
     QuerySpec(
         "sources_summary", DM.sources_summary, DM.SOURCES_SUMMARY_SQL, "V5"
     ),
+    QuerySpec(
+        "data_mixture_rebalance",
+        LT.data_mixture_rebalance,
+        LT.DATA_MIXTURE_REBALANCE_SQL,
+        "corpus assembly: target-mixture downsampling, integer-exact gate",
+    ),
+    QuerySpec(
+        "quality_percentile_filter",
+        LT.quality_percentile_filter,
+        LT.QUALITY_PERCENTILE_FILTER_SQL,
+        "corpus curation: per-lang top-quartile quality cut",
+    ),
+    QuerySpec(
+        "dedup_incremental_new_docs",
+        LT.dedup_incremental_new_docs,
+        LT.DEDUP_INCREMENTAL_NEW_DOCS_SQL,
+        "incremental dedup: new batch vs corpus content-hash anti-join",
+    ),
 ]
 
 
