@@ -1432,8 +1432,14 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-curated fraction, and its loop state is the pair graph, not
     the corpus (see `dedup_clusters`).
     """
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
-    ranked = _curation_ranked(d)
+    # The curation flags feed BOTH the near-dup stage (via the semi-join)
+    # and the final funnel rollup; persist the narrow per-doc flag frame
+    # (~tens of bytes/doc, no text) so the lang-ID + hash scan runs once.
+    # MEMORY_AND_DISK: at 100 TB the flag frame spills instead of OOMing.
+    ranked = _curation_ranked(d).persist(StorageLevel.MEMORY_AND_DISK)
     kept_docs = d.join(
         ranked.filter("kept").select("doc_id"), "doc_id", "left_semi"
     )
