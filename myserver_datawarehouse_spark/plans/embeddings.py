@@ -548,3 +548,101 @@ FROM cvecs a
 JOIN cvecs b ON a.lang < b.lang
 ORDER BY lang_a, lang_b
 """
+
+
+# ---------------------------------------------------------- quantization
+
+
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the 4x storage
+    reduction path for vector corpora (float32 -> int8 + one float scale
+    per vector): code_i = round(x_i * 127 / max|x|), and the per-label
+    rollup of reconstruction error tells you whether the cheap index can
+    serve recall (rule of thumb: rerank the final candidates at full
+    precision).
+
+    Everything is per-row array math in one scan (no shuffle until the
+    |labels|-row rollup). The error fold is left-to-right and the rollup
+    means accumulate in DECIMAL over 12-dp-rounded per-vector values, so
+    the result is partition-order independent and engine-exact.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    scaled = e.select(
+        "label",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(v.cast("double")))
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+
+    def diff(v):
+        return v.cast("double") - F.round(
+            v.cast("double") * 127.0 / F.col("scale")
+        ) * F.col("scale") / 127.0
+
+    per_vec = scaled.select(
+        "label",
+        "scale",
+        (
+            F.aggregate(
+                F.transform("embedding", lambda v: diff(v) * diff(v)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            / F.size("embedding")
+        ).alias("mse"),
+        F.array_max(F.transform("embedding", lambda v: F.abs(diff(v)))).alias(
+            "maxerr"
+        ),
+    )
+    dec = "decimal(28,14)"
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.round(F.col("mse"), 12).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_mse"),
+            F.round(F.max("maxerr"), 6).alias("max_abs_err"),
+            F.round(
+                F.sum(F.round(F.col("scale"), 12).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q_DIFF_SQL = (
+    "(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127 / scale)"
+    " * scale / 127)"
+)
+
+EMBEDDING_INT8_QUANTIZATION_SQL = f"""
+WITH scaled AS (
+  SELECT label, embedding,
+         list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS scale
+  FROM embeddings
+),
+pos AS (SELECT * FROM scaled WHERE scale > 0),
+per_vec AS (
+  SELECT label, scale,
+         list_sum([{_Q_DIFF_SQL} * {_Q_DIFF_SQL} FOR x IN embedding])
+           / len(embedding) AS mse,
+         list_max([abs({_Q_DIFF_SQL}) FOR x IN embedding]) AS maxerr
+  FROM pos
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ROUND(mse, 12) AS DECIMAL(28,14))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_mse,
+       ROUND(MAX(maxerr), 6) AS max_abs_err,
+       ROUND(CAST(SUM(CAST(ROUND(scale, 12) AS DECIMAL(28,14))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_scale
+FROM per_vec
+GROUP BY 1
+ORDER BY label
+"""

@@ -507,6 +507,12 @@ _SPECS: list[QuerySpec] = [
         LT.DEDUP_INCREMENTAL_NEW_DOCS_SQL,
         "incremental dedup: new batch vs corpus content-hash anti-join",
     ),
+    QuerySpec(
+        "embedding_int8_quantization",
+        EM.embedding_int8_quantization,
+        EM.EMBEDDING_INT8_QUANTIZATION_SQL,
+        "vector storage: symmetric int8 quantization error audit",
+    ),
 ]
 
 
