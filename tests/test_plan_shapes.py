@@ -78,3 +78,36 @@ def test_contamination_probes_are_broadcast(spark):
 def test_tfidf_corpus_total_is_broadcast(spark):
     plan = plan_of(LT.tfidf_top_terms(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mixture_rebalance_rates_join_is_broadcast(spark):
+    plan = plan_of(LT.data_mixture_rebalance(spark, SF))
+    # The |langs|-row rates table broadcasts back to the corpus — the
+    # gate pass must not shuffle the corpus for the join.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Only the referenced columns reach the documents scan.
+    assert "source" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+
+
+def test_incremental_dedup_reads_digests_not_text_twice(spark):
+    plan = plan_of(LT.dedup_incremental_new_docs(spark, SF))
+    # Both sides of the anti-ish join carry the 64-char digest, never
+    # raw text: no column named text survives past the scan projections.
+    assert "Exchange" in plan
+    proj_tail = plan.split("ReadSchema", 1)[1]
+    assert "text" in proj_tail  # scans need text to hash...
+    assert "n_chars" not in plan  # ...but untouched columns are pruned
+
+
+def test_int8_quantization_is_single_scan_map_math(spark):
+    from myserver_datawarehouse_spark.plans import embeddings as EM
+
+    plan = plan_of(EM.embedding_int8_quantization(spark, SF))
+    # Per-row array math: exactly the rollup's exchanges (partial agg
+    # shuffle + output sort), no join, one scan of embeddings.
+    assert "Join" not in plan
+    # One scan node => one "(1) Scan parquet" detail header and no other
+    # scan ids (formatted output repeats each node in tree + detail).
+    assert "(1) Scan parquet" in plan and "(2) Scan parquet" not in plan
+    assert "partial_" in plan
