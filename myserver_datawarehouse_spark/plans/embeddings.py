@@ -646,3 +646,140 @@ FROM per_vec
 GROUP BY 1
 ORDER BY label
 """
+
+
+# ------------------------------------------------------- trained k-means
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DP = 9  # centroid / distance rounding: kills cross-engine ulp drift
+
+
+def kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF coarse quantizer: {KMEANS_ITERS} Lloyd iterations of
+    k-means (k={KMEANS_K}, init = the k lowest vec_ids) expressed as pure
+    DataFrame ops — the iterative-ML dataflow (assign via broadcast
+    centroid join, update via posexplode + decimal-mean) that upgrades
+    `embedding_ann_ivf`'s deterministic quantizer to a learned one
+    without changing any downstream plan.
+
+    Exactness across engines: distances use the dot-product identity
+    (xx − 2·x·c + cc) whose three folds are sequential in both engines,
+    rounded to {KMEANS_DP} dp; centroid means accumulate in DECIMAL and
+    are rounded to {KMEANS_DP} dp before the next iteration — so every
+    assignment decision (ordered by (d2, cid)) is bit-reproducible.
+
+    Scale: each iteration is one broadcast join (k rows) + one per-vec
+    top-1 + one (k × dim)-key decimal aggregate — shuffle volume is
+    k·dim partials, never corpus². The per-vec top-1 here is a window
+    for oracle parity; the 100 TB swap is `min(struct(d2, cid))` as a
+    map-side-combinable aggregate.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("x"),
+    )
+    vx = v.select("vec_id", "x", V.dot("x", "x").alias("xx"))
+    cents = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        cc = cents.select("cid", "c", V.dot("c", "c").alias("cc"))
+        d2 = F.round(
+            F.col("xx") - 2 * V.dot("x", "c") + F.col("cc"), KMEANS_DP
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            vx.crossJoin(F.broadcast(cc))
+            .select("vec_id", "x", "xx", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        el = assigned.select("cid", F.posexplode("x").alias("pos", "val"))
+        means = el.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                KMEANS_DP,
+            ).alias("m")
+        )
+        return (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
+            .select("cid", F.expr("transform(sm, s -> s.m)").alias("c"))
+        )
+
+    for _ in range(KMEANS_ITERS):
+        cents = update(assign(cents))
+    final = assign(cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_d2"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_sql() -> str:
+    parts = [
+        f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings),
+vx AS (SELECT vec_id, x, list_dot_product(x, x) AS xx FROM v),
+c0 AS (SELECT vec_id AS cid, x AS c FROM v WHERE vec_id < {KMEANS_K})"""
+    ]
+    for i in range(1, KMEANS_ITERS + 2):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vx.vec_id, vx.x, vx.xx, c.cid,
+         ROUND(vx.xx - 2 * list_dot_product(vx.x, c.c)
+               + list_dot_product(c.c, c.c), {KMEANS_DP}) AS d2
+  FROM vx, c{i - 1} c
+),
+s{i} AS (
+  SELECT vec_id, x, cid, d2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rn FROM a{i})
+  WHERE rn = 1
+)"""
+        )
+        if i <= KMEANS_ITERS:
+            parts.append(
+                f"""e{i} AS (
+  SELECT cid, generate_subscripts(x, 1) - 1 AS pos, unnest(x) AS val
+  FROM s{i}
+),
+m{i} AS (
+  SELECT cid, pos,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+               {KMEANS_DP}) AS m
+  FROM e{i} GROUP BY 1, 2
+),
+c{i} AS (SELECT cid, list(m ORDER BY pos) AS c FROM m{i} GROUP BY 1)"""
+            )
+    last = KMEANS_ITERS + 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cid, COUNT(*) AS n_members,
+       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_d2
+FROM s{last}
+GROUP BY 1
+ORDER BY cid
+"""
+    )
+
+
+KMEANS_IVF_CLUSTERS_SQL = _kmeans_sql()

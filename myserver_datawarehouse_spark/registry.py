@@ -513,6 +513,12 @@ _SPECS: list[QuerySpec] = [
         EM.EMBEDDING_INT8_QUANTIZATION_SQL,
         "vector storage: symmetric int8 quantization error audit",
     ),
+    QuerySpec(
+        "kmeans_ivf_clusters",
+        EM.kmeans_ivf_clusters,
+        EM.KMEANS_IVF_CLUSTERS_SQL,
+        "iterative ML: trained k-means coarse quantizer (Lloyd, exact)",
+    ),
 ]
 
 
