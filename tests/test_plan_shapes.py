@@ -111,3 +111,15 @@ def test_int8_quantization_is_single_scan_map_math(spark):
     # scan ids (formatted output repeats each node in tree + detail).
     assert "(1) Scan parquet" in plan and "(2) Scan parquet" not in plan
     assert "partial_" in plan
+
+
+def test_kmeans_assign_join_is_broadcast(spark):
+    from myserver_datawarehouse_spark.plans import embeddings as EM
+
+    plan = plan_of(EM.kmeans_ivf_clusters(spark, SF))
+    # Every Lloyd assignment joins the corpus against the k-row centroid
+    # table via broadcast — the corpus must never shuffle for a join
+    # (the only corpus shuffles are the per-vec top-1 windows and the
+    # k x dim mean aggregates).
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
