@@ -1054,3 +1054,154 @@ FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
 GROUP BY 1
 ORDER BY status
 """
+
+
+# ------------------------------------------------------------- funnel
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the first
+    view, the first click AFTER that view, and the first purchase AFTER
+    that click; rolled up to stage reach counts and the mean
+    view->purchase lag in whole minutes.
+
+    ONE shuffle: per-user event times are collected as sorted arrays in
+    a single hash aggregate, and the stage chaining is array math
+    (`array_min(filter(...))`) — no per-stage re-join of the fact. The
+    collected arrays are bounded by a user's OWN event count; a
+    pathological hot user is the skew caveat, and the swap is the
+    3-shuffle min-above-threshold chain (one join per stage).
+    The mean lag accumulates integer minutes in DECIMAL — order-free.
+    """
+    e = load_table(spark, sf_dir, "events")
+    collected = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("purchases"),
+    )
+    t_click = F.array_min(
+        F.filter("clicks", lambda c: c > F.col("t_view"))
+    )
+    staged = collected.withColumn("t_click", t_click).withColumn(
+        "t_purchase",
+        F.array_min(F.filter("purchases", lambda p: p > F.col("t_click"))),
+    )
+    lag_min = F.floor(
+        (
+            F.col("t_purchase").cast("long") - F.col("t_view").cast("long")
+        )
+        / 60
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+        F.round(
+            F.sum(lag_min.cast("decimal(20,0)")).cast("double")
+            / F.count("t_purchase"),
+            6,
+        ).alias("avg_view_to_purchase_min"),
+    )
+
+
+EVENTS_FUNNEL_CONVERSION_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+           AS t_view,
+         list(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END
+              ORDER BY ts) FILTER (WHERE event_type = 'click') AS clicks,
+         list(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END
+              ORDER BY ts) FILTER (WHERE event_type = 'purchase')
+           AS purchases
+  FROM events
+  GROUP BY 1
+),
+staged AS (
+  SELECT user_id, t_view,
+         list_min(list_filter(clicks, c -> c > t_view)) AS t_click
+  FROM per_user
+),
+staged2 AS (
+  SELECT s.user_id, s.t_view, s.t_click,
+         list_min(list_filter(p.purchases, x -> x > s.t_click))
+           AS t_purchase
+  FROM staged s JOIN per_user p USING (user_id)
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_view,
+       COUNT(t_click) AS n_click_after_view,
+       COUNT(t_purchase) AS n_purchase_after_click,
+       ROUND(CAST(SUM(CAST(FLOOR(date_diff('second', t_view, t_purchase)
+                                 / 60) AS DECIMAL(20,0))) AS DOUBLE)
+             / COUNT(t_purchase), 6) AS avg_view_to_purchase_min
+FROM staged2
+"""
+
+
+# ---------------------------------------------------------- retention
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-event week,
+    counted in every (cohort_week, week_offset) cell they were active.
+
+    Two aggregates + one join, all keyed on user_id — the activity
+    distinct and the first-event aggregate reuse the SAME hash
+    partitioning, so the join is co-partitioned (no extra fact shuffle);
+    the rollup output is |weeks|² cells. Week arithmetic is integer
+    epoch-seconds on Monday-aligned truncs, exact in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    offset = (
+        (
+            F.col("week").cast("long") - F.col("cohort_week").cast("long")
+        )
+        / (7 * 24 * 3600)
+    ).cast("long")
+    return (
+        active.join(first, "user_id")
+        .select(F.col("cohort_week"), offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+USER_RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id,
+         date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id,
+         date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+  FROM events
+)
+SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('second', f.cohort_week, a.week) / (7*24*3600)
+            AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""

@@ -519,6 +519,18 @@ _SPECS: list[QuerySpec] = [
         EM.KMEANS_IVF_CLUSTERS_SQL,
         "iterative ML: trained k-means coarse quantizer (Lloyd, exact)",
     ),
+    QuerySpec(
+        "events_funnel_conversion",
+        R.events_funnel_conversion,
+        R.EVENTS_FUNNEL_CONVERSION_SQL,
+        "funnel: ordered view->click->purchase reach, one-shuffle form",
+    ),
+    QuerySpec(
+        "user_retention_cohorts",
+        R.user_retention_cohorts,
+        R.USER_RETENTION_COHORTS_SQL,
+        "retention: weekly cohort x offset activity matrix",
+    ),
 ]
 
 
