@@ -1122,11 +1122,10 @@ WITH per_user AS (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
            AS t_view,
-         list(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END
-              ORDER BY ts) FILTER (WHERE event_type = 'click') AS clicks,
-         list(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END
-              ORDER BY ts) FILTER (WHERE event_type = 'purchase')
-           AS purchases
+         list(CAST(ts AS TIMESTAMP) ORDER BY ts)
+           FILTER (WHERE event_type = 'click') AS clicks,
+         list(CAST(ts AS TIMESTAMP) ORDER BY ts)
+           FILTER (WHERE event_type = 'purchase') AS purchases
   FROM events
   GROUP BY 1
 ),
