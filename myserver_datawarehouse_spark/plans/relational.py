@@ -1157,19 +1157,21 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by their first-event week,
     counted in every (cohort_week, week_offset) cell they were active.
 
-    Two aggregates + one join, all keyed on user_id — the activity
-    distinct and the first-event aggregate reuse the SAME hash
-    partitioning, so the join is co-partitioned (no extra fact shuffle);
-    the rollup output is |weeks|² cells. Week arithmetic is integer
+    ONE fact shuffle: a single per-user aggregate yields both the
+    cohort week (min ts) and the distinct active-week set (collect_set,
+    bounded by the calendar — weeks per user, not events per user);
+    exploding the set is map-side, and the cell rollup shuffles only
+    |weeks|² keys. No join anywhere. Week arithmetic is integer
     epoch-seconds on Monday-aligned truncs, exact in both engines.
     """
     e = load_table(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"),
     )
-    active = e.select(
-        "user_id", F.date_trunc("week", "ts").alias("week")
-    ).distinct()
+    cells = per_user.select(
+        "cohort_week", F.explode("weeks").alias("week")
+    )
     offset = (
         (
             F.col("week").cast("long") - F.col("cohort_week").cast("long")
@@ -1177,8 +1179,7 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (7 * 24 * 3600)
     ).cast("long")
     return (
-        active.join(first, "user_id")
-        .select(F.col("cohort_week"), offset.alias("week_offset"))
+        cells.select(F.col("cohort_week"), offset.alias("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")

@@ -123,3 +123,19 @@ def test_kmeans_assign_join_is_broadcast(spark):
     # k x dim mean aggregates).
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_retention_cohorts_single_fact_shuffle_no_join(spark):
+    import re
+
+    plan = plan_of(R.user_retention_cohorts(spark, SF))
+    assert "Join" not in plan
+    # fact -> per-user agg, cell rollup, output sort: exactly 3 exchanges.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+
+
+def test_funnel_single_fact_aggregate_no_join(spark):
+    plan = plan_of(R.events_funnel_conversion(spark, SF))
+    assert "Join" not in plan
+    # props and value never used: pruned from the events scan.
+    assert "props" not in plan and "value#" not in plan
