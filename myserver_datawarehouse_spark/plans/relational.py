@@ -1205,3 +1205,80 @@ FROM active a JOIN first f USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """
+
+
+# ------------------------------------------------------- robust outliers
+
+MAD_K = 4.4478  # 3 sigma-equivalents: 3 * 1.4826, one literal so both
+                # engines evaluate one multiply (no association drift)
+
+
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier gate per event_type — the spike
+    detector a price pipeline runs where mean/stddev (A3) would be
+    dragged by the very outliers it hunts.
+
+    Classic two-pass robust stats: pass 1 aggregates the per-group
+    median, pass 2 the median absolute deviation and the flag counts;
+    both group tables are broadcast back, so the fact never shuffles
+    for a join — total cost is two grouped aggregates over the scan.
+    Exactness: Spark `percentile` and DuckDB `quantile_cont` share the
+    interpolated definition, the deviation and the single-multiply
+    threshold (`{MAD_K} * mad`) are identical double expressions, and
+    the strict > compare is on bit-identical values.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    out = (F.col("adev") > MAD_K * F.col("mad")).cast("long")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(out).alias("n_outliers"),
+            F.round(
+                F.sum(out).cast("double") / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_OUTLIERS_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       ROUND(MAX(d.med), 6) AS med,
+       ROUND(MAX(m.mad), 6) AS mad,
+       SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+         AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+ORDER BY event_type
+"""

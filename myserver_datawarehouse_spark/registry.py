@@ -531,6 +531,12 @@ _SPECS: list[QuerySpec] = [
         R.USER_RETENTION_COHORTS_SQL,
         "retention: weekly cohort x offset activity matrix",
     ),
+    QuerySpec(
+        "value_outliers_mad",
+        R.value_outliers_mad,
+        R.VALUE_OUTLIERS_MAD_SQL,
+        "DQ: robust median/MAD outlier gate, two-pass broadcast-back",
+    ),
 ]
 
 
