@@ -1282,3 +1282,78 @@ FROM dev d JOIN mad m USING (event_type)
 GROUP BY 1
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------------- z-order layout
+
+ZORDER_BITS = 12
+ZORDER_BUCKET_SHIFT = 8
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering-key audit over (user_id, day): the
+    data-layout primitive behind multi-dimensional file pruning — rows
+    sorted by the interleaved-bit key land in files whose min/max ranges
+    are tight in BOTH dimensions, so a filter on either column prunes.
+
+    The z-value is pure integer bit arithmetic ({ZORDER_BITS} bits per
+    dimension, bit i of each key -> bits 2i/2i+1), bucketed by the top
+    bits; the rollup reports each bucket's row count and per-dimension
+    spans — the locality a range-partitioned write would give each file.
+    At 100 TB the same expression feeds
+    `df.repartitionByRange(z).sortWithinPartitions(z)` before the write;
+    the audit itself is one map-side expression + a |buckets|-key rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint")
+    b = F.dayofmonth("ts").cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(ZORDER_BITS):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+    return (
+        e.select(
+            F.shiftright(z, ZORDER_BUCKET_SHIFT).alias("z_bucket"),
+            a.alias("u"),
+            b.alias("d"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("min_user"),
+            F.max("u").alias("max_user"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+            (
+                (F.max("u") - F.min("u") + 1) * (F.max("d") - F.min("d") + 1)
+            ).alias("span_area"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((u >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((d >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH kv AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS BIGINT) AS d
+  FROM events
+),
+zb AS (SELECT u, d, ({z}) >> {ZORDER_BUCKET_SHIFT} AS z_bucket FROM kv)
+SELECT z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(u) AS min_user, MAX(u) AS max_user,
+       MIN(d) AS min_day, MAX(d) AS max_day,
+       (MAX(u) - MIN(u) + 1) * (MAX(d) - MIN(d) + 1) AS span_area
+FROM zb
+GROUP BY 1
+ORDER BY z_bucket
+"""
+
+
+LAYOUT_ZORDER_STATS_SQL = _zorder_sql()

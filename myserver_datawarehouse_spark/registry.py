@@ -537,6 +537,12 @@ _SPECS: list[QuerySpec] = [
         R.VALUE_OUTLIERS_MAD_SQL,
         "DQ: robust median/MAD outlier gate, two-pass broadcast-back",
     ),
+    QuerySpec(
+        "layout_zorder_stats",
+        R.layout_zorder_stats,
+        R.LAYOUT_ZORDER_STATS_SQL,
+        "layout: Morton/z-order clustering-key locality audit",
+    ),
 ]
 
 
