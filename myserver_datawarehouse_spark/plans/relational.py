@@ -1357,3 +1357,38 @@ ORDER BY z_bucket
 
 
 LAYOUT_ZORDER_STATS_SQL = _zorder_sql()
+
+
+# ---------------------------------------------------------- histogram
+
+HIST_WIDTH = 10  # equi-width bucket size over events.value
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value per event_type — the
+    profiling staple behind NDV/selectivity estimates and dashboard
+    distributions. Bucket = floor(value / width) in double arithmetic
+    (one division, identical in both engines), so the map side emits
+    small ints and the rollup shuffles |types| x |buckets| keys. The
+    100 TB note: this IS the histogram a cost-based optimizer collects;
+    computing it as a query keeps it refreshable incrementally
+    (per-partition partials union)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / HIST_WIDTH).cast("long")
+    return (
+        e.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""

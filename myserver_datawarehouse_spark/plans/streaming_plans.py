@@ -171,3 +171,58 @@ JOIN b ON c.user_id = b.user_id
       AND b.bts <= c.cts + INTERVAL 1 HOUR
 ORDER BY c.user_id, click_id, buy_id
 """
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregate drained via availableNow,
+    rolled up per user in batch on the sink (two stateful aggs can't
+    stack in one streaming query). A session merges events while each
+    arrives strictly within 30 minutes of the session's current end, so
+    the batch oracle's new-session rule is gap >= 30 min."""
+    stream = SJ.events_stream(spark, sf_dir)
+    sessions = SJ.run_available_now(
+        SJ.session_window_query(stream), spark, "streaming_session_windows_sink"
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_SESSION_WINDOWS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE value IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(n_events) AS n_events,
+       MAX(n_events) AS max_session_events
+FROM per_session
+GROUP BY 1
+ORDER BY user_id
+"""

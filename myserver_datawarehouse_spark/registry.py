@@ -543,6 +543,18 @@ _SPECS: list[QuerySpec] = [
         R.LAYOUT_ZORDER_STATS_SQL,
         "layout: Morton/z-order clustering-key locality audit",
     ),
+    QuerySpec(
+        "value_histogram",
+        R.value_histogram,
+        R.VALUE_HISTOGRAM_SQL,
+        "profiling: equi-width histogram per event_type",
+    ),
+    QuerySpec(
+        "streaming_session_windows",
+        ST.streaming_session_windows,
+        ST.STREAMING_SESSION_WINDOWS_SQL,
+        "§2.12 native session_window (dynamic-gap) streaming sessions",
+    ),
 ]
 
 

@@ -314,3 +314,22 @@ def click_attribution_query(stream: DataFrame):
     return j.select(
         "user_id", "click_id", "buy_id", mins.alias("minutes_to_buy")
     )
+
+
+def session_window_query(stream: DataFrame):
+    """Native dynamic-gap session windows (the 6th streaming shape):
+    events of one user merge into a session while each arrives within
+    SESSION_GAP of the session's current end; state per key is the open
+    session, evicted once the watermark passes its close. The batch twin
+    is the lag/running-sum sessionization (plans/relational.
+    user_sessionization) — same 30-minute gap rule."""
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
