@@ -1392,3 +1392,97 @@ WHERE value IS NOT NULL
 GROUP BY 1, 2
 ORDER BY event_type, bucket
 """
+
+
+# ------------------------------------------------------------- SCD type 2
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: treat each user's events as state
+    observations (state = event_type), collapse consecutive identical
+    states into one version, and emit validity intervals
+    [valid_from, valid_to) with valid_to = next version's start (the
+    2200-01-01 high-date sentinel (inside pandas datetime64[ns] range,
+    unlike 9999-12-31) for the open current version, the
+    standard SCD2 convention) — the dimension-history primitive the
+    reference's SCD-lite sources upsert stops short of.
+
+    One shuffle: the change flag (lag), version number (running sum),
+    per-version bounds (group) and the interval close (lead) all ride
+    the same (user_id | ts, event_id) sort order. Ordering ties are
+    broken on event_id, so versioning is total-ordered and
+    engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("version"),
+    )
+    versions = runs.groupBy("user_id", "version", "state").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_observations"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    high_date = F.lit("2200-01-01 00:00:00").cast("timestamp")
+    return (
+        versions.withColumn(
+            "valid_to", F.coalesce(F.lead("valid_from").over(wv), high_date)
+        )
+        .select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            "valid_to",
+            "n_observations",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_USER_HISTORY_SQL = """
+WITH e AS (
+  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(state) OVER w IS NULL
+                OR lag(state) OVER w <> state
+              THEN 1 ELSE 0 END AS changed
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, state, ts,
+         SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, version, state,
+         MIN(ts) AS valid_from,
+         COUNT(*) AS n_observations
+  FROM runs
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, version, state, valid_from,
+       COALESCE(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY version),
+                TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+       n_observations
+FROM versions
+ORDER BY user_id, version
+"""

@@ -555,6 +555,12 @@ _SPECS: list[QuerySpec] = [
         ST.STREAMING_SESSION_WINDOWS_SQL,
         "§2.12 native session_window (dynamic-gap) streaming sessions",
     ),
+    QuerySpec(
+        "scd2_user_history",
+        R.scd2_user_history,
+        R.SCD2_USER_HISTORY_SQL,
+        "SCD2: collapse state runs into validity intervals, one shuffle",
+    ),
 ]
 
 

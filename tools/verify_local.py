@@ -35,6 +35,15 @@ def _norm_cell(v):
         if math.isnan(v):
             return "<NaN>"
         return repr(v)  # full precision — exact match required
+    # pandas NaT / numpy nan objects (e.g. NULL timestamps through
+    # toPandas) — normalize like SQL NULL so both engines agree.
+    try:
+        import pandas as pd
+
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
