@@ -108,10 +108,10 @@ def dim_date_flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DIM_DATE_FLAG_STATS_SQL = f"""
 WITH dd AS ({DIM_DATE_FLAGS_SQL.replace("ORDER BY date_id", "")})
 SELECT COUNT(*) AS total_rows,
-       SUM(today) AS today_count,
-       SUM(yesterday) AS yesterday_count,
-       SUM(prev_7_days) AS prev_7_days_count,
-       SUM(prev_30_days) AS prev_30_days_count
+       CAST(SUM(today) AS BIGINT) AS today_count,
+       CAST(SUM(yesterday) AS BIGINT) AS yesterday_count,
+       CAST(SUM(prev_7_days) AS BIGINT) AS prev_7_days_count,
+       CAST(SUM(prev_30_days) AS BIGINT) AS prev_30_days_count
 FROM dd
 """
 
@@ -143,10 +143,10 @@ SELECT COUNT(*) AS n_rows,
          AS expected_days,
        MIN(date_id) AS min_date_id,
        MAX(date_id) AS max_date_id,
-       SUM(today) AS n_today,
-       SUM(yesterday) AS n_yesterday,
-       SUM(prev_7_days) AS sum_prev_7,
-       SUM(prev_360_days) AS sum_prev_360
+       CAST(SUM(today) AS BIGINT) AS n_today,
+       CAST(SUM(yesterday) AS BIGINT) AS n_yesterday,
+       CAST(SUM(prev_7_days) AS BIGINT) AS sum_prev_7,
+       CAST(SUM(prev_360_days) AS BIGINT) AS sum_prev_360
 FROM dd
 """
 

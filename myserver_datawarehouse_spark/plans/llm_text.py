@@ -575,7 +575,7 @@ TEXT_STATS_BY_LANG_SQL = f"""
 WITH toks AS ({_TOKS_SQL})
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(len(tks)) AS sum_tokens,
+       CAST(SUM(len(tks)) AS BIGINT) AS sum_tokens,
        ROUND(CAST(SUM(len(tks)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
        MAX(length(norm)) AS max_chars,
        MIN(length(norm)) AS min_chars
@@ -787,8 +787,8 @@ per_doc AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_ws) AS sum_ws_tokens,
-       SUM(n_bpe) AS sum_bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
          AS chars_per_bpe_token
 FROM per_doc
@@ -900,10 +900,10 @@ ranked AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_raw,
-       SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality,
-       SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS n_lang_ok,
-       SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS tokens_kept
+       CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM ranked
 GROUP BY 1, 2
 ORDER BY lang, source
@@ -1022,7 +1022,7 @@ WITH gated AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(in_sample) AS n_sampled,
+       CAST(SUM(in_sample) AS BIGINT) AS n_sampled,
        ROUND(CAST(SUM(in_sample) AS DOUBLE) / COUNT(*), 6) AS achieved_rate
 FROM gated
 GROUP BY 1, 2
@@ -1239,7 +1239,7 @@ per AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(flagged) AS n_flagged,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
        ROUND(CAST(SUM(top_token_n) AS DOUBLE) / SUM(n_tokens), 6)
          AS top_token_rate,
        ROUND(CAST(SUM(top_bigram_n) AS DOUBLE) / NULLIF(SUM(n_bigrams), 0), 6)
@@ -1402,7 +1402,7 @@ binned AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS sum_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
        COUNT(DISTINCT bin) AS n_bins,
        ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(DISTINCT bin), 6)
          AS avg_fill,
@@ -1452,7 +1452,7 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = ranked.join(F.broadcast(removed), "doc_id", "left")
     final_kept = F.col("kept") & F.col("_rm").isNull()
-    return (
+    out = (
         final.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
@@ -1464,6 +1464,14 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # Materialize the tiny per-lang rollup (eager localCheckpoint) so the
+    # persisted flag frame can be released HERE instead of leaking cached
+    # partitions into the rest of a shared session (the 97-query
+    # verify/bench runners reuse one SparkSession). Callers re-running
+    # actions on the result hit the checkpoint, not the funnel.
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return out
 
 
 def _pairs_cte_chain(toks_rel: str) -> str:
@@ -1541,11 +1549,11 @@ members AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
 removed AS (SELECT doc_id FROM members WHERE doc_id != cluster_id)
 SELECT r.lang,
        COUNT(*) AS n_raw,
-       SUM(CASE WHEN r.kept THEN 1 ELSE 0 END) AS n_curated,
-       SUM(CASE WHEN r.kept AND rm.doc_id IS NULL THEN 1 ELSE 0 END)
-         AS n_final,
-       SUM(CASE WHEN r.kept AND rm.doc_id IS NULL THEN r.n_tokens ELSE 0 END)
-         AS tokens_final
+       CAST(SUM(CASE WHEN r.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+       CAST(SUM(CASE WHEN r.kept AND rm.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_final,
+       CAST(SUM(CASE WHEN r.kept AND rm.doc_id IS NULL THEN r.n_tokens
+                     ELSE 0 END) AS BIGINT) AS tokens_final
 FROM ranked r
 LEFT JOIN removed rm ON rm.doc_id = r.doc_id
 GROUP BY 1
@@ -1637,7 +1645,7 @@ per_doc AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(low_prob) AS n_low_prob,
+       CAST(SUM(low_prob) AS BIGINT) AS n_low_prob,
        ROUND(CAST(SUM(sum_lnp) AS DOUBLE) / SUM(n_tokens), 6)
          AS mean_lnp_per_token
 FROM per_doc
@@ -1776,7 +1784,7 @@ bucketed AS (
 )
 SELECT {_SPLIT_CASE_SQL} AS split, lang,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS sum_tokens
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
 FROM bucketed
 GROUP BY 1, 2
 ORDER BY split, lang
@@ -1846,7 +1854,8 @@ WITH per_doc AS (
          CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
   FROM documents
 ),
-tot AS (SELECT lang, SUM(n_tok) AS lang_tokens FROM per_doc GROUP BY 1),
+tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens
+        FROM per_doc GROUP BY 1),
 tgt AS (SELECT MIN(lang_tokens) AS target_tokens FROM tot),
 rates AS (
   SELECT lang, lang_tokens,
@@ -1862,8 +1871,8 @@ gated AS (
 )
 SELECT lang, lang_tokens, keep_threshold,
        COUNT(*) AS n_docs,
-       SUM(kept) AS n_kept,
-       SUM(kept * n_tok) AS kept_tokens
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_tok) AS BIGINT) AS kept_tokens
 FROM gated
 GROUP BY 1, 2, 3
 ORDER BY lang
@@ -1940,7 +1949,7 @@ SELECT lang,
        MAX(n_lang) AS n_docs,
        COUNT(*) AS n_kept,
        MIN(score) AS cutoff_score,
-       SUM(n_tok) AS kept_tokens
+       CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
 FROM ranked
 WHERE rn <= (n_lang + {QUALITY_KEEP_QUARTER - 1}) // {QUALITY_KEEP_QUARTER}
 GROUP BY 1
@@ -2022,10 +2031,12 @@ flagged AS (
 )
 SELECT lang,
        COUNT(*) AS n_new,
-       SUM(CASE WHEN dup_corpus THEN 1 ELSE 0 END) AS n_dup_vs_corpus,
-       SUM(CASE WHEN dup_in_batch THEN 1 ELSE 0 END) AS n_dup_in_batch,
-       SUM(CASE WHEN NOT dup_corpus AND NOT dup_in_batch THEN 1 ELSE 0 END)
-         AS n_ingested
+       CAST(SUM(CASE WHEN dup_corpus THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_vs_corpus,
+       CAST(SUM(CASE WHEN dup_in_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_in_batch,
+       CAST(SUM(CASE WHEN NOT dup_corpus AND NOT dup_in_batch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ingested
 FROM flagged
 GROUP BY 1
 ORDER BY lang

@@ -90,7 +90,7 @@ WITH m AS (
 )
 SELECT media_type,
        COUNT(*) AS n_items,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MAX(n_bytes) AS max_bytes,
        COALESCE(MIN(CASE WHEN media_type IN ('image', 'video')
                           THEN CAST(n_bytes % 640 + 1 AS INT) END), -1)

@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 from myserver_datawarehouse_spark.sources.tables import load_table
 
+# Round doubles born from percentile/quantile_cont to this many dp before
+# any strict >/>= compare: Spark and DuckDB share the linear-interpolation
+# percentile definition but not a guaranteed bit-identical midpoint
+# formula, and a 1-ulp drift must never flip an integer decision. 9 dp is
+# far below any real value gap and far above double noise — the repo's
+# round-before-exact-compare policy (SURVEY.md §5).
+MAD_ROUND_DP = 9
+
 
 def dec_sum(col, scale: str = "decimal(18,2)"):
     """Exact, order-independent sum of a double column: cast each row to
@@ -522,10 +530,10 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessioned AS (
-  SELECT *, SUM(is_start) OVER (
+  SELECT *, CAST(SUM(is_start) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_id
+  ) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -799,7 +807,7 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIVOT_CASE_SQL = ",\n       ".join(
-    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
     for t in EVENT_TYPES
 )
 
@@ -918,7 +926,7 @@ SELECT event_type,
        COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_unparsed,
        MIN(k) AS min_k,
        MAX(k) AS max_k,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        COUNT(DISTINCT k) AS n_distinct_k
 FROM parsed
 GROUP BY 1
@@ -978,6 +986,97 @@ SELECT quartile,
        ROUND(CAST(MAX(spend) AS DOUBLE), 2) AS max_spend,
        ROUND(CAST(SUM(spend) AS DOUBLE), 2) AS total_spend
 FROM q
+GROUP BY 1
+ORDER BY quartile
+"""
+
+
+def user_spend_quartiles_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `user_spend_quartiles`: instead of an
+    unpartitioned NTILE that funnels every per-user spend row through ONE
+    task (the `WindowExec: No Partition Defined` bottleneck), compute the
+    three quartile cutoffs with a single exact-percentile aggregate,
+    broadcast the 1-row cutoff frame, and band-join — the same swap
+    `share_of_total_broadcast` makes for W2. Semantics shift from
+    position-quartiles (NTILE splits boundary ties by rank) to
+    value-quartiles (ties share a band), which is the form that actually
+    parallelizes: every stage is a map or a partial-agg, nothing
+    serializes on |users|. At 100 TB swap `percentile` for
+    `approx_percentile(spend, ...)` — same plan shape, sketch-mergeable
+    state. Cutoffs and spends are rounded to {MAD_ROUND_DP} dp before
+    the >= band compare (cross-engine percentile midpoints can drift
+    1 ulp; repo rounding policy)."""
+    e = load_table(spark, sf_dir, "events")
+    spend = (
+        e.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("spend"))
+        .withColumn(
+            "spend_d", F.round(F.col("spend").cast("double"), MAD_ROUND_DP)
+        )
+    )
+    cuts = spend.agg(
+        F.round(
+            F.expr("percentile(CAST(spend AS DOUBLE), 0.75)"), MAD_ROUND_DP
+        ).alias("c1"),
+        F.round(
+            F.expr("percentile(CAST(spend AS DOUBLE), 0.50)"), MAD_ROUND_DP
+        ).alias("c2"),
+        F.round(
+            F.expr("percentile(CAST(spend AS DOUBLE), 0.25)"), MAD_ROUND_DP
+        ).alias("c3"),
+    )
+    banded = spend.crossJoin(F.broadcast(cuts)).withColumn(
+        "quartile",
+        F.when(F.col("spend_d") >= F.col("c1"), 1)
+        .when(F.col("spend_d") >= F.col("c2"), 2)
+        .when(F.col("spend_d") >= F.col("c3"), 3)
+        .otherwise(4),
+    )
+    return (
+        banded.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("spend").cast("double"), 2).alias("min_spend"),
+            F.round(F.max("spend").cast("double"), 2).alias("max_spend"),
+            F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+USER_SPEND_QUARTILES_BROADCAST_SQL = f"""
+WITH spend AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS spend
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+sd AS (
+  SELECT user_id, spend,
+         ROUND(CAST(spend AS DOUBLE), {MAD_ROUND_DP}) AS spend_d
+  FROM spend
+),
+cuts AS (
+  SELECT ROUND(quantile_cont(CAST(spend AS DOUBLE), 0.75), {MAD_ROUND_DP})
+           AS c1,
+         ROUND(quantile_cont(CAST(spend AS DOUBLE), 0.50), {MAD_ROUND_DP})
+           AS c2,
+         ROUND(quantile_cont(CAST(spend AS DOUBLE), 0.25), {MAD_ROUND_DP})
+           AS c3
+  FROM spend
+)
+SELECT CASE WHEN s.spend_d >= c.c1 THEN 1
+            WHEN s.spend_d >= c.c2 THEN 2
+            WHEN s.spend_d >= c.c3 THEN 3
+            ELSE 4 END AS quartile,
+       COUNT(*) AS n_users,
+       ROUND(CAST(MIN(s.spend) AS DOUBLE), 2) AS min_spend,
+       ROUND(CAST(MAX(s.spend) AS DOUBLE), 2) AS max_spend,
+       ROUND(CAST(SUM(s.spend) AS DOUBLE), 2) AS total_spend
+FROM sd s CROSS JOIN cuts c
 GROUP BY 1
 ORDER BY quartile
 """
@@ -1048,8 +1147,8 @@ SELECT CASE WHEN w1.user_id IS NOT NULL AND w2.user_id IS NOT NULL
             WHEN w1.user_id IS NOT NULL THEN 'churned'
             ELSE 'new' END AS status,
        COUNT(*) AS n_users,
-       SUM(COALESCE(n_before, 0)) AS events_before,
-       SUM(COALESCE(n_after, 0)) AS events_after
+       CAST(SUM(COALESCE(n_before, 0)) AS BIGINT) AS events_before,
+       CAST(SUM(COALESCE(n_after, 0)) AS BIGINT) AS events_after
 FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
 GROUP BY 1
 ORDER BY status
@@ -1223,9 +1322,9 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     both group tables are broadcast back, so the fact never shuffles
     for a join — total cost is two grouped aggregates over the scan.
     Exactness: Spark `percentile` and DuckDB `quantile_cont` share the
-    interpolated definition, the deviation and the single-multiply
-    threshold (`{MAD_K} * mad`) are identical double expressions, and
-    the strict > compare is on bit-identical values.
+    linear-interpolation definition but not a guaranteed bit-identical
+    midpoint formula, so both sides round adev and the `{MAD_K} * mad`
+    threshold to {MAD_ROUND_DP} dp before the strict > compare.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
@@ -1240,7 +1339,10 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
     flagged = dev.join(F.broadcast(mad), "event_type")
-    out = (F.col("adev") > MAD_K * F.col("mad")).cast("long")
+    out = (
+        F.round(F.col("adev"), MAD_ROUND_DP)
+        > F.round(MAD_K * F.col("mad"), MAD_ROUND_DP)
+    ).cast("long")
     return (
         flagged.groupBy("event_type")
         .agg(
@@ -1274,9 +1376,13 @@ SELECT d.event_type,
        COUNT(*) AS n,
        ROUND(MAX(d.med), 6) AS med,
        ROUND(MAX(m.mad), 6) AS mad,
-       SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN ROUND(d.adev, {MAD_ROUND_DP})
+                          > ROUND({MAD_K} * m.mad, {MAD_ROUND_DP})
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS n_outliers,
-       ROUND(CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+       ROUND(CAST(SUM(CASE WHEN ROUND(d.adev, {MAD_ROUND_DP})
+                                > ROUND({MAD_K} * m.mad, {MAD_ROUND_DP})
+                           THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*), 6) AS outlier_rate
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY 1
@@ -1467,8 +1573,9 @@ flagged AS (
 ),
 runs AS (
   SELECT user_id, state, ts,
-         SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS version
+         CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS version
   FROM flagged
 ),
 versions AS (

@@ -195,10 +195,10 @@ TIMESTAMP_ROUNDTRIP_SQL = """
 WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
 SELECT event_type,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN CAST(strftime(ts, '%Y-%m-%d') || ' '
-                         || strftime(ts, '%H:%M:%S') AS TIMESTAMP)
-                     = date_trunc('second', ts)
-                THEN 1 ELSE 0 END) AS n_roundtrip_exact
+       CAST(SUM(CASE WHEN CAST(strftime(ts, '%Y-%m-%d') || ' '
+                              || strftime(ts, '%H:%M:%S') AS TIMESTAMP)
+                          = date_trunc('second', ts)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact
 FROM e
 GROUP BY 1
 ORDER BY event_type

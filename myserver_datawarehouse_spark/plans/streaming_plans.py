@@ -210,8 +210,9 @@ flagged AS (
 ),
 sessions AS (
   SELECT user_id,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged
 ),
 per_session AS (
@@ -220,7 +221,7 @@ per_session AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events
 FROM per_session
 GROUP BY 1

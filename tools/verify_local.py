@@ -54,14 +54,48 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+# DuckDB output types that silently become float64 through the pandas /
+# arrow fetch the external driver uses (SUM(INTEGER) -> HUGEINT -> 4985.0
+# vs Spark's 4985) — the root cause of the round-2 hash failures. Any
+# oracle emitting one of these is a bug regardless of what values show.
+ORACLE_BANNED_TYPES = ("HUGEINT", "UHUGEINT")
+
+_SPARK_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def compare(name: str, spark_df, con, sql: str) -> list[str]:
     problems: list[str] = []
     pdf = spark_df.toPandas()
+    # Lint: an integer column that arrives as float64 in pandas means
+    # NULLs forced a dtype promotion — the driver would hash "4985.0".
+    for f in spark_df.schema.fields:
+        if f.dataType.simpleString() in _SPARK_INT_TYPES and str(
+            pdf[f.name].dtype
+        ).startswith("float"):
+            problems.append(
+                f"LINT: spark column {f.name} is {f.dataType.simpleString()} "
+                f"but {pdf[f.name].dtype} after toPandas (NULLs present) — "
+                "hash would compare '4985.0' vs '4985'"
+            )
     s_cols = list(pdf.columns)
     s_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
-    o = con.execute(sql)
-    o_cols = [d[0] for d in o.description]
-    o_rows = o.fetchall()
+    rel = con.sql(sql)
+    o_cols = list(rel.columns)
+    for cname, ctype in zip(o_cols, rel.types):
+        t = str(ctype).upper()
+        if any(b in t for b in ORACLE_BANNED_TYPES):
+            problems.append(
+                f"LINT: oracle column {cname} has DuckDB type {t} — becomes "
+                "float64 through the driver's pandas fetch; CAST(... AS "
+                "BIGINT) it in the oracle SQL"
+            )
+    if problems:
+        return problems
+    # Fetch the oracle the way the driver does: through pandas/arrow
+    # (.df()), NOT .fetchall() — .fetchall() yields native Python ints
+    # that hide the HUGEINT->float64 drift the driver sees.
+    odf = rel.df()
+    o_rows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
 
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
