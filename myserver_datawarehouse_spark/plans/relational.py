@@ -1593,3 +1593,349 @@ SELECT user_id, version, state, valid_from,
 FROM versions
 ORDER BY user_id, version
 """
+
+
+# ------------------------------------------------ shipping priority (Q3)
+
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUTOFF = "1998-01-01"
+SHIP_TOPK = 10
+
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue shipping priority — the
+    classic 3-way selective star join (customer segment filter ->
+    orders date filter -> lineitem date filter) topped by a bounded
+    sort. The reference's report layer never needed Q3 itself, but this
+    is THE canonical warehouse probe for join-order + filter pushdown.
+
+    Scale notes: both date predicates and the segment equality reach
+    the parquet scans (PushedFilters); customer is broadcast
+    (~150k rows/SF even at TPC-H SF100 it's the small side after the
+    segment cut); orders⋈lineitem shuffles on orderkey once. The final
+    TopK is `ORDER BY .. LIMIT k` — Spark runs TakeOrderedAndProject
+    (per-partition heap + driver merge of k·P rows), never a global
+    sort. Revenue uses the repo's exact-decimal discipline
+    (star_join_revenue)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == SHIP_SEGMENT
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(SHIP_TOPK)
+    )
+
+
+SHIPPING_PRIORITY_TOPK_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SHIP_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {SHIP_TOPK}
+"""
+
+
+# ------------------------------------------------------- CUBE rollup
+
+def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, date_id): every marginal —
+    per type+day, per type, per day, grand total — in ONE pass
+    (events_multires_rollup covers ROLLUP's hierarchy; CUBE is the
+    §2.7 completion for cross-dimensional marginals).
+
+    One shuffle keyed by the grouping-set id + keys; partial aggregation
+    applies per set map-side. At 100 TB a full CUBE over high-cardinality
+    keys explodes |sets|×|groups| — the guard is exactly this shape:
+    cube only low-cardinality dims (type × day), leave user-grain out.
+
+    Margin rows replace the NULL grouping keys with sentinels ('ALL' /
+    -1) via grouping(): a NULL in an int key float-promotes the column
+    through pandas ('20240101.0' vs '20240101' in the exact hash
+    compare — the dtype lint in tools/verify_local.py catches this)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.withColumn(
+        "date_id", F.date_format("ts", "yyyyMMdd").cast("int")
+    ).withColumn("val", F.col("value").cast("decimal(18,6)"))
+    cube = d.cube("event_type", "date_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("val").cast("double"), 4).alias("sum_value"),
+        F.grouping("event_type").alias("g_type"),
+        F.grouping("date_id").alias("g_date"),
+    )
+    return (
+        cube.select(
+            F.when(F.col("g_type") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("g_date") == 1, F.lit(-1))
+            .otherwise(F.col("date_id"))
+            .alias("date_id"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "date_id")
+    )
+
+
+EVENTS_CUBE_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT) AS date_id,
+         value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+            ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(date_id) = 1 THEN -1
+            ELSE date_id END AS date_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM base
+GROUP BY CUBE (event_type, date_id)
+ORDER BY event_type, date_id
+"""
+
+
+# --------------------------------------------------- day-over-day delta
+
+def day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-based day-over-day delta of the daily mean value per type —
+    the trend panel every metrics warehouse serves. The daily mean is
+    the repo's exact decimal-sum/count (6 dp); the lag window is
+    PARTITIONED by event_type (never global), so at 100 TB each type's
+    day series sorts independently — |days| rows per partition, trivial.
+
+    pct_change rounds at 4 dp after a NULLIF guard (first day and
+    zero-mean days yield NULL, not a division error)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = (
+        e.withColumn("date_id", F.date_format("ts", "yyyyMMdd").cast("int"))
+        .groupBy("event_type", "date_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("avg_value")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("date_id")
+    prev = F.lag("avg_value").over(w)
+    return (
+        daily.withColumn("prev_avg", prev)
+        .withColumn("delta", F.round(F.col("avg_value") - prev, 6))
+        .withColumn(
+            "pct_change",
+            F.round(
+                (F.col("avg_value") - prev)
+                * 100.0
+                / F.nullif(prev, F.lit(0.0)),
+                4,
+            ),
+        )
+        .orderBy("event_type", "date_id")
+    )
+
+
+DAY_OVER_DAY_CHANGE_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT) AS date_id,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(value), 6) AS avg_value
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, date_id, avg_value,
+       lag(avg_value) OVER w AS prev_avg,
+       ROUND(avg_value - lag(avg_value) OVER w, 6) AS delta,
+       ROUND((avg_value - lag(avg_value) OVER w) * 100.0
+             / NULLIF(lag(avg_value) OVER w, 0.0), 4) AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY date_id)
+ORDER BY event_type, date_id
+"""
+
+
+# ------------------------------------------------- dense-rank top-k ties
+
+TOPK_DENSE_K = 3
+
+
+def grouped_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_DENSE_K} suppliers per nation by account balance with
+    DENSE_RANK — the ties-kept variant of W1/W3's row_number top-1
+    (rank families differ exactly when ties exist; dense_rank keeps
+    every tied row and doesn't skip ranks).
+
+    Partitioned window (nation) → parallel by construction; the ranked
+    frame is |suppliers|, filtered to ≤k·|ties| rows before the final
+    order."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= TOPK_DENSE_K)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+            "rk",
+        )
+        .orderBy("n_name", "rk", "s_suppkey")
+    )
+
+
+GROUPED_TOPK_DENSE_SQL = f"""
+WITH ranked AS (
+  SELECT n_name, s_suppkey, s_name,
+         ROUND(s_acctbal, 2) AS acctbal,
+         DENSE_RANK() OVER (PARTITION BY n_name
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_suppkey, s_name, acctbal, rk
+FROM ranked WHERE rk <= {TOPK_DENSE_K}
+ORDER BY n_name, rk, s_suppkey
+"""
+
+
+# --------------------------------------------- referential integrity DQ
+
+def referential_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ referential-integrity sweep: orphan counts for every FK edge of
+    the star schema in one output frame (P18's bounds-check discipline
+    applied to keys; the reference's validation blocks check values,
+    this checks the join graph itself).
+
+    Each edge is a LEFT ANTI join (child minus parents) reduced to a
+    count. All parents are dim-sized → broadcast anti-joins; the fact
+    scans stream map-side, no shuffle. The edges union to a tiny
+    constant-height frame — the shape of a DQ dashboard feed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    e = load_table(spark, sf_dir, "events")
+
+    def edge(name, child, key, parent, pkey):
+        orphans = child.join(
+            F.broadcast(parent.select(pkey)),
+            child[key] == parent[pkey],
+            "left_anti",
+        )
+        return child.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).alias("n_children"),
+        ).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+
+    frames = [
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", l, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", l, "l_suppkey", s, "s_suppkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+        edge("events->customer", e, "user_id", c, "c_custkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("edge", "n_children", "n_orphans").orderBy("edge")
+
+
+REFERENTIAL_ORPHAN_AUDIT_SQL = """
+SELECT 'orders->customer' AS edge, COUNT(*) AS n_children,
+       COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->orders', COUNT(*),
+       COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem->part', COUNT(*),
+       COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*),
+       COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'customer->nation', COUNT(*),
+       COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier->nation', COUNT(*),
+       COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'events->customer', COUNT(*),
+       COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY edge
+"""
+
+
+# ------------------------------------------- approx-distinct audit (HLL)
+
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier cardinality audit: HyperLogLog++ approx distinct vs
+    the exact count per event_type, with the observed relative error.
+    This is the 100 TB swap for every exact COUNT(DISTINCT) in the repo
+    (mergeable constant-size state, no distinct shuffle) — surfaced as
+    its own query so the sketch path is exercised and its error bound
+    observable.
+
+    No DuckDB oracle: HLL register layouts are engine-specific, so the
+    approx column can never hash-match — this is a rows-only entry by
+    design (exact-distinct parity is covered by salted_user_counts and
+    events_json_props)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+        .orderBy("event_type")
+    )

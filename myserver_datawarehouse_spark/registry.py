@@ -567,6 +567,42 @@ _SPECS: list[QuerySpec] = [
         R.SCD2_USER_HISTORY_SQL,
         "SCD2: collapse state runs into validity intervals, one shuffle",
     ),
+    QuerySpec(
+        "shipping_priority_topk",
+        R.shipping_priority_topk,
+        R.SHIPPING_PRIORITY_TOPK_SQL,
+        "TPC-H Q3 shape: selective star join + bounded TopK",
+    ),
+    QuerySpec(
+        "events_cube_rollup",
+        R.events_cube_rollup,
+        R.EVENTS_CUBE_ROLLUP_SQL,
+        "CUBE grouping sets: all cross-dimensional marginals in one pass",
+    ),
+    QuerySpec(
+        "day_over_day_change",
+        R.day_over_day_change,
+        R.DAY_OVER_DAY_CHANGE_SQL,
+        "LAG trend panel: day-over-day delta + pct change per type",
+    ),
+    QuerySpec(
+        "grouped_topk_dense",
+        R.grouped_topk_dense,
+        R.GROUPED_TOPK_DENSE_SQL,
+        "DENSE_RANK ties-kept top-k per group (W1/W3 completion)",
+    ),
+    QuerySpec(
+        "referential_orphan_audit",
+        R.referential_orphan_audit,
+        R.REFERENTIAL_ORPHAN_AUDIT_SQL,
+        "DQ: FK orphan sweep over every star-schema edge, broadcast anti",
+    ),
+    QuerySpec(
+        "approx_distinct_audit",
+        R.approx_distinct_audit,
+        None,  # HLL sketches are engine-specific; rows-only by design
+        "sketch tier: HLL++ approx distinct vs exact, observed rel error",
+    ),
 ]
 
 
