@@ -227,3 +227,30 @@ FROM per_session
 GROUP BY 1
 ORDER BY user_id
 """
+
+
+def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous-ingest upsert drained over the bounded
+    source: the final merged table must equal the batch latest-per-key
+    dedup exactly (same oracle as `latest_event_per_user_type`), proving
+    the streaming merge is batch-equivalent under arbitrary batch splits."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    target = SJ.upsert_merge_stream(spark, sf_dir, work)
+    return (
+        spark.read.parquet(target)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+STREAMING_UPSERT_MERGE_SQL = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+"""

@@ -603,6 +603,12 @@ _SPECS: list[QuerySpec] = [
         None,  # HLL sketches are engine-specific; rows-only by design
         "sketch tier: HLL++ approx distinct vs exact, observed rel error",
     ),
+    QuerySpec(
+        "streaming_upsert_merge",
+        ST.streaming_upsert_merge,
+        ST.STREAMING_UPSERT_MERGE_SQL,
+        "§2.12 foreachBatch continuous-ingest upsert == batch merge",
+    ),
 ]
 
 

@@ -333,3 +333,83 @@ def session_window_query(stream: DataFrame):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
     )
+
+
+# ----------------------------------------------------- foreachBatch merge
+
+UPSERT_KEYS = ("user_id", "event_type")
+UPSERT_INPUT_FILES = 8
+UPSERT_FILES_PER_TRIGGER = 2
+
+
+def upsert_merge_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_input_files: int = UPSERT_INPUT_FILES,
+    files_per_trigger: int = UPSERT_FILES_PER_TRIGGER,
+) -> str:
+    """Continuous-ingest upsert (the 7th §2.12 shape): the reference's
+    hourly ON-CONFLICT ETL (fact_gold_price.py:64-66,169-196) as a
+    stream — file source drained `files_per_trigger` files per
+    micro-batch, each batch bulk-merged into a parquet target with
+    foreachBatch. Returns the target path.
+
+    Precedence is EVENT-TIME (max ts, event_id per key), not arrival
+    order: each merge window-dedups (batch ∪ existing) on the natural
+    key ordered by (ts, event_id) desc — an associative, commutative
+    latest-wins fold, so the final table is byte-identical no matter how
+    the input was split into batches or which batch a row arrived in
+    (asserted in tests/test_streaming.py). That is what makes replays and
+    out-of-order arrival safe — the reference gets the same property from
+    its idempotent per-row upsert, at N round trips per batch.
+
+    Scale: foreachBatch is THE streaming-into-warehouse pattern — each
+    micro-batch runs one bulk merge (one key shuffle over batch +
+    touched partitions, see operators/merge.py); on Delta this body
+    becomes `MERGE INTO` unchanged."""
+    import os
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        dedup_latest,
+        overwrite,
+    )
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    target = os.path.join(work_dir, "target")
+    # Arrival simulation: split the (ts-normalized) events table into N
+    # parquet files; the file source lists them incrementally.
+    load_table(spark, sf_dir, "events").repartition(n_input_files).write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        s = batch.sparkSession
+        candidates = batch
+        if os.path.isdir(target) and any(
+            not f.startswith((".", "_")) for f in os.listdir(target)
+        ):
+            candidates = batch.unionByName(s.read.parquet(target))
+        merged = dedup_latest(
+            candidates, list(UPSERT_KEYS), order_by=["ts", "event_id"]
+        ).localCheckpoint(eager=True)
+        overwrite(merged, target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return target

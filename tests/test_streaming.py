@@ -117,3 +117,41 @@ def test_gap_state_carries_across_batches(spark, tmp_path):
     assert final.n_events == 4
     assert final.n_gap_runs == 1  # minutes 1 -> 5, detected across batches
     assert final.last_minute_ts == dt.datetime(2024, 1, 1, 0, 6, 0)
+
+
+def test_streaming_upsert_merge_batch_split_invariant(spark, tmp_path):
+    """The foreachBatch merged table equals the batch latest-per-key dedup
+    EXACTLY, for two different arrival batchings — event-time precedence
+    makes the fold associative, so the split must not matter."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = sorted(
+        map(
+            tuple,
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts", "value")
+            .collect(),
+        )
+    )
+    for n_files, per_trigger in ((1, 1), (5, 2)):
+        target = SJ.upsert_merge_stream(
+            spark,
+            SF_DIR,
+            str(tmp_path / f"split_{n_files}_{per_trigger}"),
+            n_input_files=n_files,
+            files_per_trigger=per_trigger,
+        )
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(target)
+                .select("user_id", "event_type", "event_id", "ts", "value")
+                .collect(),
+            )
+        )
+        assert got == want, (n_files, per_trigger)
