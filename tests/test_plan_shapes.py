@@ -139,3 +139,44 @@ def test_funnel_single_fact_aggregate_no_join(spark):
     assert "Join" not in plan
     # props and value never used: pruned from the events scan.
     assert "props" not in plan and "value#" not in plan
+
+
+def test_shipping_priority_bounded_topk(spark):
+    plan = plan_of(R.shipping_priority_topk(spark, SF))
+    # Bounded top-k: per-partition heap + driver merge, never a global
+    # sort of the aggregated frame.
+    assert "TakeOrderedAndProject" in plan
+    # All three filters reach their scans.
+    pushed = [
+        seg.split("\n", 1)[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined
+    assert "o_orderdate" in joined
+    assert "c_mktsegment" in joined
+    # Dims broadcast; the only shuffles are the orderkey agg.
+    assert "SortMergeJoin" not in plan
+
+
+def test_cube_rollup_is_single_expand_pass(spark):
+    plan = plan_of(R.events_cube_rollup(spark, SF))
+    # CUBE compiles to ONE Expand + aggregate, not per-grouping-set scans.
+    assert "Expand" in plan
+    assert "(1) Scan parquet" in plan and "(2) Scan parquet" not in plan
+    assert "partial_" in plan
+
+
+def test_orphan_audit_all_broadcast_anti(spark):
+    plan = plan_of(R.referential_orphan_audit(spark, SF))
+    # Every FK edge checks via broadcast — the facts never shuffle.
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_spend_quartiles_broadcast_has_no_global_window(spark):
+    plan = plan_of(R.user_spend_quartiles_broadcast(spark, SF))
+    # The whole point of the variant: no unpartitioned Window over the
+    # per-user frame; the cutoffs broadcast back.
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
