@@ -2041,3 +2041,92 @@ FROM flagged
 GROUP BY 1
 ORDER BY lang
 """
+
+
+# ------------------------------------------------ source vocab overlap
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice set similarity: pairwise vocabulary Jaccard between
+    sources — the dataset-vs-dataset overlap probe you run before mixing
+    corpora (doc-grain Jaccard is `ngram_jaccard_pairs`; this is the
+    same question at dataset grain).
+
+    Scale shape: distinct (source, token) is one hash shuffle; then
+    instead of a token self-join (quadratic in the per-token source
+    list AND skew-bound on stopwords), aggregate each token's sorted
+    source-set once and emit its pairs ARRAY-LOCALLY (`transform` x
+    `slice` — C(s,2) structs per token, s = sources containing the
+    token, bounded by |sources|). The pair rollup is a second small-key
+    shuffle. At 100 TB with many sources, cap s per token (drop
+    universal stopwords — they contribute to every pair equally) and
+    the pair stream stays linear in |vocab|."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select("source", F.explode(TX.tokenize("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    pairs = (
+        vocab.groupBy("tok")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+    )
+    inter = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .select(
+            "source_a", "source_b", "vocab_a", "vocab_b", "n_shared", "jaccard"
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+v AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(tks) AS t FROM toks)
+  WHERE t <> ''
+),
+sizes AS (SELECT source, COUNT(*) AS vocab FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE)
+             / (sa.vocab + sb.vocab - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""

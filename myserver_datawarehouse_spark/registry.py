@@ -609,6 +609,13 @@ _SPECS: list[QuerySpec] = [
         ST.STREAMING_UPSERT_MERGE_SQL,
         "§2.12 foreachBatch continuous-ingest upsert == batch merge",
     ),
+    QuerySpec(
+        "source_vocab_overlap",
+        LT.source_vocab_overlap,
+        LT.SOURCE_VOCAB_OVERLAP_SQL,
+        "corpus analytics: pairwise source vocabulary Jaccard, pair-gen "
+        "array-local (no token self-join)",
+    ),
 ]
 
 
