@@ -155,3 +155,18 @@ def test_streaming_upsert_merge_batch_split_invariant(spark, tmp_path):
             )
         )
         assert got == want, (n_files, per_trigger)
+
+
+def test_streaming_upsert_restart_is_noop(spark, tmp_path):
+    """Replay safety: re-running the drained stream against the same
+    checkpoint + target leaves the merged table byte-identical. Whether
+    the restart replays batches (the input rewrite may list as new
+    files) or commits nothing, the event-time-precedence merge is
+    idempotent — the same property the reference gets from its per-row
+    ON CONFLICT upsert."""
+    work = str(tmp_path / "restart")
+    target = SJ.upsert_merge_stream(spark, SF_DIR, work)
+    first = sorted(map(tuple, spark.read.parquet(target).collect()))
+    SJ.upsert_merge_stream(spark, SF_DIR, work)
+    second = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert second == first
