@@ -3,6 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The external driver records only the last 2000 chars of stdout, so a
+full 106-query map (~4 KB) can never parse from its capture (BENCH_r02/
+r03 both show parsed:null with the line's head truncated). The printed
+line is therefore kept compact — total wall, per-family rollup, and the
+slowest individual queries — and asserted < 1900 chars; the COMPLETE
+per-query map goes to bench_full.json next to this script.
+
 Each query is materialized through Spark's `noop` sink — full execution of
 the plan (scan → shuffle → agg) with no driver-side collect bottleneck, so
 the timing reflects what a cluster would do, not a toPandas() transfer.
@@ -31,7 +38,9 @@ def _sf_of(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the session once (executor spin-up, first-job scheduling, noop
@@ -61,24 +70,52 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    families: dict[str, float] = {}
     for spec in registry.specs():
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        timings[spec.name] = dt
+        fam = spec.spark.__module__.rsplit(".", 1)[-1]
+        families[fam] = round(families.get(fam, 0.0) + dt, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf = _sf_of(sf_dir)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(
             {
                 "metric": "registry_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
+                "families": families,
+                "sf": sf,
+            },
+            fh,
         )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
+    line = json.dumps(
+        {
+            "metric": "registry_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,  # 20 slowest; full map in per_query_file
+            "families": families,
+            "n_queries": len(timings),
+            "per_query_file": "bench_full.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"bench line {len(line)} chars, driver tail is 2000"
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -1793,12 +1793,13 @@ def grouped_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Partitioned window (nation) → parallel by construction; the ranked
     frame is |suppliers|, filtered to ≤k·|ties| rows before the final
-    order."""
+    order. The window orders by s_acctbal ONLY — a unique-key tiebreak
+    would make ties impossible and collapse DENSE_RANK into ROW_NUMBER;
+    tied rows all keep the same rank and are all emitted. Output order
+    stays deterministic via the final ORDER BY (n_name, rk, s_suppkey)."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_name").orderBy(
-        F.desc("s_acctbal"), F.asc("s_suppkey")
-    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"))
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn("rk", F.dense_rank().over(w))
@@ -1819,7 +1820,7 @@ WITH ranked AS (
   SELECT n_name, s_suppkey, s_name,
          ROUND(s_acctbal, 2) AS acctbal,
          DENSE_RANK() OVER (PARTITION BY n_name
-                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+                            ORDER BY s_acctbal DESC) AS rk
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
 )
 SELECT n_name, s_suppkey, s_name, acctbal, rk

@@ -233,10 +233,28 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous-ingest upsert drained over the bounded
     source: the final merged table must equal the batch latest-per-key
     dedup exactly (same oracle as `latest_event_per_user_type`), proving
-    the streaming merge is batch-equivalent under arbitrary batch splits."""
+    the streaming merge is batch-equivalent under arbitrary batch splits.
+
+    NOTE (bench interpretation): unlike the other registry plans, this
+    runs the whole streaming job EAGERLY at plan-construction time — the
+    returned DataFrame only re-reads the merged parquet target. Its bench
+    time is therefore end-to-end streaming wall, not lazy-plan cost.
+
+    The work dir is a FIXED per-sf path (not a fresh mkdtemp): repeated
+    verify/bench runs reuse/overwrite one table copy instead of leaking
+    one per run. Checkpoint and target are cleared up front so a stale
+    previous run can never feed rows into this one."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
-    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "msdw_stream_upsert_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "target"), ignore_errors=True)
     target = SJ.upsert_merge_stream(spark, sf_dir, work)
     return (
         spark.read.parquet(target)

@@ -151,16 +151,16 @@ _SPECS: list[QuerySpec] = [
         "continuous aggregate: minute/hour/day/total in one ROLLUP pass",
     ),
     QuerySpec(
-        "gapfill_missing_minutes",
-        T.gapfill_missing_minutes,
-        T.GAPFILL_MISSING_MINUTES_SQL,
-        "T1/J6",
+        "gapfill_missing_minutes_windowed",
+        T.gapfill_missing_minutes_windowed,
+        T.GAPFILL_MISSING_MINUTES_WINDOWED_SQL,
+        "T1/J6 (6-day window; full-range default is the library API)",
     ),
     QuerySpec(
-        "interpolate_minutes_bracketing",
-        T.interpolate_minutes_bracketing,
-        T.INTERPOLATE_MINUTES_BRACKETING_SQL,
-        "T2/T3 (bracketing mode)",
+        "interpolate_minutes_bracketing_windowed",
+        T.interpolate_minutes_bracketing_windowed,
+        T.INTERPOLATE_MINUTES_BRACKETING_WINDOWED_SQL,
+        "T2/T3 (bracketing mode, 6-day window)",
     ),
     QuerySpec(
         "user_spend_quartiles",
@@ -181,16 +181,16 @@ _SPECS: list[QuerySpec] = [
         "ROWS-frame trailing moving average on the minute series",
     ),
     QuerySpec(
-        "gapfill_locf",
-        T.gapfill_locf,
-        T.GAPFILL_LOCF_SQL,
-        "T2 carry-forward mode (LOCF) on the bounded minute grid",
+        "gapfill_locf_windowed",
+        T.gapfill_locf_windowed,
+        T.GAPFILL_LOCF_WINDOWED_SQL,
+        "T2 carry-forward mode (LOCF), 6-day window",
     ),
     QuerySpec(
-        "interpolate_minutes_nearest2",
-        T.interpolate_minutes_nearest2,
-        T.INTERPOLATE_MINUTES_NEAREST2_SQL,
-        "T2/T3/T4 (nearest-2 parity mode, applyInPandas)",
+        "interpolate_minutes_nearest2_windowed",
+        T.interpolate_minutes_nearest2_windowed,
+        T.INTERPOLATE_MINUTES_NEAREST2_WINDOWED_SQL,
+        "T2/T3/T4 (nearest-2 parity mode, applyInPandas, 6-day window)",
     ),
     QuerySpec(
         "interpolate_cross_midnight",
@@ -218,15 +218,16 @@ _SPECS: list[QuerySpec] = [
     ),
     QuerySpec(
         "near_dup_embedding_cosine",
-        EM.near_dup_embedding_cosine,
-        EM.NEAR_DUP_EMBEDDING_COSINE_SQL,
-        "dedup: embedding-cosine near-dup (sign-bucket pruned)",
-    ),
-    QuerySpec(
-        "near_dup_embedding_cosine_gemm",
         EM.near_dup_embedding_cosine_gemm,
         EM.NEAR_DUP_EMBEDDING_COSINE_GEMM_SQL,
-        "dedup: embedding-cosine near-dup, BLAS tier",
+        "dedup: embedding-cosine near-dup (sign-bucket pruned, BLAS "
+        "default tier — the one you'd run at scale)",
+    ),
+    QuerySpec(
+        "near_dup_embedding_cosine_baseline",
+        EM.near_dup_embedding_cosine,
+        EM.NEAR_DUP_EMBEDDING_COSINE_SQL,
+        "dedup: embedding-cosine near-dup, interpreted-fold baseline twin",
     ),
     QuerySpec(
         "embedding_ann_ivf",
@@ -395,27 +396,28 @@ _SPECS: list[QuerySpec] = [
     ),
     QuerySpec(
         "embedding_topk_bruteforce",
-        EM.embedding_topk_bruteforce,
-        EM.EMBEDDING_TOPK_BRUTEFORCE_SQL,
-        "LLM ANN brute-force baseline",
-    ),
-    QuerySpec(
-        "embedding_topk_gemm",
         EM.embedding_topk_gemm,
         EM.EMBEDDING_TOPK_GEMM_SQL,
-        "LLM ANN brute-force, BLAS tier (mapInPandas gemm)",
+        "LLM ANN brute-force exact top-k (BLAS default tier, "
+        "mapInPandas gemm)",
+    ),
+    QuerySpec(
+        "embedding_topk_bruteforce_baseline",
+        EM.embedding_topk_bruteforce,
+        EM.EMBEDDING_TOPK_BRUTEFORCE_SQL,
+        "LLM ANN brute-force, interpreted-fold baseline twin",
     ),
     QuerySpec(
         "embedding_ann_bucketed",
-        EM.embedding_ann_bucketed,
-        EM.EMBEDDING_ANN_BUCKETED_SQL,
-        "LLM ANN sign-bucketed",
-    ),
-    QuerySpec(
-        "embedding_ann_bucketed_gemm",
         EM.embedding_ann_bucketed_gemm,
         EM.EMBEDDING_ANN_BUCKETED_GEMM_SQL,
-        "LLM ANN sign-bucketed, BLAS tier (per-bucket gemm)",
+        "LLM ANN sign-bucketed (BLAS default tier, per-bucket gemm)",
+    ),
+    QuerySpec(
+        "embedding_ann_bucketed_baseline",
+        EM.embedding_ann_bucketed,
+        EM.EMBEDDING_ANN_BUCKETED_SQL,
+        "LLM ANN sign-bucketed, interpreted-fold baseline twin",
     ),
     QuerySpec(
         "lang_centroid_similarity",
@@ -620,103 +622,119 @@ _SPECS: list[QuerySpec] = [
 
 
 # ---------------------------------------------------------------------
-# Driver adjudication order. The external CORRECTNESS gate checks the
-# registry head-first under a fixed budget (round 2 recorded verdicts for
-# exactly the first 50 specs), so ordering IS evidence strategy:
-#   1. the 9 round-2 hash-fails (oracle HUGEINT, fixed r3) — confirm;
-#   2. latent-HUGEINT oracles fixed this round — confirm before they bite;
-#   3. never-adjudicated queries (flagship, dedup family, streaming …);
-#   4. the 41 already-green round-2 queries, rotated to the back (their
-#      r2 verdicts stand; re-checking them buys nothing).
-# Within each tier, preserve the maintained _SPECS order above.
+# Adjudication order: least-recently-adjudicated first. The external
+# CORRECTNESS gate checks the registry head-first under a fixed budget
+# (~50 queries/round), so the ordering rule is simply staleness:
+#   0. never adjudicated in its CURRENT form — a rename, semantics change,
+#      or new query always returns here so changed outputs are re-checked
+#      (the four *_windowed minute-grid forms are here: their unbounded
+#      predecessors' r2 verdicts do not transfer to the renamed forms);
+#   1. last adjudicated in round 2 (stalest standing verdicts);
+#   2. last adjudicated in round 3 (freshest).
+# Within each tier, preserve the maintained _SPECS order above. Over
+# successive rounds every query converges to a recent driver verdict.
 
-_TIER_FIXED_R2 = (  # hash-fail in CORRECTNESS_r02, oracle fixed this round
-    "user_sessionization",
-    "user_snapshot_diff",
-    "events_json_props",
-    "events_daily_pivot",
-    "stratified_sample",
-    "train_val_test_split",
-    "context_pack_bins",
-    "token_counts",
-    "dim_date_flag_stats",
+_ADJUDICATED_R3 = frozenset(  # keys of CORRECTNESS_r03.json (all green)
+    {
+        "user_sessionization",
+        "user_snapshot_diff",
+        "events_json_props",
+        "events_daily_pivot",
+        "stratified_sample",
+        "train_val_test_split",
+        "context_pack_bins",
+        "token_counts",
+        "dim_date_flag_stats",
+        "text_repetition_stats",
+        "unigram_xent_quality",
+        "text_stats_by_lang",
+        "corpus_curation_pipeline",
+        "corpus_build_pipeline",
+        "multimodal_type_rollup",
+        "ranking_report",
+        "timestamp_roundtrip",
+        "dim_date_integrity",
+        "sources_summary",
+        "data_mixture_rebalance",
+        "quality_percentile_filter",
+        "dedup_incremental_new_docs",
+        "value_outliers_mad",
+        "streaming_session_windows",
+        "scd2_user_history",
+        "user_spend_quartiles_broadcast",
+        "flagship_hourly_pipeline",
+        "pipeline_validation",
+        "dedup_exact",
+        "near_dup_minhash_lsh",
+        "dedup_clusters",
+        "tfidf_top_terms",
+        "near_dup_simhash",
+        "ngram_jaccard_pairs",
+        "text_quality_scores",
+        "lang_id_confusion",
+        "benchmark_contamination",
+        "doc_fingerprint_winnow",
+        "lang_centroid_similarity",
+        "embedding_norm_stats_by_label",
+        "multimodal_features",
+        "streaming_minute_agg",
+        "streaming_dedup_counts",
+        "streaming_click_attribution",
+        "streaming_band_rollup",
+        "freshness_probe",
+    }
 )
 
-_TIER_LATENT_FIX = (  # bare-integer-SUM oracles fixed before first check
-    "value_outliers_mad",
-    "scd2_user_history",
-    "streaming_session_windows",
-    "data_mixture_rebalance",
-    "quality_percentile_filter",
-    "dedup_incremental_new_docs",
-    "text_repetition_stats",
-    "unigram_xent_quality",
-    "text_stats_by_lang",
-    "corpus_curation_pipeline",
-    "corpus_build_pipeline",
-    "multimodal_type_rollup",
-    "ranking_report",
-    "timestamp_roundtrip",
-    "dim_date_integrity",
-    "sources_summary",
-)
-
-_TIER_GREEN_R2 = (  # hash_match=True in CORRECTNESS_r02 — rotate to back
-    "pricing_summary",
-    "star_join_revenue",
-    "top_supplier_per_nation",
-    "share_of_total",
-    "share_of_total_broadcast",
-    "customers_without_orders",
-    "big_spender_customers",
-    "latest_event_per_user_type",
-    "first_appearance_order",
-    "distinct_scan",
-    "set_except",
-    "set_intersect",
-    "stats_profile",
-    "events_asof_enrichment",
-    "events_asof_forward",
-    "value_percentiles",
-    "revenue_rollup",
-    "salted_user_counts",
-    "events_value_band_join",
-    "events_multires_rollup",
-    "gapfill_missing_minutes",
-    "interpolate_minutes_bracketing",
-    "user_spend_quartiles",
-    "rolling_minute_avg",
-    "gapfill_locf",
-    "interpolate_minutes_nearest2",
-    "interpolate_cross_midnight",
-    "full_history_rebuild",
-    "first_last_event_probe",
-    "sources_lifecycle",
-    "near_dup_embedding_cosine",
-    "near_dup_embedding_cosine_gemm",
-    "embedding_ann_ivf",
-    "document_chunks",
-    "multimodal_frame_sample",
-    "streaming_gap_state",
-    "normalized_quotes",
-    "sheets_export_frame",
-    "dim_date_flags",
-    "dim_time_table",
-    "sources_dim_colors",
+_ADJUDICATED_R2 = frozenset(  # green in CORRECTNESS_r02, unchanged since
+    {
+        "pricing_summary",
+        "star_join_revenue",
+        "top_supplier_per_nation",
+        "share_of_total",
+        "share_of_total_broadcast",
+        "customers_without_orders",
+        "big_spender_customers",
+        "latest_event_per_user_type",
+        "first_appearance_order",
+        "distinct_scan",
+        "set_except",
+        "set_intersect",
+        "stats_profile",
+        "events_asof_enrichment",
+        "events_asof_forward",
+        "value_percentiles",
+        "revenue_rollup",
+        "salted_user_counts",
+        "events_value_band_join",
+        "events_multires_rollup",
+        "user_spend_quartiles",
+        "rolling_minute_avg",
+        "interpolate_cross_midnight",
+        "full_history_rebuild",
+        "first_last_event_probe",
+        "sources_lifecycle",
+        "embedding_ann_ivf",
+        "document_chunks",
+        "multimodal_frame_sample",
+        "streaming_gap_state",
+        "normalized_quotes",
+        "sheets_export_frame",
+        "dim_date_flags",
+        "dim_time_table",
+        "sources_dim_colors",
+    }
 )
 
 
-def _tier(name: str) -> int:
-    if name in _TIER_FIXED_R2:
-        return 0
-    if name in _TIER_LATENT_FIX:
+def _staleness(name: str) -> int:
+    if name in _ADJUDICATED_R3:
+        return 2
+    if name in _ADJUDICATED_R2:
         return 1
-    if name in _TIER_GREEN_R2:
-        return 3
-    return 2  # never adjudicated
+    return 0  # never adjudicated in current form — check first
 
 
-_SPECS.sort(key=lambda s: _tier(s.name))  # stable: keeps in-tier order
+_SPECS.sort(key=lambda s: _staleness(s.name))  # stable: keeps in-tier order
 
 
 def specs() -> list[QuerySpec]:

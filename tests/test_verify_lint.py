@@ -14,8 +14,8 @@ from verify_local import compare  # noqa: E402
 def test_lint_flags_hugeint_oracle(spark):
     sdf = spark.createDataFrame([(5,)], "total bigint")
     con = duckdb.connect()
-    # Bare SUM(INTEGER) -> HUGEINT: must be rejected before any value
-    # comparison happens.
+    # Bare SUM(INTEGER) -> HUGEINT: must be flagged (value comparison
+    # still runs; the lint is appended alongside any value diffs).
     probs = compare("t", sdf, con, "SELECT SUM(5) AS total")
     assert any("HUGEINT" in p for p in probs)
     # The cast form passes clean.

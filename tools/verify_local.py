@@ -89,8 +89,9 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
                 "float64 through the driver's pandas fetch; CAST(... AS "
                 "BIGINT) it in the oracle SQL"
             )
-    if problems:
-        return problems
+    # Lints do NOT short-circuit: a dtype lint on one column must not mask
+    # a genuine value mismatch elsewhere in the same query, so always fall
+    # through to the row-count and value comparison and report both.
     # Fetch the oracle the way the driver does: through pandas/arrow
     # (.df()), NOT .fetchall() — .fetchall() yields native Python ints
     # that hide the HUGEINT->float64 drift the driver sees.
