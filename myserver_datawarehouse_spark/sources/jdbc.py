@@ -25,12 +25,29 @@ def closed_hour_extract_sql(
     ts_col: str = "created_at",
     hour_start: str = "2024-01-01 00:00:00",
     tz: str = "Asia/Tehran",
+    dialect: str = "postgres",
 ) -> str:
     """The reference's closed-window extract (fact_gold_price.py:52-68) as
     pushdown SQL: currency normalization (P1), business-timezone key
     derivation (P2-P4), and the one-closed-hour BETWEEN window (S2/P5/P6)
     — all evaluated by the source database, so the wire carries exactly
-    one hour of normalized rows."""
+    one hour of normalized rows.
+
+    ``dialect`` selects the source database's SQL surface for the
+    identical semantics: "postgres" (the reference's deployment) or
+    "duckdb" (lets tests EXECUTE the generated text against a real
+    engine — see tests/test_jdbc.py — and is a live target via the
+    DuckDB JDBC driver)."""
+    if dialect == "postgres":
+        local_ts = f"{ts_col} AT TIME ZONE '{tz}'"
+        date_id = f"CAST(TO_CHAR({local_ts}, 'YYYYMMDD') AS INTEGER)"
+        time_id = f"CAST(TO_CHAR({local_ts}, 'HH24MISS') AS INTEGER)"
+    elif dialect == "duckdb":
+        local_ts = f"timezone('{tz}', {ts_col})"
+        date_id = f"CAST(strftime({local_ts}, '%Y%m%d') AS INTEGER)"
+        time_id = f"CAST(strftime({local_ts}, '%H%M%S') AS INTEGER)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect!r}")
     return f"""
 SELECT
     id,
@@ -39,10 +56,10 @@ SELECT
     CASE WHEN currency = 'IRR' THEN ROUND(price / 10)
          WHEN currency = 'IRT' THEN ROUND(price)
     END AS price,
-    CAST(TO_CHAR({ts_col} AT TIME ZONE '{tz}', 'YYYYMMDD') AS INTEGER) AS date_id,
-    CAST(TO_CHAR({ts_col} AT TIME ZONE '{tz}', 'HH24MISS') AS INTEGER) AS time_id
+    {date_id} AS date_id,
+    {time_id} AS time_id
 FROM {table}
-WHERE {ts_col} AT TIME ZONE '{tz}'
+WHERE {local_ts}
       BETWEEN TIMESTAMP '{hour_start}' - INTERVAL '1 hour'
           AND TIMESTAMP '{hour_start}'
 ORDER BY 1

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from myserver_datawarehouse_spark.operators.merge import write_bucketed
 
 
-@pytest.fixture
+# Module scope: the two bucketed-table writes (~4s) are read-only for
+# every test here, so pay the write once.
+@pytest.fixture(scope="module")
 def bucketed_pair(spark):
     a = spark.range(0, 10_000).select(
         F.col("id").alias("k"), (F.col("id") % 97).alias("va")

@@ -32,15 +32,19 @@ def _union_find(pairs):
     return {x: find(x) for x in parent}
 
 
-def test_dedup_clusters_matches_union_find(spark):
+# Module scope: dedup_clusters is the iterative connected-components job
+# (~3s); both cluster tests only read its output, so run it once.
+@pytest.fixture(scope="module")
+def cluster_rows(spark):
+    return LT.dedup_clusters(spark, SF).collect()
+
+
+def test_dedup_clusters_matches_union_find(spark, cluster_rows):
     pairs = [
         (r.doc_a, r.doc_b)
         for r in LT._minhash_pair_frame(spark, SF).collect()
     ]
-    got = {
-        r.doc_id: (r.cluster_id, r.n_members)
-        for r in LT.dedup_clusters(spark, SF).collect()
-    }
+    got = {r.doc_id: (r.cluster_id, r.n_members) for r in cluster_rows}
     want = _union_find(pairs)
     assert set(got) == set(want)
     for doc, root in want.items():
@@ -53,9 +57,9 @@ def test_dedup_clusters_matches_union_find(spark):
         assert n == sizes[root]
 
 
-def test_dedup_clusters_transitive_closure_property(spark):
+def test_dedup_clusters_transitive_closure_property(cluster_rows):
     # Every cluster_id is itself a member of the cluster, and is the min.
-    rows = LT.dedup_clusters(spark, SF).collect()
+    rows = cluster_rows
     if not rows:
         pytest.skip("no near-dup pairs at this sf")
     by_cluster = {}

@@ -138,11 +138,13 @@ def test_streaming_upsert_merge_batch_split_invariant(spark, tmp_path):
             .collect(),
         )
     )
+    last_work = None
     for n_files, per_trigger in ((1, 1), (5, 2)):
+        last_work = str(tmp_path / f"split_{n_files}_{per_trigger}")
         target = SJ.upsert_merge_stream(
             spark,
             SF_DIR,
-            str(tmp_path / f"split_{n_files}_{per_trigger}"),
+            last_work,
             n_input_files=n_files,
             files_per_trigger=per_trigger,
         )
@@ -156,17 +158,22 @@ def test_streaming_upsert_merge_batch_split_invariant(spark, tmp_path):
         )
         assert got == want, (n_files, per_trigger)
 
-
-def test_streaming_upsert_restart_is_noop(spark, tmp_path):
-    """Replay safety: re-running the drained stream against the same
-    checkpoint + target leaves the merged table byte-identical. Whether
-    the restart replays batches (the input rewrite may list as new
-    files) or commits nothing, the event-time-precedence merge is
-    idempotent — the same property the reference gets from its per-row
-    ON CONFLICT upsert."""
-    work = str(tmp_path / "restart")
-    target = SJ.upsert_merge_stream(spark, SF_DIR, work)
-    first = sorted(map(tuple, spark.read.parquet(target).collect()))
-    SJ.upsert_merge_stream(spark, SF_DIR, work)
-    second = sorted(map(tuple, spark.read.parquet(target).collect()))
-    assert second == first
+    # Replay safety, on the last work dir (saves one full extra stream
+    # run): re-running the drained stream against the same checkpoint +
+    # target leaves the merged table byte-identical. Whether the restart
+    # replays batches (the input rewrite may list as new files) or
+    # commits nothing, the event-time-precedence merge is idempotent —
+    # the same property the reference gets from its per-row ON CONFLICT
+    # upsert.
+    target = SJ.upsert_merge_stream(
+        spark, SF_DIR, last_work, n_input_files=5, files_per_trigger=2
+    )
+    second = sorted(
+        map(
+            tuple,
+            spark.read.parquet(target)
+            .select("user_id", "event_type", "event_id", "ts", "value")
+            .collect(),
+        )
+    )
+    assert second == want
