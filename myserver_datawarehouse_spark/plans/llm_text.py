@@ -2130,3 +2130,280 @@ JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
 ORDER BY source_a, source_b
 """
+
+
+# ------------------------------------------------- corpus mix analytics
+
+ZIPF_TOP_N = 32
+PMI_TOP_K = 10
+PMI_MIN_PAIR_DOCS = 5
+
+
+def source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture monitor: per-language Shannon entropy (bits) of the
+    source distribution plus the effective source count 2^H — the drift
+    probe you chart when a crawl or licensing change silently skews the
+    training mixture (companion to `data_mixture_rebalance`, which FIXES
+    the mixture this query measures).
+
+    Scale: one (lang, source) count shuffle with map-side partials; the
+    entropy fold runs on the |langs|x|sources| rollup — driver-trivial.
+    Float policy: each p*log2(p) term is rounded to 12 dp and summed in
+    DECIMAL, so the per-lang fold is partition-order independent and
+    engine-exact (see plans/relational.py float policy)."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    term = F.round(-p * F.log2(p), 12).cast("decimal(28,14)")
+    per = counts.withColumn("tot", F.sum("n").over(w)).select(
+        "lang", "tot", term.alias("term")
+    )
+    h = F.round(F.sum("term").cast("double"), 6)
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.max("tot").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            h.alias("entropy_bits"),
+            F.round(F.pow(F.lit(2.0), h), 6).alias("effective_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+SOURCE_MIX_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+per AS (
+  SELECT lang, n,
+         SUM(n) OVER (PARTITION BY lang) AS tot
+  FROM counts
+),
+terms AS (
+  SELECT lang, tot,
+         CAST(ROUND(-(CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot),
+                    12) AS DECIMAL(28,14)) AS term
+  FROM per
+)
+SELECT lang,
+       CAST(MAX(tot) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_sources,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits,
+       ROUND(pow(2.0, ROUND(CAST(SUM(term) AS DOUBLE), 6)), 6)
+         AS effective_sources
+FROM terms
+GROUP BY 1
+ORDER BY lang
+"""
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostics: least-squares slope of log10(freq) vs log10(rank)
+    over each language's top-{ZIPF_TOP_N} tokens. Natural corpora sit
+    near slope -1; a flat slope flags templated/boilerplate text and a
+    cliff flags token-distribution collapse — a standard pretraining
+    corpus health check.
+
+    Scale: token frequencies are one hash shuffle with map-side combine.
+    The per-lang rank window sorts |vocab_lang| aggregated rows; at web
+    scale you'd two-phase it (per-partition top-N heads, then re-rank
+    the N x partitions survivors — top-N is monotone under union so the
+    result is identical). The regression runs on <= {ZIPF_TOP_N} rows
+    per lang: x/y and their products are rounded to 12 dp and summed in
+    DECIMAL, so the normal-equation sums are order-independent and the
+    slope matches the oracle exactly."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select("lang", F.explode(TX.tokenize("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP_N
+    )
+    x = F.log10(F.col("rank").cast("double"))
+    y = F.log10(F.col("cnt").cast("double"))
+    dec = "decimal(28,14)"
+    terms = top.select(
+        "lang",
+        F.round(x, 12).cast(dec).alias("x"),
+        F.round(y, 12).cast(dec).alias("y"),
+        F.round(x * y, 12).cast(dec).alias("xy"),
+        F.round(x * x, 12).cast(dec).alias("xx"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum("xy").cast("double")
+    sxx = F.sum("xx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_ZIPF_FIT_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+freq AS (
+  SELECT lang, t AS tok, COUNT(*) AS cnt
+  FROM (SELECT lang, unnest(tks) AS t FROM toks)
+  WHERE t <> ''
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, tok ASC) AS rank
+  FROM freq
+  QUALIFY rank <= {ZIPF_TOP_N}
+),
+terms AS (
+  SELECT lang,
+    CAST(ROUND(log10(CAST(rank AS DOUBLE)), 12) AS DECIMAL(28,14)) AS x,
+    CAST(ROUND(log10(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(28,14)) AS y,
+    CAST(ROUND(log10(CAST(rank AS DOUBLE)) * log10(CAST(cnt AS DOUBLE)), 12)
+         AS DECIMAL(28,14)) AS xy,
+    CAST(ROUND(log10(CAST(rank AS DOUBLE)) * log10(CAST(rank AS DOUBLE)), 12)
+         AS DECIMAL(28,14)) AS xx
+  FROM top
+)
+SELECT lang,
+  COUNT(*) AS n_terms,
+  ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+        / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+    AS zipf_slope,
+  ROUND((CAST(SUM(y) AS DOUBLE)
+         - ((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+            / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)))
+           * CAST(SUM(x) AS DOUBLE)) / COUNT(*), 6)
+    AS zipf_intercept
+FROM terms
+GROUP BY 1
+ORDER BY lang
+"""
+
+
+def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP_K} word pairs per language by
+    document co-occurrence count, scored with pointwise mutual
+    information PMI = log2(N * c12 / (c1 * c2)) at document grain —
+    the phrase/terminology probe of corpus analytics (and the building
+    block of classic word-association features).
+
+    Scale: pairs are generated ARRAY-LOCALLY from each document's sorted
+    distinct non-stopword token set (`transform` x `slice`, the
+    source_vocab_overlap idiom) — never a token self-join, so the
+    explode is C(u,2) per doc, bounded by document vocabulary, and the
+    only shuffles are the (lang, w1, w2) pair count and two equi-joins
+    against the unigram doc-frequency table. The PMI arithmetic is
+    integer counts inside one log2 — no float accumulation at all, so
+    engine parity is exact by construction."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    TX.tokenize("text"),
+                    lambda t: (t != "") & ~t.isin(*TX.STOPWORDS),
+                )
+            )
+        ).alias("u"),
+    )
+    n_docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    uni = (
+        toks.select("lang", F.explode("u").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        toks.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "flatten(transform(u, (x, i) -> "
+                    "transform(slice(u, i + 2, size(u)), "
+                    "y -> struct(x AS w1, y AS w2))))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_PAIR_DOCS)
+    )
+    c1 = uni.select("lang", F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select("lang", F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log2(
+            F.col("c12").cast("double") * F.col("n_docs").cast("double")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("c12"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        pairs.join(c1, ["lang", "w1"])
+        .join(c2, ["lang", "w2"])
+        .join(F.broadcast(n_docs), "lang")
+        .select("lang", "w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PMI_TOP_K)
+        .select("lang", "rk", "w1", "w2", "c12", "c1", "c2", "pmi")
+        .orderBy("lang", "rk")
+    )
+
+
+WORD_COOCCURRENCE_PMI_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+u AS (
+  SELECT doc_id, lang,
+         list_sort(list_distinct(
+           [t FOR t IN tks IF t <> '' AND t NOT IN {_STOP_SQL}]
+         )) AS u
+  FROM toks
+),
+nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+uni AS (
+  SELECT lang, w, COUNT(*) AS c
+  FROM (SELECT lang, unnest(u) AS w FROM u)
+  GROUP BY 1, 2
+),
+ex AS (SELECT doc_id, lang, unnest(u) AS w FROM u),
+pairs AS (
+  SELECT a.lang, a.w AS w1, b.w AS w2, COUNT(*) AS c12
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {PMI_MIN_PAIR_DOCS}
+),
+scored AS (
+  SELECT p.lang, p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+         ROUND(log2(CAST(p.c12 AS DOUBLE) * nd.n_docs
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi,
+         ROW_NUMBER() OVER (PARTITION BY p.lang
+                            ORDER BY p.c12 DESC, p.w1, p.w2) AS rk
+  FROM pairs p
+  JOIN uni u1 ON u1.lang = p.lang AND u1.w = p.w1
+  JOIN uni u2 ON u2.lang = p.lang AND u2.w = p.w2
+  JOIN nd ON nd.lang = p.lang
+)
+SELECT lang, rk, w1, w2, c12, c1, c2, pmi
+FROM scored WHERE rk <= {PMI_TOP_K}
+ORDER BY lang, rk
+"""

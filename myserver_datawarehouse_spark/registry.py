@@ -618,6 +618,27 @@ _SPECS: list[QuerySpec] = [
         "corpus analytics: pairwise source vocabulary Jaccard, pair-gen "
         "array-local (no token self-join)",
     ),
+    QuerySpec(
+        "source_mix_entropy",
+        LT.source_mix_entropy,
+        LT.SOURCE_MIX_ENTROPY_SQL,
+        "corpus analytics: per-lang source-mix Shannon entropy + "
+        "effective source count (mixture-drift monitor)",
+    ),
+    QuerySpec(
+        "token_zipf_fit",
+        LT.token_zipf_fit,
+        LT.TOKEN_ZIPF_FIT_SQL,
+        "corpus analytics: Zipf rank-frequency log-log slope per lang "
+        "(boilerplate / distribution-collapse probe)",
+    ),
+    QuerySpec(
+        "word_cooccurrence_pmi",
+        LT.word_cooccurrence_pmi,
+        LT.WORD_COOCCURRENCE_PMI_SQL,
+        "corpus analytics: top-k document-grain PMI collocations per "
+        "lang, pair-gen array-local",
+    ),
 ]
 
 

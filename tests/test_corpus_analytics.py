@@ -1,0 +1,51 @@
+"""Properties of the round-4 corpus-analytics additions: source-mix
+entropy, Zipf rank-frequency fit, and PMI collocations (exact value
+parity vs DuckDB is covered by tools/verify_local.py; these pin the
+semantic invariants)."""
+
+import math
+
+from myserver_datawarehouse_spark.plans import llm_text as LT
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_source_mix_entropy_bounds(spark):
+    rows = LT.source_mix_entropy(spark, SF).collect()
+    assert rows
+    total_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == total_docs
+    for r in rows:
+        # 0 <= H <= log2(n_sources); effective count within [1, n_sources].
+        assert 0.0 <= r.entropy_bits <= math.log2(r.n_sources) + 1e-9
+        assert 1.0 - 1e-9 <= r.effective_sources <= r.n_sources + 1e-9
+        assert abs(r.effective_sources - 2**r.entropy_bits) < 1e-3
+
+
+def test_token_zipf_fit_slope_negative(spark):
+    rows = LT.token_zipf_fit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # Frequencies are non-increasing in rank, so the LS slope of
+        # log(freq) on log(rank) can never be positive.
+        assert r.zipf_slope <= 0.0
+        assert 2 <= r.n_terms <= LT.ZIPF_TOP_N
+
+
+def test_word_cooccurrence_pmi_invariants(spark):
+    rows = LT.word_cooccurrence_pmi(spark, SF).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        ranks = sorted(r.rk for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= LT.PMI_TOP_K
+        for r in rs:
+            assert r.w1 < r.w2  # canonical pair order
+            # doc-grain counts: a pair can't co-occur more often than
+            # either member occurs.
+            assert r.c12 <= min(r.c1, r.c2)
+            assert r.c12 >= LT.PMI_MIN_PAIR_DOCS
