@@ -51,6 +51,25 @@ ORDER BY event_type
 """
 
 
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bounded-state twin of `streaming_dedup_counts`:
+    dropDuplicatesWithinWatermark evicts dedup state at the watermark
+    (see streaming/jobs.py), so an infinite stream holds only the
+    horizon's keys. Same drain, same oracle."""
+    stream = SJ.events_stream(spark, sf_dir)
+    out = SJ.run_available_now(
+        SJ.dedup_within_watermark_query(stream),
+        spark,
+        "streaming_dedup_within_wm_sink",
+    )
+    return out.orderBy("event_type")
+
+
+STREAMING_DEDUP_WITHIN_WATERMARK_SQL = STREAMING_DEDUP_COUNTS_SQL
+
+
 def streaming_gap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-type gap-run
     tracker drained via availableNow; the last update per key is the

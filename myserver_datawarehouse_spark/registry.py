@@ -639,6 +639,13 @@ _SPECS: list[QuerySpec] = [
         "corpus analytics: top-k document-grain PMI collocations per "
         "lang, pair-gen array-local",
     ),
+    QuerySpec(
+        "streaming_dedup_within_watermark",
+        ST.streaming_dedup_within_watermark,
+        ST.STREAMING_DEDUP_WITHIN_WATERMARK_SQL,
+        "§2.12 bounded-state dedup (dropDuplicatesWithinWatermark: "
+        "state evicted at the watermark — the infinite-stream form)",
+    ),
 ]
 
 

@@ -106,6 +106,24 @@ def dedup_counts_query(stream: DataFrame):
     )
 
 
+def dedup_within_watermark_query(stream: DataFrame):
+    """Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    evicts a key's dedup state once the watermark passes its event time,
+    so state is O(keys inside the horizon) instead of O(every key ever
+    seen) — the production dedup for INFINITE streams, where plain
+    dropDuplicates on a non-event-time key grows state without bound.
+    The trade: duplicates are only suppressed when they arrive within
+    the watermark delay of the first copy, which is exactly the at-least
+    -once-redelivery window the operator exists to absorb. On the
+    bounded drain the result equals batch COUNT(DISTINCT)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
 # Stateful streaming stages hash-partition their state store by the group
 # key; the partition count is pinned by the checkpoint at first start. Our
 # streaming keys are low-cardinality (event_type: a handful of values), so

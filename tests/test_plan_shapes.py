@@ -180,3 +180,34 @@ def test_spend_quartiles_broadcast_has_no_global_window(spark):
     # per-user frame; the cutoffs broadcast back.
     assert "Window" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_entropy_zipf_pmi_no_cartesian(spark):
+    # The round-4 corpus analytics must never degrade to an all-pairs
+    # plan: pair generation is array-local (pmi), ranking is partitioned
+    # by lang (zipf), entropy is two small-key rollups.
+    for fn in (
+        LT.source_mix_entropy,
+        LT.token_zipf_fit,
+        LT.word_cooccurrence_pmi,
+    ):
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_pmi_ndocs_join_is_broadcast(spark):
+    # The per-lang doc-count table is a handful of rows: it must ride a
+    # broadcast, leaving the pair-count shuffle as the only big exchange.
+    plan = plan_of(LT.word_cooccurrence_pmi(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_rank_window_is_partitioned_and_limit_pushed(spark):
+    # The top-N rank runs per lang — a global (unpartitioned) window here
+    # would serialize the whole vocabulary through one task at scale —
+    # and the rank<=N filter must push into WindowGroupLimit so each
+    # partition keeps only its top-N candidates BEFORE the shuffle
+    # (Partial) and after (Final), instead of ranking the full vocab.
+    plan = plan_of(LT.token_zipf_fit(spark, SF))
+    assert "windowspecdefinition(lang" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan

@@ -119,6 +119,55 @@ def test_gap_state_carries_across_batches(spark, tmp_path):
     assert final.last_minute_ts == dt.datetime(2024, 1, 1, 0, 6, 0)
 
 
+def test_dedup_within_watermark_suppresses_cross_batch_redelivery(
+    spark, tmp_path
+):
+    """A duplicate event_id re-delivered in a LATER micro-batch, inside
+    the watermark horizon, must be dropped — the at-least-once
+    redelivery case dropDuplicatesWithinWatermark exists for."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.types import Row
+
+    def ev(i, minute, typ="a"):
+        return Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1, 0, minute, 0),
+            user_id=1,
+            event_type=typ,
+            value=1.0,
+            props="{}",
+        )
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+
+    def write_file(rows, name):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    # batch 1: ids 1, 2; batch 2: id 1 AGAIN (redelivery, +1 min) + id 3.
+    write_file([ev(1, 0), ev(2, 0)], "f1")
+    write_file([ev(1, 1), ev(3, 2)], "f2")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = SJ.run_available_now(
+        SJ.dedup_within_watermark_query(stream), spark, "t_wm_dedup"
+    )
+    rows = {r.event_type: r.n_unique_events for r in out.collect()}
+    assert rows == {"a": 3}  # ids {1, 2, 3}; the re-delivered 1 dropped
+
+
 def test_streaming_upsert_merge_batch_split_invariant(spark, tmp_path):
     """The foreachBatch merged table equals the batch latest-per-key dedup
     EXACTLY, for two different arrival batchings — event-time precedence
