@@ -1,0 +1,91 @@
+"""Delimited / JSON-lines file sources with corrupt-record quarantine
+(S1 family, SURVEY.md §2.1).
+
+The reference ingests only from Postgres and Sheets; a replacement engine
+additionally needs the raw-file landing path every warehouse grows:
+schema-ON-READ with explicit StructType (never inferSchema — an
+inference pass is a second full scan at 100 TB, and a schema drift
+becomes a silent type change instead of a quarantined row), PERMISSIVE
+parsing, and a deterministic good/bad split so malformed input lands in
+a quarantine table instead of killing the job (the die-loudly
+alternative is `mode="FAILFAST"`, one option away).
+
+Scale: both readers are plain distributed file scans — splittable for
+CSV, line-splittable for JSONL — and the quarantine split persists the
+parsed scan once so the good and bad outputs don't each re-parse the
+input (see split_quarantine for the why)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def with_corrupt_column(schema: StructType) -> StructType:
+    """The user schema + the corrupt-record capture column. Spark only
+    RETAINS the raw text of unparseable rows when the column is declared
+    in the read schema."""
+    if any(f.name == CORRUPT_COL for f in schema.fields):
+        return schema
+    return StructType([*schema.fields, StructField(CORRUPT_COL, StringType())])
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-lines read with explicit schema; malformed lines surface as
+    rows whose data columns are NULL and whose `_corrupt_record` holds
+    the raw line."""
+    return (
+        spark.read.schema(with_corrupt_column(schema))
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    mode: str = "PERMISSIVE",
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV read with explicit schema; wrong-arity or untypeable rows are
+    captured in `_corrupt_record` rather than dropped or fatal."""
+    return (
+        spark.read.schema(with_corrupt_column(schema))
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
+def split_quarantine(
+    df: DataFrame, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): good rows with the capture column dropped; bad rows
+    with the raw text plus whatever typed columns survived the partial
+    parse (JSON keeps the parseable fields; CSV pads missing ones).
+
+    ``persist=True`` (default) persists the parsed scan before
+    splitting, for two reasons: Spark DISALLOWS queries whose projection
+    reduces to only the internal corrupt column on a raw file scan
+    (e.g. ``bad.count()`` would throw AnalysisException), and the
+    persist makes good+bad one parse pass instead of two. At very large
+    scale prefer ``persist=False`` and write both sides from one
+    foreachBatch/job instead of materializing the scan."""
+    if persist:
+        df = df.persist()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return good, bad

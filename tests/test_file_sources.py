@@ -1,0 +1,116 @@
+"""File-source layer (sources/files.py): schema-on-read with corrupt-
+record quarantine, and the partition-pruning proof for partitioned
+parquet layouts (the read-side complement of merge.py's dynamic
+partition overwrite)."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from myserver_datawarehouse_spark.sources import files as FS
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"id": 1, "name": "a", "score": 0.5}\n')
+        fh.write("{this is not json\n")
+        fh.write('{"id": 2, "name": "b", "score": 1.5}\n')
+    good, bad = FS.split_quarantine(FS.read_jsonl(spark, p, SCHEMA))
+    assert sorted((r.id, r.name, r.score) for r in good.collect()) == [
+        (1, "a", 0.5),
+        (2, "b", 1.5),
+    ]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0][FS.CORRUPT_COL].startswith("{this is not")
+    assert FS.CORRUPT_COL not in good.columns
+
+
+def test_jsonl_type_mismatch_is_quarantined(spark, tmp_path):
+    p = str(tmp_path / "typed.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"id": 1, "name": "a", "score": 0.5}\n')
+        fh.write('{"id": "not-a-number", "name": "c", "score": 2.0}\n')
+    good, bad = FS.split_quarantine(FS.read_jsonl(spark, p, SCHEMA))
+    assert [r.id for r in good.collect()] == [1]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    # Partial parse: the untypeable field is NULL, the parseable fields
+    # survive alongside the raw capture (lineage for triage).
+    assert bad_rows[0].id is None
+    assert bad_rows[0].name == "c"
+    assert '"not-a-number"' in bad_rows[0][FS.CORRUPT_COL]
+
+
+def test_csv_wrong_arity_is_quarantined(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as fh:
+        fh.write("id,name,score\n")
+        fh.write("1,a,0.5\n")
+        fh.write("2,b\n")  # under-arity -> padded NULLs AND quarantined
+        fh.write("3,c,not-a-double\n")  # untypeable -> quarantined
+    good, bad = FS.split_quarantine(FS.read_csv(spark, p, SCHEMA))
+    got = sorted((r.id, r.name, r.score) for r in good.collect())
+    assert got == [(1, "a", 0.5)]
+    bad_rows = sorted(bad.collect(), key=lambda r: r.id)
+    assert [r[FS.CORRUPT_COL] for r in bad_rows] == [
+        "2,b",
+        "3,c,not-a-double",
+    ]
+    # Quarantined rows keep the fields that did parse.
+    assert (bad_rows[0].id, bad_rows[0].name, bad_rows[0].score) == (
+        2,
+        "b",
+        None,
+    )
+
+
+def test_failfast_mode_raises(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = str(tmp_path / "bad.jsonl")
+    with open(p, "w") as fh:
+        fh.write("{broken\n")
+    with pytest.raises(Exception) as ei:
+        FS.read_jsonl(spark, p, SCHEMA, mode="FAILFAST").collect()
+    assert isinstance(ei.value, Py4JJavaError) or "Malformed" in str(ei.value)
+
+
+def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """A filter on the partition column must land in PartitionFilters —
+    pruned at file-listing time, zero bytes read from other partitions —
+    not as a post-scan data filter."""
+    p = str(tmp_path / "part_tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("d"), (F.col("id") * 2).alias("v")
+    )
+    df.write.partitionBy("d").parquet(p)
+    q = spark.read.parquet(p).filter(F.col("d") == 3).select("id", "v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # The predicate appears in PartitionFilters, and data-side pushed
+    # filters stay empty (no row-level filtering needed).
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "d" in pf_line and "3" in pf_line
+    assert q.count() == df.filter(F.col("d") == 3).count()
