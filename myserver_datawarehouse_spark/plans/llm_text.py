@@ -2407,3 +2407,67 @@ SELECT lang, rk, w1, w2, c12, c1, c2, pmi
 FROM scored WHERE rk <= {PMI_TOP_K}
 ORDER BY lang, rk
 """
+
+
+# --------------------------------------------------- weighted sampling
+
+WSAMPLE_SEED = 77
+WSAMPLE_K = 20
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES): draw
+    the top-{WSAMPLE_K} documents per language with inclusion priority
+    proportional to weight (here n_chars — swap in any quality score) —
+    the "sample good documents more often" step of corpus assembly,
+    upgrading `stratified_sample`'s uniform gate to weighted draws.
+
+    Determinism: the A-ES key is rank-equivalent to ln(u)/w with
+    u = hash60(seed|doc_id)/2^60 — a reproducible pseudo-uniform, so
+    the sample is stable under retries/partitioning and auditable
+    per-row, exactly like the uniform gate. The key is rounded to 12 dp
+    with a doc_id tiebreak before ranking (ln is the one libm call; the
+    same policy `unigram_xent_quality` uses). Scale: map-only key
+    computation + per-lang top-k window, which Spark executes as
+    WindowGroupLimit (per-partition top-k before the shuffle) — no
+    global sort, no driver collect."""
+    d = _docs(spark, sf_dir)
+    u = TX.hash60(
+        F.col("doc_id").cast("string"), seed=WSAMPLE_SEED
+    ).cast("double") / F.lit(float(1 << 60))
+    score = F.round(
+        F.log(u) / F.col("n_chars").cast("double"), 12
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars", score.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WSAMPLE_K)
+        .select(
+            "lang",
+            "rk",
+            "doc_id",
+            "n_chars",
+            F.round("es_key", 6).alias("es_key"),
+        )
+        .orderBy("lang", "rk")
+    )
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(ln({_d_hash60("CAST(doc_id AS VARCHAR)", WSAMPLE_SEED)}
+                  / CAST({1 << 60} AS DOUBLE))
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id ASC) AS rk
+  FROM keyed
+)
+SELECT lang, rk, doc_id, n_chars, ROUND(es_key, 6) AS es_key
+FROM ranked WHERE rk <= {WSAMPLE_K}
+ORDER BY lang, rk
+"""

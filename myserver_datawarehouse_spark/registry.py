@@ -646,6 +646,13 @@ _SPECS: list[QuerySpec] = [
         "§2.12 bounded-state dedup (dropDuplicatesWithinWatermark: "
         "state evicted at the watermark — the infinite-stream form)",
     ),
+    QuerySpec(
+        "quality_weighted_sample",
+        LT.quality_weighted_sample,
+        LT.QUALITY_WEIGHTED_SAMPLE_SQL,
+        "corpus assembly: deterministic weighted sampling "
+        "(Efraimidis-Spirakis keys from the shared hash, per-lang top-k)",
+    ),
 ]
 
 

@@ -49,3 +49,35 @@ def test_word_cooccurrence_pmi_invariants(spark):
             # either member occurs.
             assert r.c12 <= min(r.c1, r.c2)
             assert r.c12 >= LT.PMI_MIN_PAIR_DOCS
+
+
+def test_quality_weighted_sample_properties(spark):
+    rows = LT.quality_weighted_sample(spark, SF).collect()
+    assert rows
+    docs = load_table(spark, SF, "documents").select("lang", "n_chars").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    corpus = {}
+    for r in docs:
+        corpus.setdefault(r.lang, []).append(r.n_chars)
+    for lang, rs in by_lang.items():
+        ranks = sorted(r.rk for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= LT.WSAMPLE_K
+        # es_key ordering is what defined the ranks.
+        keyed = sorted(rs, key=lambda r: r.rk)
+        keys = [r.es_key for r in keyed]
+        assert keys == sorted(keys, reverse=True)
+        # Weighted draw pulls the sample mean ABOVE the corpus mean
+        # (weight = n_chars): deterministic on this fixture.
+        if len(corpus[lang]) > LT.WSAMPLE_K:
+            sample_mean = sum(r.n_chars for r in rs) / len(rs)
+            corpus_mean = sum(corpus[lang]) / len(corpus[lang])
+            assert sample_mean > corpus_mean
+
+
+def test_quality_weighted_sample_deterministic(spark):
+    a = [tuple(r) for r in LT.quality_weighted_sample(spark, SF).collect()]
+    b = [tuple(r) for r in LT.quality_weighted_sample(spark, SF).collect()]
+    assert a == b
