@@ -79,6 +79,7 @@ _SH_SQL = f"""
 """
 
 _STOP_SQL = "('" + "', '".join(TX.STOPWORDS) + "')"
+_STOP_LIST_SQL = "['" + "', '".join(TX.STOPWORDS) + "']"  # DuckDB list literal
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2470,4 +2471,189 @@ ranked AS (
 SELECT lang, rk, doc_id, n_chars, ROUND(es_key, 6) AS es_key
 FROM ranked WHERE rk <= {WSAMPLE_K}
 ORDER BY lang, rk
+"""
+
+
+# ------------------------------------------- duplicated n-gram coverage
+
+DUP_NGRAM_K = 8
+
+
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-ngram signal per document (the ExactSubstr
+    dedup diagnostic of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every positional 8-token gram is
+    counted across the WHOLE corpus, and a document's score is the
+    fraction of its grams that also occur elsewhere — the signal that
+    catches partial/templated duplication exact-dedup misses and that
+    MinHash only sees above its Jaccard threshold.
+
+    Shape: shingle_rows (codegen'd lead-window gram assembly) -> hash60
+    per gram -> ONE shuffle keyed on the gram hash with a frame-less
+    COUNT window -> per-doc rollup keyed on doc_id. At 100 TB the gram
+    hash is uniform by construction (no skew), counts are map-side
+    combinable in the rollup, and nothing materializes gram strings past
+    the hash projection. Docs shorter than 8 tokens have no grams and are
+    excluded by construction on both engines.
+    """
+    d = _docs(spark, sf_dir)
+    grams = TX.shingle_rows(d, k=DUP_NGRAM_K).select(
+        "doc_id", TX.hash60("g").alias("gh")
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    flagged = grams.select(
+        "doc_id", (c > 1).cast("long").alias("is_dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("is_dup").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_NGRAM_COVERAGE_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(tks[i:i+{DUP_NGRAM_K - 1}], ' ')
+                 FOR i IN generate_series(1, len(tks) - {DUP_NGRAM_K - 1})])
+           AS g
+  FROM toks
+),
+cnt AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY {_d_hash60("g")}) AS c
+  FROM grams
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_gram_frac
+FROM cnt
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------ Gopher quality rules
+
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+# Mean-word-length bounds as exact integer cross-multiplies: 3 <= mwl <= 8
+# becomes 3*n_tokens <= n_alpha_chars <= 8*n_tokens (no float compares in
+# the decision path — same policy as text_repetition_stats).
+GOPHER_MWL_MIN = 3
+GOPHER_MWL_MAX = 8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021 §A1.1, the standard
+    heuristic-quality gate of LLM corpus pipelines): per-document flags
+    for token-count bounds, mean-word-length bounds, and minimum distinct
+    stopword hits, rolled up to pass rates per (lang, source).
+
+    Complements `text_repetition_stats` (repetition rules) — together
+    they are the full heuristic gate; `corpus_curation_pipeline` shows
+    the gates composed. All math is per-row codegen over the token array
+    (word lengths via a length difference, stopword hits via
+    array_intersect — array-local, no explode, no extra shuffle); the
+    only shuffle is the final small rollup. Flags are integer
+    cross-multiplies, so the verdicts are exact on both engines.
+    """
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+    n_tok = F.size(tks)
+    # Total alphanumeric chars = len(norm) - (n_tok - 1) separators.
+    n_chars = F.length(TX.normalize_text("text")) - (n_tok - F.lit(1))
+    n_stop = F.size(
+        F.array_intersect(tks, F.array(*[F.lit(s) for s in TX.STOPWORDS]))
+    )
+    per = d.select(
+        "lang",
+        "source",
+        n_tok.alias("n_tok"),
+        n_chars.alias("n_chars_tok"),
+        n_stop.alias("n_stop"),
+    ).select(
+        "lang",
+        "source",
+        (
+            (F.col("n_tok") >= GOPHER_MIN_TOKENS)
+            & (F.col("n_tok") <= GOPHER_MAX_TOKENS)
+        ).cast("long").alias("pass_len"),
+        (
+            (F.col("n_chars_tok") >= F.col("n_tok") * GOPHER_MWL_MIN)
+            & (F.col("n_chars_tok") <= F.col("n_tok") * GOPHER_MWL_MAX)
+        ).cast("long").alias("pass_mwl"),
+        (F.col("n_stop") >= GOPHER_MIN_STOPWORD_HITS)
+        .cast("long")
+        .alias("pass_stop"),
+    )
+    allp = (
+        F.col("pass_len").eqNullSafe(1)
+        & F.col("pass_mwl").eqNullSafe(1)
+        & F.col("pass_stop").eqNullSafe(1)
+    ).cast("long")
+    return (
+        per.withColumn("pass_all", allp)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pass_len").alias("n_pass_len"),
+            F.sum("pass_mwl").alias("n_pass_mwl"),
+            F.sum("pass_stop").alias("n_pass_stop"),
+            F.sum("pass_all").alias("n_pass_all"),
+            F.round(
+                F.sum("pass_all").cast("double") / F.count(F.lit(1)), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+GOPHER_QUALITY_FLAGS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+per AS (
+  SELECT lang, source,
+         len(tks) AS n_tok,
+         length(norm) - (len(tks) - 1) AS n_chars_tok,
+         len(list_intersect(tks, {_STOP_LIST_SQL})) AS n_stop
+  FROM toks
+),
+flags AS (
+  SELECT lang, source,
+         CASE WHEN n_tok >= {GOPHER_MIN_TOKENS}
+               AND n_tok <= {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END AS pass_len,
+         CASE WHEN n_chars_tok >= n_tok * {GOPHER_MWL_MIN}
+               AND n_chars_tok <= n_tok * {GOPHER_MWL_MAX} THEN 1 ELSE 0 END
+           AS pass_mwl,
+         CASE WHEN n_stop >= {GOPHER_MIN_STOPWORD_HITS} THEN 1 ELSE 0 END
+           AS pass_stop
+  FROM per
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(pass_len) AS BIGINT) AS n_pass_len,
+       CAST(SUM(pass_mwl) AS BIGINT) AS n_pass_mwl,
+       CAST(SUM(pass_stop) AS BIGINT) AS n_pass_stop,
+       CAST(SUM(pass_len * pass_mwl * pass_stop) AS BIGINT) AS n_pass_all,
+       ROUND(CAST(SUM(pass_len * pass_mwl * pass_stop) AS DOUBLE)
+             / COUNT(*), 6) AS pass_rate
+FROM flags
+GROUP BY 1, 2
+ORDER BY lang, source
 """

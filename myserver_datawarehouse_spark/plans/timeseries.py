@@ -439,3 +439,91 @@ WINDOW w AS (PARTITION BY event_type ORDER BY minute_ts
                       AND CURRENT ROW)
 ORDER BY event_type, minute_ts
 """
+
+
+# ------------------------------------------------- anomaly detection
+
+ZSCORE_WINDOW = 60  # trailing minutes feeding the rolling baseline
+ZSCORE_MIN_N = 30  # minimum observations before a verdict is allowed
+ZSCORE_TAU = 2.5
+
+
+def minute_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the per-type minute series:
+    each minute is scored against the trailing 60-minute baseline
+    (current row excluded, verdicts gated on >= 30 observations) and only
+    |z| > 2.5 breaches are returned — the
+    alerting pass a monitoring layer runs downstream of the reference's
+    minute rollups (rebuild_all_time_interpolation.py:74-99 grain).
+
+    Determinism: the frame sums accumulate the 6-dp minute means as
+    DECIMAL(18,6) and their exact decimal squares (decimal x decimal is
+    exact in both engines), so mean and variance derive from identical
+    rationals; every subsequent double op (divide, subtract, sqrt) is
+    IEEE-deterministic. One shuffle on event_type, one sort — the same
+    anatomy as rolling_minute_avg, so the 100 TB story (minute grain
+    bounds rows to 1440/day/type) carries over.
+    """
+    from pyspark.sql import Window
+
+    obs = _event_minutes(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_epoch")
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    vi = F.col("value").cast("decimal(18,6)")
+    scored = obs.select(
+        "event_type",
+        "minute_epoch",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(vi).over(w).cast("double").alias("s1"),
+        F.sum(vi * vi).over(w).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_win")
+    var = F.col("s2") / F.col("n_win") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        TS.with_minute_ts(
+            scored.withColumn("zscore", z)
+            .filter(F.col("n_win") >= ZSCORE_MIN_N)
+            .filter(var > 0)
+            .filter(F.abs(F.col("zscore")) > ZSCORE_TAU)
+        )
+        .select(
+            "event_type",
+            "minute_ts",
+            "value",
+            F.round(mean, 6).alias("win_mean"),
+            F.round("zscore", 6).alias("zscore"),
+            F.col("n_win").alias("n_in_window"),
+        )
+        .orderBy("event_type", "minute_ts")
+    )
+
+
+MINUTE_ANOMALY_ZSCORE_SQL = f"""
+WITH obs AS ({_OBS_SQL}),
+scored AS (
+  SELECT event_type, minute_ts, value,
+         COUNT(*) OVER w AS n_win,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+  FROM obs
+  WINDOW w AS (PARTITION BY event_type ORDER BY minute_ts
+               ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, minute_ts, value,
+       ROUND(s1 / n_win, 6) AS win_mean,
+       ROUND((value - s1 / n_win)
+             / sqrt(s2 / n_win - (s1 / n_win) * (s1 / n_win)), 6) AS zscore,
+       n_win AS n_in_window
+FROM scored
+WHERE n_win >= {ZSCORE_MIN_N}
+  AND s2 / n_win - (s1 / n_win) * (s1 / n_win) > 0
+  AND abs((value - s1 / n_win)
+          / sqrt(s2 / n_win - (s1 / n_win) * (s1 / n_win))) > {ZSCORE_TAU}
+ORDER BY event_type, minute_ts
+"""

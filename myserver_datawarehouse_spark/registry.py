@@ -653,6 +653,27 @@ _SPECS: list[QuerySpec] = [
         "corpus assembly: deterministic weighted sampling "
         "(Efraimidis-Spirakis keys from the shared hash, per-lang top-k)",
     ),
+    QuerySpec(
+        "dup_ngram_coverage",
+        LT.dup_ngram_coverage,
+        LT.DUP_NGRAM_COVERAGE_SQL,
+        "dedup: corpus-wide duplicated 8-gram fraction per doc "
+        "(ExactSubstr diagnostic, Lee et al. 2022)",
+    ),
+    QuerySpec(
+        "gopher_quality_flags",
+        LT.gopher_quality_flags,
+        LT.GOPHER_QUALITY_FLAGS_SQL,
+        "quality: Gopher heuristic gate (token bounds, mean word len, "
+        "stopword hits) rolled up per (lang, source)",
+    ),
+    QuerySpec(
+        "minute_anomaly_zscore",
+        T.minute_anomaly_zscore,
+        T.MINUTE_ANOMALY_ZSCORE_SQL,
+        "monitoring: rolling z-score anomaly detection over the minute "
+        "series (trailing 60-min baseline, decimal-exact moments)",
+    ),
 ]
 
 

@@ -81,3 +81,34 @@ def test_quality_weighted_sample_deterministic(spark):
     a = [tuple(r) for r in LT.quality_weighted_sample(spark, SF).collect()]
     b = [tuple(r) for r in LT.quality_weighted_sample(spark, SF).collect()]
     assert a == b
+
+
+def test_dup_ngram_coverage_duplicates_score_high(spark):
+    rows = LT.dup_ngram_coverage(spark, SF).collect()
+    assert rows
+    n_docs = load_table(spark, SF, "documents").count()
+    # Docs shorter than K tokens are excluded by construction; everything
+    # else appears exactly once.
+    assert len(rows) <= n_docs
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert abs(r.dup_gram_frac - round(r.n_dup_grams / r.n_grams, 6)) < 1e-9
+    # The corpus contains exact duplicates (dedup_exact finds copies), and
+    # every gram of an exact copy is corpus-duplicated by definition.
+    full = [r for r in rows if r.dup_gram_frac == 1.0]
+    dups = LT.dedup_exact(spark, SF).filter("n_copies > 1").collect()
+    if dups:
+        assert full
+
+
+def test_gopher_quality_flags_rollup(spark):
+    rows = LT.gopher_quality_flags(spark, SF).collect()
+    assert rows
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        # pass_all is the conjunction: never exceeds any individual gate.
+        assert r.n_pass_all <= min(r.n_pass_len, r.n_pass_mwl, r.n_pass_stop)
+        assert 0.0 <= r.pass_rate <= 1.0
+        assert abs(r.pass_rate - round(r.n_pass_all / r.n_docs, 6)) < 1e-9

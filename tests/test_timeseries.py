@@ -171,3 +171,12 @@ def test_locf_carries_previous_value(spark):
     assert got[("a", "b", BASE + 3 * m)] == (40.0, False)
     assert got[(None, "b", BASE + 1 * m)] == (7.0, True)
     assert len(got) == 7
+
+
+def test_minute_anomaly_zscore_breaches_only(spark):
+    from myserver_datawarehouse_spark.plans import timeseries as PT
+
+    rows = PT.minute_anomaly_zscore(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert abs(r.zscore) > PT.ZSCORE_TAU
+        assert r.n_in_window >= PT.ZSCORE_MIN_N
