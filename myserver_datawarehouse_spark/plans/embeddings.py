@@ -783,3 +783,98 @@ ORDER BY cid
 
 
 KMEANS_IVF_CLUSTERS_SQL = _kmeans_sql()
+
+
+# --------------------------------------------- covariance probe (PCA prep)
+
+# Selected (i, j) dimension pairs, 0-based — diagonal entries give
+# per-dimension variance, off-diagonals the correlation structure.
+COV_PROBE_PAIRS: list[tuple[int, int]] = [
+    (0, 0), (1, 1), (63, 63),
+    (0, 1), (2, 7), (5, 13), (10, 40), (31, 62),
+]
+
+
+def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected entries of the embedding covariance matrix (the PCA /
+    whitening building block of embedding-space curation): for each probe
+    pair (i, j), E[x_i x_j], the mean-centered covariance, and n — all
+    from ONE pass over the vectors.
+
+    All moments accumulate as DECIMAL(28,14) of per-row IEEE products, so
+    the distributed sum is order-independent and bit-equal to the oracle
+    (plans/relational.py float policy). At 100 TB the FULL d x d matrix is
+    the same plan with d(d+1)/2 columns — for d=64 that is 2080 decimal
+    partials per task, still one map-side-combinable aggregate and a
+    1-row reduce (a mapInPandas gemm partial would cut Python-side cost
+    but reintroduce float-merge order; the codegen'd decimal form is both
+    exact and JVM-side). Probe entries keep the adjudicated surface small
+    while exercising exactly that plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def el(i: int):
+        return F.element_at("embedding", i + 1).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, j in COV_PROBE_PAIRS:
+        aggs.append(
+            F.sum((el(i) * el(j)).cast("decimal(28,14)")).alias(f"sxy_{i}_{j}")
+        )
+        aggs.append(F.sum(el(i).cast("decimal(28,14)")).alias(f"sx_{i}_{j}"))
+        aggs.append(F.sum(el(j).cast("decimal(28,14)")).alias(f"sy_{i}_{j}"))
+    one = e.agg(*aggs)
+    stack_args = []
+    for i, j in COV_PROBE_PAIRS:
+        stack_args += [
+            F.lit(i), F.lit(j),
+            F.col(f"sxy_{i}_{j}").cast("double"),
+            F.col(f"sx_{i}_{j}").cast("double"),
+            F.col(f"sy_{i}_{j}").cast("double"),
+        ]
+    long = one.select(
+        "n",
+        F.stack(
+            F.lit(len(COV_PROBE_PAIRS)), *stack_args
+        ).alias("dim_i", "dim_j", "sxy", "sx", "sy"),
+    )
+    mean_xy = F.col("sxy") / F.col("n")
+    mean_x = F.col("sx") / F.col("n")
+    mean_y = F.col("sy") / F.col("n")
+    return long.select(
+        "dim_i",
+        "dim_j",
+        F.col("n").alias("n_vecs"),
+        F.round(mean_xy, 6).alias("gram"),
+        F.round(mean_xy - mean_x * mean_y, 6).alias("covariance"),
+    ).orderBy("dim_i", "dim_j")
+
+
+def _cov_probe_sql() -> str:
+    aggs = ["COUNT(*) AS n"]
+    rows = []
+    for i, j in COV_PROBE_PAIRS:
+        xi = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+        xj = f"CAST(embedding[{j + 1}] AS DOUBLE)"
+        aggs.append(
+            f"SUM(CAST({xi} * {xj} AS DECIMAL(28,14))) AS sxy_{i}_{j}"
+        )
+        aggs.append(f"SUM(CAST({xi} AS DECIMAL(28,14))) AS sx_{i}_{j}")
+        aggs.append(f"SUM(CAST({xj} AS DECIMAL(28,14))) AS sy_{i}_{j}")
+        rows.append(
+            f"SELECT {i} AS dim_i, {j} AS dim_j, n AS n_vecs,\n"
+            f"  ROUND(CAST(sxy_{i}_{j} AS DOUBLE) / n, 6) AS gram,\n"
+            f"  ROUND(CAST(sxy_{i}_{j} AS DOUBLE) / n\n"
+            f"        - (CAST(sx_{i}_{j} AS DOUBLE) / n)\n"
+            f"          * (CAST(sy_{i}_{j} AS DOUBLE) / n), 6)\n"
+            f"    AS covariance FROM agg"
+        )
+    return (
+        "WITH agg AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM embeddings)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY dim_i, dim_j"
+    )
+
+
+EMBEDDING_COVARIANCE_PROBE_SQL = _cov_probe_sql()

@@ -674,6 +674,27 @@ _SPECS: list[QuerySpec] = [
         "monitoring: rolling z-score anomaly detection over the minute "
         "series (trailing 60-min baseline, decimal-exact moments)",
     ),
+    QuerySpec(
+        "decayed_user_value",
+        R.decayed_user_value,
+        R.DECAYED_USER_VALUE_SQL,
+        "feature eng: exponential time-decay weighted per-user value "
+        "(broadcast literal weight dim, exact-decimal ranking)",
+    ),
+    QuerySpec(
+        "incremental_agg_maintenance",
+        R.incremental_agg_maintenance,
+        R.INCREMENTAL_AGG_MAINTENANCE_SQL,
+        "incremental materialized-view maintenance: base ⊕ delta merge "
+        "adjudicated against a full-recompute oracle",
+    ),
+    QuerySpec(
+        "embedding_covariance_probe",
+        EM.embedding_covariance_probe,
+        EM.EMBEDDING_COVARIANCE_PROBE_SQL,
+        "embedding analytics: covariance/gram probe entries (PCA prep), "
+        "decimal-exact one-pass moments",
+    ),
 ]
 
 

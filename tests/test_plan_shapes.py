@@ -211,3 +211,66 @@ def test_zipf_rank_window_is_partitioned_and_limit_pushed(spark):
     plan = plan_of(LT.token_zipf_fit(spark, SF))
     assert "windowspecdefinition(lang" in plan
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_decayed_user_value_invariants(spark):
+    from myserver_datawarehouse_spark.plans import relational as R
+
+    assert R.DECAY_WEIGHTS[0][1] == 1.0
+    # Half-life property holds exactly in the literal dim.
+    assert R.DECAY_WEIGHTS[7][1] == 0.5
+    assert R.DECAY_WEIGHTS[14][1] == 0.25
+    rows = R.decayed_user_value(spark, SF).collect()
+    assert 0 < len(rows) <= R.DECAY_TOP_N
+    # Ranked by the exact decimal sum: the 6-dp projection may only
+    # disagree within rounding at adjacent ranks.
+    vals = [r.decayed_value for r in rows]
+    for a, b in zip(vals, vals[1:]):
+        assert a >= b - 1e-6
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.plans import relational as R
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    merged = {
+        (r.date_id, r.event_type): (r.n_events, r.sum_value)
+        for r in R.incremental_agg_maintenance(spark, SF).collect()
+    }
+    full = {
+        (r.date_id, r.event_type): (r.n_events, r.sum_value)
+        for r in (
+            load_table(spark, SF, "events")
+            .filter(F.col("value").isNotNull())
+            .groupBy(
+                F.date_format("ts", "yyyyMMdd").cast("int").alias("date_id"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert merged == full  # base ⊕ delta == recompute, bit-exact
+
+
+def test_embedding_covariance_probe_psd_diagonal(spark):
+    from myserver_datawarehouse_spark.plans import embeddings as EM
+
+    rows = EM.embedding_covariance_probe(spark, SF).collect()
+    assert len(rows) == len(EM.COV_PROBE_PAIRS)
+    ns = {r.n_vecs for r in rows}
+    assert len(ns) == 1  # single pass, one count
+    for r in rows:
+        if r.dim_i == r.dim_j:
+            # variance is non-negative (up to output rounding)
+            assert r.covariance >= -1e-6
