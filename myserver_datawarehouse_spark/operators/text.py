@@ -297,3 +297,43 @@ def winnow_fingerprints(shingle_hashes: Column | str, window: int = 4) -> Column
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return F.array_sort(F.array_distinct(mins))
+
+
+# ----------------------------------------------------- PII scrubbing
+
+# Conservative, auditable patterns for the standard pre-training scrub
+# (emails, phone numbers, IPv4, SSN-shaped ids). Java regex (JVM-side
+# regexp_replace — no UDF): lookarounds keep digit runs inside larger
+# numbers from matching.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+    "phone": r"(?<!\d)(?:\+?\d{1,2}[ .-])?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}(?!\d)",
+    # dot-excluding lookarounds: never match 4 octets inside a longer
+    # dotted run like a version string 1.2.3.4.5
+    "ipv4": r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+}
+# Order matters: SSN/phone before bare-number fallbacks; email first so
+# user@host never half-matches as a phone.
+PII_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact PII spans in place with typed placeholders ("<EMAIL>",
+    "<SSN>", ...) — chained JVM regexp_replace, whole-stage codegen,
+    no Python in the path. The scrub is idempotent: placeholders match
+    none of the patterns."""
+    c = _c(col)
+    for kind in PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-kind match counts (one aliased column per pattern) for scrub
+    audit rollups: sum these by source to report what was redacted."""
+    c = _c(col)
+    return [
+        F.regexp_count(c, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+        for k in PII_ORDER
+    ]

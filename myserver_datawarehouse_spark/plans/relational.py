@@ -2102,3 +2102,36 @@ WHERE value IS NOT NULL
 GROUP BY 1, 2
 ORDER BY date_id, event_type
 """
+
+
+# ------------------------------------------------------ unpivot (melt)
+
+def events_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: the wide BI export (`events_daily_pivot`) folded
+    back to tidy long format with native `DataFrame.unpivot` — the
+    wide->long half of the reshape pair (ingesting spreadsheet-shaped
+    data into a fact table is exactly this operator). Catalyst expands
+    unpivot row-locally (an Expand node, no shuffle beyond the pivot's
+    own aggregate), and the composition proves the reshape pair is
+    lossless: the oracle is a direct GROUP BY that never went wide."""
+    wide = events_daily_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["date_id"],
+            values=list(EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("date_id", "event_type")
+    )
+
+
+EVENTS_DAILY_UNPIVOT_SQL = """
+SELECT CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT) AS date_id,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY date_id, event_type
+"""

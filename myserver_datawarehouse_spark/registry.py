@@ -695,6 +695,13 @@ _SPECS: list[QuerySpec] = [
         "embedding analytics: covariance/gram probe entries (PCA prep), "
         "decimal-exact one-pass moments",
     ),
+    QuerySpec(
+        "events_daily_unpivot",
+        R.events_daily_unpivot,
+        R.EVENTS_DAILY_UNPIVOT_SQL,
+        "reshape: native unpivot/melt of the wide pivot back to tidy "
+        "long (lossless reshape pair, oracle never goes wide)",
+    ),
 ]
 
 

@@ -89,3 +89,33 @@ def split_quarantine(
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return good, bad
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan (Spark-native, no extra packages). Columnar self-
+    describing formats have no quarantine path by design — a corrupt
+    stripe is a loud task failure, not a salvageable row; the
+    PERMISSIVE/_corrupt_record machinery above applies to the text
+    formats only. Pass `schema` to pin schema-on-read (pruned columns
+    and type expectations survive writer drift); omit to trust footers.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC write with zstd (Spark-native). Same layout contract as the
+    parquet sinks in operators/merge.py: explicit mode, optional hive
+    partitioning for partition-pruned downstream scans."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

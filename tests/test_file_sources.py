@@ -114,3 +114,29 @@ def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "d" in pf_line and "3" in pf_line
     assert q.count() == df.filter(F.col("d") == 3).count()
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.sources.files import read_orc, write_orc
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") * 2.5).alias("val"),
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert {r.id for r in back.filter("part = 2").collect()} == {
+        i for i in range(100) if i % 4 == 2
+    }
+    # Partition pruning reaches the scan: non-matching partitions are
+    # not listed in the physical plan's selected partitions.
+    plan = (
+        back.filter(F.col("part") == 2)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "part=2" in plan or "part#" in plan

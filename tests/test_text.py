@@ -106,3 +106,32 @@ def test_winnow_fingerprints_subset_and_coverage(spark):
 def test_jaccard_exact(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
     assert df.select(TX.jaccard("x", "y").alias("j")).collect()[0].j == 0.5
+
+
+def test_scrub_pii_redacts_and_is_idempotent(spark):
+    from myserver_datawarehouse_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        ("contact alice.b+x@example.co.uk or 555-867-5309 x9",),
+        ("ssn 123-45-6789 ip 10.0.255.1 phone (212) 555-0199",),
+        ("no pii here, just version 1.2.3.4.5 and id 123456789",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        scrub_pii("text").alias("clean"), *pii_counts("text")
+    ).collect()
+    assert "<EMAIL>" in out[0].clean and "example" not in out[0].clean
+    assert "<PHONE>" in out[0].clean
+    assert "<SSN>" in out[1].clean and "123-45-6789" not in out[1].clean
+    assert "<IPV4>" in out[1].clean and "<PHONE>" in out[1].clean
+    assert out[0].n_email == 1 and out[0].n_phone == 1
+    assert out[1].n_ssn == 1 and out[1].n_ipv4 == 1 and out[1].n_phone == 1
+    # 1.2.3.4.5 is not an IPv4 (trailing .5 digit) — lookarounds hold.
+    assert out[2].n_ipv4 == 0 and out[2].n_ssn == 0
+    # Idempotent: scrubbing the scrubbed text is a no-op.
+    again = df.select(
+        scrub_pii(scrub_pii("text")).alias("c2"),
+        scrub_pii("text").alias("c1"),
+    ).collect()
+    for r in again:
+        assert r.c1 == r.c2
