@@ -274,3 +274,68 @@ def test_embedding_covariance_probe_psd_diagonal(spark):
         if r.dim_i == r.dim_j:
             # variance is non-negative (up to output rounding)
             assert r.covariance >= -1e-6
+
+
+def test_dup_ngram_coverage_plan_shape(spark):
+    plan = plan_of(LT.dup_ngram_coverage(spark, SF))
+    # Gram strings are hashed before the shuffle and text never rides
+    # past the projection; no join and no cartesian anywhere.
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan  # the hash-partition global count
+    assert "partial_count" in plan  # map-side combine in the rollup
+
+
+def test_gopher_quality_flags_single_rollup_shuffle(spark):
+    plan = plan_of(LT.gopher_quality_flags(spark, SF))
+    # Map-side flag math: no explode, no join; exactly the rollup's
+    # exchange plus the final ordering.
+    assert "Generate" not in plan  # no explode
+    assert "Join" not in plan
+    # rollup hash + output range sort only (formatted plans print each
+    # node twice: once in the tree, once in the detail section)
+    assert plan.count("+- Exchange") <= 2
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_decayed_user_value_broadcasts_weights_and_anchor(spark):
+    plan = plan_of(R.decayed_user_value(spark, SF))
+    # Both the 1-row anchor and the weight dim arrive by broadcast;
+    # the only data shuffle keys on user_id.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+    # Top-N is a TakeOrderedAndProject, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_covariance_probe_single_scan_one_reduce(spark):
+    from myserver_datawarehouse_spark.plans import embeddings as EM
+
+    plan = plan_of(EM.embedding_covariance_probe(spark, SF))
+    # One scan of the embeddings table, decimal partial aggregation,
+    # 1-row reduce, then the row-local stack (Expand/Generate).
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_events_daily_unpivot_is_row_local_expand(spark):
+    plan = plan_of(R.events_daily_unpivot(spark, SF))
+    # Unpivot lowers to Expand: no join, no shuffle beyond the pivot's
+    # own aggregate + final order.
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_minute_anomaly_zscore_one_sort_per_type(spark):
+    from myserver_datawarehouse_spark.plans import timeseries as PT
+
+    plan = plan_of(PT.minute_anomaly_zscore(spark, SF))
+    assert "Window" in plan
+    assert "Join" not in plan
+    # The rolling window consumes the minute-grain aggregate (rows
+    # pre-shrunk before any sort): partial aggregation precedes it.
+    assert "partial_" in plan
