@@ -2135,3 +2135,273 @@ FROM events
 GROUP BY 1, 2
 ORDER BY date_id, event_type
 """
+
+
+# ----------------------------------------- chi-square independence test
+
+def event_dow_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is each event type's volume
+    independent of day-of-week? The classic contingency-table drift test
+    a warehouse validation layer runs over behavioral facts (V-family
+    extension; the reference's validation stops at null/count checks,
+    dag_validation.py).
+
+    Day-of-week is normalized to 0=Sunday on both engines (Spark
+    dayofweek() is 1-based, DuckDB strftime %w is 0-based). Expected
+    counts come from broadcast row/column/grand totals — three 1-row or
+    tiny-key broadcast joins against the 35-cell contingency frame, so
+    nothing here adds a data-volume shuffle beyond the first count. Cell
+    contributions ((o-e)^2/e, IEEE-deterministic from integer counts)
+    accumulate per type in DECIMAL — order-independent, engine-exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - F.lit(1)).alias("dow")
+    )
+    cells = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    grand = cells.agg(F.sum("o").alias("gt"))
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("gt")
+    contrib = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("contrib", contrib.cast("decimal(28,12)"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("o").alias("n_events"),
+            F.count(F.lit(1)).alias("n_dows"),
+            F.round(F.sum("contrib").cast("double"), 6).alias("chi2"),
+        )
+        .withColumn("dof", F.col("n_dows") - F.lit(1))
+        .select("event_type", "n_events", "dof", "chi2")
+        .orderBy("event_type")
+    )
+
+
+EVENT_DOW_CHISQUARE_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(strftime(CAST(ts AS TIMESTAMP), '%w') AS INT) AS dow,
+         COUNT(*) AS o
+  FROM events
+  GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+gt AS (SELECT SUM(o) AS gt FROM cells),
+scored AS (
+  SELECT c.event_type, c.o,
+         CAST((c.o - CAST(rt.rt AS DOUBLE) * ct.ct / gt.gt)
+              * (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / gt.gt)
+              / (CAST(rt.rt AS DOUBLE) * ct.ct / gt.gt)
+           AS DECIMAL(28,12)) AS contrib
+  FROM cells c
+  JOIN rt USING (event_type)
+  JOIN ct USING (dow)
+  CROSS JOIN gt
+)
+SELECT event_type,
+       CAST(SUM(o) AS BIGINT) AS n_events,
+       COUNT(*) - 1 AS dof,
+       ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS chi2
+FROM scored
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------ PSI distribution drift
+
+PSI_SPLIT_TS = "2024-01-16"
+PSI_BINS = 10
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event type, bin the
+    reference period's `value` distribution (before {split}) into 10
+    equal-width bins over the reference [min, max], score the current
+    period (after {split}) against it, PSI = Σ (p−q)·ln(p/q) with
+    Laplace smoothing so empty bins stay finite. The standard
+    model-monitoring metric for input drift, here over warehouse facts.
+
+    Equal-width bins anchored on exact MIN/MAX (never percentile
+    interpolation) keep the bin edges bit-identical across engines; bin
+    ids are floor((v−lo)/width) — IEEE-deterministic. Shape: one pass
+    over the fact to (type, period, bin) counts, then broadcast joins of
+    the tiny per-type extrema/totals; PSI terms accumulate in DECIMAL."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")).alias(
+                "is_ref"
+            ),
+        )
+    )
+    ext = (
+        e.filter("is_ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    binned = (
+        e.join(F.broadcast(ext), "event_type")
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / PSI_BINS)
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = binned.groupBy("event_type").agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    # Laplace smoothing: (n + 0.5) / (N + bins/2) keeps empty bins finite
+    # and sums to 1 exactly when every bin is present.
+    q = (F.col("n_ref") + F.lit(0.5)) / (F.col("tr") + F.lit(PSI_BINS * 0.5))
+    p = (F.col("n_cur") + F.lit(0.5)) / (F.col("tc") + F.lit(PSI_BINS * 0.5))
+    term = (p - q) * F.log(p / q)
+    return (
+        binned.join(F.broadcast(tot), "event_type")
+        .withColumn("term", term.cast("decimal(28,12)"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.round(F.sum("term").cast("double"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_DRIFT_PSI_SQL = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(ts AS TIMESTAMP) < TIMESTAMP '{PSI_SPLIT_TS}' AS is_ref
+  FROM events WHERE value IS NOT NULL
+),
+ext AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM e WHERE is_ref GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         LEAST({PSI_BINS - 1},
+               GREATEST(0, CAST(FLOOR((e.value - ext.lo)
+                                      / ((ext.hi - ext.lo) / {PSI_BINS}))
+                                AS INT))) AS bin,
+         SUM(CASE WHEN e.is_ref THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN e.is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM e JOIN ext USING (event_type)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+  FROM binned GROUP BY 1
+),
+scored AS (
+  SELECT b.event_type, b.n_ref, b.n_cur,
+         CAST(((b.n_cur + 0.5) / (t.tc + {PSI_BINS * 0.5})
+               - (b.n_ref + 0.5) / (t.tr + {PSI_BINS * 0.5}))
+              * ln(((b.n_cur + 0.5) / (t.tc + {PSI_BINS * 0.5}))
+                   / ((b.n_ref + 0.5) / (t.tr + {PSI_BINS * 0.5})))
+           AS DECIMAL(28,12)) AS term
+  FROM binned b JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+FROM scored
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ------------------------------------- blocked fuzzy entity matching
+
+FUZZY_MAX_EDIT = 1
+
+
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation: near-identical customer
+    names (edit distance <= 1) BLOCKED by nation — the standard fuzzy
+    dedup shape for dimension tables (block on a cheap exact key, run
+    the expensive distance only within blocks; an unblocked fuzzy join
+    is corpus², a blocked one is Σ block²). Rolled up to per-nation
+    candidate-pair counts with the lexicographically first pair kept as
+    the audit sample.
+
+    At 100 TB blocks come from a composite key (nation × name-length ×
+    first-char) and hot blocks get salted — the shape here is the same
+    single shuffle on the block key. levenshtein() is integer DP on both
+    engines; verdicts cannot drift."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_name"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(b, F.col("a.nationkey") == F.col("b.nationkey"))
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .filter(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            <= FUZZY_MAX_EDIT
+        )
+        .select(
+            F.col("a.nationkey").alias("nationkey"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+    )
+    # Audit sample: min over "name_a|name_b" — names are fixed-width, so
+    # the concat's lexicographic order equals the (name_a, name_b) order
+    # and the same expression runs on both engines.
+    return (
+        pairs.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.concat_ws("|", "name_a", "name_b")).alias("fp"),
+        )
+        .select(
+            "nationkey",
+            "n_pairs",
+            F.substring_index("fp", "|", 1).alias("sample_a"),
+            F.substring_index("fp", "|", -1).alias("sample_b"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+CUSTOMER_FUZZY_MATCH_SQL = f"""
+WITH pairs AS (
+  SELECT a.c_nationkey AS nationkey, a.c_name AS name_a, b.c_name AS name_b
+  FROM customer a
+  JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_EDIT}
+)
+SELECT nationkey,
+       COUNT(*) AS n_pairs,
+       string_split(MIN(name_a || '|' || name_b), '|')[1] AS sample_a,
+       string_split(MIN(name_a || '|' || name_b), '|')[2] AS sample_b
+FROM pairs
+GROUP BY 1
+ORDER BY nationkey
+"""

@@ -702,6 +702,27 @@ _SPECS: list[QuerySpec] = [
         "reshape: native unpivot/melt of the wide pivot back to tidy "
         "long (lossless reshape pair, oracle never goes wide)",
     ),
+    QuerySpec(
+        "event_dow_chisquare",
+        R.event_dow_chisquare,
+        R.EVENT_DOW_CHISQUARE_SQL,
+        "validation: chi-square independence screen (event_type x "
+        "day-of-week contingency, broadcast totals, decimal-exact)",
+    ),
+    QuerySpec(
+        "value_drift_psi",
+        R.value_drift_psi,
+        R.VALUE_DRIFT_PSI_SQL,
+        "monitoring: population-stability-index drift per event type "
+        "(equal-width ref bins, Laplace smoothing, decimal terms)",
+    ),
+    QuerySpec(
+        "customer_fuzzy_match",
+        R.customer_fuzzy_match,
+        R.CUSTOMER_FUZZY_MATCH_SQL,
+        "entity resolution: nation-blocked fuzzy name match "
+        "(levenshtein <= 1 within blocks, per-block pair rollup)",
+    ),
 ]
 
 

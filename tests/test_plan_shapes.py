@@ -339,3 +339,32 @@ def test_minute_anomaly_zscore_one_sort_per_type(spark):
     # The rolling window consumes the minute-grain aggregate (rows
     # pre-shrunk before any sort): partial aggregation precedes it.
     assert "partial_" in plan
+
+
+def test_event_dow_chisquare_invariants(spark):
+    rows = R.event_dow_chisquare(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert 0 <= r.dof <= 6  # at most 7 day-of-week cells
+    plan = plan_of(R.event_dow_chisquare(spark, SF))
+    assert "SortMergeJoin" not in plan  # all totals arrive by broadcast
+
+
+def test_value_drift_psi_invariants(spark):
+    rows = R.value_drift_psi(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.psi >= 0.0  # PSI is a symmetrized KL: non-negative
+        assert r.n_ref > 0 and r.n_cur > 0
+
+
+def test_customer_fuzzy_match_blocked_pairs(spark):
+    from pyspark.sql import functions as F
+
+    rows = R.customer_fuzzy_match(spark, SF).collect()
+    for r in rows:
+        assert r.n_pairs > 0
+        assert r.sample_a < r.sample_b  # canonical order within the pair
+    plan = plan_of(R.customer_fuzzy_match(spark, SF))
+    assert "CartesianProduct" not in plan  # blocking key reaches the join
