@@ -2348,25 +2348,62 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair counts with the lexicographically first pair kept as
     the audit sample.
 
-    At 100 TB blocks come from a composite key (nation × name-length ×
-    first-char) and hot blocks get salted — the shape here is the same
-    single shuffle on the block key. levenshtein() is integer DP on both
-    engines; verdicts cannot drift."""
+    Candidate generation is FastSS deletion-neighborhood blocking
+    (Bocek et al. 2007), not a block² self-join: every name emits its
+    delete-1 variants (self + one char deleted per position, hashed to a
+    64-bit key), candidates are the equi-join on (nation, variant hash),
+    and the exact levenshtein verifies survivors. Two names within edit
+    distance 1 ALWAYS share a variant (equal: self; substitution: the
+    delete-at-i variants; insert/delete: the deletion variant equals the
+    shorter self), so recall is exact; the handful of false candidates
+    (shared variant, distance 2) die in the verify. Cost is rows ×
+    (len+1) variant emissions and bucket-bounded join output — linear in
+    corpus, never Σ block² — and a hot variant bucket salts exactly like
+    any hot join key. The oracle is the naive quadratic pair join, so
+    the differential gate also proves the blocking loses no pair."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_name"
     )
-    a, b = c.alias("a"), c.alias("b")
+    # Delete-1 neighborhood: self + one deletion per position.
+    variants = c.select(
+        "nationkey",
+        "c_custkey",
+        "c_name",
+        F.explode(
+            # array_distinct: deleting any char of an equal-char run
+            # yields the same variant — emit it once per name, or the
+            # candidate join multiplies matching pairs by run², all to
+            # be thrown away by the pair-dedup.
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("c_name")),
+                    F.transform(
+                    F.sequence(F.lit(1), F.length("c_name")),
+                    lambda i: F.concat(
+                        F.col("c_name").substr(F.lit(1), i - F.lit(1)),
+                        F.col("c_name").substr(i + F.lit(1), F.length("c_name")),
+                    ),
+                    ),
+                )
+            )
+        ).alias("variant"),
+    ).select("nationkey", "c_custkey", "c_name", F.xxhash64("variant").alias("vh"))
+    a, b = variants.alias("a"), variants.alias("b")
     pairs = (
-        a.join(b, F.col("a.nationkey") == F.col("b.nationkey"))
-        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .filter(
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-            <= FUZZY_MAX_EDIT
+        a.join(
+            b,
+            (F.col("a.nationkey") == F.col("b.nationkey"))
+            & (F.col("a.vh") == F.col("b.vh"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
             F.col("a.nationkey").alias("nationkey"),
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
+        )
+        .dropDuplicates(["nationkey", "name_a", "name_b"])
+        .filter(
+            F.levenshtein(F.col("name_a"), F.col("name_b")) <= FUZZY_MAX_EDIT
         )
     )
     # Audit sample: min over "name_a|name_b" — names are fixed-width, so
