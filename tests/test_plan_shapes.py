@@ -368,3 +368,15 @@ def test_customer_fuzzy_match_blocked_pairs(spark):
         assert r.sample_a < r.sample_b  # canonical order within the pair
     plan = plan_of(R.customer_fuzzy_match(spark, SF))
     assert "CartesianProduct" not in plan  # blocking key reaches the join
+
+
+def test_cli_list_oracle_and_unknown(capsys):
+    from myserver_datawarehouse_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "sql-oracle" in out
+    assert main(["oracle", "pricing_summary"]) == 0
+    assert "SELECT" in capsys.readouterr().out.upper()
+    assert main(["run", "definitely_not_a_query"]) == 1
+    assert main(["oracle", "approx_distinct_audit"]) == 1  # rows-only
