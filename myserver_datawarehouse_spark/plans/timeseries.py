@@ -456,30 +456,56 @@ def minute_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerting pass a monitoring layer runs downstream of the reference's
     minute rollups (rebuild_all_time_interpolation.py:74-99 grain).
 
-    Determinism: the frame sums accumulate the 6-dp minute means as
+    Determinism: the rolling moments accumulate the 6-dp minute means as
     DECIMAL(18,6) and their exact decimal squares (decimal x decimal is
     exact in both engines), so mean and variance derive from identical
     rationals; every subsequent double op (divide, subtract, sqrt) is
-    IEEE-deterministic. One shuffle on event_type, one sort — the same
-    anatomy as rolling_minute_avg, so the 100 TB story (minute grain
-    bounds rows to 1440/day/type) carries over.
+    IEEE-deterministic. One shuffle on event_type, one sort.
+
+    The rolling sums are computed as DIFFERENCES OF RUNNING SUMS
+    (cum(t-1) − cum(t-61)) rather than a 60-row sliding frame:
+    WindowExec evaluates a running (UNBOUNDED PRECEDING) frame
+    incrementally in O(1) per row but rescans sliding frames in
+    O(width) per row, so the prefix-sum form drops the window pass from
+    O(rows × width) to O(rows) — the formulation that survives wide
+    baselines at scale. Decimal addition is associative, so the
+    difference is bit-equal to the frame sum: the DuckDB oracle keeps
+    the literal ROWS-frame spec, and the differential gate is therefore
+    also a proof that the rewrite preserves the frame semantics exactly.
     """
     from pyspark.sql import Window
 
     obs = _event_minutes(spark, sf_dir)
-    w = (
+    wc = (
         Window.partitionBy("event_type")
         .orderBy("minute_epoch")
-        .rowsBetween(-ZSCORE_WINDOW, -1)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wo = Window.partitionBy("event_type").orderBy("minute_epoch")
     vi = F.col("value").cast("decimal(18,6)")
-    scored = obs.select(
+    zero1 = F.lit(0).cast("decimal(28,6)")
+    zero2 = F.lit(0).cast("decimal(38,12)")
+    cum = obs.select(
         "event_type",
         "minute_epoch",
         "value",
-        F.count(F.lit(1)).over(w).alias("n_win"),
-        F.sum(vi).over(w).cast("double").alias("s1"),
-        F.sum(vi * vi).over(w).cast("double").alias("s2"),
+        F.row_number().over(wo).alias("rn"),
+        F.sum(vi).over(wc).cast("decimal(28,6)").alias("c1"),
+        F.sum(vi * vi).over(wc).cast("decimal(38,12)").alias("c2"),
+    )
+    scored = cum.select(
+        "event_type",
+        "minute_epoch",
+        "value",
+        F.least(F.col("rn") - 1, F.lit(ZSCORE_WINDOW)).alias("n_win"),
+        (
+            F.coalesce(F.lag("c1", 1).over(wo), zero1)
+            - F.coalesce(F.lag("c1", ZSCORE_WINDOW + 1).over(wo), zero1)
+        ).cast("double").alias("s1"),
+        (
+            F.coalesce(F.lag("c2", 1).over(wo), zero2)
+            - F.coalesce(F.lag("c2", ZSCORE_WINDOW + 1).over(wo), zero2)
+        ).cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n_win")
     var = F.col("s2") / F.col("n_win") - mean * mean
