@@ -2442,3 +2442,73 @@ FROM pairs
 GROUP BY 1
 ORDER BY nationkey
 """
+
+
+# ------------------------------------- Q5-shape local supplier volume
+
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the customer and the
+    supplier sit in the SAME nation, per nation, one order-year window —
+    the 6-way join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    region omitted: region is 1:N of nation and adds nothing on this
+    schema) whose interesting property is the TWO paths to the nation
+    key and the co-nation equality closing the cycle.
+
+    Join strategy at any scale: customer/supplier/nation broadcast
+    (dimension-sized), so the only shuffle on fact data is
+    lineitem ⋈ orders on orderkey — and the o_orderdate filter is pushed
+    into the orders scan, shrinking the build side before the join. The
+    co-nation predicate evaluates row-local after the broadcasts.
+    Revenue accumulates as DECIMAL of l_extendedprice*(1-l_discount)
+    (exact: both factors are parquet doubles, the product is one IEEE
+    op, the cast one rounding)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(dec_sum(rev, "decimal(28,6)"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n.n_name,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
+  AND c.c_nationkey = s.s_nationkey
+GROUP BY 1
+ORDER BY revenue DESC, n_name ASC
+"""

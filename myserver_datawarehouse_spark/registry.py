@@ -723,6 +723,13 @@ _SPECS: list[QuerySpec] = [
         "entity resolution: nation-blocked fuzzy name match "
         "(levenshtein <= 1 within blocks, per-block pair rollup)",
     ),
+    QuerySpec(
+        "local_supplier_volume",
+        R.local_supplier_volume,
+        R.LOCAL_SUPPLIER_VOLUME_SQL,
+        "J3+ 6-way cyclic join (TPC-H Q5 shape): co-nation customer/"
+        "supplier revenue, dims broadcast, one fact shuffle",
+    ),
 ]
 
 

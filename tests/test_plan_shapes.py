@@ -380,3 +380,15 @@ def test_cli_list_oracle_and_unknown(capsys):
     assert "SELECT" in capsys.readouterr().out.upper()
     assert main(["run", "definitely_not_a_query"]) == 1
     assert main(["oracle", "approx_distinct_audit"]) == 1  # rows-only
+
+
+def test_local_supplier_volume_dims_broadcast_one_fact_shuffle(spark):
+    plan = plan_of(R.local_supplier_volume(spark, SF))
+    # customer/supplier/nation arrive by broadcast; the only SMJ/shuffle
+    # join permitted is lineitem ⋈ orders on orderkey.
+    assert plan.count("BroadcastHashJoin") >= 3
+    # The order-date filter reaches the orders scan.
+    pushed = " ".join(
+        seg.split("\n", 1)[0] for seg in plan.split("PushedFilters:")[1:]
+    )
+    assert "o_orderdate" in pushed
