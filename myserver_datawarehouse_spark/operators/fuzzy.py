@@ -1,0 +1,107 @@
+"""FastSS deletion-neighborhood blocking for fuzzy (edit-distance)
+matching — the scalable candidate generator behind entity resolution.
+
+Two strings within Levenshtein distance 1 ALWAYS share an element of
+their delete-1 neighborhoods (self ∪ one-char deletions): equal strings
+share self; a substitution pair shares the delete-at-i variant; an
+insert/delete pair shares the shorter string itself (Bocek et al. 2007,
+"Fast Similarity Search in Large Dictionaries"). The converse does not
+hold, so candidates from the variant equi-join are a superset and the
+exact levenshtein() verify prunes them — the classic block-then-verify
+shape, with candidate volume linear in corpus size instead of the
+Σ block² a within-block self-join pays.
+
+At 100 TB: rows × (len+1) variant emissions (deduped per row — equal-
+char runs collapse), one shuffle keyed on (block, variant hash), join
+output bounded by variant-bucket population; a hot variant bucket salts
+like any hot join key (operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def delete1_variants(col: Column | str) -> Column:
+    """Distinct delete-1 neighborhood of a string column: the string
+    itself plus every one-character deletion (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.concat(
+            F.array(c),
+            F.transform(
+                F.sequence(F.lit(1), F.length(c)),
+                lambda i: F.concat(
+                    c.substr(F.lit(1), i - F.lit(1)),
+                    c.substr(i + F.lit(1), F.length(c)),
+                ),
+            ),
+        )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str] | None = None,
+    max_edit: int = 1,
+) -> DataFrame:
+    """Candidate-verified fuzzy pairs: every (a, b) with a.id < b.id,
+    equal block keys, and levenshtein(a.name, b.name) <= max_edit.
+
+    Exact-recall blocking holds for max_edit=1 (the FastSS guarantee
+    above); for larger radii the same neighborhood blocks with delete-k
+    variants — not generated here, so max_edit > 1 falls back to a
+    within-block pair join (correct, quadratic per block).
+
+    Returns columns: *block_cols, id_a, id_b, name_a, name_b.
+    """
+    block_cols = block_cols or []
+    if max_edit == 1:
+        v = df.select(
+            *block_cols,
+            F.col(id_col).alias("_id"),
+            F.col(name_col).alias("_name"),
+            F.explode(delete1_variants(name_col)).alias("_variant"),
+        ).select(
+            *block_cols, "_id", "_name", F.xxhash64("_variant").alias("_vh")
+        )
+        a, b = v.alias("a"), v.alias("b")
+        cond = (F.col("a._vh") == F.col("b._vh")) & (
+            F.col("a._id") < F.col("b._id")
+        )
+        for bc in block_cols:
+            cond &= F.col(f"a.{bc}") == F.col(f"b.{bc}")
+        pairs = a.join(b, cond).select(
+            *[F.col(f"a.{bc}").alias(bc) for bc in block_cols],
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+        ).dropDuplicates([*block_cols, "id_a", "id_b"])
+    else:
+        a = df.select(
+            *block_cols,
+            F.col(id_col).alias("id_a"),
+            F.col(name_col).alias("name_a"),
+        ).alias("a")
+        b = df.select(
+            *block_cols,
+            F.col(id_col).alias("id_b"),
+            F.col(name_col).alias("name_b"),
+        ).alias("b")
+        cond = F.col("a.id_a") < F.col("b.id_b")
+        for bc in block_cols:
+            cond &= F.col(f"a.{bc}") == F.col(f"b.{bc}")
+        pairs = a.join(b, cond).select(
+            *[F.col(f"a.{bc}").alias(bc) for bc in block_cols],
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+        )
+    return pairs.filter(
+        F.levenshtein(F.col("name_a"), F.col("name_b")) <= max_edit
+    )

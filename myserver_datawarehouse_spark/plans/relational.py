@@ -2361,50 +2361,17 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, never Σ block² — and a hot variant bucket salts exactly like
     any hot join key. The oracle is the naive quadratic pair join, so
     the differential gate also proves the blocking loses no pair."""
+    from myserver_datawarehouse_spark.operators.fuzzy import fuzzy_pairs
+
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_name"
     )
-    # Delete-1 neighborhood: self + one deletion per position.
-    variants = c.select(
-        "nationkey",
-        "c_custkey",
-        "c_name",
-        F.explode(
-            # array_distinct: deleting any char of an equal-char run
-            # yields the same variant — emit it once per name, or the
-            # candidate join multiplies matching pairs by run², all to
-            # be thrown away by the pair-dedup.
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col("c_name")),
-                    F.transform(
-                    F.sequence(F.lit(1), F.length("c_name")),
-                    lambda i: F.concat(
-                        F.col("c_name").substr(F.lit(1), i - F.lit(1)),
-                        F.col("c_name").substr(i + F.lit(1), F.length("c_name")),
-                    ),
-                    ),
-                )
-            )
-        ).alias("variant"),
-    ).select("nationkey", "c_custkey", "c_name", F.xxhash64("variant").alias("vh"))
-    a, b = variants.alias("a"), variants.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.nationkey") == F.col("b.nationkey"))
-            & (F.col("a.vh") == F.col("b.vh"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.nationkey").alias("nationkey"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
-        )
-        .dropDuplicates(["nationkey", "name_a", "name_b"])
-        .filter(
-            F.levenshtein(F.col("name_a"), F.col("name_b")) <= FUZZY_MAX_EDIT
-        )
+    pairs = fuzzy_pairs(
+        c,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["nationkey"],
+        max_edit=FUZZY_MAX_EDIT,
     )
     # Audit sample: min over "name_a|name_b" — names are fixed-width, so
     # the concat's lexicographic order equals the (name_a, name_b) order

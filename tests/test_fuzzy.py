@@ -1,0 +1,73 @@
+"""FastSS deletion-neighborhood blocking: exact-recall property vs the
+brute-force pair join, on adversarial and randomized fixtures."""
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators.fuzzy import (
+    delete1_variants,
+    fuzzy_pairs,
+)
+
+
+def _brute_pairs(spark, rows, max_edit):
+    df = spark.createDataFrame(rows, "id long, name string")
+    a = df.selectExpr("id AS id_a", "name AS name_a")
+    b = df.selectExpr("id AS id_b", "name AS name_b")
+    return {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= max_edit)
+        .collect()
+    }
+
+
+def test_delete1_variants_shape(spark):
+    rows = spark.createDataFrame(
+        [("abc",), ("aab",), ("",)], "s string"
+    ).select(delete1_variants("s").alias("v")).collect()
+    assert sorted(rows[0].v) == sorted(["abc", "bc", "ac", "ab"])
+    # equal-char run collapses: deleting either 'a' of "aab" is "ab"
+    assert sorted(rows[1].v) == sorted(["aab", "ab", "aa"])
+    assert rows[2].v == [""]
+
+
+def test_fastss_equals_bruteforce_randomized(spark):
+    rng = random.Random(1234)
+    base = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    # Adversarial extras: equal strings, pure inserts/deletes, shared
+    # delete-variants at distance 2 (the FastSS false-positive class).
+    base += ["ab", "ba", "aab", "abb", "a", "b", "", "ab"]
+    rows = [(i, s) for i, s in enumerate(base)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(df, "id", "name", max_edit=1).collect()
+    }
+    assert got == _brute_pairs(spark, rows, 1)
+
+
+def test_fuzzy_pairs_blocked_and_fallback(spark):
+    rows = [(1, 0, "abc"), (2, 0, "abd"), (3, 1, "abd"), (4, 1, "xyz")]
+    df = spark.createDataFrame(rows, "id long, blk int, name string")
+    got = {
+        (r.blk, r.id_a, r.id_b)
+        for r in fuzzy_pairs(
+            df, "id", "name", block_cols=["blk"], max_edit=1
+        ).collect()
+    }
+    # cross-block (2,3) must NOT pair despite identical names' distance 0... 
+    # identical names are still a pair only within the same block.
+    assert got == {(0, 1, 2)}
+    # max_edit=2 falls back to the quadratic verify but stays correct.
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(df, "id", "name", max_edit=2).collect()
+    }
+    assert (1, 2) in got2 and (2, 3) in got2 and (1, 3) in got2
+    assert (1, 4) not in got2
