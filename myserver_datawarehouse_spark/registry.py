@@ -745,6 +745,11 @@ _SPECS: list[QuerySpec] = [
 #   2. last adjudicated in round 3 (freshest).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
+#
+# Round-5 maintenance: once CORRECTNESS_r04.json lands, add its green
+# keys as _ADJUDICATED_R4 (staleness 3), fold any r4-re-checked names
+# out of the older sets, and keep any query whose output changed since
+# its verdict OUT of every set so it returns to the head.
 
 _ADJUDICATED_R3 = frozenset(  # keys of CORRECTNESS_r03.json (all green)
     {
