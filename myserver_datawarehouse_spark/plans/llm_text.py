@@ -2657,3 +2657,111 @@ FROM flags
 GROUP BY 1, 2
 ORDER BY lang, source
 """
+
+
+# ------------------------------------------------ leakage-safe split
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    sides: the split key is the document's near-dup CLUSTER root (min
+    doc_id of its MinHash-LSH connected component; singletons root at
+    themselves), so A~B~C always land together — the upgrade of
+    `train_val_test_split` that closes the classic eval-contamination
+    hole where a test doc's near-copy sits in train. Same deterministic
+    hash-bucket assignment (never rand(), stable under corpus growth),
+    same cumulative bounds.
+
+    Output is the per-split audit: docs, distinct cluster roots, token
+    budget, plus `leaked_clusters` — the count of roots observed in >1
+    split, which this construction forces to 0 (the column makes the
+    guarantee a checked output, not a comment; the oracle recomputes it
+    from scratch via the recursive-CTE components).
+
+    Scale: the component labels exist only for docs with >= 1 near-dup
+    pair (edge-set-sized, orders of magnitude under corpus size at
+    100 TB); everyone else roots at itself via a left join — corpus
+    shuffles once on doc_id for that join and once for the rollup.
+    """
+    d = _docs(spark, sf_dir)
+    pairs = _minhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_labels(pairs).withColumnRenamed("doc_id", "m_doc_id")
+    rooted = d.join(
+        labels, d.doc_id == labels.m_doc_id, "left"
+    ).select(
+        "doc_id",
+        "text",
+        F.coalesce("label", "doc_id").alias("root"),
+    )
+    bucket = TX.hash60(F.col("root").cast("string"), seed=SPLIT_SEED) % 100
+    split = F.lit(None).cast("string")
+    for name, lo, hi in SPLIT_BOUNDS:
+        split = F.when((bucket >= lo) & (bucket < hi), name).otherwise(split)
+    assigned = rooted.select(
+        split.alias("split"),
+        "root",
+        F.size(TX.tokenize("text")).alias("n_tok"),
+    )
+    leaked = (
+        assigned.groupBy("root")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_clusters")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("root").alias("n_roots"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy("split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({NEAR_DUP_MINHASH_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+members AS (SELECT doc_id, MIN(label) AS root FROM reach GROUP BY doc_id),
+toks AS ({_TOKS_SQL}),
+rooted AS (
+  SELECT t.doc_id, len(t.tks) AS n_tok,
+         COALESCE(m.root, t.doc_id) AS root
+  FROM toks t LEFT JOIN members m USING (doc_id)
+),
+assigned AS (
+  SELECT root, n_tok,
+         ({_d_hash60("root::VARCHAR", seed=SPLIT_SEED)}) % 100 AS b
+  FROM rooted
+),
+named AS (
+  SELECT {_SPLIT_CASE_SQL} AS split, root, n_tok FROM assigned
+),
+leaked AS (
+  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_clusters
+  FROM (SELECT root, COUNT(DISTINCT split) AS ns FROM named GROUP BY 1)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT root) AS n_roots,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       leaked.leaked_clusters
+FROM named, leaked
+GROUP BY 1, leaked.leaked_clusters
+ORDER BY split
+"""

@@ -730,6 +730,13 @@ _SPECS: list[QuerySpec] = [
         "J3+ 6-way cyclic join (TPC-H Q5 shape): co-nation customer/"
         "supplier revenue, dims broadcast, one fact shuffle",
     ),
+    QuerySpec(
+        "leakage_safe_split",
+        LT.leakage_safe_split,
+        LT.LEAKAGE_SAFE_SPLIT_SQL,
+        "corpus assembly: cluster-rooted train/val/test split — near-"
+        "dups cannot cross sides; leaked_clusters is a checked output",
+    ),
 ]
 
 

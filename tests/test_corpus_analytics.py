@@ -112,3 +112,14 @@ def test_gopher_quality_flags_rollup(spark):
         assert r.n_pass_all <= min(r.n_pass_len, r.n_pass_mwl, r.n_pass_stop)
         assert 0.0 <= r.pass_rate <= 1.0
         assert abs(r.pass_rate - round(r.n_pass_all / r.n_docs, 6)) < 1e-9
+
+
+def test_leakage_safe_split_no_cluster_crosses_sides(spark):
+    rows = LT.leakage_safe_split(spark, SF).collect()
+    assert rows
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        # the construction forces zero leakage, and it is a CHECKED output
+        assert r.leaked_clusters == 0
+        assert r.n_roots <= r.n_docs
