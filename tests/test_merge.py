@@ -71,3 +71,21 @@ def test_overwrite_truncates(spark, tmp_path):
     M.append(batch(spark, [(1, "a", 10)]), p)
     M.overwrite(batch(spark, [(9, "n", 1)]), p)
     assert rows_of(spark, p) == {(9, "n", 1)}
+
+
+def test_incremental_agg_invariant_under_cutoff(spark, monkeypatch):
+    """base ⊕ delta == recompute for ANY split point: decimal partials
+    are associative, so the merged aggregate cannot depend on where the
+    incremental boundary falls."""
+    from myserver_datawarehouse_spark.plans import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    results = []
+    for cutoff in ("2024-01-05", "2024-01-20", "2030-01-01"):
+        monkeypatch.setattr(R, "INCR_AGG_CUTOFF", cutoff)
+        rows = {
+            (r.date_id, r.event_type): (r.n_events, r.sum_value)
+            for r in R.incremental_agg_maintenance(spark, sf).collect()
+        }
+        results.append(rows)
+    assert results[0] == results[1] == results[2]

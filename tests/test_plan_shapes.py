@@ -392,3 +392,23 @@ def test_local_supplier_volume_dims_broadcast_one_fact_shuffle(spark):
         seg.split("\n", 1)[0] for seg in plan.split("PushedFilters:")[1:]
     )
     assert "o_orderdate" in pushed
+
+
+def test_cli_run_writes_parquet(spark, tmp_path):
+    from myserver_datawarehouse_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    assert (
+        main(
+            [
+                "run",
+                "dim_date_flag_stats",
+                "--sf-dir",
+                SF,
+                "--output",
+                out,
+            ]
+        )
+        == 0
+    )
+    assert spark.read.parquet(out).count() == 1
