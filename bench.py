@@ -36,6 +36,33 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def build_line(
+    timings: dict[str, float], families: dict[str, float], sf: float
+) -> str:
+    """The ONE stdout line the driver records. Contract (tested in
+    tests/test_plan_shapes.py): valid JSON, < 1900 chars — the driver
+    keeps only the last 2000 chars of stdout, so a full per-query map
+    can never parse from its capture; the 20 slowest + family rollup
+    fit, and the complete map lives in bench_full.json."""
+    total = round(sum(timings.values()), 3)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    line = json.dumps(
+        {
+            "metric": "registry_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,  # 20 slowest; full map in per_query_file
+            "families": families,
+            "n_queries": len(timings),
+            "per_query_file": "bench_full.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"bench line {len(line)} chars, driver tail is 2000"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
@@ -108,23 +135,7 @@ def main() -> None:
             },
             fh,
         )
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
-    )
-    line = json.dumps(
-        {
-            "metric": "registry_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,  # 20 slowest; full map in per_query_file
-            "families": families,
-            "n_queries": len(timings),
-            "per_query_file": "bench_full.json",
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, f"bench line {len(line)} chars, driver tail is 2000"
+    line = build_line(timings, families, sf)
     sys.stdout.flush()
     print(line, flush=True)
 

@@ -412,3 +412,35 @@ def test_cli_run_writes_parquet(spark, tmp_path):
         == 0
     )
     assert spark.read.parquet(out).count() == 1
+
+
+def test_bench_line_contract_at_registry_scale():
+    """The driver records only stdout's tail: the bench line must stay
+    one parseable JSON object under 1900 chars even as the registry
+    grows (use worst-case name lengths from the real registry)."""
+    import json as _json
+
+    from bench import build_line
+    from myserver_datawarehouse_spark import registry
+
+    timings = {s.name: 123.456 for s in registry.specs()}
+    families = {f"family_{i}": 999.999 for i in range(12)}
+    line = build_line(timings, families, 0.1)
+    parsed = _json.loads(line)
+    assert len(line) < 1900
+    assert parsed["n_queries"] == len(registry.specs())
+    assert len(parsed["queries"]) == 20
+
+
+def test_registry_integrity():
+    from myserver_datawarehouse_spark import registry
+
+    specs = registry.specs()
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate registry names"
+    for s in specs:
+        assert callable(s.spark)
+        assert s.section
+        assert s.oracle is None or "SELECT" in s.oracle.upper()
+    # every oracle key is a registered query
+    assert set(registry.oracle_sql()) <= set(names)
