@@ -2479,3 +2479,85 @@ WHERE o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
 GROUP BY 1
 ORDER BY revenue DESC, n_name ASC
 """
+
+
+# --------------------------------------- product margin (Q9 shape)
+
+MARGIN_TOP_BRANDS = 3
+
+
+def part_brand_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profitability: lineitem ⋈ part, margin =
+    discounted revenue − retail-price cost, rolled up per (p_type,
+    p_brand), keeping the top-3 brands per type by EXACT decimal revenue
+    (ties impossible to mis-order: the ranking never compares rounded
+    doubles, and brand breaks residual ties).
+
+    Join note for 100 TB: `part` is NOT a broadcastable dim at scale
+    (it grows with the corpus, ~200k rows per TPC-H SF), so the join is
+    left keyed on l_partkey/p_partkey for a shuffle hash join — AQE may
+    still demote to broadcast at small SF, which is correct there too.
+    Both sides prune to the named columns; the rollup is map-side
+    partial; the per-type window ranks |type × brand| aggregated rows,
+    never lineitems."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand", "p_retailprice"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity")
+    per = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(rev.cast("decimal(28,6)")).alias("rev_d"),
+            F.sum(cost.cast("decimal(28,6)")).alias("cost_d"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.desc("rev_d"), F.asc("p_brand")
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MARGIN_TOP_BRANDS)
+        .select(
+            "p_type",
+            "rk",
+            "p_brand",
+            F.round(F.col("rev_d").cast("double"), 2).alias("revenue"),
+            F.round(
+                (F.col("rev_d") - F.col("cost_d")).cast("double"), 2
+            ).alias("margin"),
+            "n_lineitems",
+        )
+        .orderBy("p_type", "rk")
+    )
+
+
+PART_BRAND_MARGIN_TOPK_SQL = f"""
+WITH per AS (
+  SELECT p.p_type, p.p_brand,
+         SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  AS DECIMAL(28,6))) AS rev_d,
+         SUM(CAST(p.p_retailprice * l.l_quantity
+                  AS DECIMAL(28,6))) AS cost_d,
+         COUNT(*) AS n_lineitems
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_type
+                               ORDER BY rev_d DESC, p_brand ASC) AS rk
+  FROM per
+)
+SELECT p_type, rk, p_brand,
+       ROUND(CAST(rev_d AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(rev_d - cost_d AS DOUBLE), 2) AS margin,
+       n_lineitems
+FROM ranked
+WHERE rk <= {MARGIN_TOP_BRANDS}
+ORDER BY p_type, rk
+"""

@@ -737,6 +737,13 @@ _SPECS: list[QuerySpec] = [
         "corpus assembly: cluster-rooted train/val/test split — near-"
         "dups cannot cross sides; leaked_clusters is a checked output",
     ),
+    QuerySpec(
+        "part_brand_margin_topk",
+        R.part_brand_margin_topk,
+        R.PART_BRAND_MARGIN_TOPK_SQL,
+        "A+/W (TPC-H Q9 shape): product margin per (type, brand), top-3 "
+        "brands per type ranked by exact decimal revenue",
+    ),
 ]
 
 

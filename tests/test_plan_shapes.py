@@ -444,3 +444,17 @@ def test_registry_integrity():
         assert s.oracle is None or "SELECT" in s.oracle.upper()
     # every oracle key is a registered query
     assert set(registry.oracle_sql()) <= set(names)
+
+
+def test_part_margin_topk_window_over_aggregate(spark):
+    plan = plan_of(R.part_brand_margin_topk(spark, SF))
+    # The ranking window consumes (type, brand) aggregated rows — a
+    # partial aggregate exists upstream, and untouched wide columns
+    # never reach either scan.
+    assert "partial_" in plan
+    assert "Window" in plan
+    assert "p_name" not in plan and "l_shipdate" not in plan
+    rows = R.part_brand_margin_topk(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rk <= R.MARGIN_TOP_BRANDS
