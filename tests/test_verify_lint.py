@@ -29,3 +29,37 @@ def test_lint_flags_null_promoted_spark_int(spark):
         "t", sdf, con, "SELECT * FROM (VALUES (1), (NULL)) AS t(k)"
     )
     assert any("toPandas" in p for p in probs)
+
+
+def test_refresh_adjudication_latest_wins_and_fail_invalidates(tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from refresh_adjudication import latest_green_round
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q_stays_r1": {"rows_match": True, "schema_match": True, "hash_match": True},
+                "q_rechecked": {"rows_match": True, "schema_match": True, "hash_match": True},
+                "q_later_fail": {"rows_match": True, "schema_match": True, "hash_match": True},
+                "q_rows_only": {"rows_match": True, "schema_match": None, "hash_match": None},
+                "q_never_green": {"rows_match": True, "schema_match": True, "hash_match": False},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "q_rechecked": {"rows_match": True, "schema_match": True, "hash_match": True},
+                "q_later_fail": {"rows_match": False, "schema_match": True, "hash_match": False},
+            }
+        )
+    )
+    latest = latest_green_round(str(tmp_path / "CORRECTNESS_r*.json"))
+    assert latest["q_stays_r1"] == 1
+    assert latest["q_rechecked"] == 2  # latest verdict wins
+    assert "q_later_fail" not in latest  # later FAIL invalidates
+    assert latest["q_rows_only"] == 1  # rows-only entries count
+    assert "q_never_green" not in latest
