@@ -226,3 +226,87 @@ def test_streaming_upsert_merge_batch_split_invariant(spark, tmp_path):
         )
     )
     assert second == want
+
+
+def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
+    """The watermark contract, as Spark actually guarantees it: (a) a
+    closed window emits EXACTLY ONCE in append mode; (b) a row arriving
+    after its window's state was evicted is dropped (observable via
+    numRowsDroppedByWatermark) and cannot re-emit the window; (c) a
+    late-but-within-the-same-batch-as-eviction row may still be
+    aggregated — dropping is only guaranteed after eviction, which is
+    why the engine's streaming variants size their watermarks for the
+    real late-arrival tail, not for exactness theater."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.types import Row
+
+    def ev(i, minute, second=0):
+        return Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1, 0, minute, second),
+            user_id=1,
+            event_type="a",
+            value=1.0,
+            props="{}",
+        )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_file(rows, name):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(part, f"{src}/{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes => stable batch order
+
+    # batch 0: window [00:00, 00:01) gets its one on-time row; 00:04
+    # will push the watermark to 00:02 for the NEXT batch.
+    write_file([ev(1, 0), ev(2, 4)], "f1")
+    # batch 1 (wm 00:02): window [00:00) is evicted + emitted here.
+    write_file([ev(3, 5)], "f2")
+    # batch 2 (wm 00:03): a very late row for the already-evicted
+    # window — must be dropped, must not re-emit the window.
+    write_file([ev(4, 0, 30)], "f3")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_semantics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    rows = [
+        r
+        for r in spark.table("t_late_semantics").collect()
+        if r.w_start == dt.datetime(2024, 1, 1, 0, 0, 0)
+    ]
+    assert len(rows) == 1  # exactly-once emission, no late resurrection
+    assert rows[0].n == 1  # the post-eviction late row is not counted
+    assert dropped == 1  # and its drop is observable in the metrics
