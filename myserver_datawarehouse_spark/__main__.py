@@ -40,6 +40,15 @@ def _build_parser() -> argparse.ArgumentParser:
 
     orc = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
     orc.add_argument("query")
+
+    vf = sub.add_parser(
+        "verify", help="differential-check queries vs their DuckDB oracles"
+    )
+    vf.add_argument("queries", nargs="*", help="default: every query")
+    vf.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     return p
 
 
@@ -54,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
             oracle = "sql-oracle" if spec.oracle else "rows-only"
             print(f"{spec.name:40s} [{oracle}] {spec.section}")
         return 0
+
+    if args.cmd == "verify":
+        import tools.verify_local as V
+
+        sys.argv = ["verify_local", args.sf_dir, *args.queries]
+        return V.main()
 
     if args.cmd == "oracle":
         sql = registry.oracle_sql().get(args.query)
