@@ -310,3 +310,98 @@ def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
     assert len(rows) == 1  # exactly-once emission, no late resurrection
     assert rows[0].n == 1  # the post-eviction late row is not counted
     assert dropped == 1  # and its drop is observable in the metrics
+
+
+def test_foreachbatch_upsert_checkpoint_resume(spark, tmp_path):
+    """Restart semantics of the continuous-ingest upsert: a NEW query
+    started on the SAME checkpoint processes only files it has not seen
+    (no reprocessing of committed batches), and the merged target after
+    the restart equals latest-wins over everything ever ingested —
+    i.e. the crash/redeploy path of upsert_merge_stream is exactly-once
+    at the merge level."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.types import Row
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        dedup_latest,
+        overwrite,
+    )
+
+    work = str(tmp_path)
+    src = os.path.join(work, "input")
+    target = os.path.join(work, "target")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    def ev(i, user, minute, value):
+        return Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1, 0, minute, 0),
+            user_id=user,
+            event_type="a",
+            value=float(value),
+            props="{}",
+        )
+
+    def write_file(rows, name):
+        stage = os.path.join(work, f"stage_{name}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    schema = None
+    calls = []
+
+    def _merge(batch, batch_id):
+        calls.append(batch_id)
+        cand = batch
+        if os.path.isdir(target) and any(
+            not f.startswith((".", "_")) for f in os.listdir(target)
+        ):
+            cand = batch.unionByName(batch.sparkSession.read.parquet(target))
+        merged = dedup_latest(
+            cand, ["user_id", "event_type"], order_by=["ts", "event_id"]
+        ).localCheckpoint(eager=True)
+        overwrite(merged, target)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    write_file([ev(1, 1, 0, 10.0), ev(2, 2, 0, 20.0)], "f1")
+    write_file([ev(3, 1, 5, 11.0)], "f2")  # newer value for user 1
+    schema = spark.read.parquet(src).schema
+    drain()
+    first_run_batches = len(calls)
+    assert first_run_batches == 2
+    got = {
+        r.user_id: r.value for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: 11.0, 2: 20.0}
+
+    # "redeploy": a brand-new query on the same checkpoint, one new file
+    # with an even newer value for user 1 and a fresh user 3.
+    write_file([ev(4, 1, 9, 12.0), ev(5, 3, 9, 30.0)], "f3")
+    drain()
+    assert len(calls) == first_run_batches + 1  # only f3 processed
+    got = {
+        r.user_id: r.value for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: 12.0, 2: 20.0, 3: 30.0}
