@@ -458,3 +458,15 @@ def test_part_margin_topk_window_over_aggregate(spark):
     assert rows
     for r in rows:
         assert 1 <= r.rk <= R.MARGIN_TOP_BRANDS
+
+
+def test_leakage_safe_split_no_allpairs_no_cartesian(spark):
+    plan = plan_of(LT.leakage_safe_split(spark, SF))
+    assert "CartesianProduct" not in plan
+    # The corpus picks up its cluster root via a LEFT join against the
+    # edge-set-sized label frame; the broadcast 1-row leak counter is
+    # the only nested-loop join (formatted plans print each node twice:
+    # tree + detail header).
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
