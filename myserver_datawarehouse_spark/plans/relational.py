@@ -2561,3 +2561,132 @@ FROM ranked
 WHERE rk <= {MARGIN_TOP_BRANDS}
 ORDER BY p_type, rk
 """
+
+
+# --------------------------------- time-RANGE window frame (irregular)
+
+RANGE_WINDOW_SECONDS = 600
+
+
+def trailing_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window over the IRREGULAR event stream: for each
+    event, the count/sum of the same type's events in the trailing 10
+    minutes — a RANGE frame keyed on event-time seconds, not a ROWS
+    frame over a regular grid (rolling_minute_avg covers that form).
+    This is the sliding-window feature shape (fraud velocity checks,
+    rate features) where row position is meaningless because arrivals
+    are irregular.
+
+    One shuffle on event_type + one sort; frame membership is resolved
+    by the ordered range scan inside WindowExec. The sum accumulates
+    DECIMAL; output keeps only every 100th event (deterministic id
+    gate) so the adjudicated surface stays small while the window runs
+    over everything.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.unix_timestamp("ts").alias("epoch_s"),
+            F.col("value").cast("decimal(18,6)").alias("vi"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_s")
+        .rangeBetween(-RANGE_WINDOW_SECONDS, 0)
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_in_10m"),
+        F.round(F.sum("vi").over(w).cast("double"), 6).alias("sum_10m"),
+    )
+    return (
+        scored.filter(F.col("event_id") % 100 == 0)
+        .orderBy("event_id")
+    )
+
+
+TRAILING_RANGE_WINDOW_SUM_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         epoch(CAST(ts AS TIMESTAMP))::BIGINT AS epoch_s,
+         CAST(value AS DECIMAL(18,6)) AS vi
+  FROM events WHERE value IS NOT NULL
+),
+scored AS (
+  SELECT event_id, event_type, ts,
+         COUNT(*) OVER w AS n_in_10m,
+         ROUND(CAST(SUM(vi) OVER w AS DOUBLE), 6) AS sum_10m
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s
+               RANGE BETWEEN {RANGE_WINDOW_SECONDS} PRECEDING
+                         AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts, n_in_10m, sum_10m
+FROM scored
+WHERE event_id % 100 = 0
+ORDER BY event_id
+"""
+
+
+# --------------------------------------- explicit GROUPING SETS (SQL)
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general primitive CUBE/ROLLUP are
+    sugar for — through the engine's SQL entry path (every other
+    registry query uses the DataFrame API; this one exercises
+    spark.sql() + temp view to show both surfaces compile to the same
+    Expand plan): per-type totals, per-day totals, and the grand total
+    in ONE pass, with GROUPING() flags making the NULL grouping keys
+    unambiguous.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_gs_v"
+    )
+    # Grouped-out keys surface as NULL from the Expand; COALESCE them to
+    # typed sentinels so integer columns stay integers through the
+    # arrow/pandas fetch (the GROUPING() flags keep semantics exact —
+    # the sentinel can never be mistaken for a real key).
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(CAST(date_format(ts, 'yyyyMMdd') AS INT), 0)
+                 AS date_id,
+               GROUPING(event_type) AS g_type,
+               GROUPING(CAST(date_format(ts, 'yyyyMMdd') AS INT)) AS g_date,
+               COUNT(*) AS n_events
+        FROM events_gs_v
+        GROUP BY GROUPING SETS (
+            (event_type),
+            (CAST(date_format(ts, 'yyyyMMdd') AS INT)),
+            ()
+        )
+        ORDER BY g_type, g_date, event_type, date_id
+        """
+    )
+
+
+EVENTS_GROUPING_SETS_SQL = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT), 0)
+         AS date_id,
+       GROUPING(event_type) AS g_type,
+       GROUPING(CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT))
+         AS g_date,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY GROUPING SETS (
+    (event_type),
+    (CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS INT)),
+    ()
+)
+ORDER BY g_type, g_date, event_type, date_id
+"""

@@ -744,6 +744,20 @@ _SPECS: list[QuerySpec] = [
         "A+/W (TPC-H Q9 shape): product margin per (type, brand), top-3 "
         "brands per type ranked by exact decimal revenue",
     ),
+    QuerySpec(
+        "trailing_range_window_sum",
+        R.trailing_range_window_sum,
+        R.TRAILING_RANGE_WINDOW_SUM_SQL,
+        "W+ time-RANGE frame over the irregular stream (trailing 10-min "
+        "velocity features; ROWS frames cover the grid form)",
+    ),
+    QuerySpec(
+        "events_grouping_sets",
+        R.events_grouping_sets,
+        R.EVENTS_GROUPING_SETS_SQL,
+        "A+ explicit GROUPING SETS with GROUPING() flags via the "
+        "spark.sql entry path (one Expand pass)",
+    ),
 ]
 
 

