@@ -477,8 +477,6 @@ def test_range_frame_and_grouping_sets_shapes(spark):
 
     plan = plan_of(R.trailing_range_window_sum(spark, SF))
     assert "Window" in plan and "Join" not in plan
-    # RANGE frame resolved in one window pass per type partition.
-    assert "RANGE" in plan.upper() or "specifiedwindowframe" in plan.lower() or True
     rows = R.trailing_range_window_sum(spark, SF).collect()
     assert rows and all(r.n_in_10m >= 1 for r in rows)  # self always in frame
 
