@@ -2617,7 +2617,10 @@ def trailing_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAILING_RANGE_WINDOW_SUM_SQL = f"""
 WITH e AS (
   SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
-         epoch(CAST(ts AS TIMESTAMP))::BIGINT AS epoch_s,
+         -- floor, not round: Spark's unix_timestamp() truncates to the
+         -- second; a bare ::BIGINT cast of DuckDB's fractional epoch()
+         -- would ROUND and flip frame membership at the 600s boundary
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
          CAST(value AS DECIMAL(18,6)) AS vi
   FROM events WHERE value IS NOT NULL
 ),
