@@ -2252,15 +2252,22 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(ext), "event_type")
         .withColumn(
             "bin",
-            F.least(
-                F.lit(PSI_BINS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col("value") - F.col("lo"))
-                        / ((F.col("hi") - F.col("lo")) / PSI_BINS)
-                    ).cast("int"),
-                ),
+            # Degenerate-reference guard: if a type's reference values
+            # are all equal (hi = lo) the bin width is 0 and the
+            # engines diverge (Spark Divide -> NULL, DuckDB IEEE ->
+            # inf, whose FLOOR/CAST errors) — pin everything to bin 0
+            # with the SAME CASE on both engines.
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(PSI_BINS - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("value") - F.col("lo"))
+                            / ((F.col("hi") - F.col("lo")) / PSI_BINS)
+                        ).cast("int"),
+                    ),
+                )
             ),
         )
         .groupBy("event_type", "bin")
@@ -2302,10 +2309,13 @@ ext AS (
 ),
 binned AS (
   SELECT e.event_type,
-         LEAST({PSI_BINS - 1},
-               GREATEST(0, CAST(FLOOR((e.value - ext.lo)
-                                      / ((ext.hi - ext.lo) / {PSI_BINS}))
-                                AS INT))) AS bin,
+         CASE WHEN ext.hi = ext.lo THEN 0
+              ELSE LEAST({PSI_BINS - 1},
+                         GREATEST(0, CAST(FLOOR((e.value - ext.lo)
+                                                / ((ext.hi - ext.lo)
+                                                   / {PSI_BINS}))
+                                          AS INT)))
+         END AS bin,
          SUM(CASE WHEN e.is_ref THEN 1 ELSE 0 END) AS n_ref,
          SUM(CASE WHEN e.is_ref THEN 0 ELSE 1 END) AS n_cur
   FROM e JOIN ext USING (event_type)
@@ -2425,11 +2435,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema) whose interesting property is the TWO paths to the nation
     key and the co-nation equality closing the cycle.
 
-    Join strategy at any scale: customer/supplier/nation broadcast
-    (dimension-sized), so the only shuffle on fact data is
-    lineitem ⋈ orders on orderkey — and the o_orderdate filter is pushed
-    into the orders scan, shrinking the build side before the join. The
-    co-nation predicate evaluates row-local after the broadcasts.
+    Join strategy: nation is the only FIXED-size dim (25 rows) and the
+    only forced broadcast. customer (150k×SF) and supplier (10k×SF)
+    GROW with scale — like part in the Q9 note — so they get no
+    broadcast hint: at bench SF AQE demotes both joins to broadcast
+    from observed sizes, and at 100 TB they correctly become shuffle
+    hash joins instead of OOMing the driver. The dominating shuffle
+    remains lineitem ⋈ orders on orderkey, with the o_orderdate filter
+    pushed into the orders scan shrinking that side first; the
+    co-nation predicate evaluates row-local after the key joins.
     Revenue accumulates as DECIMAL of l_extendedprice*(1-l_discount)
     (exact: both factors are parquet doubles, the product is one IEEE
     op, the cast one rounding)."""
@@ -2450,8 +2464,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

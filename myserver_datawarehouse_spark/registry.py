@@ -728,7 +728,7 @@ _SPECS: list[QuerySpec] = [
         R.local_supplier_volume,
         R.LOCAL_SUPPLIER_VOLUME_SQL,
         "J3+ 6-way cyclic join (TPC-H Q5 shape): co-nation customer/"
-        "supplier revenue, dims broadcast, one fact shuffle",
+        "supplier revenue, fixed dims broadcast, growing dims AQE-decided",
     ),
     QuerySpec(
         "leakage_safe_split",

@@ -133,10 +133,14 @@ def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
     assert {r.id for r in back.filter("part = 2").collect()} == {
         i for i in range(100) if i % 4 == 2
     }
-    # Partition pruning reaches the scan: non-matching partitions are
-    # not listed in the physical plan's selected partitions.
-    plan = (
-        back.filter(F.col("part") == 2)._jdf.queryExecution()
-        .executedPlan().toString()
-    )
-    assert "part=2" in plan or "part#" in plan
+    # Partition pruning reaches the scan: the predicate must land in
+    # PartitionFilters (file-listing-time pruning), same proof as
+    # test_partitioned_layout_prunes_at_scan for parquet.
+    q = back.filter(F.col("part") == 2).select("id", "val")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "part" in pf_line and "2" in pf_line

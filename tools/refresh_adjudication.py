@@ -27,7 +27,14 @@ from myserver_datawarehouse_spark import registry
 
 def latest_green_round(pattern: str = "/root/repo/CORRECTNESS_r*.json") -> dict[str, int]:
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(pattern)):
+    # Sort by PARSED round number, not filename: lexicographic order
+    # breaks on unpadded/three-digit rounds (r2 vs r10, r100 vs r02)
+    # and could resurrect an invalidated verdict.
+    paths = sorted(
+        glob.glob(pattern),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    for path in paths:
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         with open(path) as fh:
             data = json.load(fh)
