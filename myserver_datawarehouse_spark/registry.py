@@ -602,8 +602,9 @@ _SPECS: list[QuerySpec] = [
     QuerySpec(
         "approx_distinct_audit",
         R.approx_distinct_audit,
-        None,  # HLL sketches are engine-specific; rows-only by design
-        "sketch tier: HLL++ approx distinct vs exact, observed rel error",
+        R.APPROX_DISTINCT_AUDIT_SQL,
+        "sketch tier: HLL++ error-bound audit vs exact distinct (the "
+        "within-tolerance flag is the adjudicated claim)",
     ),
     QuerySpec(
         "streaming_upsert_merge",

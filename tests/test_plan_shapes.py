@@ -379,7 +379,10 @@ def test_cli_list_oracle_and_unknown(capsys):
     assert main(["oracle", "pricing_summary"]) == 0
     assert "SELECT" in capsys.readouterr().out.upper()
     assert main(["run", "definitely_not_a_query"]) == 1
-    assert main(["oracle", "approx_distinct_audit"]) == 1  # rows-only
+    # Every registry query now carries an oracle (126/126); the error
+    # path is exercised by an unknown name.
+    assert main(["oracle", "approx_distinct_audit"]) == 0
+    assert main(["oracle", "definitely_not_a_query"]) == 1
 
 
 def test_local_supplier_volume_dims_broadcast_one_fact_shuffle(spark):
