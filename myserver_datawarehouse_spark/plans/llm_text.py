@@ -2765,3 +2765,94 @@ FROM named, leaked
 GROUP BY 1, leaked.leaked_clusters
 ORDER BY split
 """
+
+
+# --------------------------------------------------- PII scrub audit
+
+# Deterministic PII planted per doc (keyed on doc_id % 5; slot 4 is the
+# clean control). The testdata corpus is digit-free word salad (checked:
+# zero [0-9@<>] chars at every SF), so every match the scrub finds MUST
+# be a planted span and every planted span MUST be found — the oracle
+# computes expected redaction counts ANALYTICALLY from this rule, which
+# sidesteps the Java-vs-RE2 lookaround dialect gap entirely (DuckDB
+# never runs a regex) while still hash-adjudicating the real patterns:
+# a false positive on clean text, a missed plant, or a non-idempotent
+# scrub each shifts a count and fails the gate.
+_PII_PLANT_SLOTS = 5  # email, ssn, phone, ipv4, clean-control
+
+
+def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline PII scrub audit (operators/text.py:scrub_pii): per
+    (lang, source), the per-kind redaction counts over a deterministic
+    dirty corpus plus the residual-match and clean-doc invariants.
+
+    Columns: n_email/n_ssn/n_phone/n_ipv4 = matches of the REAL Java
+    scrub patterns on the dirty text; n_clean_docs = docs the scrub
+    left byte-identical (exactly the control slot, proving zero false
+    positives); n_residual = total pattern matches AFTER scrubbing
+    (idempotence/completeness, expected 0). Scale: map-only JVM
+    regexp_replace/regexp_count chained in whole-stage codegen, one
+    small-key rollup shuffle — the 100 TB shape of a corpus scrub."""
+    d = _docs(spark, sf_dir)
+    plant = F.element_at(
+        F.array(
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com today"),
+            ),
+            F.lit(" ssn 123-45-6789 on file"),
+            F.lit(" call (555) 867-5309 now"),
+            F.lit(" from host 10.0.0.1 ok"),
+            F.lit(""),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(_PII_PLANT_SLOTS)) + 1).cast("int"),
+    )
+    base = d.select(
+        "lang",
+        "source",
+        F.concat(F.col("text"), plant).alias("dirty"),
+    ).withColumn("scrubbed", TX.scrub_pii("dirty"))
+    pre = {
+        k: F.regexp_count(F.col("dirty"), F.lit(TX.PII_PATTERNS[k]))
+        for k in TX.PII_ORDER
+    }
+    resid = None
+    for k in TX.PII_ORDER:
+        c = F.regexp_count(F.col("scrubbed"), F.lit(TX.PII_PATTERNS[k]))
+        resid = c if resid is None else resid + c
+    per = base.select(
+        "lang",
+        "source",
+        (F.col("scrubbed") == F.col("dirty")).cast("int").alias("clean"),
+        resid.alias("resid"),
+        *[v.alias(f"c_{k}") for k, v in pre.items()],
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c_email").alias("n_email"),
+            F.sum("c_ssn").alias("n_ssn"),
+            F.sum("c_phone").alias("n_phone"),
+            F.sum("c_ipv4").alias("n_ipv4"),
+            F.sum("clean").alias("n_clean_docs"),
+            F.sum("resid").alias("n_residual"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+PII_SCRUB_AUDIT_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE doc_id % 5 = 0) AS n_email,
+       COUNT(*) FILTER (WHERE doc_id % 5 = 1) AS n_ssn,
+       COUNT(*) FILTER (WHERE doc_id % 5 = 2) AS n_phone,
+       COUNT(*) FILTER (WHERE doc_id % 5 = 3) AS n_ipv4,
+       COUNT(*) FILTER (WHERE doc_id % 5 = 4) AS n_clean_docs,
+       CAST(0 AS BIGINT) AS n_residual
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""

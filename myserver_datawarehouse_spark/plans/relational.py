@@ -41,7 +41,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fact_gold_price.py:394-413) on `lineitem`. Fully codegen'd hash
     aggregate with map-side partial agg — one shuffle on the group keys.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    return _pricing_block(load_table(spark, sf_dir, "lineitem"))
+
+
+def _pricing_block(l: DataFrame) -> DataFrame:
+    """The Q1-shape aggregate body, shared by the parquet and ORC entry
+    points so the two formats are adjudicated against the SAME SQL."""
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
@@ -70,6 +75,47 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/ORC end-to-end: write the pruned lineitem projection to ORC
+    (zstd, sources/files.py:write_orc), read it back (read_orc), and run
+    the SAME Q1-shape aggregate as `pricing_summary` — adjudicated by
+    the SAME oracle SQL over the parquet source, so a green verdict
+    proves the second columnar format round-trips timestamps, doubles,
+    and strings bit-exactly through write+scan+aggregate.
+
+    Eager-write note (same convention as streaming_upsert_merge): the
+    ORC copy is (re)written at plan-construction time into a fixed
+    per-sf temp path — repeated runs overwrite one copy rather than
+    leaking one per run; bench time includes the write, which is the
+    honest cost of a format round-trip. Only the 7 columns the
+    aggregate needs are written (column pruning at the WRITE side —
+    at 100 TB you never copy columns the consumer won't read)."""
+    import hashlib
+    import os
+    import tempfile
+
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    ]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "msdw_orc_lineitem_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    from myserver_datawarehouse_spark.sources.files import read_orc, write_orc
+
+    write_orc(load_table(spark, sf_dir, "lineitem").select(*cols), path)
+    return _pricing_block(read_orc(spark, path))
+
+
+ORC_ROUNDTRIP_PRICING_SQL: str  # assigned after PRICING_SUMMARY_SQL below
+
+
 PRICING_SUMMARY_SQL = """
 SELECT
   l_returnflag,
@@ -85,6 +131,9 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+# Same oracle as the parquet path: the ORC round-trip must be invisible.
+ORC_ROUNDTRIP_PRICING_SQL = PRICING_SUMMARY_SQL
 
 
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -759,6 +759,21 @@ _SPECS: list[QuerySpec] = [
         "A+ explicit GROUPING SETS with GROUPING() flags via the "
         "spark.sql entry path (one Expand pass)",
     ),
+    QuerySpec(
+        "orc_roundtrip_pricing",
+        R.orc_roundtrip_pricing,
+        R.ORC_ROUNDTRIP_PRICING_SQL,
+        "S1/ORC: write->read ORC round-trip feeding the Q1 aggregate, "
+        "same oracle as the parquet twin (format must be invisible)",
+    ),
+    QuerySpec(
+        "pii_scrub_audit",
+        LT.pii_scrub_audit,
+        LT.PII_SCRUB_AUDIT_SQL,
+        "LLM pipeline: JVM-regex PII scrub audit over a deterministic "
+        "dirty corpus (planted spans found, zero false positives, "
+        "idempotent residual=0) — analytically oracled",
+    ),
 ]
 
 
