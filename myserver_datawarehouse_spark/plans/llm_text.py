@@ -2058,18 +2058,44 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-set once and emit its pairs ARRAY-LOCALLY (`transform` x
     `slice` — C(s,2) structs per token, s = sources containing the
     token, bounded by |sources|). The pair rollup is a second small-key
-    shuffle. At 100 TB with many sources, cap s per token (drop
-    universal stopwords — they contribute to every pair equally) and
-    the pair stream stays linear in |vocab|."""
+    shuffle.
+
+    Universal-stopword cap (the 100 TB skew guard, implemented): a
+    token present in EVERY source contributes exactly +1 to every
+    pair's intersection, so such tokens are counted once (scalar U)
+    and EXCLUDED from the collect_set/pair-gen path — the hottest
+    arrays (corpus-wide stopwords) are never built. Pair counts are
+    then re-based on the dense source-pair skeleton (tiny: C(|sources|,
+    2) rows) as non_universal_shared + U, which is identical to the
+    uncapped semantics — the oracle is the uncapped quadratic join and
+    stays green. The per-token source count that gates the cap is a
+    cheap count aggregate (map-side partial) BEFORE any array exists."""
     d = _docs(spark, sf_dir)
+    # Distinct (source, token) — orders of magnitude smaller than the
+    # corpus; localCheckpoint so the three consumers (sizes, per-token
+    # counts, pair path) scan it once instead of re-tokenizing.
     vocab = (
         d.select("source", F.explode(TX.tokenize("text")).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
-    pairs = (
+    nsrc = sizes.agg(F.count(F.lit(1)).alias("n_sources"))
+    tokc = (
         vocab.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .crossJoin(F.broadcast(nsrc))
+    )
+    # Scalar U: tokens shared by ALL sources (each adds +1 to every pair).
+    univ = tokc.filter(F.col("s") == F.col("n_sources")).agg(
+        F.count(F.lit(1)).alias("n_universal")
+    )
+    pairs = (
+        vocab.join(
+            tokc.filter(F.col("s") < F.col("n_sources")).select("tok"), "tok"
+        )
+        .groupBy("tok")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .select(
             F.explode(
@@ -2083,7 +2109,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.source_a", "p.source_b")
     )
     inter = pairs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("n_shared")
+        F.count(F.lit(1)).alias("n_shared_nu")
     )
     sa = sizes.select(
         F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
@@ -2091,9 +2117,19 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(
         F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
     )
+    # Dense pair skeleton (C(|sources|, 2) rows) so pairs whose overlap
+    # is ONLY universal tokens still appear; n_shared = non-universal
+    # shared + U, and pairs sharing nothing are dropped exactly as the
+    # uncapped form (and the oracle) drop them.
     return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
+        sa.join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .crossJoin(F.broadcast(univ))
+        .withColumn(
+            "n_shared",
+            F.coalesce(F.col("n_shared_nu"), F.lit(0)) + F.col("n_universal"),
+        )
+        .filter(F.col("n_shared") > 0)
         .withColumn(
             "jaccard",
             F.round(
