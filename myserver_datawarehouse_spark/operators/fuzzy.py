@@ -23,22 +23,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _deletions(c: Column) -> Column:
+    """Every one-character deletion of a string column (array<string>;
+    empty array for the empty string)."""
+    return F.when(
+        F.length(c) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), F.length(c)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def delete1_variants(col: Column | str) -> Column:
     """Distinct delete-1 neighborhood of a string column: the string
     itself plus every one-character deletion (array<string>)."""
+    return deletek_variants(col, 1)
+
+
+def deletek_variants(col: Column | str, k: int) -> Column:
+    """Distinct delete-≤k neighborhood: the string plus every way of
+    deleting up to k characters (array<string>), built by k rounds of
+    one-char deletion over the accumulated set — all inside nested
+    JVM higher-order functions, no Python per row.
+
+    Recall argument (generalizes Bocek et al.'s k=1): if ed(u, v) ≤ k
+    via an optimal script with s substitutions, d deletions (from u),
+    i insertions (into u), s+d+i ≤ k, then deleting from u the s
+    substituted + d deleted characters (≤ k deletions) and from v the
+    s substituted + i inserted characters (≤ k deletions) yields the
+    SAME string — so D_k(u) ∩ D_k(v) ≠ ∅ and the variant equi-join
+    never loses a true pair; false candidates die in the levenshtein
+    verify. Neighborhood size is O(len^k / k!) per row (≤ ~170 for a
+    stale 18-char key at k=2) — linear in corpus size, never block²."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_distinct(
-        F.concat(
-            F.array(c),
-            F.transform(
-                F.sequence(F.lit(1), F.length(c)),
-                lambda i: F.concat(
-                    c.substr(F.lit(1), i - F.lit(1)),
-                    c.substr(i + F.lit(1), F.length(c)),
-                ),
-            ),
+    arr = F.array(c)
+    for _ in range(k):
+        arr = F.array_distinct(
+            F.concat(arr, F.flatten(F.transform(arr, _deletions)))
         )
-    )
+    return arr
 
 
 def fuzzy_pairs(
@@ -51,20 +78,21 @@ def fuzzy_pairs(
     """Candidate-verified fuzzy pairs: every (a, b) with a.id < b.id,
     equal block keys, and levenshtein(a.name, b.name) <= max_edit.
 
-    Exact-recall blocking holds for max_edit=1 (the FastSS guarantee
-    above); for larger radii the same neighborhood blocks with delete-k
-    variants — not generated here, so max_edit > 1 falls back to a
-    within-block pair join (correct, quadratic per block).
+    Exact-recall delete-≤k blocking (deletek_variants) covers
+    max_edit ≤ 2 — candidate volume stays linear in corpus size.
+    Beyond that the neighborhood explodes combinatorially (O(len^k)),
+    so max_edit > 2 falls back to a within-block pair join (correct,
+    quadratic per block — block well before reaching for it).
 
     Returns columns: *block_cols, id_a, id_b, name_a, name_b.
     """
     block_cols = block_cols or []
-    if max_edit == 1:
+    if 1 <= max_edit <= 2:
         v = df.select(
             *block_cols,
             F.col(id_col).alias("_id"),
             F.col(name_col).alias("_name"),
-            F.explode(delete1_variants(name_col)).alias("_variant"),
+            F.explode(deletek_variants(name_col, max_edit)).alias("_variant"),
         ).select(
             *block_cols, "_id", "_name", F.xxhash64("_variant").alias("_vh")
         )

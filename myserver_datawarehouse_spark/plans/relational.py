@@ -2440,6 +2440,23 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, never Σ block² — and a hot variant bucket salts exactly like
     any hot join key. The oracle is the naive quadratic pair join, so
     the differential gate also proves the blocking loses no pair."""
+    return _customer_fuzzy_rollup(spark, sf_dir, FUZZY_MAX_EDIT)
+
+
+def customer_fuzzy_match_edit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edit-distance-2 tier of `customer_fuzzy_match`: candidates
+    come from the delete-≤2 neighborhood equi-join
+    (operators/fuzzy.py:deletek_variants — exact recall at ed ≤ 2, see
+    the recall argument there), never the within-block quadratic join
+    the pre-round-5 code fell back to. The oracle stays the naive
+    blocked quadratic pair join at distance 2, so the differential gate
+    proves delete-2 blocking loses no pair on real keys."""
+    return _customer_fuzzy_rollup(spark, sf_dir, 2)
+
+
+def _customer_fuzzy_rollup(
+    spark: SparkSession, sf_dir: str, max_edit: int
+) -> DataFrame:
     from myserver_datawarehouse_spark.operators.fuzzy import fuzzy_pairs
 
     c = load_table(spark, sf_dir, "customer").select(
@@ -2450,7 +2467,7 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
         name_col="c_name",
         block_cols=["nationkey"],
-        max_edit=FUZZY_MAX_EDIT,
+        max_edit=max_edit,
     )
     # Audit sample: min over "name_a|name_b" — names are fixed-width, so
     # the concat's lexicographic order equals the (name_a, name_b) order
@@ -2471,14 +2488,17 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUSTOMER_FUZZY_MATCH_SQL = f"""
+def _customer_fuzzy_sql(max_edit: int) -> str:
+    # Oracle: the naive blocked quadratic pair join — deliberately NOT
+    # the blocking construction, so a green hash proves exact recall.
+    return f"""
 WITH pairs AS (
   SELECT a.c_nationkey AS nationkey, a.c_name AS name_a, b.c_name AS name_b
   FROM customer a
   JOIN customer b
     ON a.c_nationkey = b.c_nationkey
    AND a.c_custkey < b.c_custkey
-  WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_EDIT}
+  WHERE levenshtein(a.c_name, b.c_name) <= {max_edit}
 )
 SELECT nationkey,
        COUNT(*) AS n_pairs,
@@ -2488,6 +2508,10 @@ FROM pairs
 GROUP BY 1
 ORDER BY nationkey
 """
+
+
+CUSTOMER_FUZZY_MATCH_SQL = _customer_fuzzy_sql(FUZZY_MAX_EDIT)
+CUSTOMER_FUZZY_MATCH_EDIT2_SQL = _customer_fuzzy_sql(2)
 
 
 # ------------------------------------- Q5-shape local supplier volume

@@ -760,6 +760,13 @@ _SPECS: list[QuerySpec] = [
         "spark.sql entry path (one Expand pass)",
     ),
     QuerySpec(
+        "customer_fuzzy_match_edit2",
+        R.customer_fuzzy_match_edit2,
+        R.CUSTOMER_FUZZY_MATCH_EDIT2_SQL,
+        "entity resolution at edit distance 2: delete-<=2 neighborhood "
+        "blocking (exact recall), quadratic oracle proves no lost pair",
+    ),
+    QuerySpec(
         "orc_roundtrip_pricing",
         R.orc_roundtrip_pricing,
         R.ORC_ROUNDTRIP_PRICING_SQL,

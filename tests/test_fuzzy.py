@@ -52,6 +52,39 @@ def test_fastss_equals_bruteforce_randomized(spark):
     assert got == _brute_pairs(spark, rows, 1)
 
 
+def test_fastss_edit2_equals_bruteforce_randomized(spark):
+    """Delete-≤2 neighborhood blocking is exact-recall at edit 2: the
+    variant equi-join path (no quadratic fallback) must produce exactly
+    the brute-force pair set on adversarial random strings."""
+    rng = random.Random(4321)
+    base = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        for _ in range(35)
+    ]
+    # Distance-2 constructions: double substitution, sub+del, two
+    # inserts, plus distance-3 near-misses that must NOT pair.
+    base += ["abab", "acac", "ab", "abcd", "ba", "bcda", "", "a", "ccc"]
+    rows = [(i, s) for i, s in enumerate(base)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(df, "id", "name", max_edit=2).collect()
+    }
+    assert got == _brute_pairs(spark, rows, 2)
+
+
+def test_deletek_variants_shape(spark):
+    from myserver_datawarehouse_spark.operators.fuzzy import deletek_variants
+
+    rows = (
+        spark.createDataFrame([("abc",), ("",)], "s string")
+        .select(deletek_variants("s", 2).alias("v"))
+        .collect()
+    )
+    assert sorted(rows[0].v) == ["a", "ab", "abc", "ac", "b", "bc", "c"]
+    assert rows[1].v == [""]
+
+
 def test_fuzzy_pairs_blocked_and_fallback(spark):
     rows = [(1, 0, "abc"), (2, 0, "abd"), (3, 1, "abd"), (4, 1, "xyz")]
     df = spark.createDataFrame(rows, "id long, blk int, name string")
@@ -64,10 +97,13 @@ def test_fuzzy_pairs_blocked_and_fallback(spark):
     # cross-block (2,3) must NOT pair despite identical names' distance 0... 
     # identical names are still a pair only within the same block.
     assert got == {(0, 1, 2)}
-    # max_edit=2 falls back to the quadratic verify but stays correct.
-    got2 = {
-        (r.id_a, r.id_b)
-        for r in fuzzy_pairs(df, "id", "name", max_edit=2).collect()
-    }
-    assert (1, 2) in got2 and (2, 3) in got2 and (1, 3) in got2
-    assert (1, 4) not in got2
+    # max_edit=2 now rides the delete-2 variant path; max_edit=3 takes
+    # the documented quadratic fallback — both stay correct.
+    for me in (2, 3):
+        got2 = {
+            (r.id_a, r.id_b)
+            for r in fuzzy_pairs(df, "id", "name", max_edit=me).collect()
+        }
+        assert (1, 2) in got2 and (2, 3) in got2 and (1, 3) in got2
+        # "abc" vs "xyz" is distance 3: excluded at 2, included at 3.
+        assert ((1, 4) in got2) == (me == 3)
