@@ -788,113 +788,167 @@ _SPECS: list[QuerySpec] = [
 # Adjudication order: least-recently-adjudicated first. The external
 # CORRECTNESS gate checks the registry head-first under a fixed budget
 # (~50 queries/round), so the ordering rule is simply staleness:
-#   0. never adjudicated in its CURRENT form — a rename, semantics change,
-#      or new query always returns here so changed outputs are re-checked
-#      (the four *_windowed minute-grid forms are here: their unbounded
-#      predecessors' r2 verdicts do not transfer to the renamed forms);
-#   1. last adjudicated in round 2 (stalest standing verdicts);
-#   2. last adjudicated in round 3 (freshest).
+#   0. never adjudicated in its CURRENT form — a rename, semantics or
+#      plan change, or new query always returns here so changed outputs
+#      are re-checked. For round 5 this tier holds the 3 new queries
+#      (pii_scrub_audit, orc_roundtrip_pricing,
+#      customer_fuzzy_match_edit2) plus the 6 queries whose code was
+#      touched this round and therefore forfeit their standing verdicts
+#      (approx_distinct_audit restructured; value_drift_psi guard;
+#      local_supplier_volume hints; source_vocab_overlap cap;
+#      pricing_summary + customer_fuzzy_match refactors — outputs
+#      unchanged, but a verdict never outlives a code change);
+#   1. last adjudicated in round 2 (the 30 stalest standing verdicts —
+#      this is where the round-5 budget should land);
+#   2. last adjudicated in round 3;
+#   3. last adjudicated in round 4 (freshest).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
-# Round-5 maintenance: once CORRECTNESS_r04.json lands, add its green
-# keys as _ADJUDICATED_R4 (staleness 3), fold any r4-re-checked names
-# out of the older sets, and keep any query whose output changed since
-# its verdict OUT of every set so it returns to the head.
+# Round-6 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r05.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 6
+# OUT of every set so it returns to the head.
 
-_ADJUDICATED_R3 = frozenset(  # keys of CORRECTNESS_r03.json (all green)
+_ADJUDICATED_R2 = frozenset(
     {
-        "user_sessionization",
-        "user_snapshot_diff",
-        "events_json_props",
-        "events_daily_pivot",
-        "stratified_sample",
-        "train_val_test_split",
-        "context_pack_bins",
-        "token_counts",
-        "dim_date_flag_stats",
-        "text_repetition_stats",
-        "unigram_xent_quality",
-        "text_stats_by_lang",
-        "corpus_curation_pipeline",
-        "corpus_build_pipeline",
-        "multimodal_type_rollup",
-        "ranking_report",
-        "timestamp_roundtrip",
-        "dim_date_integrity",
-        "sources_summary",
-        "data_mixture_rebalance",
-        "quality_percentile_filter",
-        "dedup_incremental_new_docs",
-        "value_outliers_mad",
-        "streaming_session_windows",
-        "scd2_user_history",
-        "user_spend_quartiles_broadcast",
-        "flagship_hourly_pipeline",
-        "pipeline_validation",
-        "dedup_exact",
-        "near_dup_minhash_lsh",
-        "dedup_clusters",
-        "tfidf_top_terms",
-        "near_dup_simhash",
-        "ngram_jaccard_pairs",
-        "text_quality_scores",
-        "lang_id_confusion",
-        "benchmark_contamination",
-        "doc_fingerprint_winnow",
-        "lang_centroid_similarity",
-        "embedding_norm_stats_by_label",
-        "multimodal_features",
-        "streaming_minute_agg",
-        "streaming_dedup_counts",
-        "streaming_click_attribution",
-        "streaming_band_rollup",
-        "freshness_probe",
+        "big_spender_customers",
+        "customers_without_orders",
+        "dim_date_flags",
+        "dim_time_table",
+        "distinct_scan",
+        "document_chunks",
+        "embedding_ann_ivf",
+        "events_asof_enrichment",
+        "events_asof_forward",
+        "events_multires_rollup",
+        "events_value_band_join",
+        "first_appearance_order",
+        "first_last_event_probe",
+        "full_history_rebuild",
+        "interpolate_cross_midnight",
+        "latest_event_per_user_type",
+        "multimodal_frame_sample",
+        "normalized_quotes",
+        "revenue_rollup",
+        "rolling_minute_avg",
+        "salted_user_counts",
+        "set_except",
+        "set_intersect",
+        "sheets_export_frame",
+        "sources_dim_colors",
+        "sources_lifecycle",
+        "stats_profile",
+        "streaming_gap_state",
+        "user_spend_quartiles",
+        "value_percentiles",
     }
 )
 
-_ADJUDICATED_R2 = frozenset(  # green in CORRECTNESS_r02, unchanged since
+_ADJUDICATED_R3 = frozenset(
     {
-        "pricing_summary",
-        "star_join_revenue",
-        "top_supplier_per_nation",
+        "benchmark_contamination",
+        "context_pack_bins",
+        "corpus_build_pipeline",
+        "corpus_curation_pipeline",
+        "data_mixture_rebalance",
+        "dedup_clusters",
+        "dedup_exact",
+        "dedup_incremental_new_docs",
+        "dim_date_flag_stats",
+        "dim_date_integrity",
+        "doc_fingerprint_winnow",
+        "embedding_norm_stats_by_label",
+        "events_daily_pivot",
+        "events_json_props",
+        "flagship_hourly_pipeline",
+        "freshness_probe",
+        "lang_centroid_similarity",
+        "lang_id_confusion",
+        "multimodal_features",
+        "multimodal_type_rollup",
+        "near_dup_minhash_lsh",
+        "near_dup_simhash",
+        "ngram_jaccard_pairs",
+        "pipeline_validation",
+        "quality_percentile_filter",
+        "ranking_report",
+        "scd2_user_history",
+        "sources_summary",
+        "stratified_sample",
+        "streaming_band_rollup",
+        "streaming_click_attribution",
+        "streaming_dedup_counts",
+        "streaming_minute_agg",
+        "streaming_session_windows",
+        "text_quality_scores",
+        "text_repetition_stats",
+        "text_stats_by_lang",
+        "tfidf_top_terms",
+        "timestamp_roundtrip",
+        "token_counts",
+        "train_val_test_split",
+        "unigram_xent_quality",
+        "user_sessionization",
+        "user_snapshot_diff",
+        "user_spend_quartiles_broadcast",
+        "value_outliers_mad",
+    }
+)
+
+_ADJUDICATED_R4 = frozenset(
+    {
+        "day_over_day_change",
+        "decayed_user_value",
+        "dup_ngram_coverage",
+        "embedding_ann_bucketed",
+        "embedding_ann_bucketed_baseline",
+        "embedding_covariance_probe",
+        "embedding_int8_quantization",
+        "embedding_topk_bruteforce",
+        "embedding_topk_bruteforce_baseline",
+        "event_dow_chisquare",
+        "events_cube_rollup",
+        "events_daily_unpivot",
+        "events_funnel_conversion",
+        "events_grouping_sets",
+        "gapfill_locf_windowed",
+        "gapfill_missing_minutes_windowed",
+        "gopher_quality_flags",
+        "grouped_topk_dense",
+        "incremental_agg_maintenance",
+        "interpolate_minutes_bracketing_windowed",
+        "interpolate_minutes_nearest2_windowed",
+        "kmeans_ivf_clusters",
+        "layout_zorder_stats",
+        "leakage_safe_split",
+        "minute_anomaly_zscore",
+        "near_dup_embedding_cosine",
+        "near_dup_embedding_cosine_baseline",
+        "part_brand_margin_topk",
+        "quality_weighted_sample",
+        "referential_orphan_audit",
         "share_of_total",
         "share_of_total_broadcast",
-        "customers_without_orders",
-        "big_spender_customers",
-        "latest_event_per_user_type",
-        "first_appearance_order",
-        "distinct_scan",
-        "set_except",
-        "set_intersect",
-        "stats_profile",
-        "events_asof_enrichment",
-        "events_asof_forward",
-        "value_percentiles",
-        "revenue_rollup",
-        "salted_user_counts",
-        "events_value_band_join",
-        "events_multires_rollup",
-        "user_spend_quartiles",
-        "rolling_minute_avg",
-        "interpolate_cross_midnight",
-        "full_history_rebuild",
-        "first_last_event_probe",
-        "sources_lifecycle",
-        "embedding_ann_ivf",
-        "document_chunks",
-        "multimodal_frame_sample",
-        "streaming_gap_state",
-        "normalized_quotes",
-        "sheets_export_frame",
-        "dim_date_flags",
-        "dim_time_table",
-        "sources_dim_colors",
+        "shipping_priority_topk",
+        "source_mix_entropy",
+        "source_numeric_ids",
+        "star_join_revenue",
+        "streaming_dedup_within_watermark",
+        "streaming_upsert_merge",
+        "token_zipf_fit",
+        "top_supplier_per_nation",
+        "trailing_range_window_sum",
+        "user_retention_cohorts",
+        "value_histogram",
+        "word_cooccurrence_pmi",
     }
 )
 
 
 def _staleness(name: str) -> int:
+    if name in _ADJUDICATED_R4:
+        return 3
     if name in _ADJUDICATED_R3:
         return 2
     if name in _ADJUDICATED_R2:
