@@ -13,12 +13,23 @@ per-query map goes to bench_full.json next to this script.
 Each query is materialized through Spark's `noop` sink — full execution of
 the plan (scan → shuffle → agg) with no driver-side collect bottleneck, so
 the timing reflects what a cluster would do, not a toPandas() transfer.
+
+Median-of-N protocol (round 5, per the round-4 advice): SCALE.md
+documents ±0.5–1.5 s cross-run drift on unchanged plans, which drowned
+round-over-round per-query diffs. Each query now runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) inside the ONE warm JVM; the
+reported time is the median and bench_full.json carries every rep plus
+the spread (max−min), so a diff bigger than the recorded spread is
+signal, not noise. Eagerly-executing queries (streaming_upsert_merge,
+orc_roundtrip_pricing) re-run their side effects every rep — their
+medians stay honest end-to-end costs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,7 +48,11 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def build_line(
-    timings: dict[str, float], families: dict[str, float], sf: float
+    timings: dict[str, float],
+    families: dict[str, float],
+    sf: float,
+    reps: int = 1,
+    spreads: dict[str, float] | None = None,
 ) -> str:
     """The ONE stdout line the driver records. Contract (tested in
     tests/test_plan_shapes.py): valid JSON, < 1900 chars — the driver
@@ -46,19 +61,24 @@ def build_line(
     fit, and the complete map lives in bench_full.json."""
     total = round(sum(timings.values()), 3)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    line = json.dumps(
-        {
-            "metric": "registry_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,  # 20 slowest; full map in per_query_file
-            "families": families,
-            "n_queries": len(timings),
-            "per_query_file": "bench_full.json",
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "registry_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,  # 20 slowest medians; full map in per_query_file
+        "families": families,
+        "n_queries": len(timings),
+        "reps": reps,
+        "per_query_file": "bench_full.json",
+        "sf": sf,
+    }
+    if spreads:
+        # Aggregate noise disclosure; per-query spreads live in the file.
+        payload["spread_median"] = round(
+            statistics.median(spreads.values()), 3
+        )
+        payload["spread_max"] = round(max(spreads.values()), 3)
+    line = json.dumps(payload, separators=(",", ":"))
     assert len(line) < 1900, f"bench line {len(line)} chars, driver tail is 2000"
     return line
 
@@ -107,16 +127,24 @@ def main() -> None:
         lambda pdf: pdf, "k long, v long"
     ).write.format("noop").mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     families: dict[str, float] = {}
     for spec in registry.specs():
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[spec.name] = dt
+        times: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        med = round(statistics.median(times), 3)
+        timings[spec.name] = med
+        spreads[spec.name] = round(max(times) - min(times), 3)
+        all_reps[spec.name] = times
         fam = spec.spark.__module__.rsplit(".", 1)[-1]
-        families[fam] = round(families.get(fam, 0.0) + dt, 3)
+        families[fam] = round(families.get(fam, 0.0) + med, 3)
 
     total = round(sum(timings.values()), 3)
     sf = _sf_of(sf_dir)
@@ -129,13 +157,16 @@ def main() -> None:
                 "metric": "registry_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": timings,  # medians of `reps` warm-JVM runs
+                "spreads": spreads,  # per-query max-min across reps
+                "reps_detail": all_reps,
+                "reps": reps,
                 "families": families,
                 "sf": sf,
             },
             fh,
         )
-    line = build_line(timings, families, sf)
+    line = build_line(timings, families, sf, reps=reps, spreads=spreads)
     sys.stdout.flush()
     print(line, flush=True)
 

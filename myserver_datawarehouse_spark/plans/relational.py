@@ -2800,3 +2800,199 @@ GROUP BY GROUPING SETS (
 )
 ORDER BY g_type, g_date, event_type, date_id
 """
+
+
+# ----------------- correlated-subquery shapes (TPC-H Q17/Q18/Q22)
+
+def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape generalized to every brand: revenue carried by
+    lineitems whose quantity is below 20% of that PART's average
+    quantity — the canonical CORRELATED SCALAR SUBQUERY, decorrelated
+    the way Catalyst (and any planner) wants it: a per-partkey
+    aggregate joined back on the correlation key instead of a per-row
+    subquery execution.
+
+    Exactness: the 0.2×avg threshold is never computed as a double
+    division — `qty < 0.2 × (sum/cnt)` is rewritten to the
+    DECIMAL-exact `5 × qty × cnt < sum`, so no engine-dependent ulp on
+    the boundary can flip a row (the same integer-arithmetic gate
+    policy as quality_percentile_filter). Scale: the per-part agg and
+    its join are BOTH keyed on partkey (one shuffle family, AQE
+    coalesced); part is a growing dim -> no broadcast hint, same
+    policy as the Q9 note."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt_q"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = (
+        l.join(per_part, "l_partkey")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.lit(5)
+            * F.col("cnt_q")
+            < F.col("sum_q")
+        )
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BELOW_AVG_QUANTITY_REVENUE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
+         COUNT(*) AS cnt_q
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       COUNT(*) AS n_small_lineitems,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE),
+             2) AS small_revenue
+FROM lineitem l
+JOIN per_part pp ON l.l_partkey = pp.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.cnt_q < pp.sum_q
+GROUP BY 1
+ORDER BY p.p_brand
+"""
+
+
+TOP_VOLUME_QTY_FLOOR = 150
+TOP_VOLUME_LIMIT = 100
+
+
+def top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity clears a
+    floor (the HAVING-subquery semi-join), joined back to orders and
+    customer, top-100 by exact decimal volume. The aggregate runs
+    FIRST (map-side partial on l_orderkey), the floor prunes before
+    any join touches the wide tables, and the final sort is a bounded
+    TakeOrderedAndProject (never a global sort). customer/orders grow
+    with SF -> no broadcast hints, AQE decides at small SF. Ranking
+    compares the exact DECIMAL sum with o_orderkey as tiebreak; the
+    rounded double is output-edge only."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_q_d")
+        )
+        .filter(F.col("sum_q_d") > TOP_VOLUME_QTY_FLOOR)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("sum_q_d"), F.asc("o_orderkey"))
+        .limit(TOP_VOLUME_LIMIT)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("sum_q_d").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+TOP_VOLUME_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q_d
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {TOP_VOLUME_QTY_FLOOR}
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       ROUND(CAST(b.sum_q_d AS DOUBLE), 2) AS sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.sum_q_d DESC, o.o_orderkey ASC
+LIMIT {TOP_VOLUME_LIMIT}
+"""
+
+
+def idle_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on this schema: customers with an
+    above-average positive account balance who have NEVER placed an
+    order, rolled up per market segment — global scalar subquery
+    (avg balance) + NOT EXISTS anti-join + aggregate.
+
+    The scalar threshold is a 1-row decimal aggregate broadcast to
+    every row (no driver collect), and the avg comparison is the
+    division-free DECIMAL gate `bal × cnt > sum`. The anti-join
+    shuffles customer and the pruned orders keyset on custkey — the
+    correct 100 TB shape (orders >> customer; never broadcast the big
+    side of a NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    pos = c.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_b"),
+        F.count(F.lit(1)).alias("cnt_b"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        F.col("c_acctbal").cast("decimal(18,2)") * F.col("cnt_b")
+        > F.col("sum_b")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    idle = rich.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_BALANCE_AUDIT_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_b, COUNT(*) AS cnt_b
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+  FROM customer c, stats s
+  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * s.cnt_b > s.sum_b
+),
+idle AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_balance
+FROM idle
+GROUP BY 1
+ORDER BY c_mktsegment
+"""

@@ -760,6 +760,28 @@ _SPECS: list[QuerySpec] = [
         "spark.sql entry path (one Expand pass)",
     ),
     QuerySpec(
+        "below_avg_quantity_revenue",
+        R.below_avg_quantity_revenue,
+        R.BELOW_AVG_QUANTITY_REVENUE_SQL,
+        "J7+/A (TPC-H Q17 shape): correlated scalar subquery "
+        "decorrelated to a per-key aggregate join, division-free "
+        "decimal threshold",
+    ),
+    QuerySpec(
+        "top_volume_orders",
+        R.top_volume_orders,
+        R.TOP_VOLUME_ORDERS_SQL,
+        "J7+/O (TPC-H Q18 shape): HAVING semi-join, agg-before-join, "
+        "bounded top-100 on the exact decimal volume",
+    ),
+    QuerySpec(
+        "idle_balance_audit",
+        R.idle_balance_audit,
+        R.IDLE_BALANCE_AUDIT_SQL,
+        "J5+/A (TPC-H Q22 shape): broadcast scalar-subquery threshold "
+        "+ NOT EXISTS anti-join + segment rollup",
+    ),
+    QuerySpec(
         "customer_fuzzy_match_edit2",
         R.customer_fuzzy_match_edit2,
         R.CUSTOMER_FUZZY_MATCH_EDIT2_SQL,

@@ -427,12 +427,15 @@ def test_bench_line_contract_at_registry_scale():
     from myserver_datawarehouse_spark import registry
 
     timings = {s.name: 123.456 for s in registry.specs()}
+    spreads = {s.name: 1.234 for s in registry.specs()}
     families = {f"family_{i}": 999.999 for i in range(12)}
-    line = build_line(timings, families, 0.1)
+    line = build_line(timings, families, 0.1, reps=3, spreads=spreads)
     parsed = _json.loads(line)
     assert len(line) < 1900
     assert parsed["n_queries"] == len(registry.specs())
     assert len(parsed["queries"]) == 20
+    assert parsed["reps"] == 3
+    assert parsed["spread_median"] == 1.234 and parsed["spread_max"] == 1.234
 
 
 def test_registry_integrity():
@@ -494,3 +497,31 @@ def test_range_frame_and_grouping_sets_shapes(spark):
     per_type = sum(r.n_events for r in rows2 if r.g_type == 0)
     per_date = sum(r.n_events for r in rows2 if r.g_date == 0)
     assert per_type == total == per_date  # each set partitions the facts
+
+
+def test_top_volume_orders_bounded_topk(spark):
+    """Q18 shape: the top-100 must be a bounded TakeOrderedAndProject
+    (never a global sort), and the quantity floor must prune BEFORE the
+    joins (filter sits on the aggregate, not after the join)."""
+    plan = plan_of(R.top_volume_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_below_avg_quantity_decorrelated_single_shuffle_family(spark):
+    """Q17 shape: the correlated scalar subquery must decorrelate into
+    a per-partkey aggregate + equi-join — no nested-loop, no cartesian,
+    and the 0.2*avg threshold never divides (division-free decimal
+    gate means no Divide over the aggregate in the filter)."""
+    plan = plan_of(R.below_avg_quantity_revenue(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idle_balance_audit_anti_join(spark):
+    """Q22 shape: NOT EXISTS must plan as a LeftAnti join; the scalar
+    threshold arrives as a broadcast 1-row aggregate (the only
+    nested-loop is that sanctioned 1-row cross)."""
+    plan = plan_of(R.idle_balance_audit(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
