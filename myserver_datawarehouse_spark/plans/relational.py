@@ -2996,3 +2996,579 @@ FROM idle
 GROUP BY 1
 ORDER BY c_mktsegment
 """
+
+
+# ----------- TPC-H Q4/Q7/Q8/Q12/Q13/Q14/Q19/Q11 shapes (round 5)
+
+Q4_DATE_LO = "1996-07-01"
+Q4_DATE_HI = "1996-10-01"
+
+
+def order_priority_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter that had at least one
+    RETURNED lineitem, counted per priority — the canonical EXISTS
+    subquery, planned as a LEFT SEMI join so each order matches at most
+    once no matter how many lineitems qualify (a plain inner join +
+    distinct would shuffle the duplicates first; the semi join never
+    materializes them).
+
+    Scale: the o_orderdate window prunes orders at the scan; the
+    returned-flag filter prunes lineitem at the scan; the semi join
+    shuffles only the two pruned keysets on orderkey. The final rollup
+    is 5 rows."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q4_DATE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q4_DATE_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_AUDIT_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_DATE_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_DATE_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
+TRADE_DATE_LO = "1996-01-01"
+TRADE_DATE_HI = "1998-01-01"
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue per (supplier nation,
+    customer nation, ship year) — the join graph reaches nation along
+    TWO independent paths (lineitem→supplier and lineitem→orders→
+    customer), so the 25-row dim is broadcast twice under different
+    aliases and the cross-border predicate compares the two resolved
+    names row-local.
+
+    Scale: the ship-date window prunes lineitem at the scan; the only
+    big shuffle is lineitem ⋈ orders on orderkey (customer and
+    supplier are keyed shuffles that AQE may demote to broadcast at
+    small SF); output is bounded by 25 x 24 x years."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(TRADE_DATE_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TRADE_DATE_HI).cast("timestamp"))
+        )
+        .select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_s = F.broadcast(n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n_c = F.broadcast(n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_s, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n_c, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            # Round in exact DECIMAL, then cast: ROUND(double, 2) differs
+            # between engines when the exact cents sit on a half (x.xx5).
+            F.round(F.sum(rev.cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+NATION_TRADE_FLOWS_SQL = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{TRADE_DATE_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{TRADE_DATE_HI}'
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_12"
+MKT_PART_TYPE = "PROMO"
+MKT_DATE_LO = "1996-01-01"
+MKT_DATE_HI = "1998-01-01"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's market share, per order
+    year, of PROMO-type part revenue sold to customers in one region —
+    a conditional-aggregate ratio over a 7-table join (region joins in
+    through the customer's nation; the supplier's nation only labels
+    the numerator).
+
+    Exactness: numerator and denominator are both exact DECIMAL sums;
+    the single division happens once per output row (one per year) in
+    double, after CASTs that are identical on both engines, so the
+    quotient is bit-reproducible. Scale: part-type and region filters
+    prune their dims before any fact shuffle; nation/region broadcast;
+    the supplier-name CASE rides the row, adding no join."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == MKT_PART_TYPE)
+        .select("p_partkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(MKT_DATE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(MKT_DATE_HI).cast("timestamp"))
+        )
+        .select(
+            "o_orderkey", "o_custkey",
+            F.year("o_orderdate").alias("order_year"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MKT_REGION
+    )
+    region_nations = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("rn_key")
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    supp_nation = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    joined = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(region_nations, F.col("c_nationkey") == F.col("rn_key"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy("order_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == MKT_NATION, rev).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                )
+            ).alias("num_d"),
+            F.sum(rev).alias("den_d"),
+        )
+        .select(
+            "order_year",
+            F.round(
+                F.col("num_d").cast("double") / F.col("den_d").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.col("den_d"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+WITH flows AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+         CAST(l.l_extendedprice * (1.0 - l.l_discount)
+              AS DECIMAL(28,6)) AS rev,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation ncn ON c.c_nationkey = ncn.n_nationkey
+  JOIN region r   ON ncn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+  WHERE p.p_type = '{MKT_PART_TYPE}'
+    AND r.r_name = '{MKT_REGION}'
+    AND o.o_orderdate >= TIMESTAMP '{MKT_DATE_LO}'
+    AND o.o_orderdate <  TIMESTAMP '{MKT_DATE_HI}'
+)
+SELECT order_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = '{MKT_NATION}'
+                           THEN rev ELSE CAST(0 AS DECIMAL(28,6)) END)
+                  AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue
+FROM flows
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+LATE_SHIP_DAYS = 90
+LATE_DATE_LO = "1997-01-01"
+LATE_DATE_HI = "1998-01-01"
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on this schema (no l_shipmode column): lineitems
+    shipped >= 90 days after their order date during one year, rolled
+    up per linestatus into high- vs low-priority order counts — the
+    join-then-conditional-aggregate pattern where the interesting
+    predicate (ship lag) spans BOTH join sides and can only evaluate
+    post-join, while each side's date window still pushes to its scan.
+
+    The lag predicate is timestamp + INTERVAL arithmetic (exact day
+    semantics on both engines, no epoch math); the CASE counts are 0/1
+    sums (A4 family)."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(LATE_DATE_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(LATE_DATE_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL = f"""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{LATE_DATE_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{LATE_DATE_HI}'
+  AND l.l_shipdate >= o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+GROUP BY 1
+ORDER BY l_linestatus
+"""
+
+
+DIST_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — a LEFT OUTER join whose filter
+    lives in the ON clause (filtering o_orderpriority in a WHERE would
+    silently delete the zero bucket), then two stacked aggregations:
+    count-per-customer, then histogram-of-counts.
+
+    Scale: the first groupBy is keyed on c_custkey (same key as the
+    join — one shuffle family); the second aggregates |customers| rows
+    down to the handful of distinct counts. COUNT(o_orderkey) counts
+    matched rows only (NULL-skipping), which is what makes the left
+    join's unmatched rows land in bucket 0."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != DIST_EXCLUDED_PRIORITY),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{DIST_EXCLUDED_PRIORITY}'
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+PROMO_DATE_LO = "1997-01-01"
+PROMO_DATE_HI = "1997-04-01"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the percentage of one quarter's revenue carried
+    by PROMO-type parts — a conditional-aggregate ratio collapsing to a
+    single row.
+
+    Both sums are exact DECIMAL; the one division runs in double on the
+    final 1-row result (bit-reproducible across engines, same policy as
+    nation_market_share). Scale: the date window prunes lineitem at the
+    scan; part joins keyed on partkey (growing dim, no broadcast hint —
+    the Q9 note); the aggregate is map-side partial down to one row."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(PROMO_DATE_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(PROMO_DATE_HI).cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == MKT_PART_TYPE, rev).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                )
+            ).alias("promo_d"),
+            F.sum(rev).alias("total_d"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_d").cast("double")
+                / F.col("total_d").cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.col("promo_d"), 2).cast("double").alias("promo_revenue"),
+            F.round(F.col("total_d"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+WITH q AS (
+  SELECT CAST(l.l_extendedprice * (1.0 - l.l_discount)
+              AS DECIMAL(28,6)) AS rev,
+         p.p_type
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{PROMO_DATE_LO}'
+    AND l.l_shipdate <  TIMESTAMP '{PROMO_DATE_HI}'
+)
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = '{MKT_PART_TYPE}'
+                                   THEN rev
+                                   ELSE CAST(0 AS DECIMAL(28,6)) END)
+                          AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 4) AS promo_share_pct,
+       CAST(ROUND(SUM(CASE WHEN p_type = '{MKT_PART_TYPE}'
+                           THEN rev
+                           ELSE CAST(0 AS DECIMAL(28,6)) END),
+                  2) AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue
+FROM q
+"""
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) disjunctive branches.
+DISJ_BRANCHES = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 10, 30, 10, 30),
+    ("Brand#3", 20, 50, 20, 40),
+)
+
+
+def brand_size_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs predicate mixing
+    part-side (brand, size) and lineitem-side (quantity) conjuncts —
+    the disjunctive-pushdown stress test. Catalyst's CNF conversion
+    extracts the per-side residuals (p_brand IN (...) to the part
+    scan, the quantity envelope to the lineitem side) while the full
+    disjunction evaluates post-join; the join key stays a plain
+    partkey equi-join, never a cartesian.
+
+    Grouped per brand so each branch's contribution is separately
+    hash-checked."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = None
+    for brand, slo, shi, qlo, qhi in DISJ_BRANCHES:
+        branch = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cond = branch if cond is None else (cond | branch)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev.cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_DISJ_SQL_BRANCHES = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in DISJ_BRANCHES
+)
+
+BRAND_SIZE_DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT p.p_brand,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {_DISJ_SQL_BRANCHES}
+GROUP BY 1
+ORDER BY p_brand
+"""
+
+
+CONCENTRATION_FRACTION = 0.042
+
+
+def brand_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape without partsupp: brands whose revenue exceeds a
+    fixed fraction of GLOBAL revenue — GROUP BY ... HAVING against a
+    scalar subquery over the whole fact. The global total is a 1-row
+    decimal aggregate broadcast to the per-brand rows (no driver
+    collect, no global window), the same pattern as idle_balance_audit.
+
+    The threshold compare runs in double on both engines from IDENTICAL
+    exact decimal inputs, so it is bit-reproducible; it is not an
+    ulp-safe decimal gate only because fraction-of-total is inherently
+    a ratio — the compared doubles are still deterministic."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    per_brand = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum(rev).alias("rev_d"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    total = per_brand.agg(F.sum("rev_d").alias("total_d"))
+    return (
+        per_brand.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("rev_d").cast("double")
+            > F.col("total_d").cast("double") * F.lit(CONCENTRATION_FRACTION)
+        )
+        .select(
+            "p_brand",
+            F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+            "n_lineitems",
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_REVENUE_CONCENTRATION_SQL = f"""
+WITH per_brand AS (
+  SELECT p.p_brand,
+         SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  AS DECIMAL(28,6))) AS rev_d,
+         COUNT(*) AS n_lineitems
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+total AS (SELECT SUM(rev_d) AS total_d FROM per_brand)
+SELECT pb.p_brand,
+       CAST(ROUND(pb.rev_d, 2) AS DOUBLE) AS revenue,
+       pb.n_lineitems
+FROM per_brand pb, total t
+WHERE CAST(pb.rev_d AS DOUBLE)
+      > CAST(t.total_d AS DOUBLE) * {CONCENTRATION_FRACTION}
+ORDER BY p_brand
+"""

@@ -803,6 +803,62 @@ _SPECS: list[QuerySpec] = [
         "dirty corpus (planted spans found, zero false positives, "
         "idempotent residual=0) — analytically oracled",
     ),
+    QuerySpec(
+        "order_priority_audit",
+        R.order_priority_audit,
+        R.ORDER_PRIORITY_AUDIT_SQL,
+        "J7+ (TPC-H Q4 shape): EXISTS planned as LEFT SEMI join, both "
+        "sides scan-pruned before the orderkey shuffle",
+    ),
+    QuerySpec(
+        "nation_trade_flows",
+        R.nation_trade_flows,
+        R.NATION_TRADE_FLOWS_SQL,
+        "J3+ (TPC-H Q7 shape): nation reached along two join paths, "
+        "double-aliased broadcast dim, cross-border row-local filter",
+    ),
+    QuerySpec(
+        "nation_market_share",
+        R.nation_market_share,
+        R.NATION_MARKET_SHARE_SQL,
+        "J3+/A (TPC-H Q8 shape): 7-table join, conditional-aggregate "
+        "market-share ratio, single edge-of-plan double division",
+    ),
+    QuerySpec(
+        "late_shipment_priority",
+        R.late_shipment_priority,
+        R.LATE_SHIPMENT_PRIORITY_SQL,
+        "J1+/A4 (TPC-H Q12 shape): cross-side INTERVAL lag predicate "
+        "post-join, per-side date windows pushed to scans",
+    ),
+    QuerySpec(
+        "customer_order_distribution",
+        R.customer_order_distribution,
+        R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "J5+/A (TPC-H Q13 shape): filtered-ON left outer join keeping "
+        "the zero bucket, stacked double aggregation",
+    ),
+    QuerySpec(
+        "promo_revenue_share",
+        R.promo_revenue_share,
+        R.PROMO_REVENUE_SHARE_SQL,
+        "A+ (TPC-H Q14 shape): conditional-aggregate revenue ratio "
+        "collapsing to one row, exact decimal sums",
+    ),
+    QuerySpec(
+        "brand_size_disjunctive_revenue",
+        R.brand_size_disjunctive_revenue,
+        R.BRAND_SIZE_DISJUNCTIVE_REVENUE_SQL,
+        "J1+ (TPC-H Q19 shape): OR-of-ANDs predicate spanning both "
+        "join sides, per-side residual pushdown, equi-join preserved",
+    ),
+    QuerySpec(
+        "brand_revenue_concentration",
+        R.brand_revenue_concentration,
+        R.BRAND_REVENUE_CONCENTRATION_SQL,
+        "A+/J7 (TPC-H Q11 shape): HAVING vs broadcast 1-row global "
+        "total, no driver collect, no global window",
+    ),
 ]
 
 

@@ -13,7 +13,15 @@ from myserver_datawarehouse_spark.operators.fuzzy import (
 
 
 def _brute_pairs(spark, rows, max_edit):
-    df = spark.createDataFrame(rows, "id long, name string")
+    # One partition per side (a cartesian's task count is the product of
+    # the sides' partition counts), materialized: a CartesianProduct
+    # re-scans its ExistingRDD inputs through Python workers per probe,
+    # which costs ~9s even on 48 rows unless the side is pinned.
+    df = (
+        spark.createDataFrame(rows, "id long, name string")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
     a = df.selectExpr("id AS id_a", "name AS name_a")
     b = df.selectExpr("id AS id_b", "name AS name_b")
     return {
@@ -87,7 +95,13 @@ def test_deletek_variants_shape(spark):
 
 def test_fuzzy_pairs_blocked_and_fallback(spark):
     rows = [(1, 0, "abc"), (2, 0, "abd"), (3, 1, "abd"), (4, 1, "xyz")]
-    df = spark.createDataFrame(rows, "id long, blk int, name string")
+    # Pinned for the same reason as _brute_pairs: max_edit=3 exercises the
+    # quadratic-fallback cartesian, which must not re-scan a Python RDD.
+    df = (
+        spark.createDataFrame(rows, "id long, blk int, name string")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
     got = {
         (r.blk, r.id_a, r.id_b)
         for r in fuzzy_pairs(

@@ -525,3 +525,73 @@ def test_idle_balance_audit_anti_join(spark):
     plan = plan_of(R.idle_balance_audit(spark, SF))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_order_priority_audit_semi_join_and_pruned_scans(spark):
+    """Q4 shape: EXISTS plans as LeftSemi; the returnflag filter reaches
+    the lineitem scan (PushedFilters) so the semi join shuffles pruned
+    keysets, not raw tables."""
+    plan = plan_of(R.order_priority_audit(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+
+
+def test_nation_trade_flows_two_broadcast_paths_no_cartesian(spark):
+    """Q7 shape: nation joins in twice (supplier path + customer path),
+    both as broadcasts; the cross-border inequality is row-local, never
+    a nested-loop join condition."""
+    import re
+
+    plan = plan_of(R.nation_trade_flows(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
+
+
+def test_customer_order_distribution_keeps_zero_bucket(spark):
+    """Q13 shape: the priority filter must live in the JOIN condition —
+    customers with no qualifying orders land in bucket 0, so the
+    histogram's total equals |customer|."""
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    rows = R.customer_order_distribution(spark, SF).collect()
+    n_customers = load_table(spark, SF, "customer").count()
+    # Left-join conservation: every customer lands in exactly one bucket
+    # (a WHERE-placed filter would delete zero-order customers) ...
+    assert sum(r.custdist for r in rows) == n_customers
+    # ... and the buckets' mass is exactly the qualifying orders (the ON
+    # filter excluded the right rows without dropping left rows).
+    n_qualifying = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") != R.DIST_EXCLUDED_PRIORITY)
+        .count()
+    )
+    assert sum(r.c_count * r.custdist for r in rows) == n_qualifying
+
+
+def test_brand_size_disjunctive_pushdown(spark):
+    """Q19 shape: the OR-of-ANDs must keep the partkey equi-join (no
+    cartesian) while the part-side residual (brand/size envelope)
+    reaches the part scan as a pushed Or filter."""
+    plan = plan_of(R.brand_size_disjunctive_revenue(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    compact = plan.replace(" ", "")
+    # Catalyst extracts per-side residuals from the disjunction: the
+    # part scan must carry a pushed Or mentioning p_brand.
+    assert "Or(" in compact and "p_brand" in compact
+
+
+def test_brand_revenue_concentration_broadcast_total(spark):
+    """Q11 shape: the global total joins as a broadcast 1-row aggregate
+    (sanctioned nested-loop), and rows survive only above threshold."""
+    import re
+
+    plan = plan_of(R.brand_revenue_concentration(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    rows = R.brand_revenue_concentration(spark, SF).collect()
+    assert rows  # at least one brand clears 4.2% of 25-brand revenue
