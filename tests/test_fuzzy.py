@@ -12,16 +12,22 @@ from myserver_datawarehouse_spark.operators.fuzzy import (
 )
 
 
-def _brute_pairs(spark, rows, max_edit):
-    # One partition per side (a cartesian's task count is the product of
-    # the sides' partition counts), materialized: a CartesianProduct
-    # re-scans its ExistingRDD inputs through Python workers per probe,
-    # which costs ~9s even on 48 rows unless the side is pinned.
-    df = (
-        spark.createDataFrame(rows, "id long, name string")
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+def _fixture_df(spark, rows, schema):
+    """Arrow-path fixture frame: one partition, JVM-held batches. A
+    list-of-tuples createDataFrame parallelizes to 32 Python-RDD
+    partitions, and a CartesianProduct (the brute-force reference and
+    the max_edit=3 fallback) re-scans those through Python workers per
+    probe — ~9s even on 48 rows."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols), schema
     )
+
+
+def _brute_pairs(spark, rows, max_edit):
+    df = _fixture_df(spark, rows, "id long, name string")
     a = df.selectExpr("id AS id_a", "name AS name_a")
     b = df.selectExpr("id AS id_b", "name AS name_b")
     return {
@@ -52,7 +58,7 @@ def test_fastss_equals_bruteforce_randomized(spark):
     # delete-variants at distance 2 (the FastSS false-positive class).
     base += ["ab", "ba", "aab", "abb", "a", "b", "", "ab"]
     rows = [(i, s) for i, s in enumerate(base)]
-    df = spark.createDataFrame(rows, "id long, name string")
+    df = _fixture_df(spark, rows, "id long, name string")
     got = {
         (r.id_a, r.id_b)
         for r in fuzzy_pairs(df, "id", "name", max_edit=1).collect()
@@ -73,7 +79,7 @@ def test_fastss_edit2_equals_bruteforce_randomized(spark):
     # inserts, plus distance-3 near-misses that must NOT pair.
     base += ["abab", "acac", "ab", "abcd", "ba", "bcda", "", "a", "ccc"]
     rows = [(i, s) for i, s in enumerate(base)]
-    df = spark.createDataFrame(rows, "id long, name string")
+    df = _fixture_df(spark, rows, "id long, name string")
     got = {
         (r.id_a, r.id_b)
         for r in fuzzy_pairs(df, "id", "name", max_edit=2).collect()
@@ -95,13 +101,7 @@ def test_deletek_variants_shape(spark):
 
 def test_fuzzy_pairs_blocked_and_fallback(spark):
     rows = [(1, 0, "abc"), (2, 0, "abd"), (3, 1, "abd"), (4, 1, "xyz")]
-    # Pinned for the same reason as _brute_pairs: max_edit=3 exercises the
-    # quadratic-fallback cartesian, which must not re-scan a Python RDD.
-    df = (
-        spark.createDataFrame(rows, "id long, blk int, name string")
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
+    df = _fixture_df(spark, rows, "id long, blk int, name string")
     got = {
         (r.blk, r.id_a, r.id_b)
         for r in fuzzy_pairs(

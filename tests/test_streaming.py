@@ -61,20 +61,16 @@ def test_gap_state_carries_across_batches(spark, tmp_path):
             props="{}",
         )
 
+    from tests.conftest import write_single_parquet
+
     src = str(tmp_path / "stream_src")
     os.makedirs(src)
 
     # The file-stream source lists plain files (the driver's testdata are
     # single parquet FILES, not directories); stage each batch dir and
     # copy its part file in as f<N>.parquet.
-    import glob
-    import shutil
-
     def write_file(rows, name):
-        stage = str(tmp_path / f"stage_{name}")
-        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
-        (part,) = glob.glob(f"{stage}/part-*.parquet")
-        shutil.copy(part, f"{src}/{name}.parquet")
+        write_single_parquet(spark, rows, src, name, tmp_path)
 
     # batch 1: minutes 0, 1; batch 2: minutes 5 (gap), 6
     write_file([ev(1, 0), ev(2, 1)], "f1")
@@ -142,14 +138,13 @@ def test_dedup_within_watermark_suppresses_cross_batch_redelivery(
             props="{}",
         )
 
+    from tests.conftest import write_single_parquet
+
     src = str(tmp_path / "wm_src")
     os.makedirs(src)
 
     def write_file(rows, name):
-        stage = str(tmp_path / f"stage_{name}")
-        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
-        (part,) = glob.glob(f"{stage}/part-*.parquet")
-        shutil.copy(part, f"{src}/{name}.parquet")
+        write_single_parquet(spark, rows, src, name, tmp_path)
 
     # batch 1: ids 1, 2; batch 2: id 1 AGAIN (redelivery, +1 min) + id 3.
     write_file([ev(1, 0), ev(2, 0)], "f1")
@@ -255,14 +250,13 @@ def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
             props="{}",
         )
 
+    from tests.conftest import write_single_parquet
+
     src = str(tmp_path / "late_src")
     os.makedirs(src)
 
     def write_file(rows, name):
-        stage = str(tmp_path / f"stage_{name}")
-        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
-        (part,) = glob.glob(f"{stage}/part-*.parquet")
-        shutil.copy(part, f"{src}/{name}.parquet")
+        write_single_parquet(spark, rows, src, name, tmp_path)
         time.sleep(1.1)  # distinct mtimes => stable batch order
 
     # batch 0: window [00:00, 00:01) gets its one on-time row; 00:04
@@ -347,11 +341,10 @@ def test_foreachbatch_upsert_checkpoint_resume(spark, tmp_path):
             props="{}",
         )
 
+    from tests.conftest import write_single_parquet
+
     def write_file(rows, name):
-        stage = os.path.join(work, f"stage_{name}")
-        spark.createDataFrame(rows).coalesce(1).write.parquet(stage)
-        (part,) = glob.glob(f"{stage}/part-*.parquet")
-        shutil.copy(part, f"{src}/{name}.parquet")
+        write_single_parquet(spark, rows, src, name, work)
 
     schema = None
     calls = []
