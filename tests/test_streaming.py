@@ -257,7 +257,9 @@ def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
 
     def write_file(rows, name):
         write_single_parquet(spark, rows, src, name, tmp_path)
-        time.sleep(1.1)  # distinct mtimes => stable batch order
+        # Distinct mtimes => stable batch order. The file source sorts
+        # on millisecond modificationTime; 200ms is ample separation.
+        time.sleep(0.2)
 
     # batch 0: window [00:00, 00:01) gets its one on-time row; 00:04
     # will push the watermark to 00:02 for the NEXT batch.
