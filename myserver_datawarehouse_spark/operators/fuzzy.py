@@ -154,6 +154,12 @@ def fuzzy_pairs(
         # partitioning serializes the neighborhood build on few tasks
         # (measured: ONE task at sf0.1). Repartition on the id first;
         # the tiny pre-expansion shuffle buys an evenly parallel build.
+        # NULL names can never pair (levenshtein(NULL, x) is NULL), but
+        # xxhash64(NULL) is a CONSTANT, so without this filter every
+        # null-name row lands in one shared variant bucket and the
+        # self-join goes quadratic in the null count before the verify
+        # discards it all.
+        df = df.filter(F.col(name_col).isNotNull())
         v = df.repartition(F.col(id_col)).select(
             *block_cols,
             F.col(id_col).alias("_id"),

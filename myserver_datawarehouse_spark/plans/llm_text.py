@@ -2849,29 +2849,25 @@ def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat(F.col("text"), plant).alias("dirty"),
     ).withColumn("scrubbed", TX.scrub_pii("dirty"))
-    pre = {
-        k: F.regexp_count(F.col("dirty"), F.lit(TX.PII_PATTERNS[k]))
-        for k in TX.PII_ORDER
-    }
+    # One source of truth for the per-kind audit counts: the same
+    # pii_counts helper users call, applied to the dirty text (what was
+    # there) and the scrubbed text (what survived — idempotence).
+    pre = TX.pii_counts("dirty")  # aliased n_<kind>
     resid = None
-    for k in TX.PII_ORDER:
-        c = F.regexp_count(F.col("scrubbed"), F.lit(TX.PII_PATTERNS[k]))
+    for c in TX.pii_counts("scrubbed"):
         resid = c if resid is None else resid + c
     per = base.select(
         "lang",
         "source",
         (F.col("scrubbed") == F.col("dirty")).cast("int").alias("clean"),
         resid.alias("resid"),
-        *[v.alias(f"c_{k}") for k, v in pre.items()],
+        *pre,
     )
     return (
         per.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("c_email").alias("n_email"),
-            F.sum("c_ssn").alias("n_ssn"),
-            F.sum("c_phone").alias("n_phone"),
-            F.sum("c_ipv4").alias("n_ipv4"),
+            *[F.sum(f"n_{k}").alias(f"n_{k}") for k in TX.PII_ORDER],
             F.sum("clean").alias("n_clean_docs"),
             F.sum("resid").alias("n_residual"),
         )

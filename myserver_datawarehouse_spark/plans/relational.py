@@ -103,9 +103,15 @@ def orc_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_tax",
         "l_shipdate",
     ]
+    # Keyed on (sf_dir, pid): deterministic within a process (bench
+    # reps overwrite in place), never shared ACROSS processes — a
+    # sf-only key let a parallel run overwrite the directory while
+    # another process' scan was mid-flight.
     path = os.path.join(
         tempfile.gettempdir(),
-        "msdw_orc_lineitem_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        "msdw_orc_lineitem_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"_{os.getpid()}",
     )
     from myserver_datawarehouse_spark.sources.files import read_orc, write_orc
 
@@ -1989,7 +1995,12 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "estimate_within_5pct",
-            (
+            # Total function: a group whose user_ids are all NULL has
+            # exact = 0 and the ratio would be NULL (never TRUE like
+            # the oracle's literal); 0 is within tolerance of 0.
+            F.when(
+                F.col("exact_users") == 0, F.col("_approx") == 0
+            ).otherwise(
                 F.abs(F.col("_approx") - F.col("exact_users"))
                 / F.col("exact_users")
                 <= F.lit(0.05)

@@ -143,4 +143,8 @@ def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
-    assert "part" in pf_line and "2" in pf_line
+    # The EQUALITY must be pushed, not just isnotnull(part#N) — a bare
+    # digit check would match the attribute id and false-pass.
+    import re
+
+    assert re.search(r"part#\d+\)?\s*=\s*2", pf_line), pf_line

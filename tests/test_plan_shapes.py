@@ -379,8 +379,8 @@ def test_cli_list_oracle_and_unknown(capsys):
     assert main(["oracle", "pricing_summary"]) == 0
     assert "SELECT" in capsys.readouterr().out.upper()
     assert main(["run", "definitely_not_a_query"]) == 1
-    # Every registry query now carries an oracle (126/126); the error
-    # path is exercised by an unknown name.
+    # Every registry query carries an oracle (count pinned by
+    # test_registry_counts); the error path is an unknown name.
     assert main(["oracle", "approx_distinct_audit"]) == 0
     assert main(["oracle", "definitely_not_a_query"]) == 1
 

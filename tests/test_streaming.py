@@ -236,8 +236,6 @@ def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
     import glob
     import os
     import shutil
-    import time
-
     from pyspark.sql.types import Row
 
     def ev(i, minute, second=0):
@@ -255,11 +253,16 @@ def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
     src = str(tmp_path / "late_src")
     os.makedirs(src)
 
+    mtime_seq = [1_700_000_000]
+
     def write_file(rows, name):
         write_single_parquet(spark, rows, src, name, tmp_path)
-        # Distinct mtimes => stable batch order. The file source sorts
-        # on millisecond modificationTime; 200ms is ample separation.
-        time.sleep(0.2)
+        # The file source sorts on modificationTime; pin strictly
+        # increasing mtimes explicitly so batch order is deterministic
+        # on ANY filesystem (coarse-granularity mtimes included),
+        # without sleeping.
+        mtime_seq[0] += 10
+        os.utime(f"{src}/{name}.parquet", (mtime_seq[0], mtime_seq[0]))
 
     # batch 0: window [00:00, 00:01) gets its one on-time row; 00:04
     # will push the watermark to 00:02 for the NEXT batch.
