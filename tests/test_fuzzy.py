@@ -121,3 +121,35 @@ def test_fuzzy_pairs_blocked_and_fallback(spark):
         assert (1, 2) in got2 and (2, 3) in got2 and (1, 3) in got2
         # "abc" vs "xyz" is distance 3: excluded at 2, included at 3.
         assert ((1, 4) in got2) == (me == 3)
+
+
+def test_variant_hashes_equal_hashed_string_variants(spark):
+    """The direct 3-substring hash construction (deletek_variant_hashes)
+    must produce EXACTLY the hash set of the string-array construction
+    (deletek_variants) — the recall proof transfers through set
+    equality, so this pins the k=2 index arithmetic (i<j deletion
+    positions) against the reference implementation."""
+    import random
+
+    from myserver_datawarehouse_spark.operators.fuzzy import (
+        deletek_variant_hashes,
+        deletek_variants,
+    )
+
+    rng = random.Random(99)
+    base = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(0, 9)))
+        for _ in range(60)
+    ] + ["", "a", "aa", "aaa", "ababab"]
+    df = _fixture_df(spark, [(s,) for s in base], "s string")
+    for k in (1, 2):
+        rows = df.select(
+            F.array_sort(
+                F.transform(
+                    deletek_variants("s", k), lambda v: F.xxhash64(v)
+                )
+            ).alias("via_strings"),
+            F.array_sort(deletek_variant_hashes("s", k)).alias("direct"),
+        ).collect()
+        for r in rows:
+            assert r.via_strings == r.direct
