@@ -403,3 +403,77 @@ def test_foreachbatch_upsert_checkpoint_resume(spark, tmp_path):
         r.user_id: r.value for r in spark.read.parquet(target).collect()
     }
     assert got == {1: 12.0, 2: 20.0, 3: 30.0}
+
+
+def test_gap_state_survives_query_restart(spark, tmp_path):
+    """applyInPandasWithState across a RESTART: a new query on the same
+    checkpoint must restore the state store, so a gap whose two sides
+    live in different QUERY LIFETIMES (not just different batches) is
+    still detected, and already-committed files are not reprocessed."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql.types import Row
+
+    from tests.conftest import write_single_parquet
+
+    def ev(i, minute):
+        return Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1, 0, minute, 0),
+            user_id=1,
+            event_type="a",
+            value=1.0,
+            props="{}",
+        )
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src)
+
+    def write_file(rows, name):
+        write_single_parquet(spark, rows, src, name, tmp_path)
+
+    def drain():
+        # The memory sink is not fault-tolerant (restart on its
+        # checkpoint is rejected); foreachBatch is, and supports
+        # update mode — collect each micro-batch's updates locally.
+        got = []
+
+        def _collect(batch, _bid):
+            got.extend(batch.collect())
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            SJ.gap_state_query(stream)
+            .writeStream.foreachBatch(_collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return got
+
+    # First query lifetime: minutes 0,1 then 5,6 (one in-lifetime gap).
+    write_file([ev(1, 0), ev(2, 1)], "f1")
+    write_file([ev(3, 5), ev(4, 6)], "f2")
+    out1 = drain()
+    final1 = max(out1, key=lambda r: r.n_events)
+    assert (final1.n_events, final1.n_gap_runs) == (4, 1)
+
+    # Restart: minute 10 — the 6 -> 10 gap spans the restart boundary
+    # and is only countable from RESTORED state (last_minute_ts = :06).
+    write_file([ev(5, 10)], "f3")
+    rows2 = drain()
+    # Only f3 processed: one update row, with cumulative state.
+    assert len(rows2) == 1
+    assert (rows2[0].n_events, rows2[0].n_gap_runs) == (5, 2)
+    assert rows2[0].last_minute_ts == dt.datetime(2024, 1, 1, 0, 10, 0)
