@@ -3583,3 +3583,69 @@ WHERE CAST(pb.rev_d AS DOUBLE)
       > CAST(t.total_d AS DOUBLE) * {CONCENTRATION_FRACTION}
 ORDER BY p_brand
 """
+
+
+SOLE_RETURNER_LIMIT = 20
+
+
+def sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on this schema (no commit/receipt dates — the
+    "kept waiting" predicate becomes the returned flag): suppliers who
+    were the ONLY supplier with returned lines in a multi-supplier
+    order. The reference form is a correlated EXISTS (another supplier
+    in the order) AND NOT EXISTS (another supplier who also returned);
+    both decorrelate into ONE per-order aggregate pass — a conditional
+    COUNT(DISTINCT) pair plus a conditional MAX that is provably the
+    culprit key exactly when the distinct count is 1. No second scan
+    of lineitem, no self-join.
+
+    Scale: one orderkey-grouped aggregate over the pruned (orderkey,
+    suppkey, returnflag) projection; the culprit roll-up keys on
+    suppkey (bounded by |supplier|); supplier joins in for the name
+    AFTER aggregation. Bounded top-k via TakeOrderedAndProject on the
+    exact count with suppkey tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(ret).alias("n_ret_supp"),
+        F.max(ret).alias("culprit"),
+    )
+    culprits = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.groupBy("culprit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(s, F.col("culprit") == F.col("s_suppkey"))
+        .orderBy(F.desc("n_orders"), F.asc("s_suppkey"))
+        .limit(SOLE_RETURNER_LIMIT)
+        .select("s_name", "n_orders")
+    )
+
+
+SOLE_RETURNER_SUPPLIERS_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS n_ret_supp,
+         MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS culprit
+  FROM lineitem
+  GROUP BY 1
+),
+rolled AS (
+  SELECT culprit, COUNT(*) AS n_orders
+  FROM per_order
+  WHERE n_supp >= 2 AND n_ret_supp = 1
+  GROUP BY 1
+)
+SELECT s.s_name, r.n_orders
+FROM rolled r
+JOIN supplier s ON r.culprit = s.s_suppkey
+ORDER BY r.n_orders DESC, s.s_suppkey ASC
+LIMIT {SOLE_RETURNER_LIMIT}
+"""

@@ -859,6 +859,14 @@ _SPECS: list[QuerySpec] = [
         "A+/J7 (TPC-H Q11 shape): HAVING vs broadcast 1-row global "
         "total, no driver collect, no global window",
     ),
+    QuerySpec(
+        "sole_returner_suppliers",
+        R.sole_returner_suppliers,
+        R.SOLE_RETURNER_SUPPLIERS_SQL,
+        "J7+/A (TPC-H Q21 shape): correlated EXISTS + NOT EXISTS "
+        "decorrelated into one conditional COUNT(DISTINCT) pair per "
+        "order — no lineitem self-join",
+    ),
 ]
 
 
@@ -868,16 +876,18 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 5 this tier holds the 14 new queries
+#      are re-checked. For round 5 this tier holds the 15 new queries
 #      (pii_scrub_audit, orc_roundtrip_pricing,
-#      customer_fuzzy_match_edit2, the Q17/Q18/Q22 shapes, and the
+#      customer_fuzzy_match_edit2, the Q17/Q18/Q21/Q22 shapes, and the
 #      Q4/Q7/Q8/Q11/Q12/Q13/Q14/Q19 completion sweep) plus the 6
 #      queries whose code was touched this round and therefore forfeit
 #      their standing verdicts (approx_distinct_audit restructured;
 #      value_drift_psi guard; local_supplier_volume hints;
 #      source_vocab_overlap cap; pricing_summary + customer_fuzzy_match
 #      refactors — outputs unchanged, but a verdict never outlives a
-#      code change). 20 tier-0 + 30 tier-1 = exactly the ~50 budget;
+#      code change). 21 tier-0 + 30 tier-1 ≈ the ~50 budget (if the
+#      budget is exactly 50, one r2-stale verdict waits for round 6 —
+#      it still stands green; a new query with no verdict ranks ahead);
 #   1. last adjudicated in round 2 (the 30 stalest standing verdicts —
 #      this is where the round-5 budget should land);
 #   2. last adjudicated in round 3;

@@ -595,3 +595,17 @@ def test_brand_revenue_concentration_broadcast_total(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
     rows = R.brand_revenue_concentration(spark, SF).collect()
     assert rows  # at least one brand clears 4.2% of 25-brand revenue
+
+
+def test_sole_returner_single_lineitem_pass_bounded_topk(spark):
+    """Q21 shape: the EXISTS + NOT EXISTS pair must decorrelate into ONE
+    aggregate pass over lineitem (exactly one lineitem scan, no
+    self-join) with a bounded top-k, never a global sort."""
+    import re
+
+    plan = plan_of(R.sole_returner_suppliers(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # Scan identity lives on the Location detail line, one per scan node.
+    lineitem_scans = re.findall(r"Location:.*lineitem\.parquet", plan)
+    assert len(lineitem_scans) == 1, plan
