@@ -3649,3 +3649,115 @@ JOIN supplier s ON r.culprit = s.s_suppkey
 ORDER BY r.n_orders DESC, s.s_suppkey ASC
 LIMIT {SOLE_RETURNER_LIMIT}
 """
+
+
+def merge_writer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/S8 end-to-end as an adjudicated query: the writer lifecycle
+    create-if-not-exists (twice — the second must be a no-op) → append
+    batch A → GUARDED SCHEMA EVOLUTION (ensure_columns adds batch_tag
+    as typed NULLs over the existing files) → append batch B carrying
+    the new column → read back and roll up. The oracle recomputes the
+    expected rollup straight from the source events, so a green verdict
+    proves the create/append/evolve/append sequence loses nothing,
+    duplicates nothing, and lands the evolved column on exactly the
+    batch-B rows.
+
+    Like orc_roundtrip_pricing this executes its writes eagerly at
+    plan-construction time (disclosed exception to lazy construction);
+    the work dir is keyed on (sf_dir, pid) so concurrent processes
+    cannot race, and is rebuilt per call so the query is idempotent."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        append,
+        create_if_not_exists,
+        ensure_columns,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch_a = e.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0)
+    batch_b = e.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1).withColumn(
+        "batch_tag", F.lit("b")
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        "msdw_writer_lifecycle_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"_{os.getpid()}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    create_if_not_exists(spark, target, batch_a)
+    create_if_not_exists(spark, target, batch_a)  # idempotent no-op
+    append(batch_a, target)
+    added = ensure_columns(spark, target, {"batch_tag": "string"})
+    assert added == ["batch_tag"], added
+    assert ensure_columns(spark, target, {"batch_tag": "string"}) == []
+    append(batch_b, target)
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("batch_tag").alias("n_tagged"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MERGE_WRITER_LIFECYCLE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END) AS BIGINT)
+         AS n_tagged,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+WHERE event_id % 3 IN (0, 1)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+NULL_KEY_SENTINEL = "click"
+
+
+def null_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 NULL-keeping groupBy keys, adjudicated: one key value is
+    mapped to NULL (NULLIF) before the rollup, and the NULL group must
+    survive with its full population — SQL GROUP BY semantics, which
+    Spark shares but pandas-style groupby (reference stack) silently
+    drops. The oracle applies the same NULLIF, so a dropped or
+    mis-bucketed NULL group is a row-count mismatch, not just a hash
+    difference."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_type") == NULL_KEY_SENTINEL, F.lit(None)
+    ).otherwise(F.col("event_type"))
+    return (
+        e.groupBy(key.alias("event_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.asc_nulls_first("event_group"))
+    )
+
+
+NULL_KEY_ROLLUP_SQL = f"""
+SELECT NULLIF(event_type, '{NULL_KEY_SENTINEL}') AS event_group,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY event_group NULLS FIRST
+"""

@@ -867,6 +867,21 @@ _SPECS: list[QuerySpec] = [
         "decorrelated into one conditional COUNT(DISTINCT) pair per "
         "order — no lineitem self-join",
     ),
+    QuerySpec(
+        "merge_writer_lifecycle",
+        R.merge_writer_lifecycle,
+        R.MERGE_WRITER_LIFECYCLE_SQL,
+        "S5/S6/S8: create-if-not-exists (idempotent) -> append -> "
+        "guarded schema evolution -> append evolved batch, adjudicated "
+        "against the source-derived rollup",
+    ),
+    QuerySpec(
+        "null_key_rollup",
+        R.null_key_rollup,
+        R.NULL_KEY_ROLLUP_SQL,
+        "A8: NULL-keeping groupBy keys — the NULL group survives with "
+        "its full population (SQL semantics, vs pandas-style drop)",
+    ),
 ]
 
 
