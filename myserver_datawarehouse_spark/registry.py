@@ -900,9 +900,12 @@ _SPECS: list[QuerySpec] = [
 #      value_drift_psi guard; local_supplier_volume hints;
 #      source_vocab_overlap cap; pricing_summary + customer_fuzzy_match
 #      refactors — outputs unchanged, but a verdict never outlives a
-#      code change). 21 tier-0 + 30 tier-1 ≈ the ~50 budget (if the
-#      budget is exactly 50, one r2-stale verdict waits for round 6 —
-#      it still stands green; a new query with no verdict ranks ahead);
+#      code change). With the later round-5 additions
+#      (sole_returner_suppliers, merge_writer_lifecycle,
+#      null_key_rollup) tier 0 holds 23; 23 + 30 tier-1 slightly
+#      overfills a strict 50-budget, so up to 3 r2-stale verdicts wait
+#      for round 6 — they still stand green; a new query with NO
+#      verdict legitimately ranks ahead of a stale green one;
 #   1. last adjudicated in round 2 (the 30 stalest standing verdicts —
 #      this is where the round-5 budget should land);
 #   2. last adjudicated in round 3;
