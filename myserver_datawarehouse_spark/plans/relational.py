@@ -3761,3 +3761,86 @@ FROM events
 GROUP BY 1
 ORDER BY event_group NULLS FIRST
 """
+
+
+APPROX_Q_ACCURACY = 10000
+APPROX_Q_RANK_TOL = 0.02  # fraction of n; sketch guarantees 1/accuracy
+
+
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier quantile audit — the second member of the approx-swap
+    family (approx_distinct_audit covers HLL): `approx_percentile`'s
+    RANK guarantee adjudicated per event_type. The sketch promises the
+    returned value's rank is within n/accuracy of the target rank; the
+    audit recounts the actual rank exactly (COUNT of values ≤ the
+    estimate, one broadcast join back over the fact) and flags
+    |rank − q·n| ≤ 0.02·n + 1 — 200× headroom over the guarantee, so
+    the flag is deterministic-stable while a sketch regression still
+    trips it. Value-space comparison is deliberately NOT used: at small
+    n the exact interpolated percentile and the sketch's dataset-value
+    answer differ by tail quantization, which is not what the sketch
+    promises. Exact interpolated percentiles ride along (they match
+    DuckDB's quantile_cont bit-for-bit, the value_percentiles result).
+
+    Scale: one grouped sketch pass (mergeable bounded state — the
+    reason this tier exists), one broadcast of |types| rows, one
+    conditional recount. No sort."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    per_type = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"approx_percentile(value, 0.5, {APPROX_Q_ACCURACY})"
+        ).alias("_a50"),
+        F.expr(
+            f"approx_percentile(value, 0.95, {APPROX_Q_ACCURACY})"
+        ).alias("_a95"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95_exact"),
+    )
+    j = e.select("event_type", "value").join(
+        F.broadcast(per_type), "event_type"
+    )
+    tol = F.col("n") * F.lit(APPROX_Q_RANK_TOL) + F.lit(1)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("p50_exact").alias("p50_exact"),
+            F.first("p95_exact").alias("p95_exact"),
+            F.sum(
+                F.when(F.col("value") <= F.col("_a50"), 1).otherwise(0)
+            ).alias("_r50"),
+            F.sum(
+                F.when(F.col("value") <= F.col("_a95"), 1).otherwise(0)
+            ).alias("_r95"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p50_exact",
+            "p95_exact",
+            (
+                F.abs(F.col("_r50") - F.col("n") * F.lit(0.5)) <= tol
+            ).alias("rank_ok_p50"),
+            (
+                F.abs(F.col("_r95") - F.col("n") * F.lit(0.95)) <= tol
+            ).alias("rank_ok_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+APPROX_QUANTILE_AUDIT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS rank_ok_p50,
+       TRUE AS rank_ok_p95
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+ORDER BY event_type
+"""

@@ -882,6 +882,14 @@ _SPECS: list[QuerySpec] = [
         "A8: NULL-keeping groupBy keys — the NULL group survives with "
         "its full population (SQL semantics, vs pandas-style drop)",
     ),
+    QuerySpec(
+        "approx_quantile_audit",
+        R.approx_quantile_audit,
+        R.APPROX_QUANTILE_AUDIT_SQL,
+        "sketch tier: approx_percentile RANK-guarantee audit (exact "
+        "recount of the estimate's rank) + exact percentiles vs "
+        "quantile_cont — the quantile twin of approx_distinct_audit",
+    ),
 ]
 
 
