@@ -3717,12 +3717,12 @@ def merge_writer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_WRITER_LIFECYCLE_SQL = """
 SELECT event_type,
        COUNT(*) AS n_rows,
-       CAST(COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END) AS BIGINT)
-         AS n_tagged,
+       CAST(COUNT(CASE WHEN ((event_id % 3) + 3) % 3 = 1 THEN 1 END)
+            AS BIGINT) AS n_tagged,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
          AS sum_value
 FROM events
-WHERE event_id % 3 IN (0, 1)
+WHERE ((event_id % 3) + 3) % 3 IN (0, 1)
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -3803,6 +3803,15 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(per_type), "event_type"
     )
     tol = F.col("n") * F.lit(APPROX_Q_RANK_TOL) + F.lit(1)
+
+    def _rank_ok(lt: str, le: str, q: float):
+        # Tie-aware: a value with duplicate mass occupies the whole rank
+        # interval [count(<v)+1, count(<=v)]; the sketch is correct if
+        # that INTERVAL overlaps [q·n − tol, q·n + tol]. A single
+        # max-rank compare would fail a correct sketch on a mass point.
+        target = F.col("n") * F.lit(q)
+        return (F.col(lt) < target + tol) & (F.col(le) > target - tol)
+
     return (
         j.groupBy("event_type")
         .agg(
@@ -3810,23 +3819,25 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("p50_exact").alias("p50_exact"),
             F.first("p95_exact").alias("p95_exact"),
             F.sum(
+                F.when(F.col("value") < F.col("_a50"), 1).otherwise(0)
+            ).alias("_lt50"),
+            F.sum(
                 F.when(F.col("value") <= F.col("_a50"), 1).otherwise(0)
-            ).alias("_r50"),
+            ).alias("_le50"),
+            F.sum(
+                F.when(F.col("value") < F.col("_a95"), 1).otherwise(0)
+            ).alias("_lt95"),
             F.sum(
                 F.when(F.col("value") <= F.col("_a95"), 1).otherwise(0)
-            ).alias("_r95"),
+            ).alias("_le95"),
         )
         .select(
             "event_type",
             "n",
             "p50_exact",
             "p95_exact",
-            (
-                F.abs(F.col("_r50") - F.col("n") * F.lit(0.5)) <= tol
-            ).alias("rank_ok_p50"),
-            (
-                F.abs(F.col("_r95") - F.col("n") * F.lit(0.95)) <= tol
-            ).alias("rank_ok_p95"),
+            _rank_ok("_lt50", "_le50", 0.5).alias("rank_ok_p50"),
+            _rank_ok("_lt95", "_le95", 0.95).alias("rank_ok_p95"),
         )
         .orderBy("event_type")
     )

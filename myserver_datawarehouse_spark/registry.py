@@ -910,10 +910,11 @@ _SPECS: list[QuerySpec] = [
 #      refactors — outputs unchanged, but a verdict never outlives a
 #      code change). With the later round-5 additions
 #      (sole_returner_suppliers, merge_writer_lifecycle,
-#      null_key_rollup) tier 0 holds 23; 23 + 30 tier-1 slightly
-#      overfills a strict 50-budget, so up to 3 r2-stale verdicts wait
-#      for round 6 — they still stand green; a new query with NO
-#      verdict legitimately ranks ahead of a stale green one;
+#      null_key_rollup, approx_quantile_audit) tier 0 holds 24
+#      (= 144 specs minus the 30+46+44 frozenset entries below);
+#      24 + 30 tier-1 overfills a strict 50-budget, so up to 4
+#      r2-stale verdicts wait for round 6 — they still stand green; a
+#      new query with NO verdict legitimately ranks ahead of one;
 #   1. last adjudicated in round 2 (the 30 stalest standing verdicts —
 #      this is where the round-5 budget should land);
 #   2. last adjudicated in round 3;

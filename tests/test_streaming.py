@@ -448,18 +448,24 @@ def test_gap_state_survives_query_restart(spark, tmp_path):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        q = (
-            SJ.gap_state_query(stream)
-            .writeStream.foreachBatch(_collect)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        # State-store partition count is pinned at .start() from
+        # spark.sql.shuffle.partitions — scope it down like every
+        # other stateful drain in streaming/jobs.py.
+        with SJ._scoped_shuffle_partitions(
+            spark, SJ.STREAM_STATE_PARTITIONS
+        ):
+            q = (
+                SJ.gap_state_query(stream)
+                .writeStream.foreachBatch(_collect)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
         return got
 
     # First query lifetime: minutes 0,1 then 5,6 (one in-lifetime gap).

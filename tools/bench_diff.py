@@ -32,6 +32,15 @@ def main() -> int:
     with open(args.new) as f:
         new = json.load(f)
 
+    for field in ("sf", "reps"):
+        if old.get(field) != new.get(field):
+            print(
+                f"warning: artifacts differ on {field!r} "
+                f"({old.get(field)} vs {new.get(field)}) — per-query "
+                "deltas are NOT comparable (measurement discipline: "
+                "only back-to-back same-protocol pairs are signal)"
+            )
+
     qo, qn = old["queries"], new["queries"]
     so, sn = old.get("spreads", {}), new.get("spreads", {})
 
@@ -68,6 +77,13 @@ def main() -> int:
 
 if __name__ == "__main__":
     try:
-        raise SystemExit(main())
+        code = main()
     except BrokenPipeError:  # e.g. piped into head
-        raise SystemExit(0)
+        import os
+        import sys
+
+        # Point stdout at devnull so the interpreter-shutdown flush of
+        # the broken pipe can't raise again (noise + exit 120).
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        code = 0
+    raise SystemExit(code)
