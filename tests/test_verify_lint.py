@@ -63,3 +63,50 @@ def test_refresh_adjudication_latest_wins_and_fail_invalidates(tmp_path):
     assert "q_later_fail" not in latest  # later FAIL invalidates
     assert latest["q_rows_only"] == 1  # rows-only entries count
     assert "q_never_green" not in latest
+
+
+def test_bench_diff_spread_classification_and_mismatch_warning(
+    tmp_path, capsys, monkeypatch
+):
+    """bench_diff: deltas inside either run's rep spread (or the floor)
+    are noise; bigger deltas are listed; added/removed queries are
+    called out; artifacts from different protocols warn."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_diff import main as bd_main
+
+    old = {
+        "sf": 0.1,
+        "reps": 3,
+        "queries": {"q_stable": 1.0, "q_regressed": 1.0, "q_gone": 0.5},
+        "spreads": {"q_stable": 0.5, "q_regressed": 0.1, "q_gone": 0.1},
+    }
+    new = {
+        "sf": 0.1,
+        "reps": 3,
+        "queries": {"q_stable": 1.4, "q_regressed": 2.5, "q_new": 0.7},
+        "spreads": {"q_stable": 0.2, "q_regressed": 0.1, "q_new": 0.1},
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    monkeypatch.setattr(
+        sys, "argv", ["bench_diff.py", str(po), str(pn)]
+    )
+    assert bd_main() == 0
+    out = capsys.readouterr().out
+    # +0.4 on q_stable is inside its 0.5 spread -> noise, not listed.
+    assert "q_stable" not in out
+    # +1.5 on q_regressed beats spread and floor -> listed as signal.
+    assert "q_regressed" in out and "+1.50s" in out
+    assert "added 1" in out and "q_new" in out
+    assert "removed 1" in out and "q_gone" in out
+    assert "warning" not in out
+
+    # Different sf must warn (non-comparable pair).
+    new["sf"] = 0.01
+    pn.write_text(json.dumps(new))
+    assert bd_main() == 0
+    assert "warning: artifacts differ on 'sf'" in capsys.readouterr().out
