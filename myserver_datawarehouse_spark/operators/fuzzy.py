@@ -138,6 +138,12 @@ def fuzzy_pairs(
     quadratic per block — block well before reaching for it).
 
     Returns columns: *block_cols, id_a, id_b, name_a, name_b.
+
+    Precondition: ``id_col`` is unique per row. The fast path dedups
+    candidate pairs on bare ids and re-attaches names by an id-only
+    join, so a duplicated id would multiply the deduped pairs by its
+    row count (and make the attached name ambiguous). Callers with
+    non-unique ids must dedup first.
     """
     block_cols = block_cols or []
     if 1 <= max_edit <= 2:

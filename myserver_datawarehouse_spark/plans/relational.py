@@ -34,6 +34,34 @@ def dec_sum(col, scale: str = "decimal(18,2)"):
     return F.sum(c.cast(scale)).cast("double")
 
 
+_PID_TMPDIRS: set[str] = set()
+
+
+def _pid_tmpdir(prefix: str, sf_dir: str) -> str:
+    """Work dir keyed on (sf_dir, pid): deterministic within a process
+    (bench reps overwrite in place), never shared ACROSS processes — a
+    sf-only key let a parallel run overwrite the directory while
+    another process' scan was mid-flight. Each path is registered for
+    removal at process exit (once), so repeated processes don't leak a
+    lineitem-sized directory into tempdir per run."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"_{os.getpid()}",
+    )
+    if path not in _PID_TMPDIRS:
+        _PID_TMPDIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3-style grouped aggregate block (TPC-H Q1 shape).
 
@@ -90,10 +118,6 @@ def orc_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest cost of a format round-trip. Only the 7 columns the
     aggregate needs are written (column pruning at the WRITE side —
     at 100 TB you never copy columns the consumer won't read)."""
-    import hashlib
-    import os
-    import tempfile
-
     cols = [
         "l_returnflag",
         "l_linestatus",
@@ -103,16 +127,7 @@ def orc_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_tax",
         "l_shipdate",
     ]
-    # Keyed on (sf_dir, pid): deterministic within a process (bench
-    # reps overwrite in place), never shared ACROSS processes — a
-    # sf-only key let a parallel run overwrite the directory while
-    # another process' scan was mid-flight.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "msdw_orc_lineitem_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        + f"_{os.getpid()}",
-    )
+    path = _pid_tmpdir("msdw_orc_lineitem", sf_dir)
     from myserver_datawarehouse_spark.sources.files import read_orc, write_orc
 
     write_orc(load_table(spark, sf_dir, "lineitem").select(*cols), path)
@@ -1892,10 +1907,15 @@ def referential_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to keys; the reference's validation blocks check values,
     this checks the join graph itself).
 
-    Each edge is a LEFT ANTI join (child minus parents) reduced to a
-    count. All parents are dim-sized → broadcast anti-joins; the fact
-    scans stream map-side, no shuffle. The edges union to a tiny
-    constant-height frame — the shape of a DQ dashboard feed."""
+    Each edge is ONE scan of the child: a broadcast LEFT join against
+    the parent's key column, reduced to count(*) + a conditional count
+    of null parent keys (exactly the oracle's shape). All parents are
+    dim-sized → broadcast joins; the fact scans stream map-side, no
+    shuffle, and each child table is read once per edge (the earlier
+    anti-join form scanned it twice — once for n_children, once for
+    n_orphans). A NULL child key never matches, so it counts as an
+    orphan on both sides. The edges union to a tiny constant-height
+    frame — the shape of a DQ dashboard feed."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     l = load_table(spark, sf_dir, "lineitem")
@@ -1905,16 +1925,19 @@ def referential_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
 
     def edge(name, child, key, parent, pkey):
-        orphans = child.join(
-            F.broadcast(parent.select(pkey)),
-            child[key] == parent[pkey],
-            "left_anti",
+        # No distinct on the parent keys: mirrors the oracle's plain
+        # LEFT JOIN bit-for-bit, so a duplicated parent PK (itself an
+        # integrity violation) inflates both sides identically instead
+        # of silently diverging.
+        joined = child.select(F.col(key).alias("_ck")).join(
+            F.broadcast(parent.select(F.col(pkey).alias("_pk"))),
+            F.col("_ck") == F.col("_pk"),
+            "left",
         )
-        return child.agg(
+        return joined.agg(
             F.lit(name).alias("edge"),
             F.count(F.lit(1)).alias("n_children"),
-        ).crossJoin(
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            F.count(F.when(F.col("_pk").isNull(), 1)).alias("n_orphans"),
         )
 
     frames = [
@@ -3666,10 +3689,7 @@ def merge_writer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-construction time (disclosed exception to lazy construction);
     the work dir is keyed on (sf_dir, pid) so concurrent processes
     cannot race, and is rebuilt per call so the query is idempotent."""
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
     from myserver_datawarehouse_spark.operators.merge import (
         append,
@@ -3684,19 +3704,18 @@ def merge_writer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_b = e.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1).withColumn(
         "batch_tag", F.lit("b")
     )
-    target = os.path.join(
-        tempfile.gettempdir(),
-        "msdw_writer_lifecycle_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        + f"_{os.getpid()}",
-    )
+    target = _pid_tmpdir("msdw_writer_lifecycle", sf_dir)
     shutil.rmtree(target, ignore_errors=True)
     create_if_not_exists(spark, target, batch_a)
     create_if_not_exists(spark, target, batch_a)  # idempotent no-op
     append(batch_a, target)
+    # RuntimeError, not assert: these evolution checks are part of the
+    # adjudicated lifecycle and must survive `python -O`.
     added = ensure_columns(spark, target, {"batch_tag": "string"})
-    assert added == ["batch_tag"], added
-    assert ensure_columns(spark, target, {"batch_tag": "string"}) == []
+    if added != ["batch_tag"]:
+        raise RuntimeError(f"ensure_columns added {added!r}")
+    if ensure_columns(spark, target, {"batch_tag": "string"}) != []:
+        raise RuntimeError("ensure_columns re-run was not a no-op")
     append(batch_b, target)
     back = spark.read.parquet(target)
     return (
@@ -3784,9 +3803,14 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one grouped sketch pass (mergeable bounded state — the
     reason this tier exists), one broadcast of |types| rows, one
-    conditional recount. No sort."""
+    conditional recount. No sort.
+
+    NULL event_type rows are excluded up front (both here and in the
+    oracle): the recount re-join uses plain equality, which would
+    silently drop a NULL group that the oracle's GROUP BY keeps — the
+    explicit filter makes both sides agree by construction."""
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     per_type = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -3851,7 +3875,7 @@ SELECT event_type,
        TRUE AS rank_ok_p50,
        TRUE AS rank_ok_p95
 FROM events
-WHERE value IS NOT NULL
+WHERE value IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1
 ORDER BY event_type
 """

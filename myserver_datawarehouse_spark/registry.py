@@ -899,66 +899,34 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 5 this tier holds the 15 new queries
-#      (pii_scrub_audit, orc_roundtrip_pricing,
-#      customer_fuzzy_match_edit2, the Q17/Q18/Q21/Q22 shapes, and the
-#      Q4/Q7/Q8/Q11/Q12/Q13/Q14/Q19 completion sweep) plus the 6
-#      queries whose code was touched this round and therefore forfeit
-#      their standing verdicts (approx_distinct_audit restructured;
-#      value_drift_psi guard; local_supplier_volume hints;
-#      source_vocab_overlap cap; pricing_summary + customer_fuzzy_match
-#      refactors — outputs unchanged, but a verdict never outlives a
-#      code change). With the later round-5 additions
-#      (sole_returner_suppliers, merge_writer_lifecycle,
-#      null_key_rollup, approx_quantile_audit) tier 0 holds 24
-#      (= 144 specs minus the 30+46+44 frozenset entries below);
-#      24 + 30 tier-1 overfills a strict 50-budget, so up to 4
-#      r2-stale verdicts wait for round 6 — they still stand green; a
-#      new query with NO verdict legitimately ranks ahead of one;
-#   1. last adjudicated in round 2 (the 30 stalest standing verdicts —
-#      this is where the round-5 budget should land);
-#   2. last adjudicated in round 3;
-#   3. last adjudicated in round 4 (freshest).
+#      are re-checked. For round 6 this tier holds the new queries
+#      (the Q2/Q10/Q15/Q16/Q20 TPC-H completion sweep, streaming
+#      semantics promotions) plus any query whose code was touched
+#      this round and therefore forfeits its standing verdict
+#      (referential_orphan_audit single-scan rewrite;
+#      approx_quantile_audit NULL-guard; customer_fuzzy_match family
+#      unique-id precondition; merge_writer_lifecycle assert→raise —
+#      a verdict never outlives a code change);
+#   1. last adjudicated in round 2 (the 4 stalest standing verdicts:
+#      dim_date_flags, dim_time_table, sheets_export_frame,
+#      sources_dim_colors — the round-6 budget retires these);
+#   2. last adjudicated in round 3 (46 queries);
+#   3. last adjudicated in round 4;
+#   4. last adjudicated in round 5 (freshest).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
-# Round-6 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r05.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 6
+# Round-7 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r06.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 7
 # OUT of every set so it returns to the head.
 
 _ADJUDICATED_R2 = frozenset(
     {
-        "big_spender_customers",
-        "customers_without_orders",
         "dim_date_flags",
         "dim_time_table",
-        "distinct_scan",
-        "document_chunks",
-        "embedding_ann_ivf",
-        "events_asof_enrichment",
-        "events_asof_forward",
-        "events_multires_rollup",
-        "events_value_band_join",
-        "first_appearance_order",
-        "first_last_event_probe",
-        "full_history_rebuild",
-        "interpolate_cross_midnight",
-        "latest_event_per_user_type",
-        "multimodal_frame_sample",
-        "normalized_quotes",
-        "revenue_rollup",
-        "rolling_minute_avg",
-        "salted_user_counts",
-        "set_except",
-        "set_intersect",
         "sheets_export_frame",
         "sources_dim_colors",
-        "sources_lifecycle",
-        "stats_profile",
-        "streaming_gap_state",
-        "user_spend_quartiles",
-        "value_percentiles",
     }
 )
 
@@ -1044,7 +1012,6 @@ _ADJUDICATED_R4 = frozenset(
         "near_dup_embedding_cosine_baseline",
         "part_brand_margin_topk",
         "quality_weighted_sample",
-        "referential_orphan_audit",
         "share_of_total",
         "share_of_total_broadcast",
         "shipping_priority_topk",
@@ -1062,8 +1029,62 @@ _ADJUDICATED_R4 = frozenset(
     }
 )
 
+_ADJUDICATED_R5 = frozenset(
+    {
+        "approx_distinct_audit",
+        "below_avg_quantity_revenue",
+        "big_spender_customers",
+        "brand_revenue_concentration",
+        "brand_size_disjunctive_revenue",
+        "customer_fuzzy_match",
+        "customer_fuzzy_match_edit2",
+        "customer_order_distribution",
+        "customers_without_orders",
+        "distinct_scan",
+        "document_chunks",
+        "embedding_ann_ivf",
+        "events_asof_enrichment",
+        "events_asof_forward",
+        "events_multires_rollup",
+        "events_value_band_join",
+        "first_appearance_order",
+        "first_last_event_probe",
+        "full_history_rebuild",
+        "idle_balance_audit",
+        "interpolate_cross_midnight",
+        "late_shipment_priority",
+        "latest_event_per_user_type",
+        "local_supplier_volume",
+        "multimodal_frame_sample",
+        "nation_market_share",
+        "nation_trade_flows",
+        "normalized_quotes",
+        "null_key_rollup",
+        "order_priority_audit",
+        "pii_scrub_audit",
+        "pricing_summary",
+        "promo_revenue_share",
+        "revenue_rollup",
+        "rolling_minute_avg",
+        "salted_user_counts",
+        "set_except",
+        "set_intersect",
+        "sole_returner_suppliers",
+        "source_vocab_overlap",
+        "sources_lifecycle",
+        "stats_profile",
+        "streaming_gap_state",
+        "top_volume_orders",
+        "user_spend_quartiles",
+        "value_drift_psi",
+        "value_percentiles",
+    }
+)
+
 
 def _staleness(name: str) -> int:
+    if name in _ADJUDICATED_R5:
+        return 4
     if name in _ADJUDICATED_R4:
         return 3
     if name in _ADJUDICATED_R3:

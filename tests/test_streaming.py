@@ -253,16 +253,10 @@ def test_watermark_late_data_semantics_append_mode(spark, tmp_path):
     src = str(tmp_path / "late_src")
     os.makedirs(src)
 
-    mtime_seq = [1_700_000_000]
-
     def write_file(rows, name):
+        # write_single_parquet pins strictly-increasing mtimes, so the
+        # file source's modificationTime batch order is deterministic.
         write_single_parquet(spark, rows, src, name, tmp_path)
-        # The file source sorts on modificationTime; pin strictly
-        # increasing mtimes explicitly so batch order is deterministic
-        # on ANY filesystem (coarse-granularity mtimes included),
-        # without sleeping.
-        mtime_seq[0] += 10
-        os.utime(f"{src}/{name}.parquet", (mtime_seq[0], mtime_seq[0]))
 
     # batch 0: window [00:00, 00:01) gets its one on-time row; 00:04
     # will push the watermark to 00:02 for the NEXT batch.
