@@ -3879,3 +3879,403 @@ WHERE value IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1
 ORDER BY event_type
 """
+
+
+# ----------- TPC-H Q2/Q10/Q15/Q16/Q20 shapes (round 6) — the last five
+# optimizer shapes of the sweep. No partsupp table exists in this
+# schema, so the part<->supplier catalog derives from lineitem history
+# (GROUP BY partkey, suppkey), which keeps every query joinable on real
+# data while preserving the reference plan shapes: correlated-MIN
+# decorrelation (Q2), returned-revenue top-k (Q10), max-over-view
+# (Q15), NOT-IN + COUNT(DISTINCT) (Q16), stacked semi-joins (Q20).
+# Reference-wise these complete the scalar-subquery/decorrelation
+# family of fact_gold_price.py:408-412.
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_MAX_SIZE = 15
+Q2_LIMIT = 100
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every qualifying part, the supplier(s) in
+    one region offering the MINIMUM supply cost — the canonical
+    correlated MIN subquery, decorrelated into one per-part aggregate
+    joined back on (partkey, cost = min_cost). Supply cost is the
+    cheapest observed offer MIN(l_extendedprice) per (part, supplier)
+    pair from lineitem history (the no-partsupp catalog), kept in
+    DECIMAL so the min-equality re-join is exact, never a float
+    compare.
+
+    Scale: the part filter (type + size) and the region filter prune
+    both catalog legs before the pair aggregate; the per-part min
+    frame is |parts|-sized and joins back on partkey (co-partitioned
+    with the eligible frame — one shuffle key end-to-end). Dims
+    broadcast. Bounded output via TakeOrderedAndProject
+    (acctbal DESC with full key tiebreak)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_size") <= Q2_MAX_SIZE) & (F.col("p_type") == Q2_TYPE)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    sn = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "supply_cost_d"
+            )
+        )
+    )
+    part_min = eligible.groupBy(F.col("p_partkey").alias("_mk")).agg(
+        F.min("supply_cost_d").alias("_min_cost")
+    )
+    return (
+        eligible.join(
+            part_min,
+            (F.col("p_partkey") == F.col("_mk"))
+            & (F.col("supply_cost_d") == F.col("_min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("supply_cost_d").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(Q2_LIMIT)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH eligible AS (
+  SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal,
+         n.n_name,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS supply_cost_d
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+             AND p.p_size <= {Q2_MAX_SIZE} AND p.p_type = '{Q2_TYPE}'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+              AND r.r_name = '{Q2_REGION}'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_brand,
+       CAST(e.supply_cost_d AS DOUBLE) AS supply_cost
+FROM eligible e
+WHERE e.supply_cost_d = (SELECT MIN(e2.supply_cost_d) FROM eligible e2
+                         WHERE e2.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT {Q2_LIMIT}
+"""
+
+
+Q10_DATE_LO = "1996-10-01"
+Q10_DATE_HI = "1997-01-01"
+Q10_LIMIT = 20
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to RETURNED lineitems per customer
+    for one order quarter, top-20 by lost revenue with the broad
+    customer projection (name, acctbal, nation) carried through.
+
+    Scale: the orderdate window prunes orders at the scan and the
+    returnflag filter prunes lineitem at the scan BEFORE the orderkey
+    shuffle; customer joins on the already-aggregate-sized o_custkey
+    side; nation broadcasts. Revenue accumulates in DECIMAL (exact,
+    order-independent) and the top-k is TakeOrderedAndProject with a
+    custkey tiebreak — ordering on a double derived from identical
+    decimals is reproducible across engines."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q10_DATE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q10_DATE_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(Q10_LIMIT)
+    )
+
+
+RETURNED_ITEM_LOSSES_SQL = f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS lost_revenue,
+       COUNT(*) AS n_returned
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+             AND o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+             AND o.o_orderdate <  TIMESTAMP '{Q10_DATE_HI}'
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT {Q10_LIMIT}
+"""
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose 3-month revenue equals
+    the MAX over the per-supplier revenue view — max-over-aggregated-
+    view, decorrelated as a 1-row broadcast of the max joined back by
+    DECIMAL equality (exact: both the per-supplier totals and the max
+    are the same decimal aggregate, so the equality can never miss by
+    a ulp the way a double compare could).
+
+    Scale: the shipdate window prunes lineitem at the scan; one
+    suppkey-grouped aggregate (map-side partial), a 1-row max frame
+    broadcast back, supplier dim broadcast for the name. No window, no
+    global sort."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q15_DATE_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_DATE_HI).cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.sum(rev).alias("rev_d"), F.count(F.lit(1)).alias("n_lineitems")
+    )
+    top = per_supp.agg(F.max("rev_d").alias("_max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_d") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_d"), 2).cast("double").alias("total_revenue"),
+            "n_lineitems",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(28,6))) AS rev_d,
+         COUNT(*) AS n_lineitems
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_DATE_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(ROUND(r.rev_d, 2) AS DOUBLE) AS total_revenue,
+       r.n_lineitems
+FROM revenue r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_d = (SELECT MAX(rev_d) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 5, 9, 14, 19, 23, 30, 36, 45, 49)
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can deliver each
+    (brand, type, size) combination, excluding one brand, one type
+    family, and every supplier on the deny list (negative account
+    balance — the schema's stand-in for the complaints predicate).
+    The NOT IN subquery is planned as a broadcast LEFT ANTI join
+    (suppliers are non-null keys, so NOT IN == anti-join); the
+    part<->supplier relationship is the distinct lineitem pair set.
+
+    Scale: the pair-distinct collapses lineitem to |partsupp| before
+    any join; the part filter broadcasts; the deny list is dim-sized
+    and broadcast-anti. COUNT(DISTINCT suppkey) shuffles once on the
+    3-attr group key."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & (F.col("p_type") != Q16_EXCL_TYPE)
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    denied = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        pairs.join(
+            F.broadcast(denied.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+PART_SUPPLIER_VARIETY_SQL = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type <> '{Q16_EXCL_TYPE}'
+  AND p.p_size IN {Q16_SIZES}
+  AND ps.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+Q20_NAME_PREFIX = "red"
+Q20_YEAR_LO = "1996-01-01"
+Q20_YEAR_HI = "1997-01-01"
+Q20_REGION = "ASIA"
+
+
+def promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: stacked semi-joins — suppliers (in one region)
+    who, for at least one 'red%' part, shipped MORE of it in 1996 than
+    in all other years combined (the availqty > ½·shipped-qty predicate
+    re-expressed on shipment history: qty_1996 > ½·qty_total, compared
+    as 2·qty_1996 > qty_total so the decimal arithmetic stays exact).
+    The nesting — part-name semi-join inside a per-(supplier, part)
+    correlated aggregate inside a supplier semi-join — collapses into
+    one filtered aggregate plus one LEFT SEMI join, the decorrelation
+    Catalyst cannot do for a user who writes the nested-IN SQL form.
+
+    Scale: the 'red%' part filter broadcasts and prunes lineitem
+    before its (suppkey, partkey) aggregate; the qualifying-pair frame
+    reduces to a distinct suppkey set (dim-bounded) that SEMI-joins
+    the supplier dim; nation/region broadcast. One fact shuffle."""
+    p_red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_year = (
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_HI).cast("timestamp"))
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    qualifying = (
+        l.join(F.broadcast(p_red), F.col("l_partkey") == F.col("p_partkey"),
+               "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, qty).otherwise(F.lit(0).cast(
+                "decimal(18,2)"))).alias("qty_year"),
+            F.sum(qty).alias("qty_total"),
+        )
+        .filter(F.col("qty_year") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q20_REGION
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+PROMOTABLE_PART_SUPPLIERS_SQL = f"""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+            AND r.r_name = '{Q20_REGION}'
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN
+        (SELECT p_partkey FROM part
+         WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '{Q20_YEAR_LO}'
+                   AND l.l_shipdate <  TIMESTAMP '{Q20_YEAR_HI}'
+                  THEN CAST(l.l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) * 2
+         > SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+)
+ORDER BY s_suppkey
+"""

@@ -890,6 +890,41 @@ _SPECS: list[QuerySpec] = [
         "recount of the estimate's rank) + exact percentiles vs "
         "quantile_cont — the quantile twin of approx_distinct_audit",
     ),
+    QuerySpec(
+        "min_cost_supplier",
+        R.min_cost_supplier,
+        R.MIN_COST_SUPPLIER_SQL,
+        "TPC-H Q2 shape: correlated-MIN subquery decorrelated to a "
+        "per-part min aggregate re-joined by exact decimal equality",
+    ),
+    QuerySpec(
+        "returned_item_losses",
+        R.returned_item_losses,
+        R.RETURNED_ITEM_LOSSES_SQL,
+        "TPC-H Q10 shape: returned-revenue top-20 per customer with "
+        "broad projection, scan-pruned both sides of the fact join",
+    ),
+    QuerySpec(
+        "top_supplier_revenue",
+        R.top_supplier_revenue,
+        R.TOP_SUPPLIER_REVENUE_SQL,
+        "TPC-H Q15 shape: max over the per-supplier revenue view via "
+        "1-row broadcast + exact decimal equality re-join",
+    ),
+    QuerySpec(
+        "part_supplier_variety",
+        R.part_supplier_variety,
+        R.PART_SUPPLIER_VARIETY_SQL,
+        "TPC-H Q16 shape: NOT IN deny-list as broadcast anti-join + "
+        "COUNT(DISTINCT) over the derived part-supplier pair set",
+    ),
+    QuerySpec(
+        "promotable_part_suppliers",
+        R.promotable_part_suppliers,
+        R.PROMOTABLE_PART_SUPPLIERS_SQL,
+        "TPC-H Q20 shape: stacked semi-joins collapsed to one filtered "
+        "per-(supplier,part) aggregate + LEFT SEMI into the supplier dim",
+    ),
 ]
 
 

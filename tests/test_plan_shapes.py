@@ -166,12 +166,18 @@ def test_cube_rollup_is_single_expand_pass(spark):
     assert "partial_" in plan
 
 
-def test_orphan_audit_all_broadcast_anti(spark):
+def test_orphan_audit_single_scan_broadcast_left(spark):
+    import re
+
     plan = plan_of(R.referential_orphan_audit(spark, SF))
     # Every FK edge checks via broadcast — the facts never shuffle.
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # One scan per edge (7 edges, 7 child scans): the old anti-join
+    # form read each child twice (n_children + n_orphans separately).
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 14  # 7 child scans + 7 broadcast parent scans
 
 
 def test_spend_quartiles_broadcast_has_no_global_window(spark):
@@ -609,3 +615,51 @@ def test_sole_returner_single_lineitem_pass_bounded_topk(spark):
     # Scan identity lives on the Location detail line, one per scan node.
     lineitem_scans = re.findall(r"Location:.*lineitem\.parquet", plan)
     assert len(lineitem_scans) == 1, plan
+
+
+def test_min_cost_supplier_decorrelated_min_rejoin(spark):
+    plan = plan_of(R.min_cost_supplier(spark, SF))
+    # Part/supplier/nation/region dims all broadcast; the only shuffle
+    # join is the per-part-min re-join, co-partitioned on partkey.
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # bounded top-k, no global sort
+    assert "partial_min" in plan  # map-side partial on the catalog agg
+    # Untouched wide part columns never reach any scan.
+    assert "p_retailprice" not in plan
+
+
+def test_returned_item_losses_pruned_both_sides_one_shuffle(spark):
+    import re
+
+    plan = plan_of(R.returned_item_losses(spark, SF))
+    # Returnflag prunes lineitem AT THE SCAN; the orderdate window
+    # prunes orders at the scan — before the orderkey join.
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_returnflag,R" in p for p in pushed)
+    assert any("o_orderdate" in p for p in pushed)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # dims broadcast at this SF
+
+
+def test_top_supplier_revenue_broadcast_max_no_window(spark):
+    plan = plan_of(R.top_supplier_revenue(spark, SF))
+    # Max-over-view via 1-row broadcast, never a global Window.
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_part_supplier_variety_anti_join_denylist(spark):
+    plan = plan_of(R.part_supplier_variety(spark, SF))
+    # NOT IN planned as broadcast LEFT ANTI (non-null keys).
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_promotable_part_suppliers_stacked_semi_joins(spark):
+    plan = plan_of(R.promotable_part_suppliers(spark, SF))
+    # Both nesting levels collapse to LEFT SEMI joins; the part filter
+    # broadcasts into lineitem BEFORE its aggregate.
+    assert plan.count("LeftSemi") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
