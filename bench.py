@@ -16,13 +16,30 @@ the timing reflects what a cluster would do, not a toPandas() transfer.
 
 Median-of-N protocol (round 5, per the round-4 advice): SCALE.md
 documents ±0.5–1.5 s cross-run drift on unchanged plans, which drowned
-round-over-round per-query diffs. Each query now runs
-$SPARK_GRAFT_BENCH_REPS times (default 3) inside the ONE warm JVM; the
-reported time is the median and bench_full.json carries every rep plus
-the spread (max−min), so a diff bigger than the recorded spread is
-signal, not noise. Eagerly-executing queries (streaming_upsert_merge,
-orc_roundtrip_pricing) re-run their side effects every rep — their
-medians stay honest end-to-end costs.
+round-over-round per-query diffs. Each query runs inside the ONE warm
+JVM; the reported time is the median of the timed reps and
+bench_full.json carries every rep plus the spread (max−min), so a diff
+bigger than the recorded spread is signal, not noise. Eagerly-executing
+queries (streaming_upsert_merge, orc_roundtrip_pricing) re-run their
+side effects every rep — their medians stay honest end-to-end costs.
+
+Warm-rep protocol (round 6): each query gets $SPARK_GRAFT_BENCH_WARM_REPS
+(default 1) UNTIMED executions before its $SPARK_GRAFT_BENCH_REPS
+(default 2) timed ones. The discard pre-pays the query's own
+whole-stage-codegen compile — a first-run-only cost (~1–1.5 s for the
+widest composed plans; measured on ranking_report, whose r5 reps were
+[4.31, 4.05, 1.57] purely from compile + JIT warm-up) that a
+steady-state deployment pays once per plan shape, not per execution.
+No generic warm-up can pre-pay it because codegen is per-plan. Default
+1 warm + 2 timed keeps total executions per query at 3, so bench wall
+is unchanged vs the round-5 protocol while the medians now measure
+steady state.
+
+Sharding: `python bench.py --family plans_a,plans_b` (or
+$SPARK_GRAFT_BENCH_FAMILY) restricts the run to the named query
+families (the plan module basename, as recorded in the `families`
+rollup) — so a slow family can be re-measured alone as the registry
+grows, without paying a full-registry run.
 """
 
 from __future__ import annotations
@@ -53,6 +70,7 @@ def build_line(
     sf: float,
     reps: int = 1,
     spreads: dict[str, float] | None = None,
+    warm_reps: int = 0,
 ) -> str:
     """The ONE stdout line the driver records. Contract (tested in
     tests/test_plan_shapes.py): valid JSON, < 1900 chars — the driver
@@ -69,6 +87,7 @@ def build_line(
         "families": families,
         "n_queries": len(timings),
         "reps": reps,
+        "warm_reps": warm_reps,
         "per_query_file": "bench_full.json",
         "sf": sf,
     }
@@ -84,6 +103,17 @@ def build_line(
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--family",
+        default=os.environ.get("SPARK_GRAFT_BENCH_FAMILY", ""),
+        help="comma-separated plan-module families to run (default all)",
+    )
+    args = ap.parse_args()
+    wanted = {f.strip() for f in args.family.split(",") if f.strip()}
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
@@ -127,12 +157,28 @@ def main() -> None:
         lambda pdf: pdf, "k long, v long"
     ).write.format("noop").mode("overwrite").save()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    warm_reps = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "1"))
+    )
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     families: dict[str, float] = {}
-    for spec in registry.specs():
+    specs = registry.specs()
+    if wanted:
+        specs = [
+            s for s in specs
+            if s.spark.__module__.rsplit(".", 1)[-1] in wanted
+        ]
+        if not specs:
+            raise SystemExit(f"no queries in families {sorted(wanted)}")
+    for spec in specs:
+        for _ in range(warm_reps):
+            # Untimed: pre-pays this plan's codegen compile + JIT.
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         times: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -148,8 +194,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = _sf_of(sf_dir)
+    # A family-sharded run writes a sibling artifact so it can never
+    # clobber the committed full-registry bench_full.json that
+    # bench_diff compares across rounds.
+    artifact = (
+        "bench_family_" + "_".join(sorted(wanted)) + ".json"
+        if wanted
+        else "bench_full.json"
+    )
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        os.path.dirname(os.path.abspath(__file__)), artifact
     )
     with open(full_path, "w") as fh:
         json.dump(
@@ -161,12 +215,16 @@ def main() -> None:
                 "spreads": spreads,  # per-query max-min across reps
                 "reps_detail": all_reps,
                 "reps": reps,
+                "warm_reps": warm_reps,
                 "families": families,
                 "sf": sf,
             },
             fh,
         )
-    line = build_line(timings, families, sf, reps=reps, spreads=spreads)
+    line = build_line(
+        timings, families, sf, reps=reps, spreads=spreads,
+        warm_reps=warm_reps,
+    )
     sys.stdout.flush()
     print(line, flush=True)
 

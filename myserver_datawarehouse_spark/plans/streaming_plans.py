@@ -291,3 +291,150 @@ WITH ranked AS (
 SELECT user_id, event_type, event_id, ts, value
 FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
 """
+
+
+def streaming_restart_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.12 checkpoint-restart exactly-once, driver-adjudicated (the
+    round-5 VERDICT ask): half the events drain under a checkpoint, the
+    query STOPS, the other half arrives, and a new query restarts from
+    the same checkpoint. The final sink rollup must equal the plain
+    batch rollup over ALL events — a replayed batch doubles a count, a
+    lost batch drops one, and either flips the hash against the oracle.
+
+    Eager-execution note: like streaming_upsert_merge, the two drains
+    run at plan-construction time into a fixed per-(sf, pid) work dir,
+    cleared up front so reruns are idempotent."""
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_restart", sf_dir)
+    sink = SJ.restart_exactly_once_stream(spark, sf_dir, work)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_unique_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAMING_RESTART_EXACTLY_ONCE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_unique_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+def streaming_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 watermark late-data accounting as a driver verdict (the
+    round-5 VERDICT ask): events replay in three deterministic
+    interleaved batches (event_id mod 3, file order pinned by mtime),
+    so batches 1-2 deliver heavily late rows against an advanced
+    watermark. The output is the audit summary — windows emitted,
+    rows emitted, rows REFUSED by the watermark (observed via
+    numRowsDroppedByWatermark), rows total — and the oracle recomputes
+    all four from the calibrated two-watermark model Spark actually
+    implements (verified empirically, see below):
+
+      m_k      = max event time in batch k
+      W_k      = max(m_0..m_{k-1}) − delay   (in effect during batch k)
+      late drop in batch k  iff  window_end ≤ W_{k-1}  (the LATE filter
+            lags eviction by one batch: a row is dropped against the
+            PREVIOUS batch's watermark — equality drops, measured)
+      emitted  = surviving-row windows with window_end ≤ max(all) − delay
+            (equality emits: a window whose end equals the final
+            watermark IS evicted+emitted, measured; availableNow runs a
+            final flush batch whenever the last data batch advanced the
+            watermark, so the final set closes under W_final)
+      numRowsDroppedByWatermark counts dropped PARTIAL-AGGREGATE rows,
+            not input rows: the late filter runs above the map-side
+            partial aggregation, so its unit is (batch, window) groups
+            — measured: 3331 late input rows in 3329 distinct windows
+            reported exactly 3329. The oracle therefore counts DISTINCT
+            late (batch, window) pairs. Precondition: each batch file
+            scans as one task (files ≪ maxPartitionBytes at every test
+            SF), so per-task partials equal per-batch distinct windows.
+
+    A Spark regression in either boundary, in the late-filter lag, or
+    in the drop counter's grain flips a counter and fails the hash.
+    Eager-execution note: the replay runs at plan-construction time in
+    a per-(sf, pid) work dir (atexit-cleaned)."""
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    work = _pid_tmpdir("msdw_stream_wm_audit", sf_dir)
+    emitted, dropped = SJ.watermark_audit_stream(spark, sf_dir, work)
+    total = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .count()
+    )
+    return emitted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows_emitted"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows_emitted"),
+    ).select(
+        "n_windows_emitted",
+        "n_rows_emitted",
+        F.lit(dropped).cast("long").alias("n_rows_dropped"),
+        F.lit(total).cast("long").alias("n_rows_total"),
+    )
+
+
+def _streaming_watermark_audit_sql() -> str:
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        WATERMARK_AUDIT_BATCHES as NB,
+        WATERMARK_AUDIT_DELAY_MIN as D,
+    )
+
+    return f"""
+WITH r AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_id % {NB} AS b
+  FROM events WHERE ts IS NOT NULL
+),
+bm AS (SELECT b, MAX(ts) AS m FROM r GROUP BY 1),
+wm AS (
+  SELECT b,
+         MAX(m) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - INTERVAL {D} MINUTE AS late_wm
+  FROM bm
+),
+flags AS (
+  SELECT r.ts, r.b,
+         date_trunc('minute', r.ts) + INTERVAL 1 MINUTE AS w_end,
+         w.late_wm
+  FROM r JOIN wm w USING (b)
+),
+final_wm AS (SELECT MAX(ts) - INTERVAL {D} MINUTE AS fw FROM r),
+surv AS (SELECT * FROM flags WHERE late_wm IS NULL OR w_end > late_wm),
+wins AS (
+  SELECT date_trunc('minute', ts) AS w_start, COUNT(*) AS n,
+         MAX(w_end) AS w_end
+  FROM surv GROUP BY 1
+),
+em AS (SELECT wins.* FROM wins, final_wm WHERE w_end <= fw)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_windows_emitted,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows_emitted,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT b, w_end FROM flags
+           WHERE late_wm IS NOT NULL AND w_end <= late_wm)
+       ) AS n_rows_dropped,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_rows_total
+FROM em
+"""
+
+
+STREAMING_WATERMARK_AUDIT_SQL = _streaming_watermark_audit_sql()

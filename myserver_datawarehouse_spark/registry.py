@@ -925,6 +925,23 @@ _SPECS: list[QuerySpec] = [
         "TPC-H Q20 shape: stacked semi-joins collapsed to one filtered "
         "per-(supplier,part) aggregate + LEFT SEMI into the supplier dim",
     ),
+    QuerySpec(
+        "streaming_restart_exactly_once",
+        ST.streaming_restart_exactly_once,
+        ST.STREAMING_RESTART_EXACTLY_ONCE_SQL,
+        "§2.12 checkpoint-restart exactly-once as a driver verdict: "
+        "drain half, stop, restart from the same checkpoint on the "
+        "other half; sink rollup must equal the batch rollup exactly",
+    ),
+    QuerySpec(
+        "streaming_watermark_audit",
+        ST.streaming_watermark_audit,
+        ST.STREAMING_WATERMARK_AUDIT_SQL,
+        "§2.12 watermark late-drop accounting as a driver verdict: "
+        "3-batch interleaved replay; emitted windows/rows + observed "
+        "numRowsDroppedByWatermark vs the calibrated two-watermark "
+        "model in SQL",
+    ),
 ]
 
 

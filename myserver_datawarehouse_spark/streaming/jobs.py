@@ -431,3 +431,154 @@ def upsert_merge_stream(
     finally:
         q.stop()
     return target
+
+
+# ------------------------------------------------- semantics contracts
+# (round 6): the two measured streaming-semantics contracts promoted
+# from pytest-only to driver-adjudicated registry queries — checkpoint
+# restart exactly-once, and watermark late-drop accounting.
+
+RESTART_COLS = ("event_id", "ts", "event_type", "value")
+
+
+def restart_exactly_once_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> str:
+    """Exactly-once across a RESTART, end to end: the events table is
+    split in two halves (event_id parity), the stream drains half A to
+    a parquet file sink under a checkpoint, STOPS, half B arrives, and
+    a brand-new query object restarts FROM THE SAME CHECKPOINT. The
+    checkpoint's file-source offset log must skip A's files entirely
+    and the sink's _spark_metadata commit log must record each batch
+    once — any replay doubles the counts, any loss drops them, and the
+    DuckDB oracle (the plain batch rollup over ALL events) catches
+    either. This is the §2.12 checkpoint-restart contract as a driver-
+    adjudicated query rather than a pytest assertion.
+
+    Returns the sink path; the caller reads it back (the read honors
+    _spark_metadata, i.e. only committed files count)."""
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    src = os.path.join(work_dir, "src")
+    ckpt = os.path.join(work_dir, "ckpt")
+    sink = os.path.join(work_dir, "sink")
+    for d in (src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+
+    base = load_table(spark, sf_dir, "events").select(*RESTART_COLS)
+    half_a = base.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    half_b = base.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    schema = base.schema
+
+    def drain(new_half: DataFrame) -> None:
+        new_half.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    drain(half_a)  # first incarnation: drains A, commits offsets
+    drain(half_b)  # restart from the SAME checkpoint: must drain ONLY B
+    return sink
+
+
+WATERMARK_AUDIT_DELAY_MIN = 30
+WATERMARK_AUDIT_WINDOW_MIN = 1
+WATERMARK_AUDIT_BATCHES = 3
+
+
+def watermark_audit_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> tuple[DataFrame, int]:
+    """Watermark late-data accounting, made adjudicable: events replay
+    in THREE deterministic interleaved batches (event_id mod 3, batch
+    order pinned by strictly-increasing file mtimes +
+    maxFilesPerTrigger=1), so batches 1 and 2 deliver massively late
+    rows against a watermark already advanced by batch 0. The append-
+    mode windowed aggregate emits only watermark-closed windows, and
+    the state operator's numRowsDroppedByWatermark counts the rows the
+    engine refused. Both numbers are DETERMINISTIC functions of
+    (data, batch split, delay) and the registry oracle recomputes them
+    in SQL from the same model — see
+    plans/streaming_plans.streaming_watermark_audit for the exact
+    boundary semantics (calibrated against Spark's eviction rules).
+
+    Returns (emitted-window frame from the memory sink, total dropped
+    row count observed via query progress)."""
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    src = os.path.join(work_dir, "src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts")
+    )
+    mtime = 1_700_000_000
+    for k in range(WATERMARK_AUDIT_BATCHES):
+        part = base.filter(
+            F.pmod(F.col("event_id"), F.lit(WATERMARK_AUDIT_BATCHES)) == k
+        )
+        stage = os.path.join(work_dir, f"stage_{k}")
+        shutil.rmtree(stage, ignore_errors=True)
+        part.coalesce(1).write.parquet(stage)
+        (name,) = [
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        ]
+        dest = os.path.join(src, f"batch_{k}.parquet")
+        os.replace(os.path.join(stage, name), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        mtime += 10
+        os.utime(dest, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{WATERMARK_AUDIT_DELAY_MIN} minutes")
+        .groupBy(
+            F.window(
+                "ts", f"{WATERMARK_AUDIT_WINDOW_MIN} minute"
+            ).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    sink_name = "streaming_watermark_audit_sink"
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            dropped = sum(
+                int(op.get("numRowsDroppedByWatermark", 0))
+                for p in q.recentProgress
+                for op in (p.get("stateOperators") or [])
+            )
+        finally:
+            q.stop()
+    return spark.table(sink_name), dropped

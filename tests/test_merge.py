@@ -89,3 +89,57 @@ def test_incremental_agg_invariant_under_cutoff(spark, monkeypatch):
         }
         results.append(rows)
     assert results[0] == results[1] == results[2]
+
+
+def test_publish_overwrite_crash_window_leaves_old_table_readable(
+    spark, tmp_path, monkeypatch
+):
+    """The WAP commit protocol's whole point: a crash at ANY instant
+    between the staged write and the manifest swap must leave the
+    previously published snapshot fully readable and unchanged."""
+    import os
+
+    root = str(tmp_path / "wap")
+    v1 = M.publish_overwrite(spark, root, batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    assert v1 == "v1"
+    old = {tuple(r) for r in M.read_published(spark, root).collect()}
+    assert len(old) == 2
+
+    # Simulate a crash at the commit point: the staged write and audit
+    # complete, then the process dies before the manifest swap.
+    real_replace = os.replace
+
+    def crash(*a, **k):
+        raise OSError("simulated crash before manifest swap")
+
+    monkeypatch.setattr(os, "replace", crash)
+    try:
+        M.publish_overwrite(spark, root, batch(spark, [(9, "z", 9)]))
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # The old snapshot is still the published one, byte-for-byte; the
+    # orphaned staging directory exists but is invisible to readers.
+    assert {tuple(r) for r in M.read_published(spark, root).collect()} == old
+    assert os.path.isdir(os.path.join(root, "v2"))  # orphan staged dir
+
+    # A later writer recovers naturally: next version skips past the
+    # orphan, publishes atomically, and vacuum reclaims the rest.
+    v3 = M.publish_overwrite(spark, root, batch(spark, [(9, "z", 9)]))
+    assert v3 == "v3"
+    assert {tuple(r) for r in M.read_published(spark, root).collect()} == {
+        (9, "z", 9)
+    }
+    removed = M.vacuum_versions(root)
+    assert set(removed) == {"v1", "v2"}
+    assert {tuple(r) for r in M.read_published(spark, root).collect()} == {
+        (9, "z", 9)
+    }
+
+
+def test_publish_overwrite_unpublished_root_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        M.read_published(spark, str(tmp_path / "nothing"))

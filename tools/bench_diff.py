@@ -32,7 +32,7 @@ def main() -> int:
     with open(args.new) as f:
         new = json.load(f)
 
-    for field in ("sf", "reps"):
+    for field in ("sf", "reps", "warm_reps"):
         if old.get(field) != new.get(field):
             print(
                 f"warning: artifacts differ on {field!r} "
