@@ -942,6 +942,22 @@ _SPECS: list[QuerySpec] = [
         "numRowsDroppedByWatermark vs the calibrated two-watermark "
         "model in SQL",
     ),
+    QuerySpec(
+        "csv_roundtrip_pricing",
+        R.csv_roundtrip_pricing,
+        R.CSV_ROUNDTRIP_PRICING_SQL,
+        "S1/CSV: text-format round-trip (shortest-round-trip doubles, "
+        "microsecond timestampFormat, quarantine-empty) feeding the Q1 "
+        "aggregate, same oracle as the parquet twin",
+    ),
+    QuerySpec(
+        "dpp_partitioned_revenue",
+        R.dpp_partitioned_revenue,
+        R.DPP_PARTITIONED_REVENUE_SQL,
+        "dynamic partition pruning: hive-partitioned fact + dim-side "
+        "year filter -> dynamicpruningexpression in PartitionFilters, "
+        "rollup adjudicated vs the unpartitioned source",
+    ),
 ]
 
 

@@ -663,3 +663,22 @@ def test_promotable_part_suppliers_stacked_semi_joins(spark):
     assert plan.count("LeftSemi") >= 2
     assert "SortMergeJoin" not in plan
     assert "partial_" in plan
+
+
+def test_csv_roundtrip_same_aggregate_shape(spark):
+    plan = plan_of(R.csv_roundtrip_pricing(spark, SF))
+    # The text scan still prunes to the 7 written columns + corrupt
+    # capture, and the aggregate is partial (map-side) like the parquet
+    # twin's.
+    assert "partial_" in plan
+    assert "l_orderkey" not in plan
+
+
+def test_dpp_partitioned_revenue_has_dynamic_pruning(spark):
+    plan = plan_of(R.dpp_partitioned_revenue(spark, SF))
+    # The year filter lives only on the dim side; the fact scan must
+    # carry a dynamicpruningexpression in its PartitionFilters — static
+    # pruning cannot see through the join.
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
+    assert "BroadcastHashJoin" in plan
