@@ -40,6 +40,15 @@ $SPARK_GRAFT_BENCH_FAMILY) restricts the run to the named query
 families (the plan module basename, as recorded in the `families`
 rollup) — so a slow family can be re-measured alone as the registry
 grows, without paying a full-registry run.
+
+Spread disclosure: in a full-registry run, the EAGERLY-executing
+queries (the streaming drains, the round-trip writers, the composed
+pipelines) occasionally absorb a neighbor's async cleanup (state-store
+maintenance threads, shuffle/GC) into one rep — e.g.
+corpus_build_pipeline measured reps [8.4, 3.2] mid-registry but
+[~4.0 ± 0.4] when its family runs alone. A spread-flagged eager query
+should be re-measured with --family before reading its median as a
+regression.
 """
 
 from __future__ import annotations

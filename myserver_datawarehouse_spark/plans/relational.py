@@ -4413,3 +4413,51 @@ WHERE strftime(l.l_shipdate, '%Y-%m') IN
 GROUP BY 1
 ORDER BY ship_month
 """
+
+
+def jsonl_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/JSONL end-to-end, completing the format matrix (parquet,
+    ORC, CSV, JSONL — every reader sources/files.py ships now has an
+    adjudicated round-trip): write the pruned lineitem projection as
+    JSON lines, read it back through read_jsonl's PERMISSIVE +
+    quarantine-capture path, and run the SAME Q1-shape aggregate
+    against the parquet oracle. Doubles survive via Jackson's
+    shortest-round-trip formatting; timestamps carry an explicit
+    microsecond timestampFormat (the default pattern truncates to
+    millis on write). Same eager-write + pid-keyed-dir convention as
+    the ORC/CSV twins."""
+    from myserver_datawarehouse_spark.sources.files import (
+        CORRUPT_COL,
+        with_corrupt_column,
+    )
+
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    ]
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    path = _pid_tmpdir("msdw_jsonl_lineitem", sf_dir)
+    src = load_table(spark, sf_dir, "lineitem").select(*cols)
+    (
+        src.write.mode("overwrite")
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    back = (
+        spark.read.schema(with_corrupt_column(src.schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
+    )
+    return _pricing_block(back)
+
+
+JSONL_ROUNDTRIP_PRICING_SQL = PRICING_SUMMARY_SQL

@@ -958,6 +958,14 @@ _SPECS: list[QuerySpec] = [
         "year filter -> dynamicpruningexpression in PartitionFilters, "
         "rollup adjudicated vs the unpartitioned source",
     ),
+    QuerySpec(
+        "jsonl_roundtrip_pricing",
+        R.jsonl_roundtrip_pricing,
+        R.JSONL_ROUNDTRIP_PRICING_SQL,
+        "S1/JSONL: json-lines round-trip (Jackson shortest-round-trip "
+        "doubles, microsecond timestampFormat, quarantine-empty) "
+        "feeding the Q1 aggregate, same oracle as the parquet twin",
+    ),
 ]
 
 
@@ -967,14 +975,16 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 6 this tier holds the new queries
-#      (the Q2/Q10/Q15/Q16/Q20 TPC-H completion sweep, streaming
-#      semantics promotions) plus any query whose code was touched
-#      this round and therefore forfeits its standing verdict
-#      (referential_orphan_audit single-scan rewrite;
-#      approx_quantile_audit NULL-guard; customer_fuzzy_match family
-#      unique-id precondition; merge_writer_lifecycle assert→raise —
-#      a verdict never outlives a code change);
+#      are re-checked. For round 6 this tier holds the 9 new queries
+#      (the Q2/Q10/Q15/Q16/Q20 TPC-H completion sweep, the two
+#      streaming-semantics promotions, csv_roundtrip_pricing,
+#      dpp_partitioned_revenue) plus the 4 queries whose code was
+#      touched this round and therefore forfeit their standing
+#      verdicts (referential_orphan_audit single-scan rewrite;
+#      approx_quantile_audit NULL-guard; merge_writer_lifecycle
+#      assert→raise; orc_roundtrip_pricing shared-tmpdir refactor —
+#      a verdict never outlives a code change; the round-6 fuzzy_pairs
+#      edit was docstring-only, so the fuzzy verdicts stand);
 #   1. last adjudicated in round 2 (the 4 stalest standing verdicts:
 #      dim_date_flags, dim_time_table, sheets_export_frame,
 #      sources_dim_colors — the round-6 budget retires these);
