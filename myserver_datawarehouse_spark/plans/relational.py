@@ -4461,3 +4461,89 @@ def jsonl_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSONL_ROUNDTRIP_PRICING_SQL = PRICING_SUMMARY_SQL
+
+
+BUCKET_N = 8
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join, driver-adjudicated: lineitem and
+    orders are bucket-written ONCE per (sf, pid) on orderkey — the
+    write-once layout decision that converts every subsequent
+    orderkey join from a two-sided shuffle into a zero-Exchange merge
+    of pre-hashed buckets — then joined with broadcast DISABLED so the
+    plan must rely on the bucket layout (the plan-shape test asserts no
+    Exchange below the join). The rollup per order priority is the
+    adjudicated output; its oracle is the plain join over the parquet
+    source, so the bucketed path must be value-identical to the
+    unbucketed one.
+
+    At 100 TB this is the §2.3 co-location story made executable: the
+    orderkey exchange is paid once at write time and amortized over
+    every fact-to-fact join that follows (tests/test_bucketing.py
+    proves the no-Exchange property in isolation; this query proves
+    the end-to-end values). Eager-write convention as the round-trip
+    twins; catalog table names carry the (sf, pid) key and the
+    warehouse directories are atexit-cleaned."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.operators.merge import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+    t_l, t_o = f"msdw_bkt_l_{tag}", f"msdw_bkt_o_{tag}"
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(l, t_l, ["l_orderkey"], BUCKET_N, sort_keys=["l_orderkey"])
+    write_bucketed(o, t_o, ["o_orderkey"], BUCKET_N, sort_keys=["o_orderkey"])
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (t_l, t_o):
+        path = os.path.join(warehouse, t)
+        if path not in _PID_TMPDIRS:
+            _PID_TMPDIRS.add(path)
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t_l).join(
+            spark.table(t_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_lineitems"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # Materialize the plan choice under the no-broadcast conf; the
+        # returned frame re-reads the tiny checkpointed rollup so later
+        # actions don't depend on session conf at action time.
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+BUCKETED_COLOCATED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY o_orderpriority
+"""

@@ -966,6 +966,14 @@ _SPECS: list[QuerySpec] = [
         "doubles, microsecond timestampFormat, quarantine-empty) "
         "feeding the Q1 aggregate, same oracle as the parquet twin",
     ),
+    QuerySpec(
+        "bucketed_colocated_join",
+        R.bucketed_colocated_join,
+        R.BUCKETED_COLOCATED_JOIN_SQL,
+        "co-located bucketed join: orderkey exchange paid once at "
+        "write, zero-Exchange join under disabled broadcast, rollup "
+        "adjudicated vs the plain parquet join",
+    ),
 ]
 
 

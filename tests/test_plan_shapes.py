@@ -682,3 +682,37 @@ def test_dpp_partitioned_revenue_has_dynamic_pruning(spark):
     assert "dynamicpruningexpression" in plan
     assert "PartitionFilters" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_colocated_join_no_exchange_below_join(spark):
+    """The registry query's load-bearing property: with broadcast
+    disabled, the orderkey join over the two bucketed tables must rely
+    on the bucket layout — no Exchange on either join input (the only
+    exchanges are the post-join rollup's)."""
+    import re
+
+    from myserver_datawarehouse_spark.operators.merge import write_bucketed
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("l_orderkey"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(0, 5000, 2).select(
+        F.col("id").alias("o_orderkey"), F.lit("P").alias("p")
+    )
+    write_bucketed(a, "t_shape_bkt_a", ["l_orderkey"], 4, ["l_orderkey"])
+    write_bucketed(b, "t_shape_bkt_b", ["o_orderkey"], 4, ["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_shape_bkt_a").join(
+            spark.table("t_shape_bkt_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 2500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_shape_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_shape_bkt_b")
