@@ -510,8 +510,12 @@ def lang_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.expr("transform(sc, x -> x.c)").alias("cvec"))
     )
     a, b = cvec.alias("a"), cvec.alias("b")
+    # Broadcast one side explicitly: the pair join has no equi-key, and
+    # the aggregate's unknown stats otherwise leave the planner on
+    # CartesianProduct — the hint pins BroadcastNestedLoopJoin, the
+    # right physical shape for a |langs|-row frame at any corpus size.
     return (
-        a.join(b, F.col("a.lang") < F.col("b.lang"))
+        a.join(F.broadcast(b), F.col("a.lang") < F.col("b.lang"))
         .select(
             F.col("a.lang").alias("lang_a"),
             F.col("b.lang").alias("lang_b"),

@@ -2075,7 +2075,15 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     data shuffle keyed on user_id; everything else is broadcast."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     anchor = e.agg(F.max(F.to_date("ts")).alias("anchor_d"))
-    wts = spark.createDataFrame(DECAY_WEIGHTS, "days_old int, w double")
+    # VALUES literal, not createDataFrame(list): the latter ships the
+    # rows through parallelize and plans as a Scan ExistingRDD; the
+    # literal compiles to a LocalTableScan that broadcasts without any
+    # driver RDD round-trip (same convention as the band dim;
+    # tools/plan_lint.py flags the RDD form).
+    wts = spark.sql(
+        "SELECT CAST(days_old AS INT) days_old, CAST(w AS DOUBLE) w "
+        f"FROM (VALUES {_DECAY_WTS_SQL}) AS t(days_old, w)"
+    )
     per = (
         e.crossJoin(F.broadcast(anchor))
         .withColumn("days_old", F.datediff("anchor_d", F.to_date("ts")))

@@ -1034,7 +1034,6 @@ _ADJUDICATED_R3 = frozenset(
         "events_json_props",
         "flagship_hourly_pipeline",
         "freshness_probe",
-        "lang_centroid_similarity",
         "lang_id_confusion",
         "multimodal_features",
         "multimodal_type_rollup",
@@ -1070,7 +1069,6 @@ _ADJUDICATED_R3 = frozenset(
 _ADJUDICATED_R4 = frozenset(
     {
         "day_over_day_change",
-        "decayed_user_value",
         "dup_ngram_coverage",
         "embedding_ann_bucketed",
         "embedding_ann_bucketed_baseline",

