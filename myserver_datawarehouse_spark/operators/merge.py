@@ -307,6 +307,28 @@ def read_published(spark: SparkSession, table_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_root, version))
 
 
+def read_version(
+    spark: SparkSession, table_root: str, version: str
+) -> DataFrame:
+    """Time travel: read a SPECIFIC retained snapshot (any `v{N}` not
+    yet vacuumed), published or not. Reading an unpublished version is
+    deliberate — it is the audit step's own view of a staged write."""
+    path = os.path.join(table_root, version)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    return spark.read.parquet(path)
+
+
+def published_versions(table_root: str) -> tuple[list[str], str | None]:
+    """(all retained version dirs in order, currently published one)."""
+    versions = sorted(
+        (d for d in os.listdir(table_root)
+         if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    ) if os.path.isdir(table_root) else []
+    return versions, _published_version(table_root)
+
+
 def vacuum_versions(table_root: str) -> list[str]:
     """Remove every version directory except the published one.
     Returns the versions removed. Safe at any time: the published

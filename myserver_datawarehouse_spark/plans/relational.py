@@ -4555,3 +4555,147 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 ORDER BY o_orderpriority
 """
+
+
+# ----------- round-6 sketch tier completion: count-min heavy hitters.
+
+CM_W = 1024          # sketch width (buckets per row)
+CM_DEPTH_PARAMS = (  # (a, b) per depth for ((a*k + b) mod P) mod W
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 67867967),
+)
+CM_P = 2147483647    # Mersenne prime 2^31-1; all math stays in int64
+CM_TOPK = 5
+CM_SLACK_NUM = 8     # bound flag: over-estimate <= 8*N/W (generous)
+
+
+def _cm_bucket(col, a: int, b: int):
+    """Integer-exact polynomial hash into [0, CM_W) — identical
+    arithmetic is expressible in DuckDB, so the oracle rebuilds the
+    SAME sketch (no engine-specific hash functions anywhere)."""
+    return F.pmod(
+        F.pmod(F.col(col) * F.lit(a) + F.lit(b), F.lit(CM_P)), F.lit(CM_W)
+    )
+
+
+def heavy_hitters_cm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier heavy hitters: a COUNT-MIN sketch built entirely from
+    DataFrame primitives — one pass over the fact exploding each row
+    into CM_DEPTH rows, a groupBy on (depth, bucket) whose state is
+    bounded by depth x width (3 x 1024 counters) regardless of data
+    volume, and a broadcast join of the exact top-k candidates back
+    onto their buckets with MIN-over-depth as the estimate. The audit
+    adjudicates the sketch's properties exactly: `never_under` (CM can
+    only over-count) and `within_bound` (over-estimate <= 8N/W — far
+    above the expected 2N/W collision mass, so the flag is stable while
+    a broken sketch still trips it).
+
+    The depth hashes are integer polynomial hashes mod a Mersenne
+    prime — every operation is exact int64 arithmetic that DuckDB
+    reproduces bit-for-bit, so the oracle rebuilds the identical sketch
+    and the driver's hash compare adjudicates estimates, not just
+    flags (the approx_distinct/approx_quantile audits can't do that —
+    their engine sketches differ register-for-register; this one is
+    the repo's own and therefore fully differential).
+
+    At 100 TB: the sketch pass is map-side combinable into <= depth x
+    width partials per task, the shuffle carries only those, and the
+    candidate join broadcasts k rows. This is the mergeable-summary
+    pattern (Cormode & Muthukrishnan 2005) for frequency, next to
+    HLL (distinct) and KLL (quantiles) in the tier."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    n_total = e.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+
+    depths = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                _cm_bucket("user_id", a, b).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CM_DEPTH_PARAMS)
+        ]
+    )
+    cm = (
+        e.select(F.explode(depths).alias("db"))
+        .groupBy(F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(CM_TOPK)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(depths).alias("db"),
+    ).select("user_id", "exact_n", F.col("db.depth").alias("depth"),
+             F.col("db.bucket").alias("bucket"))
+    est = (
+        probes.join(cm, ["depth", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_n")).alias("never_under"),
+            (
+                (F.col("cm_estimate") - F.col("exact_n")) * F.lit(CM_W)
+                <= F.lit(CM_SLACK_NUM) * F.col("n_total")
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
+def _cm_oracle_sql() -> str:
+    structs = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(CM_DEPTH_PARAMS)
+    )
+    return f"""
+WITH d(depth, a, b) AS (VALUES {structs}),
+e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+n AS (SELECT COUNT(*) AS n_total FROM e),
+cm AS (
+  SELECT d.depth,
+         ((e.user_id * d.a + d.b) % {CM_P}) % {CM_W} AS bucket,
+         COUNT(*) AS c
+  FROM e CROSS JOIN d
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n
+  FROM e GROUP BY 1
+  ORDER BY exact_n DESC, user_id
+  LIMIT {CM_TOPK}
+),
+probes AS (
+  SELECT x.user_id, x.exact_n, d.depth,
+         ((x.user_id * d.a + d.b) % {CM_P}) % {CM_W} AS bucket
+  FROM exact x CROSS JOIN d
+),
+est AS (
+  SELECT p.user_id, p.exact_n, MIN(cm.c) AS cm_estimate
+  FROM probes p JOIN cm ON p.depth = cm.depth AND p.bucket = cm.bucket
+  GROUP BY 1, 2
+)
+SELECT est.user_id, est.exact_n, est.cm_estimate,
+       est.cm_estimate >= est.exact_n AS never_under,
+       (est.cm_estimate - est.exact_n) * {CM_W}
+         <= {CM_SLACK_NUM} * n.n_total AS within_bound
+FROM est, n
+ORDER BY exact_n DESC, user_id
+"""
+
+
+HEAVY_HITTERS_CM_AUDIT_SQL = _cm_oracle_sql()

@@ -974,6 +974,15 @@ _SPECS: list[QuerySpec] = [
         "write, zero-Exchange join under disabled broadcast, rollup "
         "adjudicated vs the plain parquet join",
     ),
+    QuerySpec(
+        "heavy_hitters_cm_audit",
+        R.heavy_hitters_cm_audit,
+        R.HEAVY_HITTERS_CM_AUDIT_SQL,
+        "sketch tier: count-min heavy hitters from DataFrame "
+        "primitives (integer-exact polynomial hashes, depth x width "
+        "bounded state) — fully differential, oracle rebuilds the "
+        "identical sketch",
+    ),
 ]
 
 
