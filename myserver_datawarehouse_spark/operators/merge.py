@@ -236,17 +236,25 @@ def _published_version(table_root: str) -> str | None:
         return fh.read().strip() or None
 
 
-def _next_version(table_root: str) -> str:
-    """Deterministic monotone version name: v{N+1} over the existing
-    v* directories (never wall-clock — re-runs stay reproducible)."""
-    if not os.path.isdir(table_root):
-        return "v1"
-    seqs = [
-        int(d[1:])
-        for d in os.listdir(table_root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    return f"v{max(seqs) + 1}" if seqs else "v1"
+def _claim_next_version(table_root: str) -> str:
+    """Claim a fresh monotone version name ATOMICALLY: compute
+    v{max+1} over the existing v* directories, then take it with an
+    exclusive mkdir — the filesystem's atomic create arbitrates
+    concurrent publishers, so two writers can never interleave into
+    one staged directory (never wall-clock — re-runs stay
+    reproducible)."""
+    while True:
+        seqs = [
+            int(d[1:])
+            for d in os.listdir(table_root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        candidate = f"v{max(seqs) + 1}" if seqs else "v1"
+        try:
+            os.makedirs(os.path.join(table_root, candidate))
+            return candidate
+        except FileExistsError:
+            continue  # lost the race; re-list and take the next slot
 
 
 def publish_overwrite(
@@ -262,10 +270,15 @@ def publish_overwrite(
     filesystem rename):
 
     1. WRITE the new snapshot into a fresh version directory
-       `table_root/v{N}/` — the live table is never touched.
-    2. AUDIT: re-read the staged directory and verify it is a complete,
-       readable parquet table with the expected schema (count + schema
-       probe). A failed audit raises and leaves the manifest alone.
+       `table_root/v{N}/` (claimed by atomic mkdir, so concurrent
+       publishers get disjoint directories) — the live table is never
+       touched.
+    2. AUDIT: re-read the staged directory and verify it is a
+       complete, readable parquet table: the read-back row count must
+       equal the row count OBSERVED during the write (Observation
+       metric — no second pass over the input), and the column set
+       must match. A failed audit raises and leaves the manifest
+       alone.
     3. PUBLISH: point the `_CURRENT` manifest at the new version with
        one `os.replace` — atomic on POSIX, so a reader (or a crash) at
        ANY instant sees either the old complete snapshot or the new
@@ -280,16 +293,22 @@ def publish_overwrite(
     write either way. This closes the crash window of plain
     mode=overwrite, which deletes the live files before the new ones
     are durable (tested in tests/test_merge.py)."""
+    from pyspark.sql import Observation
+
     os.makedirs(table_root, exist_ok=True)
-    version = _next_version(table_root)
+    version = _claim_next_version(table_root)
     staged = os.path.join(table_root, version)
-    _write(df, staged, partition_by, mode="overwrite")
+    obs = Observation()
+    df_obs = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+    _write(df_obs, staged, partition_by, mode="overwrite")
     if audit:
+        expected = obs.get["rows_written"]
         back = spark.read.parquet(staged)
         n = back.count()
-        if n < 0 or set(back.columns) != set(df.columns):
+        if n != expected or set(back.columns) != set(df.columns):
             raise RuntimeError(
-                f"audit failed for {staged}: cols {back.columns}"
+                f"audit failed for {staged}: read back {n} rows "
+                f"(wrote {expected}), cols {back.columns}"
             )
     tmp = os.path.join(table_root, f".{_CURRENT}.tmp")
     with open(tmp, "w") as fh:
@@ -330,15 +349,24 @@ def published_versions(table_root: str) -> tuple[list[str], str | None]:
 
 
 def vacuum_versions(table_root: str) -> list[str]:
-    """Remove every version directory except the published one.
-    Returns the versions removed. Safe at any time: the published
-    version is re-read from the manifest under the same listing."""
+    """Remove version directories STRICTLY OLDER than the published
+    one; returns the versions removed. Only-older is the concurrency
+    rule: a publish that lands mid-vacuum always claims a HIGHER
+    version number, so a version the manifest might newly point at is
+    never a deletion candidate (the naive 'everything except current'
+    sweep would race: read current=v4, concurrent publish flips
+    _CURRENT to v5, sweep deletes v5 — an unreadable published table).
+    Orphaned staging dirs NEWER than current (crashed writers) survive
+    until a later publish moves current past them."""
     import shutil
 
     current = _published_version(table_root)
+    if current is None:
+        return []
+    cur_n = int(current[1:])
     removed = []
     for d in sorted(os.listdir(table_root)):
-        if d.startswith("v") and d[1:].isdigit() and d != current:
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < cur_n:
             shutil.rmtree(os.path.join(table_root, d))
             removed.append(d)
     return removed

@@ -38,16 +38,20 @@ def read_jsonl(
     path: str,
     schema: StructType,
     mode: str = "PERMISSIVE",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """JSON-lines read with explicit schema; malformed lines surface as
     rows whose data columns are NULL and whose `_corrupt_record` holds
-    the raw line."""
-    return (
+    the raw line. `options` passes extra reader options through (e.g.
+    timestampFormat for sub-millisecond round-trips)."""
+    reader = (
         spark.read.schema(with_corrupt_column(schema))
         .option("mode", mode)
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.json(path)
 
 
 def read_csv(
@@ -57,17 +61,22 @@ def read_csv(
     mode: str = "PERMISSIVE",
     header: bool = True,
     delimiter: str = ",",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """CSV read with explicit schema; wrong-arity or untypeable rows are
-    captured in `_corrupt_record` rather than dropped or fatal."""
-    return (
+    captured in `_corrupt_record` rather than dropped or fatal.
+    `options` passes extra reader options through (e.g.
+    timestampFormat)."""
+    reader = (
         spark.read.schema(with_corrupt_column(schema))
         .option("mode", mode)
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("header", str(header).lower())
         .option("sep", delimiter)
-        .csv(path)
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
 
 
 def split_quarantine(
