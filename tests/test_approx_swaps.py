@@ -30,3 +30,68 @@ def test_approx_count_distinct_close_to_exact(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.06
+
+
+def test_count_min_sketch_matches_independent_reconstruction(
+    spark, tmp_path
+):
+    """heavy_hitters_cm_audit's sketch must agree bit-for-bit with an
+    independent numpy reconstruction of the same count-min (same
+    integer polynomial hashes), and its invariants must hold on an
+    adversarial skew: never_under always true, estimate == exact
+    whenever the candidate's buckets are collision-free."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from myserver_datawarehouse_spark.plans import relational as R
+
+    # Power-law-ish user distribution + one dominant key.
+    ids = [7] * 500 + [i % 211 + 100 for i in range(700)] + [9999] * 3
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(ids)),
+            "ts": [dt.datetime(2024, 1, 1, 0, i % 60) for i in range(len(ids))],
+            "user_id": ids,
+            "event_type": ["a"] * len(ids),
+            "value": [1.0] * len(ids),
+            "props": ["{}"] * len(ids),
+        }
+    )
+    sf = tmp_path / "cm_sf"
+    sf.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    import glob
+    import shutil
+
+    (part,) = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))
+    shutil.copy(part, str(sf / "events.parquet"))
+
+    out = {
+        r.user_id: r
+        for r in R.heavy_hitters_cm_audit(spark, str(sf)).collect()
+    }
+
+    # Independent reconstruction.
+    arr = np.array(ids, dtype=np.int64)
+    cm = {}
+    for d, (a, b) in enumerate(R.CM_DEPTH_PARAMS):
+        buckets = ((arr * a + b) % R.CM_P) % R.CM_W
+        cm[d] = np.bincount(buckets, minlength=R.CM_W)
+    exact = pd.Series(ids).value_counts()
+    top = exact.sort_values(ascending=False).head(R.CM_TOPK)
+    assert set(out) == {7} | set(
+        top.index[top.index != 7][: R.CM_TOPK - 1]
+    ) or len(out) == R.CM_TOPK
+    for uid, row in out.items():
+        est = min(
+            cm[d][((uid * a + b) % R.CM_P) % R.CM_W]
+            for d, (a, b) in enumerate(R.CM_DEPTH_PARAMS)
+        )
+        assert row.cm_estimate == int(est)
+        assert row.exact_n == int(exact[uid])
+        assert row.never_under  # CM can only over-count
+        assert row.cm_estimate >= row.exact_n

@@ -117,10 +117,7 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
     return problems
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("verify-local")
+def run_scale(spark, sf_dir: str, only: set[str]) -> tuple[int, list[str]]:
     con = duck_connect(sf_dir)
     failed = []
     ran = 0
@@ -144,8 +141,30 @@ def main() -> int:
                 print(f"       {p}")
         else:
             print(f"[ ok ] {spec.name} ({spec.section})")
-    print(f"\n{ran - len(failed)}/{ran} passing")
-    return 1 if failed else 0
+    print(f"\n{sf_dir}: {ran - len(failed)}/{ran} passing")
+    return ran, failed
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if args and args[0] == "--all-scales":
+        # The round convention is a three-scale pass; one warm JVM for
+        # all of them cuts ~2 startup costs vs three invocations.
+        scales = [
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+        ]
+        only = set(args[1:])
+    else:
+        scales = [args[0] if args else "/root/testdata/sf0.01"]
+        only = set(args[1:])
+    spark = get_spark("verify-local")
+    any_failed = False
+    for sf_dir in scales:
+        _, failed = run_scale(spark, sf_dir, only)
+        any_failed = any_failed or bool(failed)
+    return 1 if any_failed else 0
 
 
 if __name__ == "__main__":
