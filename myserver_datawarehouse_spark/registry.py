@@ -1165,7 +1165,6 @@ _ADJUDICATED_R5 = frozenset(
         "salted_user_counts",
         "set_except",
         "set_intersect",
-        "sole_returner_suppliers",
         "source_vocab_overlap",
         "sources_lifecycle",
         "stats_profile",
