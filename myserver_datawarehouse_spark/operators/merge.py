@@ -279,9 +279,12 @@ def publish_overwrite(
        metric — no second pass over the input), and the column set
        must match. A failed audit raises and leaves the manifest
        alone.
-    3. PUBLISH: point the `_CURRENT` manifest at the new version with
-       one `os.replace` — atomic on POSIX, so a reader (or a crash) at
-       ANY instant sees either the old complete snapshot or the new
+    3. PUBLISH: re-check that no concurrent publisher committed an
+       equal-or-newer version (conflict-on-commit: the loser raises and
+       retries rather than ever moving the manifest backwards), then
+       point the `_CURRENT` manifest at the new version with one
+       `os.replace` — atomic on POSIX, so a reader (or a crash) at ANY
+       instant sees either the old complete snapshot or the new
        complete snapshot, never a mix and never a missing table.
 
     Returns the published version name. Old versions stay on disk until
@@ -300,7 +303,12 @@ def publish_overwrite(
     staged = os.path.join(table_root, version)
     obs = Observation()
     df_obs = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    _write(df_obs, staged, partition_by, mode="overwrite")
+    # APPEND into the freshly-claimed EMPTY directory: mode=overwrite
+    # would fs.delete the dir first, momentarily releasing the
+    # atomic-mkdir claim — a second publisher could re-claim the same
+    # version name in that window and interleave files. Append never
+    # deletes, so the claim is held for the write's whole lifetime.
+    _write(df_obs, staged, partition_by, mode="append")
     if audit:
         expected = obs.get["rows_written"]
         back = spark.read.parquet(staged)
@@ -310,6 +318,25 @@ def publish_overwrite(
                 f"audit failed for {staged}: read back {n} rows "
                 f"(wrote {expected}), cols {back.columns}"
             )
+    # Optimistic-concurrency check at the commit point (the same
+    # conflict-on-commit rule a table format applies): if a concurrent
+    # publisher already moved _CURRENT to this version or past it, this
+    # writer LOSES — raising here wastes its staged work but can never
+    # corrupt the table, whereas swapping the manifest backwards could
+    # point _CURRENT at a version a concurrent vacuum_versions (which
+    # keeps only >= current) has just deleted. The staged-dir existence
+    # check closes the same race from the vacuum side.
+    cur = _published_version(table_root)
+    if cur is not None and int(version[1:]) <= int(cur[1:]):
+        raise RuntimeError(
+            f"publish conflict: {cur} was published after this writer "
+            f"claimed {version}; retry the publish"
+        )
+    if not os.path.isdir(staged):
+        raise RuntimeError(
+            f"staged version {staged} disappeared before commit "
+            "(vacuumed by a concurrent process?); retry the publish"
+        )
     tmp = os.path.join(table_root, f".{_CURRENT}.tmp")
     with open(tmp, "w") as fh:
         fh.write(version)
@@ -356,8 +383,12 @@ def vacuum_versions(table_root: str) -> list[str]:
     never a deletion candidate (the naive 'everything except current'
     sweep would race: read current=v4, concurrent publish flips
     _CURRENT to v5, sweep deletes v5 — an unreadable published table).
-    Orphaned staging dirs NEWER than current (crashed writers) survive
-    until a later publish moves current past them."""
+    The other direction is closed on the publish side: a writer whose
+    claimed version is <= current at commit time raises instead of
+    moving the manifest backwards, so vacuum can never orphan a
+    manifest pointer. Orphaned staging dirs NEWER than current
+    (crashed writers) survive until a later publish moves current past
+    them."""
     import shutil
 
     current = _published_version(table_root)

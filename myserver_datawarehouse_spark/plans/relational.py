@@ -37,28 +37,38 @@ def dec_sum(col, scale: str = "decimal(18,2)"):
 _PID_TMPDIRS: set[str] = set()
 
 
-def _pid_tmpdir(prefix: str, sf_dir: str) -> str:
-    """Work dir keyed on (sf_dir, pid): deterministic within a process
-    (bench reps overwrite in place), never shared ACROSS processes — a
-    sf-only key let a parallel run overwrite the directory while
-    another process' scan was mid-flight. Each path is registered for
-    removal at process exit (once), so repeated processes don't leak a
-    lineitem-sized directory into tempdir per run."""
-    import atexit
+def _sf_pid_tag(sf_dir: str) -> str:
+    """The (sf_dir, pid) key every per-process work artifact carries:
+    deterministic within a process (bench reps reuse in place), never
+    shared ACROSS processes — a sf-only key let a parallel run
+    overwrite a directory while another process' scan was mid-flight."""
     import hashlib
     import os
-    import shutil
-    import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"{prefix}_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        + f"_{os.getpid()}",
-    )
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+
+
+def _register_exit_cleanup(path: str) -> None:
+    """Register `path` for removal at process exit, once — so repeated
+    processes don't leak lineitem-sized artifacts per run. Shared by
+    the tempdir work dirs and the bucketed-catalog warehouse dirs."""
+    import atexit
+    import shutil
+
     if path not in _PID_TMPDIRS:
         _PID_TMPDIRS.add(path)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+def _pid_tmpdir(prefix: str, sf_dir: str) -> str:
+    """Work dir keyed on (sf_dir, pid) (see _sf_pid_tag), atexit-cleaned."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{_sf_pid_tag(sf_dir)}"
+    )
+    _register_exit_cleanup(path)
     return path
 
 
@@ -4392,8 +4402,9 @@ def dpp_partitioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh write every time. A crashed partial write has no _SUCCESS
     # and is rewritten.
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        # Only the columns the rollup reads (write-side pruning, same
+        # convention as the round-trip twins).
         l = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey",
             "l_extendedprice",
             "l_discount",
             F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
@@ -4502,14 +4513,11 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end-to-end values). Eager-write convention as the round-trip
     twins; catalog table names carry the (sf, pid) key and the
     warehouse directories are atexit-cleaned."""
-    import atexit
-    import hashlib
     import os
-    import shutil
 
     from myserver_datawarehouse_spark.operators.merge import write_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+    tag = _sf_pid_tag(sf_dir)
     t_l, t_o = f"msdw_bkt_l_{tag}", f"msdw_bkt_o_{tag}"
     # Bucket-write once per (sf, pid), for real: catalog existence gates
     # the rewrite, so repeated invocations measure the amortized
@@ -4534,10 +4542,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     for t in (t_l, t_o):
-        path = os.path.join(warehouse, t)
-        if path not in _PID_TMPDIRS:
-            _PID_TMPDIRS.add(path)
-            atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _register_exit_cleanup(os.path.join(warehouse, t))
 
     rev = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -4593,9 +4598,15 @@ CM_SLACK_NUM = 8     # bound flag: over-estimate <= 8*N/W (generous)
 def _cm_bucket(col, a: int, b: int):
     """Integer-exact polynomial hash into [0, CM_W) — identical
     arithmetic is expressible in DuckDB, so the oracle rebuilds the
-    SAME sketch (no engine-specific hash functions anywhere)."""
+    SAME sketch (no engine-specific hash functions anywhere). The key
+    is first reduced to pmod(key, P) ∈ [0, P): this (a) makes negative
+    keys agree across engines (Spark pmod vs SQL % differ in sign
+    convention on raw negatives) and (b) bounds the multiplicand so
+    (P-1)·a ≈ 1.1e17 can never overflow int64 — the parity claim holds
+    for EVERY int64 key, not just small non-negative fixture ids."""
+    k = F.pmod(F.col(col), F.lit(CM_P))
     return F.pmod(
-        F.pmod(F.col(col) * F.lit(a) + F.lit(b), F.lit(CM_P)), F.lit(CM_W)
+        F.pmod(k * F.lit(a) + F.lit(b), F.lit(CM_P)), F.lit(CM_W)
     )
 
 
@@ -4688,7 +4699,8 @@ e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
 n AS (SELECT COUNT(*) AS n_total FROM e),
 cm AS (
   SELECT d.depth,
-         ((e.user_id * d.a + d.b) % {CM_P}) % {CM_W} AS bucket,
+         (((((e.user_id % {CM_P}) + {CM_P}) % {CM_P}) * d.a + d.b)
+          % {CM_P}) % {CM_W} AS bucket,
          COUNT(*) AS c
   FROM e CROSS JOIN d
   GROUP BY 1, 2
@@ -4701,7 +4713,8 @@ exact AS (
 ),
 probes AS (
   SELECT x.user_id, x.exact_n, d.depth,
-         ((x.user_id * d.a + d.b) % {CM_P}) % {CM_W} AS bucket
+         (((((x.user_id % {CM_P}) + {CM_P}) % {CM_P}) * d.a + d.b)
+          % {CM_P}) % {CM_W} AS bucket
   FROM exact x CROSS JOIN d
 ),
 est AS (

@@ -996,15 +996,17 @@ _SPECS: list[QuerySpec] = [
 #      (the Q2/Q10/Q15/Q16/Q20 TPC-H completion sweep; the two
 #      streaming-semantics promotions; csv_roundtrip_pricing,
 #      jsonl_roundtrip_pricing, dpp_partitioned_revenue,
-#      bucketed_colocated_join, heavy_hitters_cm_audit) plus the 6
+#      bucketed_colocated_join, heavy_hitters_cm_audit) plus the 7
 #      queries whose code was touched this round and therefore forfeit
 #      their standing verdicts (referential_orphan_audit single-scan
 #      rewrite; approx_quantile_audit NULL-guard;
 #      merge_writer_lifecycle assert→raise; orc_roundtrip_pricing
 #      shared-tmpdir refactor; decayed_user_value VALUES-literal dim;
-#      lang_centroid_similarity broadcast-hinted pair join — a verdict
-#      never outlives a code change; the round-6 fuzzy_pairs edit was
-#      docstring-only, so the fuzzy verdicts stand). Tier 0 = 18;
+#      lang_centroid_similarity broadcast-hinted pair join;
+#      sole_returner_suppliers two-stage no-Expand aggregate — a
+#      verdict never outlives a code change; the round-6 fuzzy_pairs
+#      edit was docstring-only, so the fuzzy verdicts stand).
+#      Tier 0 = 19;
 #   1. last adjudicated in round 2 (the 4 stalest standing verdicts:
 #      dim_date_flags, dim_time_table, sheets_export_frame,
 #      sources_dim_colors — the round-6 budget retires these);

@@ -79,16 +79,21 @@ def test_count_min_sketch_matches_independent_reconstruction(
     arr = np.array(ids, dtype=np.int64)
     cm = {}
     for d, (a, b) in enumerate(R.CM_DEPTH_PARAMS):
-        buckets = ((arr * a + b) % R.CM_P) % R.CM_W
+        buckets = (((arr % R.CM_P) * a + b) % R.CM_P) % R.CM_W
         cm[d] = np.bincount(buckets, minlength=R.CM_W)
     exact = pd.Series(ids).value_counts()
-    top = exact.sort_values(ascending=False).head(R.CM_TOPK)
-    assert set(out) == {7} | set(
-        top.index[top.index != 7][: R.CM_TOPK - 1]
-    ) or len(out) == R.CM_TOPK
+    # Expected top-k under the query's exact tie-break: count DESC,
+    # user_id ASC — an arbitrary-5-rows regression must fail here.
+    expected_top = [
+        uid
+        for uid, _n in sorted(
+            exact.items(), key=lambda kv: (-kv[1], kv[0])
+        )[: R.CM_TOPK]
+    ]
+    assert set(out) == set(expected_top)
     for uid, row in out.items():
         est = min(
-            cm[d][((uid * a + b) % R.CM_P) % R.CM_W]
+            cm[d][(((uid % R.CM_P) * a + b) % R.CM_P) % R.CM_W]
             for d, (a, b) in enumerate(R.CM_DEPTH_PARAMS)
         )
         assert row.cm_estimate == int(est)
