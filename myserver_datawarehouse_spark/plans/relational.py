@@ -4732,3 +4732,153 @@ ORDER BY exact_n DESC, user_id
 
 
 HEAVY_HITTERS_CM_AUDIT_SQL = _cm_oracle_sql()
+
+
+ERASURE_MOD = 97
+
+
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten at table scope, end to end — and the
+    driver adjudication of the WAP writer itself (operators/merge.py
+    publish_overwrite was pytest-only before this): the events table is
+    published as snapshot v1, an erasure set (user_id % 97 == 0) is
+    removed via a broadcast LEFT ANTI join, and the result is published
+    as snapshot v2 with the atomic manifest swap. The output rolls up
+    the PUBLISHED table (read_published — i.e. through the manifest,
+    not the staging path) plus a residual count of erased-user rows
+    that must be zero; the oracle recomputes the same rollup from the
+    source minus the erasure set, so a failed erasure, a partial
+    publish, or a manifest pointing at the wrong snapshot all flip the
+    hash. The superseded v1 stays readable until vacuum — the
+    compliance caveat a real deployment handles with retention policy
+    (vacuum_versions), exercised in tests/test_merge.py.
+
+    Scale: the erasure is one broadcast anti-join over the fact (the
+    erased-key set is user-grain, dim-sized), and the publish is one
+    distributed write + an O(1) manifest swap — no read-modify-write
+    of the live table at any point. Same eager-execution convention as
+    the writer-lifecycle query (pid-keyed root, atexit-cleaned)."""
+    import shutil
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        publish_overwrite,
+        read_published,
+    )
+
+    root = _pid_tmpdir("msdw_erasure_table", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    publish_overwrite(spark, root, e)
+    erase = e.filter(
+        F.pmod(F.col("user_id"), F.lit(ERASURE_MOD)) == 0
+    ).select("user_id").distinct()
+    erased = read_published(spark, root).join(
+        F.broadcast(erase), "user_id", "left_anti"
+    )
+    publish_overwrite(spark, root, erased)
+    published = read_published(spark, root)
+    return (
+        published.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_value"),
+            F.count(
+                F.when(
+                    F.pmod(F.col("user_id"), F.lit(ERASURE_MOD)) == 0, 1
+                )
+            ).alias("n_residual"),
+        )
+        .orderBy("event_type")
+    )
+
+
+USER_ERASURE_AUDIT_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value,
+       CAST(0 AS BIGINT) AS n_residual
+FROM events
+WHERE user_id % {ERASURE_MOD} <> 0 OR user_id IS NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+LISTAGG_TOPN = 3
+
+
+def nation_top_customers_listagg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic group-concat (the LISTAGG / string_agg reporting
+    shape): per nation, the top-3 customers by account balance as one
+    comma-joined string. Spark has no ordered string_agg, so the
+    ordered concat is built from primitives WITHOUT relying on
+    collect_list's nondeterministic accumulation order: collect the
+    (rank, name) structs, array_sort (ranks are unique, so the sort
+    key is total), project the names, array_join — bit-identical to
+    DuckDB's string_agg(... ORDER BY rank). Ranking tie-breaks on
+    custkey so equal balances can't flip the string between engines.
+
+    Scale: the rank window partitions by nation (dim-bounded groups),
+    the concat aggregates at nation grain — |nation| rows of bounded
+    strings, never an unbounded group blob."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = c.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= LISTAGG_TOPN
+    )
+    return (
+        top.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "c_name"))
+                    ),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("top_balance_sum"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_TOP_CUSTOMERS_LISTAGG_SQL = f"""
+WITH ranked AS (
+  SELECT c_nationkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+)
+SELECT n.n_name,
+       string_agg(r.c_name, ',' ORDER BY r.rk) AS top_customers,
+       CAST(ROUND(SUM(CAST(r.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS top_balance_sum
+FROM ranked r
+JOIN nation n ON r.c_nationkey = n.n_nationkey
+WHERE r.rk <= {LISTAGG_TOPN}
+GROUP BY 1
+ORDER BY n_name
+"""

@@ -983,6 +983,22 @@ _SPECS: list[QuerySpec] = [
         "bounded state) — fully differential, oracle rebuilds the "
         "identical sketch",
     ),
+    QuerySpec(
+        "user_erasure_audit",
+        R.user_erasure_audit,
+        R.USER_ERASURE_AUDIT_SQL,
+        "right-to-be-forgotten via broadcast anti-join + WAP publish "
+        "(snapshot v1 -> erased v2, atomic manifest swap); rollup of "
+        "the PUBLISHED table + zero-residual claim vs the oracle",
+    ),
+    QuerySpec(
+        "nation_top_customers_listagg",
+        R.nation_top_customers_listagg,
+        R.NATION_TOP_CUSTOMERS_LISTAGG_SQL,
+        "ordered group-concat (LISTAGG shape) without collect_list "
+        "order-dependence: rank-keyed array_sort -> array_join, "
+        "bit-identical to string_agg(... ORDER BY)",
+    ),
 ]
 
 
