@@ -1008,90 +1008,45 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 6 this tier holds the 12 new queries
-#      (the Q2/Q10/Q15/Q16/Q20 TPC-H completion sweep; the two
-#      streaming-semantics promotions; csv_roundtrip_pricing,
-#      jsonl_roundtrip_pricing, dpp_partitioned_revenue,
-#      bucketed_colocated_join, heavy_hitters_cm_audit) plus the 7
-#      queries whose code was touched this round and therefore forfeit
-#      their standing verdicts (referential_orphan_audit single-scan
-#      rewrite; approx_quantile_audit NULL-guard;
-#      merge_writer_lifecycle assert→raise; orc_roundtrip_pricing
-#      shared-tmpdir refactor; decayed_user_value VALUES-literal dim;
-#      lang_centroid_similarity broadcast-hinted pair join;
-#      sole_returner_suppliers two-stage no-Expand aggregate — a
-#      verdict never outlives a code change; the round-6 fuzzy_pairs
-#      edit was docstring-only, so the fuzzy verdicts stand).
-#      Tier 0 = 19;
-#   1. last adjudicated in round 2 (the 4 stalest standing verdicts:
-#      dim_date_flags, dim_time_table, sheets_export_frame,
-#      sources_dim_colors — the round-6 budget retires these);
-#   2. last adjudicated in round 3 (46 queries);
-#   3. last adjudicated in round 4;
-#   4. last adjudicated in round 5 (freshest).
+#      are re-checked. For round 7 this tier holds the new queries
+#      (ann_recall_audit, table_time_travel_audit) plus any query whose
+#      code is touched this round and therefore forfeits its standing
+#      verdict — a verdict never outlives a code change.
+#   1. last adjudicated in round 3 (20 queries — the stalest standing
+#      verdicts; the round-7 budget should retire these);
+#   2. last adjudicated in round 4 (42 queries);
+#   3. last adjudicated in round 5 (46 queries);
+#   4. last adjudicated in round 6 (50 queries, freshest — includes the
+#      4 former round-2 verdicts retired on schedule).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
-# Round-7 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r06.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 7
+# Round-8 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r07.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 8
 # OUT of every set so it returns to the head.
-
-_ADJUDICATED_R2 = frozenset(
-    {
-        "dim_date_flags",
-        "dim_time_table",
-        "sheets_export_frame",
-        "sources_dim_colors",
-    }
-)
 
 _ADJUDICATED_R3 = frozenset(
     {
-        "benchmark_contamination",
-        "context_pack_bins",
         "corpus_build_pipeline",
         "corpus_curation_pipeline",
         "data_mixture_rebalance",
-        "dedup_clusters",
-        "dedup_exact",
         "dedup_incremental_new_docs",
-        "dim_date_flag_stats",
         "dim_date_integrity",
-        "doc_fingerprint_winnow",
         "embedding_norm_stats_by_label",
-        "events_daily_pivot",
-        "events_json_props",
-        "flagship_hourly_pipeline",
         "freshness_probe",
-        "lang_id_confusion",
         "multimodal_features",
         "multimodal_type_rollup",
-        "near_dup_minhash_lsh",
-        "near_dup_simhash",
-        "ngram_jaccard_pairs",
-        "pipeline_validation",
         "quality_percentile_filter",
         "ranking_report",
         "scd2_user_history",
         "sources_summary",
-        "stratified_sample",
         "streaming_band_rollup",
         "streaming_click_attribution",
         "streaming_dedup_counts",
         "streaming_minute_agg",
         "streaming_session_windows",
-        "text_quality_scores",
-        "text_repetition_stats",
-        "text_stats_by_lang",
-        "tfidf_top_terms",
         "timestamp_roundtrip",
-        "token_counts",
-        "train_val_test_split",
-        "unigram_xent_quality",
-        "user_sessionization",
-        "user_snapshot_diff",
-        "user_spend_quartiles_broadcast",
         "value_outliers_mad",
     }
 )
@@ -1194,15 +1149,70 @@ _ADJUDICATED_R5 = frozenset(
     }
 )
 
+_ADJUDICATED_R6 = frozenset(
+    {
+        "approx_quantile_audit",
+        "benchmark_contamination",
+        "bucketed_colocated_join",
+        "context_pack_bins",
+        "csv_roundtrip_pricing",
+        "decayed_user_value",
+        "dedup_clusters",
+        "dedup_exact",
+        "dim_date_flag_stats",
+        "dim_date_flags",
+        "dim_time_table",
+        "doc_fingerprint_winnow",
+        "dpp_partitioned_revenue",
+        "events_daily_pivot",
+        "events_json_props",
+        "flagship_hourly_pipeline",
+        "heavy_hitters_cm_audit",
+        "jsonl_roundtrip_pricing",
+        "lang_centroid_similarity",
+        "lang_id_confusion",
+        "merge_writer_lifecycle",
+        "min_cost_supplier",
+        "nation_top_customers_listagg",
+        "near_dup_minhash_lsh",
+        "near_dup_simhash",
+        "ngram_jaccard_pairs",
+        "orc_roundtrip_pricing",
+        "part_supplier_variety",
+        "pipeline_validation",
+        "promotable_part_suppliers",
+        "referential_orphan_audit",
+        "returned_item_losses",
+        "sheets_export_frame",
+        "sole_returner_suppliers",
+        "sources_dim_colors",
+        "stratified_sample",
+        "streaming_restart_exactly_once",
+        "streaming_watermark_audit",
+        "text_quality_scores",
+        "text_repetition_stats",
+        "text_stats_by_lang",
+        "tfidf_top_terms",
+        "token_counts",
+        "top_supplier_revenue",
+        "train_val_test_split",
+        "unigram_xent_quality",
+        "user_erasure_audit",
+        "user_sessionization",
+        "user_snapshot_diff",
+        "user_spend_quartiles_broadcast",
+    }
+)
+
 
 def _staleness(name: str) -> int:
-    if name in _ADJUDICATED_R5:
+    if name in _ADJUDICATED_R6:
         return 4
-    if name in _ADJUDICATED_R4:
+    if name in _ADJUDICATED_R5:
         return 3
-    if name in _ADJUDICATED_R3:
+    if name in _ADJUDICATED_R4:
         return 2
-    if name in _ADJUDICATED_R2:
+    if name in _ADJUDICATED_R3:
         return 1
     return 0  # never adjudicated in current form — check first
 

@@ -29,6 +29,31 @@ def test_streaming_variant_count_matches_docs():
     assert set(variants) <= registered
 
 
+def test_staleness_debt_bounded():
+    """No standing verdict may be more than 3 rounds older than the
+    newest folded CORRECTNESS record (round-6 verdict ask #8): with a
+    ~50-query/round budget over a 158-query registry, the rotation only
+    converges if each fold retires the oldest tier. If this fails,
+    the round's adjudication budget was not spent on the stalest tier."""
+    import glob
+    import re
+
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+    ]
+    if not rounds:  # fresh clone without driver artifacts
+        return
+    newest = max(rounds)
+    for r in range(2, newest - 3):
+        tier = getattr(registry, f"_ADJUDICATED_R{r}", frozenset())
+        assert not tier, (
+            f"_ADJUDICATED_R{r} still holds {len(tier)} queries but the "
+            f"newest folded record is round {newest}; the fold must "
+            f"retire tiers older than round {newest - 3}"
+        )
+
+
 def test_names_unique_and_sorted_by_staleness():
     specs = registry.specs()
     names = [s.name for s in specs]
