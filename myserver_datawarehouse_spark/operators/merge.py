@@ -22,11 +22,14 @@ Scale design:
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _PRECEDENCE = "__precedence"
 _RN = "__rn"
@@ -58,13 +61,28 @@ def merge_upsert(
     """Upsert `updates` into the parquet table at `target_path` by natural
     key. New keys insert; existing keys take the update's row. Running the
     same batch twice yields a byte-identical table (idempotent by
-    construction, the reference's re-run safety property)."""
+    construction, the reference's re-run safety property).
+
+    Commit protocol: the merge is WRITE → AUDIT → PUBLISH, same as
+    `publish_overwrite`, so there is no instant at which a reader (or a
+    crash) can observe a half-written table — the old plain
+    ``mode("overwrite")`` path deleted the live files before the new ones
+    were durable. Locally the published snapshot is exposed to plain
+    ``spark.read.parquet(target_path)`` readers through an atomically
+    swapped symlink over copy-on-write version directories; untouched
+    partitions are carried into the new snapshot as hardlinks (an O(files)
+    metadata operation, no data copy — the same file-reuse a table
+    format's manifest records logically). At 100 TB on an object store the
+    identical protocol is the manifest commit of `publish_overwrite` with
+    readers going through `read_published`; the symlink is just POSIX's
+    native root pointer."""
+    _repair_symlink(target_path)
     if _table_exists(target_path):
         existing = spark.read.parquet(target_path)
         if partition_by:
             # Only the partitions the batch touches participate: partition
-            # pruning on the existing side + dynamic partition overwrite on
-            # the write side. An hourly batch rewrites O(batch dates), not
+            # pruning on the existing side + copy-on-write hardlinks for
+            # everything else. An hourly batch rewrites O(batch dates), not
             # O(table).
             touched = updates.select(*partition_by).distinct()
             existing = existing.join(
@@ -80,17 +98,11 @@ def merge_upsert(
     else:
         merged = dedup_latest(updates.withColumn(_PRECEDENCE, F.lit(1)), keys,
                               order_by=[_PRECEDENCE]).drop(_PRECEDENCE)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # Overwrite reads lazily from the same path it replaces: materialize
-        # the merged rows first (localCheckpoint breaks the lineage) so the
-        # scan completes before files are swapped.
-        merged = merged.localCheckpoint(eager=True)
-        _write(merged, target_path, partition_by, mode="overwrite")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # The merged lineage reads target_path (the OLD snapshot) while the
+    # write lands in a fresh version directory — disjoint paths, so no
+    # localCheckpoint materialization is needed anymore.
+    _publish_path_snapshot(spark, target_path, merged, partition_by,
+                           link_untouched=bool(partition_by))
 
 
 def merge_upsert_coalesce(
@@ -105,6 +117,7 @@ def merge_upsert_coalesce(
     existing value (e.g. created_at / manually-set color survive
     refreshes). Implemented as one full-outer join on the key — the same
     single shuffle as the window merge, no per-row DML."""
+    _repair_symlink(target_path)
     if not _table_exists(target_path):
         merge_upsert(spark, target_path, updates, keys)
         return
@@ -128,8 +141,7 @@ def merge_upsert_coalesce(
                 .alias(name)
             )
     merged = u.join(e, cond, "full_outer").select(*cols)
-    merged = merged.localCheckpoint(eager=True)
-    _write(merged, target_path, (), mode="overwrite")
+    _publish_path_snapshot(spark, target_path, merged, ())
 
 
 def ensure_columns(
@@ -147,8 +159,7 @@ def ensure_columns(
         return []
     for c in missing:
         df = df.withColumn(c, F.lit(None).cast(columns[c]))
-    df = df.localCheckpoint(eager=True)
-    _write(df, target_path, (), mode="overwrite")
+    _publish_path_snapshot(spark, target_path, df, ())
     return missing
 
 
@@ -185,6 +196,229 @@ def _write(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target_path)
+
+
+# ------------------------------------------------------------------
+# Path-table snapshot commit: the symlink tier of the WAP protocol.
+# `target_path` stays a plain `spark.read.parquet`-able path for every
+# reader; underneath it is a symlink into a sibling hidden versions
+# root, swapped atomically at commit. This is what lets merge_upsert /
+# merge_upsert_coalesce / ensure_columns share publish_overwrite's
+# crash-atomicity without changing a single call site.
+
+
+def _versions_root(target_path: str) -> str:
+    p = target_path.rstrip("/")
+    return os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.versions")
+
+
+@contextlib.contextmanager
+def _commit_lock(root: str):
+    """Exclusive advisory lock scoped to one table root, held across the
+    conflict-check + manifest/symlink swap (and across vacuum's
+    read-current + delete). flock releases on process death, so a
+    crashed writer can never wedge the table. On an object store the
+    equivalent is the conditional-put the manifest swap compiles to."""
+    import fcntl
+
+    os.makedirs(root, exist_ok=True)
+    fd = os.open(os.path.join(root, "_LOCK"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _stage_snapshot(
+    spark: SparkSession,
+    table_root: str,
+    df: DataFrame,
+    partition_by: Sequence[str],
+    audit: bool = True,
+) -> str:
+    """WRITE + AUDIT steps shared by publish_overwrite and the path-table
+    committer: claim a fresh version dir, append the snapshot into it
+    with an Observation row count, persist the schema sidecar, and
+    verify the staged directory reads back complete. Returns the claimed
+    version name; never touches the live table or the manifest."""
+    from pyspark.sql import Observation
+
+    os.makedirs(table_root, exist_ok=True)
+    version = _claim_next_version(table_root)
+    staged = os.path.join(table_root, version)
+    obs = Observation()
+    df_obs = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+    # APPEND into the freshly-claimed EMPTY directory: mode=overwrite
+    # would fs.delete the dir first, momentarily releasing the
+    # atomic-mkdir claim — a second publisher could re-claim the same
+    # version name in that window and interleave files. Append never
+    # deletes, so the claim is held for the write's whole lifetime.
+    _write(df_obs, staged, partition_by, mode="append")
+    # Schema sidecar (underscore-prefixed → invisible to Spark's file
+    # listing): lets a 0-row snapshot — a legitimate state, e.g. an
+    # erasure that removes every row — read back without parquet schema
+    # inference, which fails when no part files exist.
+    with open(os.path.join(staged, "_SCHEMA.json"), "w") as fh:
+        fh.write(df.schema.json())
+    if audit:
+        expected = obs.get["rows_written"]
+        if expected == 0:
+            # No part files to infer from; the write committed (the
+            # append returned) and the sidecar records the schema —
+            # verify the staged dir is present and empty-readable.
+            n = _read_snapshot(spark, staged).count()
+        else:
+            back = spark.read.parquet(staged)
+            n = back.count()
+            if set(back.columns) != set(df.columns):
+                raise RuntimeError(
+                    f"audit failed for {staged}: cols {back.columns} "
+                    f"!= {df.columns}"
+                )
+        if n != expected:
+            raise RuntimeError(
+                f"audit failed for {staged}: read back {n} rows "
+                f"(wrote {expected})"
+            )
+    return version
+
+
+def _read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read one version directory, falling back to the `_SCHEMA.json`
+    sidecar when inference has nothing to work with (0-row snapshot)."""
+    try:
+        return spark.read.parquet(snapshot_dir)
+    except Exception:
+        sidecar = os.path.join(snapshot_dir, "_SCHEMA.json")
+        if os.path.isfile(sidecar):
+            with open(sidecar) as fh:
+                schema = StructType.fromJson(json.load(fh))
+            return spark.read.schema(schema).parquet(snapshot_dir)
+        raise
+
+
+def _link_untouched(current_dir: str, staged_dir: str) -> None:
+    """Carry every partition directory the merge did NOT rewrite from the
+    current snapshot into the staged one as hardlinks — copy-on-write at
+    partition granularity. A subtree is 'touched' exactly when the
+    staged snapshot already contains its relative path (the merged
+    output writes a dir for every partition it rewrote), recursively, so
+    multi-level partitioning carries untouched leaves under a touched
+    prefix. Hardlinks survive vacuuming of the source version (inode
+    refcount), so old-version cleanup never breaks a live snapshot."""
+    for entry in os.listdir(current_dir):
+        if entry.startswith((".", "_")):
+            continue  # markers/sidecars belong to their own version
+        src = os.path.join(current_dir, entry)
+        dst = os.path.join(staged_dir, entry)
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                _link_untouched(src, dst)  # touched prefix: descend
+            else:
+                os.makedirs(dst)
+                _link_all_files(src, dst)
+        # top-level data files of an unpartitioned table are never
+        # carried: an unpartitioned merge always rewrites the full set
+
+
+def _link_all_files(src: str, dst: str) -> None:
+    for root, dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            if not f.startswith((".", "_")):
+                os.link(os.path.join(root, f), os.path.join(out, f))
+
+
+def _current_path_version(target_path: str, vroot: str) -> str | None:
+    """Highest version the path table currently exposes: the symlink's
+    target wins (it is the reader-visible commit point); the manifest
+    covers the crash window where the symlink swap landed but the
+    manifest write did not."""
+    candidates = []
+    if os.path.islink(target_path):
+        base = os.path.basename(os.readlink(target_path).rstrip("/"))
+        if base.startswith("v") and base[1:].isdigit():
+            candidates.append(int(base[1:]))
+    cur = _published_version(vroot)
+    if cur is not None:
+        candidates.append(int(cur[1:]))
+    return f"v{max(candidates)}" if candidates else None
+
+
+def _repair_symlink(target_path: str) -> None:
+    """Recover from a crash inside the one-time legacy migration window
+    (legacy dir renamed into the versions root, symlink not yet
+    created): if the path is missing but the versions root has a
+    published manifest, re-point the symlink at it."""
+    if os.path.exists(target_path):
+        return
+    if os.path.islink(target_path):  # dangling link
+        os.unlink(target_path)
+    vroot = _versions_root(target_path)
+    cur = _published_version(vroot)
+    if cur is not None and os.path.isdir(os.path.join(vroot, cur)):
+        _swap_symlink(target_path, vroot, cur)
+
+
+def _swap_symlink(target_path: str, vroot: str, version: str) -> None:
+    rel = os.path.relpath(os.path.join(vroot, version),
+                          os.path.dirname(target_path.rstrip("/")))
+    tmp = f"{target_path.rstrip('/')}.__swap{os.getpid()}"
+    if os.path.lexists(tmp):  # leftover from a crashed earlier swap
+        os.unlink(tmp)
+    os.symlink(rel, tmp)
+    os.replace(tmp, target_path.rstrip("/"))  # the commit point
+
+
+def _publish_path_snapshot(
+    spark: SparkSession,
+    target_path: str,
+    df: DataFrame,
+    partition_by: Sequence[str],
+    link_untouched: bool = False,
+) -> str:
+    """Commit `df` as the new snapshot behind `target_path`:
+
+    1. WRITE+AUDIT into a fresh version dir (shared `_stage_snapshot`).
+    2. Optionally hardlink the untouched partitions of the current
+       snapshot into it (copy-on-write carry-forward).
+    3. Under the table lock: conflict-check against the newest committed
+       version, swap the symlink (atomic `os.replace` — the reader-
+       visible commit), then advance the `_CURRENT` manifest. The
+       symlink swaps FIRST so a crash between the two leaves readers on
+       the NEW complete snapshot and the manifest merely conservative
+       (vacuum keeps one extra version; the next commit heals it).
+
+    A pre-existing plain directory (a table created by `append`/
+    `create_if_not_exists` before its first merge) is migrated once:
+    renamed to `v0` inside the versions root, then the symlink takes its
+    place. The migration window is two metadata syscalls; a crash inside
+    it is healed by `_repair_symlink` at the next writer entry."""
+    target = target_path.rstrip("/")
+    vroot = _versions_root(target)
+    version = _stage_snapshot(spark, vroot, df, partition_by)
+    staged = os.path.join(vroot, version)
+    if link_untouched and _table_exists(target):
+        _link_untouched(os.path.realpath(target), staged)
+    with _commit_lock(vroot):
+        cur = _current_path_version(target, vroot)
+        if cur is not None and int(version[1:]) <= int(cur[1:]):
+            raise RuntimeError(
+                f"publish conflict: {cur} was committed after this writer "
+                f"claimed {version}; retry the merge"
+            )
+        if os.path.isdir(target) and not os.path.islink(target):
+            os.rename(target, os.path.join(vroot, "v0"))  # legacy migration
+        _swap_symlink(target, vroot, version)
+        tmp = os.path.join(vroot, f".{_CURRENT}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(vroot, _CURRENT))
+    return version
 
 
 def write_bucketed(
@@ -296,51 +530,30 @@ def publish_overwrite(
     write either way. This closes the crash window of plain
     mode=overwrite, which deletes the live files before the new ones
     are durable (tested in tests/test_merge.py)."""
-    from pyspark.sql import Observation
-
-    os.makedirs(table_root, exist_ok=True)
-    version = _claim_next_version(table_root)
+    version = _stage_snapshot(spark, table_root, df, partition_by, audit)
     staged = os.path.join(table_root, version)
-    obs = Observation()
-    df_obs = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    # APPEND into the freshly-claimed EMPTY directory: mode=overwrite
-    # would fs.delete the dir first, momentarily releasing the
-    # atomic-mkdir claim — a second publisher could re-claim the same
-    # version name in that window and interleave files. Append never
-    # deletes, so the claim is held for the write's whole lifetime.
-    _write(df_obs, staged, partition_by, mode="append")
-    if audit:
-        expected = obs.get["rows_written"]
-        back = spark.read.parquet(staged)
-        n = back.count()
-        if n != expected or set(back.columns) != set(df.columns):
+    # Commit under the table lock so the conflict check and the manifest
+    # swap are one atomic step (check-then-act alone would let a
+    # concurrent publisher commit between the check and the os.replace,
+    # after which this swap would move the manifest BACKWARDS — possibly
+    # onto a version a concurrent vacuum just deleted). vacuum_versions
+    # takes the same lock, closing the race from the vacuum side too.
+    with _commit_lock(table_root):
+        cur = _published_version(table_root)
+        if cur is not None and int(version[1:]) <= int(cur[1:]):
             raise RuntimeError(
-                f"audit failed for {staged}: read back {n} rows "
-                f"(wrote {expected}), cols {back.columns}"
+                f"publish conflict: {cur} was published after this writer "
+                f"claimed {version}; retry the publish"
             )
-    # Optimistic-concurrency check at the commit point (the same
-    # conflict-on-commit rule a table format applies): if a concurrent
-    # publisher already moved _CURRENT to this version or past it, this
-    # writer LOSES — raising here wastes its staged work but can never
-    # corrupt the table, whereas swapping the manifest backwards could
-    # point _CURRENT at a version a concurrent vacuum_versions (which
-    # keeps only >= current) has just deleted. The staged-dir existence
-    # check closes the same race from the vacuum side.
-    cur = _published_version(table_root)
-    if cur is not None and int(version[1:]) <= int(cur[1:]):
-        raise RuntimeError(
-            f"publish conflict: {cur} was published after this writer "
-            f"claimed {version}; retry the publish"
-        )
-    if not os.path.isdir(staged):
-        raise RuntimeError(
-            f"staged version {staged} disappeared before commit "
-            "(vacuumed by a concurrent process?); retry the publish"
-        )
-    tmp = os.path.join(table_root, f".{_CURRENT}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(version)
-    os.replace(tmp, os.path.join(table_root, _CURRENT))  # the commit point
+        if not os.path.isdir(staged):
+            raise RuntimeError(
+                f"staged version {staged} disappeared before commit "
+                "(vacuumed by a concurrent process?); retry the publish"
+            )
+        tmp = os.path.join(table_root, f".{_CURRENT}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(table_root, _CURRENT))  # commit point
     return version
 
 
@@ -350,7 +563,7 @@ def read_published(spark: SparkSession, table_root: str) -> DataFrame:
     version = _published_version(table_root)
     if version is None:
         raise FileNotFoundError(f"no published version under {table_root}")
-    return spark.read.parquet(os.path.join(table_root, version))
+    return _read_snapshot(spark, os.path.join(table_root, version))
 
 
 def read_version(
@@ -362,7 +575,7 @@ def read_version(
     path = os.path.join(table_root, version)
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
-    return spark.read.parquet(path)
+    return _read_snapshot(spark, path)
 
 
 def published_versions(table_root: str) -> tuple[list[str], str | None]:
@@ -388,16 +601,18 @@ def vacuum_versions(table_root: str) -> list[str]:
     moving the manifest backwards, so vacuum can never orphan a
     manifest pointer. Orphaned staging dirs NEWER than current
     (crashed writers) survive until a later publish moves current past
-    them."""
+    them. Runs under the table's commit lock so the current-version
+    read and the deletions are atomic with respect to publishers."""
     import shutil
 
-    current = _published_version(table_root)
-    if current is None:
-        return []
-    cur_n = int(current[1:])
-    removed = []
-    for d in sorted(os.listdir(table_root)):
-        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < cur_n:
-            shutil.rmtree(os.path.join(table_root, d))
-            removed.append(d)
+    with _commit_lock(table_root):
+        current = _published_version(table_root)
+        if current is None:
+            return []
+        cur_n = int(current[1:])
+        removed = []
+        for d in sorted(os.listdir(table_root)):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < cur_n:
+                shutil.rmtree(os.path.join(table_root, d))
+                removed.append(d)
     return removed

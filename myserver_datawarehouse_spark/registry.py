@@ -1008,16 +1008,17 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 7 this tier holds the new queries
-#      (ann_recall_audit, table_time_travel_audit) plus any query whose
-#      code is touched this round and therefore forfeits its standing
-#      verdict — a verdict never outlives a code change.
+#      are re-checked. For round 7 this tier holds the new queries plus
+#      the 3 queries riding the unified WAP writer
+#      (flagship_hourly_pipeline, merge_writer_lifecycle,
+#      user_erasure_audit — operators/merge.py route change forfeits
+#      their round-6 verdicts; a verdict never outlives a code change).
 #   1. last adjudicated in round 3 (20 queries — the stalest standing
 #      verdicts; the round-7 budget should retire these);
 #   2. last adjudicated in round 4 (42 queries);
 #   3. last adjudicated in round 5 (46 queries);
-#   4. last adjudicated in round 6 (50 queries, freshest — includes the
-#      4 former round-2 verdicts retired on schedule).
+#   4. last adjudicated in round 6 (47 standing after the 3 forfeits —
+#      includes the 4 former round-2 verdicts retired on schedule).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
@@ -1166,12 +1167,10 @@ _ADJUDICATED_R6 = frozenset(
         "dpp_partitioned_revenue",
         "events_daily_pivot",
         "events_json_props",
-        "flagship_hourly_pipeline",
         "heavy_hitters_cm_audit",
         "jsonl_roundtrip_pricing",
         "lang_centroid_similarity",
         "lang_id_confusion",
-        "merge_writer_lifecycle",
         "min_cost_supplier",
         "nation_top_customers_listagg",
         "near_dup_minhash_lsh",
@@ -1197,7 +1196,6 @@ _ADJUDICATED_R6 = frozenset(
         "top_supplier_revenue",
         "train_val_test_split",
         "unigram_xent_quality",
-        "user_erasure_audit",
         "user_sessionization",
         "user_snapshot_diff",
         "user_spend_quartiles_broadcast",

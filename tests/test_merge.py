@@ -202,3 +202,110 @@ def test_publish_overwrite_crash_at_every_step(spark, tmp_path):
     assert {tuple(r.asDict().values()) for r in
             M.read_version(spark, root, "v1").select("id", "v", "d").collect()
             } == old
+
+
+def test_merge_upsert_crash_window_leaves_old_table_readable(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 writer unification: merge_upsert now commits through the
+    same WAP protocol as publish_overwrite, so a crash at the commit
+    point (the symlink swap) must leave the old table fully readable at
+    its plain path — the old mode("overwrite") path had already deleted
+    the live files at this instant."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10), (2, "b", 20)]),
+                   keys=["id"], partition_by=["d"])
+    old = rows_of(spark, p)
+
+    real_replace = os.replace
+
+    def crash(src, dst, *a, **k):
+        if "__swap" in str(src):
+            raise OSError("simulated crash at symlink swap")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "replace", crash)
+    try:
+        M.merge_upsert(spark, p, batch(spark, [(2, "B", 20)]),
+                       keys=["id"], partition_by=["d"])
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # Plain-path readers still see the old complete snapshot.
+    assert rows_of(spark, p) == old
+
+    # The next writer recovers naturally and commits the update.
+    M.merge_upsert(spark, p, batch(spark, [(2, "B", 20)]),
+                   keys=["id"], partition_by=["d"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20)}
+
+
+def test_merge_upsert_untouched_partitions_carried_by_hardlink(
+    spark, tmp_path
+):
+    """Partition-granular copy-on-write: a merge touching one partition
+    must carry the other partitions' data files into the new snapshot as
+    hardlinks (no data copy, no rewrite) and stay readable after the old
+    versions are vacuumed."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10), (2, "b", 20)]),
+                   keys=["id"], partition_by=["d"])
+    v1_files = {
+        f: os.stat(os.path.join(os.path.realpath(p), "d=10", f)).st_ino
+        for f in os.listdir(os.path.join(os.path.realpath(p), "d=10"))
+        if f.endswith(".parquet")
+    }
+    M.merge_upsert(spark, p, batch(spark, [(2, "B", 20), (3, "c", 20)]),
+                   keys=["id"], partition_by=["d"])
+    snap = os.path.realpath(p)
+    carried = {
+        f: os.stat(os.path.join(snap, "d=10", f)).st_ino
+        for f in os.listdir(os.path.join(snap, "d=10"))
+        if f.endswith(".parquet")
+    }
+    assert carried == v1_files  # same inodes: hardlinked, not copied
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20), (3, "c", 20)}
+
+    # Vacuuming the superseded version must not break the live snapshot
+    # (hardlinks hold the inodes).
+    vroot = M._versions_root(p)
+    removed = M.vacuum_versions(vroot)
+    assert removed  # v1 reclaimed
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20), (3, "c", 20)}
+
+
+def test_merge_upsert_migrates_legacy_plain_dir(spark, tmp_path):
+    """A table created by plain append/overwrite (pre-WAP layout) is
+    migrated on its first merge: the legacy directory becomes v0 in the
+    versions root and the path becomes the snapshot symlink; readers
+    never change."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.append(batch(spark, [(1, "a", 10)]), p)
+    assert os.path.isdir(p) and not os.path.islink(p)
+    M.merge_upsert(spark, p, batch(spark, [(2, "b", 10)]), keys=["id"])
+    assert os.path.islink(p)
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "b", 10)}
+    versions, current = M.published_versions(M._versions_root(p))
+    assert "v0" in versions and current == "v1"
+
+
+def test_publish_overwrite_empty_snapshot_roundtrips(spark, tmp_path):
+    """A 0-row publish is legitimate (e.g. an erasure that removes every
+    row): the audit must not choke on parquet schema inference over an
+    empty staged directory, and the published snapshot must read back
+    empty with the writer's schema (via the _SCHEMA.json sidecar)."""
+    root = str(tmp_path / "wap_empty")
+    M.publish_overwrite(spark, root, batch(spark, [(1, "a", 1)]))
+    empty = batch(spark, [(1, "a", 1)]).filter("id < 0")
+    v2 = M.publish_overwrite(spark, root, empty)
+    assert v2 == "v2"
+    out = M.read_published(spark, root)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v", "d"}
