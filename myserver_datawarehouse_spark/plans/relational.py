@@ -4813,6 +4813,98 @@ ORDER BY event_type
 """
 
 
+def table_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned reads end to end, driver-adjudicated (the round-6 ask:
+    read_version/published_versions were pytest-only): the events table
+    is published as snapshot v1, a GDPR-style erasure
+    (user_id % {ERASURE_MOD} == 0, same predicate as
+    `user_erasure_audit`) is published as snapshot v2, and the output
+    stacks THREE reads of the same table root side by side —
+    `read_version(v1)` (time travel to the pre-erasure snapshot),
+    `read_version(v2)`, and `read_published()` (the manifest's current
+    pointer). The oracle recomputes v1's rollup from the full source and
+    v2/published from the erased source, so a manifest pointing at the
+    wrong version, a time-travel read leaking post-erasure state (or
+    vice versa), or a publish that mutated the retained v1 snapshot all
+    flip the hash. This is the compliance-facing contract of the WAP
+    writer: superseded snapshots stay byte-stable and addressable until
+    `vacuum_versions` reclaims them.
+
+    Scale: two distributed writes + three scans; version resolution is
+    O(1) manifest reads. Same eager-execution and pid-keyed-tmpdir
+    convention as the erasure query."""
+    import shutil
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        publish_overwrite,
+        published_versions,
+        read_published,
+        read_version,
+    )
+
+    root = _pid_tmpdir("msdw_timetravel_table", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    v1 = publish_overwrite(spark, root, e)
+    erase = e.filter(
+        F.pmod(F.col("user_id"), F.lit(ERASURE_MOD)) == 0
+    ).select("user_id").distinct()
+    erased = read_published(spark, root).join(
+        F.broadcast(erase), "user_id", "left_anti"
+    )
+    v2 = publish_overwrite(spark, root, erased)
+    versions, current = published_versions(root)
+    if current != v2 or v1 not in versions:
+        raise RuntimeError(
+            f"version bookkeeping broken: current={current}, "
+            f"retained={versions}"
+        )
+
+    def rollup(df: DataFrame, snapshot: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        ).select(F.lit(snapshot).alias("snapshot"), "*")
+
+    return (
+        rollup(read_version(spark, root, v1), "v1")
+        .unionByName(rollup(read_version(spark, root, v2), "v2"))
+        .unionByName(rollup(read_published(spark, root), "published"))
+        .orderBy("snapshot", "event_type")
+    )
+
+
+TABLE_TIME_TRAVEL_AUDIT_SQL = f"""
+WITH full_roll AS (
+  SELECT event_type, COUNT(*) AS n_rows,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_value
+  FROM events GROUP BY event_type
+),
+erased_roll AS (
+  SELECT event_type, COUNT(*) AS n_rows,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_value
+  FROM events
+  WHERE user_id % {ERASURE_MOD} <> 0 OR user_id IS NULL
+  GROUP BY event_type
+)
+SELECT 'v1' AS snapshot, * FROM full_roll
+UNION ALL
+SELECT 'v2' AS snapshot, * FROM erased_roll
+UNION ALL
+SELECT 'published' AS snapshot, * FROM erased_roll
+ORDER BY snapshot, event_type
+"""
+
+
 LISTAGG_TOPN = 3
 
 

@@ -236,6 +236,12 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "ann_recall_audit",
+        EM.ann_recall_audit,
+        EM.ANN_RECALL_AUDIT_SQL,
+        "ANN: recall@k of ivf+bucket vs exact top-k, oracle-recomputed",
+    ),
+    QuerySpec(
         "stratified_sample",
         LT.stratified_sample,
         LT.STRATIFIED_SAMPLE_SQL,
@@ -990,6 +996,13 @@ _SPECS: list[QuerySpec] = [
         "right-to-be-forgotten via broadcast anti-join + WAP publish "
         "(snapshot v1 -> erased v2, atomic manifest swap); rollup of "
         "the PUBLISHED table + zero-residual claim vs the oracle",
+    ),
+    QuerySpec(
+        "table_time_travel_audit",
+        R.table_time_travel_audit,
+        R.TABLE_TIME_TRAVEL_AUDIT_SQL,
+        "WAP time travel: read_version(v1) pre-erasure vs v2 vs "
+        "published, all three rollups oracle-adjudicated",
     ),
     QuerySpec(
         "nation_top_customers_listagg",
