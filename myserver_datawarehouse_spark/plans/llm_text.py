@@ -34,6 +34,7 @@ from myserver_datawarehouse_spark.functions.scalar import (
     md5_fingerprint as _fingerprint,
 )
 from myserver_datawarehouse_spark.operators import text as TX
+from myserver_datawarehouse_spark.session import materialize
 from myserver_datawarehouse_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------- params
@@ -160,9 +161,10 @@ def _minhash_pairs_for(d: DataFrame) -> DataFrame:
         # (measured 2.5x on the whole pair plan at sf0.1). This is what
         # production LSH does at any scale — the shingle-hash table is
         # written once and reused; at 100 TB it is a persisted
-        # intermediate (disk-backed here via localCheckpoint), not a
-        # recompute-three-times lineage.
-        .localCheckpoint(eager=True)
+        # intermediate (disk-backed via the materialize() profile:
+        # localCheckpoint locally, reliable checkpoint on a cluster),
+        # not a recompute-three-times lineage.
+        .transform(materialize)
     )
     p = F.lit(TX.MINHASH_P)
     # Shingle-set size rides along as a 17th aggregate in the signature
@@ -1049,8 +1051,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph diameter — near-dup clusters are near-cliques, so 2-4 rounds in
     practice. Each round is one shuffle join + one hash aggregate over
     the EDGE set (only docs with >= 1 near-dup pair enter — orders of
-    magnitude smaller than the corpus at 100 TB); `localCheckpoint`
-    truncates lineage so the plan does not grow per round. Convergence:
+    magnitude smaller than the corpus at 100 TB); `materialize`
+    (localCheckpoint locally, reliable checkpoint under the cluster
+    profile — session.py) truncates lineage so the plan does not grow
+    per round. Convergence:
     labels only ever decrease, so SUM(label) strictly decreases iff any
     label changed — one cheap scalar action per round, no change-count
     join. The oracle computes the same fixpoint with a recursive CTE.
@@ -1073,12 +1077,12 @@ def _cc_min_labels(pairs: DataFrame) -> DataFrame:
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     # Materialize edges once: the LSH lineage (shingle -> signature ->
     # band join -> verify) must not re-execute every round.
-    edges = fwd.union(rev).localCheckpoint(eager=True)
+    edges = materialize(fwd.union(rev))
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     prev = labels.agg(F.sum("label")).first()[0]
     for _ in range(CLUSTER_MAX_ITERS):
@@ -1089,7 +1093,7 @@ def _cc_min_labels(pairs: DataFrame) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
@@ -1465,12 +1469,12 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-    # Materialize the tiny per-lang rollup (eager localCheckpoint) so the
+    # Materialize the tiny per-lang rollup (eager, via materialize) so the
     # persisted flag frame can be released HERE instead of leaking cached
     # partitions into the rest of a shared session (the 97-query
     # verify/bench runners reuse one SparkSession). Callers re-running
     # actions on the result hit the checkpoint, not the funnel.
-    out = out.localCheckpoint(eager=True)
+    out = materialize(out)
     ranked.unpersist()
     return out
 
@@ -2072,13 +2076,13 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap count aggregate (map-side partial) BEFORE any array exists."""
     d = _docs(spark, sf_dir)
     # Distinct (source, token) — orders of magnitude smaller than the
-    # corpus; localCheckpoint so the three consumers (sizes, per-token
+    # corpus; materialized so the three consumers (sizes, per-token
     # counts, pair path) scan it once instead of re-tokenizing.
     vocab = (
         d.select("source", F.explode(TX.tokenize("text")).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
     nsrc = sizes.agg(F.count(F.lit(1)).alias("n_sources"))

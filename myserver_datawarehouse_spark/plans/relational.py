@@ -60,6 +60,29 @@ def _register_exit_cleanup(path: str) -> None:
         atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
+def _register_exit_drop_table(spark: SparkSession, table: str) -> None:
+    """Register a catalog DROP for a pid-tagged table at process exit,
+    once. atexit runs LIFO, so callers register this AFTER the
+    directory cleanup to have the DROP run first — the metastore entry
+    never outlives its data files. Guarded: by exit time the JVM may
+    already be down, in which case there is nothing to drop (the
+    in-memory catalog died with it; a persistent metastore session
+    would still be up and take the DROP)."""
+    import atexit
+
+    key = f"drop-table:{table}"
+    if key not in _PID_TMPDIRS:
+        _PID_TMPDIRS.add(key)
+
+        def _drop() -> None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass  # session already stopped — nothing persists
+
+        atexit.register(_drop)
+
+
 def _pid_tmpdir(prefix: str, sf_dir: str) -> str:
     """Work dir keyed on (sf_dir, pid) (see _sf_pid_tag), atexit-cleaned."""
     import os
@@ -4542,7 +4565,12 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     for t in (t_l, t_o):
+        # Drop the catalog entry at exit, before the directory cleanup
+        # (atexit is LIFO — drop registered last runs first): a
+        # persistent metastore would otherwise accumulate stale
+        # msdw_bkt_* tables pointing at deleted paths across processes.
         _register_exit_cleanup(os.path.join(warehouse, t))
+        _register_exit_drop_table(spark, t)
 
     rev = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -4565,7 +4593,9 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize the plan choice under the no-broadcast conf; the
         # returned frame re-reads the tiny checkpointed rollup so later
         # actions don't depend on session conf at action time.
-        return out.localCheckpoint(eager=True)
+        from myserver_datawarehouse_spark.session import materialize
+
+        return materialize(out)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

@@ -1021,11 +1021,15 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 7 this tier holds the new queries plus
-#      the 3 queries riding the unified WAP writer
-#      (flagship_hourly_pipeline, merge_writer_lifecycle,
-#      user_erasure_audit — operators/merge.py route change forfeits
-#      their round-6 verdicts; a verdict never outlives a code change).
+#      are re-checked. For round 7 this tier holds 11 queries: the 2
+#      new ones (ann_recall_audit, table_time_travel_audit), the 3
+#      riding the unified WAP writer (flagship_hourly_pipeline,
+#      merge_writer_lifecycle, user_erasure_audit — operators/merge.py
+#      route change), and the 6 routed through the materialize()
+#      checkpoint profile (near_dup_minhash_lsh, dedup_clusters,
+#      corpus_build_pipeline, leakage_safe_split, source_vocab_overlap,
+#      bucketed_colocated_join) — a verdict never outlives a code
+#      change.
 #   1. last adjudicated in round 3 (20 queries — the stalest standing
 #      verdicts; the round-7 budget should retire these);
 #   2. last adjudicated in round 4 (42 queries);
@@ -1042,7 +1046,6 @@ _SPECS: list[QuerySpec] = [
 
 _ADJUDICATED_R3 = frozenset(
     {
-        "corpus_build_pipeline",
         "corpus_curation_pipeline",
         "data_mixture_rebalance",
         "dedup_incremental_new_docs",
@@ -1089,7 +1092,6 @@ _ADJUDICATED_R4 = frozenset(
         "interpolate_minutes_nearest2_windowed",
         "kmeans_ivf_clusters",
         "layout_zorder_stats",
-        "leakage_safe_split",
         "minute_anomaly_zscore",
         "near_dup_embedding_cosine",
         "near_dup_embedding_cosine_baseline",
@@ -1152,7 +1154,6 @@ _ADJUDICATED_R5 = frozenset(
         "salted_user_counts",
         "set_except",
         "set_intersect",
-        "source_vocab_overlap",
         "sources_lifecycle",
         "stats_profile",
         "streaming_gap_state",
@@ -1167,11 +1168,9 @@ _ADJUDICATED_R6 = frozenset(
     {
         "approx_quantile_audit",
         "benchmark_contamination",
-        "bucketed_colocated_join",
         "context_pack_bins",
         "csv_roundtrip_pricing",
         "decayed_user_value",
-        "dedup_clusters",
         "dedup_exact",
         "dim_date_flag_stats",
         "dim_date_flags",
@@ -1186,7 +1185,6 @@ _ADJUDICATED_R6 = frozenset(
         "lang_id_confusion",
         "min_cost_supplier",
         "nation_top_customers_listagg",
-        "near_dup_minhash_lsh",
         "near_dup_simhash",
         "ngram_jaccard_pairs",
         "orc_roundtrip_pricing",

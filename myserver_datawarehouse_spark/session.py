@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 
@@ -58,3 +58,46 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Conf keys for the materialization profile (see `materialize`).
+RELIABLE_CHECKPOINT_CONF = "spark.msdw.reliableCheckpoint"
+CHECKPOINT_DIR_CONF = "spark.msdw.checkpointDir"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize an intermediate and truncate its lineage —
+    the engine's one sanctioned lineage-cut, used by the iterative
+    connected-components loops and shared candidate-pair frames.
+
+    Two profiles, selected by session conf (default = local):
+
+    - local (default): ``localCheckpoint(eager=True)`` — executor-local
+      block storage, no filesystem round trip. Right for local[*] and
+      for clusters where losing an executor may fail the job anyway.
+    - reliable (``spark.msdw.reliableCheckpoint=true``): a real
+      ``checkpoint(eager=True)`` into the checkpoint directory
+      (``spark.msdw.checkpointDir``, default under the local tmp dir;
+      point it at HDFS/object storage on a cluster). localCheckpoint
+      state DIES WITH ITS EXECUTOR — on a 1000-executor run an
+      iterative loop holding only local checkpoints is one preemption
+      away from losing the whole job, which is exactly when the
+      filesystem round trip is worth paying.
+
+    Same logical result either way; tests assert profile equivalence.
+    """
+    spark = df.sparkSession
+    reliable = (
+        spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false").lower() == "true"
+    )
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        default = os.path.join(
+            tempfile.gettempdir(), f"msdw_ckpt_{os.getpid()}"
+        )
+        sc.setCheckpointDir(spark.conf.get(CHECKPOINT_DIR_CONF, default))
+    return df.checkpoint(eager=True)

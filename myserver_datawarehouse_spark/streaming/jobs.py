@@ -415,6 +415,11 @@ def upsert_merge_stream(
             not f.startswith((".", "_")) for f in os.listdir(target)
         ):
             candidates = batch.unionByName(s.read.parquet(target))
+        # localCheckpoint (not the materialize() profile) on purpose:
+        # the state is consumed by the very next statement inside this
+        # micro-batch, so there is no cross-iteration window in which
+        # executor loss could strand it — the reliable-checkpoint
+        # round trip would buy nothing here.
         merged = dedup_latest(
             candidates, list(UPSERT_KEYS), order_by=["ts", "event_id"]
         ).localCheckpoint(eager=True)

@@ -139,3 +139,28 @@ def test_corpus_build_funnel_monotone(spark):
         kept_by_lang[c.lang] = kept_by_lang.get(c.lang, 0) + c.n_kept
     for r in rows:
         assert r.n_curated == kept_by_lang.get(r.lang, 0)
+
+
+def test_reliable_checkpoint_profile_equivalence(spark, tmp_path):
+    """The cluster materialization profile (reliable checkpoint() into a
+    checkpoint dir, session.materialize) must produce the same
+    dedup_clusters result as the default localCheckpoint profile — the
+    flag changes fault tolerance, never values. Also asserts the
+    checkpoint dir was actually used (files appear), so the flag isn't
+    silently ignored."""
+    import os
+
+    from myserver_datawarehouse_spark.session import (
+        RELIABLE_CHECKPOINT_CONF,
+    )
+
+    base = {tuple(r) for r in LT.dedup_clusters(spark, SF).collect()}
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        reliable = {tuple(r) for r in LT.dedup_clusters(spark, SF).collect()}
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+    assert reliable == base
+    assert any(files for _, _, files in os.walk(ckpt))  # dir was used
