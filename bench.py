@@ -35,6 +35,13 @@ No generic warm-up can pre-pay it because codegen is per-plan. Default
 is unchanged vs the round-5 protocol while the medians now measure
 steady state.
 
+Adaptive reps (round 7): when a query's timed reps spread wider than
+$SPARK_GRAFT_BENCH_SPREAD_RETRY (default 0.3 s), up to
+$SPARK_GRAFT_BENCH_MAX_EXTRA (default 2) additional timed reps run —
+a median of two is just their mean, so one noisy rep used to shift the
+recorded time by half its error; with a third rep the noise falls out
+of the median entirely. Steady queries still pay exactly 2 reps.
+
 Sharding: `python bench.py --family plans_a,plans_b` (or
 $SPARK_GRAFT_BENCH_FAMILY) restricts the run to the named query
 families (the plan module basename, as recorded in the `families`
@@ -167,6 +174,10 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    SPREAD_RETRY_SEC = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SPREAD_RETRY", "0.3")
+    )
+    MAX_EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
     warm_reps = max(
         0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "1"))
     )
@@ -194,6 +205,24 @@ def main() -> None:
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
+        # Adaptive extra reps (round 7, per the round-6 advice): a
+        # median of two is just their mean, so one noisy rep shifts it
+        # by half its error. When the observed spread exceeds
+        # SPREAD_RETRY_SEC, add timed reps (up to MAX_EXTRA_REPS) —
+        # an odd count makes the median a true middle value and the
+        # noisy rep falls out entirely.
+        extra = 0
+        while (
+            len(times) > 1
+            and max(times) - min(times) > SPREAD_RETRY_SEC
+            and extra < MAX_EXTRA_REPS
+        ):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(round(time.perf_counter() - t0, 3))
+            extra += 1
         med = round(statistics.median(times), 3)
         timings[spec.name] = med
         spreads[spec.name] = round(max(times) - min(times), 3)
