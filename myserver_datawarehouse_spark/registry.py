@@ -236,10 +236,18 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "embedding_ann_multiprobe",
+        EM.embedding_ann_multiprobe,
+        EM.EMBEDDING_ANN_MULTIPROBE_SQL,
+        "ANN: multiprobe sign-bucket (Hamming-1 probe fan-out), the "
+        "recall lever the audit quantifies",
+    ),
+    QuerySpec(
         "ann_recall_audit",
         EM.ann_recall_audit,
         EM.ANN_RECALL_AUDIT_SQL,
-        "ANN: recall@k of ivf+bucket vs exact top-k, oracle-recomputed",
+        "ANN: recall@k of ivf+bucket+multiprobe vs exact top-k, "
+        "oracle-recomputed",
     ),
     QuerySpec(
         "stratified_sample",

@@ -1,0 +1,91 @@
+"""Measure the runtime scale curve of selected registry queries across
+test-scale directories (sf0.1 plus the key-shifted 5x/10x replicas from
+tools/make_scaled_sf.py).
+
+    python tools/scale_probe.py /root/testdata/sf0.1 /tmp/sfx0.5 /tmp/sfx1
+
+Per (query, scale): 1 untimed warm rep + 2 timed reps, median reported
+(3rd rep if spread > 0.3 s, same rule as bench.py). One warm JVM for
+everything; noop sink. Output: JSON to stdout + tools/scale_probe.json.
+
+Default query set = the top-10 measured shuffle producers (SHUFFLE.md)
+plus the fuzzy-join and connected-components families — the shapes where
+super-linear behavior would first show.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from myserver_datawarehouse_spark import registry
+from myserver_datawarehouse_spark.session import get_spark
+
+PROBE_QUERIES = [
+    # top-10 shuffle producers (SHUFFLE.md, round 6)
+    "sole_returner_suppliers",
+    "dpp_partitioned_revenue",
+    "part_supplier_variety",
+    "dup_ngram_coverage",
+    "streaming_upsert_merge",
+    "text_repetition_stats",
+    "leakage_safe_split",
+    "scd2_user_history",
+    "minute_anomaly_zscore",
+    "user_sessionization",
+    # fuzzy family (output-bound claim to re-verify at 5x/10x)
+    "customer_fuzzy_match",
+    "customer_fuzzy_match_edit2",
+    # connected-components / LSH family
+    "near_dup_minhash_lsh",
+    "dedup_clusters",
+]
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    spark = get_spark(
+        "scale-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    specs = {s.name: s for s in registry.specs()}
+    out: dict[str, dict[str, float]] = {}
+    for name in PROBE_QUERIES:
+        spec = specs[name]
+        out[name] = {}
+        for sf_dir in sf_dirs:
+            tag = os.path.basename(sf_dir.rstrip("/"))
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm: codegen + page cache
+            times: list[float] = []
+            while len(times) < 2 or (
+                max(times) - min(times) > 0.3 and len(times) < 4
+            ):
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(round(time.perf_counter() - t0, 3))
+            out[name][tag] = round(statistics.median(times), 3)
+            print(f"{name} @ {tag}: {out[name][tag]} {times}", flush=True)
+
+    result = {"queries": out, "sf_dirs": sf_dirs}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scale_probe.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
