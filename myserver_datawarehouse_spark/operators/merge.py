@@ -169,7 +169,22 @@ def append(df: DataFrame, target_path: str, partition_by: Sequence[str] = ()) ->
 
 
 def overwrite(df: DataFrame, target_path: str, partition_by: Sequence[str] = ()) -> None:
-    """S7 truncate-and-reload (rebuild_all_time_interpolation.py:16-17)."""
+    """S7 truncate-and-reload (rebuild_all_time_interpolation.py:16-17).
+
+    On a WAP-committed table (the path is a snapshot symlink), a plain
+    mode=overwrite would delete THROUGH the link — emptying the
+    published version directory out from under the manifest and
+    breaking time travel to it. Truncate-and-reload on such a table is
+    therefore routed through the snapshot committer: a full new
+    version, atomically swapped in, old snapshots retained until
+    vacuum. Plain directories keep the direct write (their callers own
+    the layout). `append` intentionally stays in-place either way —
+    it mutates the current snapshot rather than committing a version."""
+    if os.path.islink(target_path.rstrip("/")):
+        _publish_path_snapshot(
+            df.sparkSession, target_path, df, partition_by
+        )
+        return
     _write(df, target_path, partition_by, mode="overwrite")
 
 

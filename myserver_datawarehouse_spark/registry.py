@@ -1112,7 +1112,6 @@ _ADJUDICATED_R4 = frozenset(
         "source_numeric_ids",
         "star_join_revenue",
         "streaming_dedup_within_watermark",
-        "streaming_upsert_merge",
         "token_zipf_fit",
         "top_supplier_per_nation",
         "trailing_range_window_sum",
@@ -1142,7 +1141,6 @@ _ADJUDICATED_R5 = frozenset(
         "events_value_band_join",
         "first_appearance_order",
         "first_last_event_probe",
-        "full_history_rebuild",
         "idle_balance_audit",
         "interpolate_cross_midnight",
         "late_shipment_priority",

@@ -309,3 +309,23 @@ def test_publish_overwrite_empty_snapshot_roundtrips(spark, tmp_path):
     out = M.read_published(spark, root)
     assert out.count() == 0
     assert set(out.columns) == {"id", "v", "d"}
+
+
+def test_overwrite_on_wap_table_commits_new_version(spark, tmp_path):
+    """S7 truncate-and-reload on a WAP-committed table must not delete
+    through the snapshot symlink (which would empty the published
+    version dir); it commits a fresh version and old snapshots stay
+    time-travelable until vacuum."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10)]), keys=["id"])
+    assert os.path.islink(p)
+    v1_dir = os.path.realpath(p)
+    M.overwrite(batch(spark, [(9, "z", 9)]), p)
+    assert rows_of(spark, p) == {(9, "z", 9)}
+    # The superseded snapshot is untouched and still readable.
+    assert os.path.isdir(v1_dir)
+    old = {tuple(r) for r in
+           spark.read.parquet(v1_dir).select("id", "v", "d").collect()}
+    assert old == {(1, "a", 10)}
