@@ -57,6 +57,18 @@ KEY_DOMAINS: dict[str, dict[str, str]] = {
 }
 SINGLE_COPY = ("nation", "region")
 
+# Free-text / entity-name columns that must DIFFER across copies: the
+# per-copy letter permutation keeps within-copy similarity structure
+# intact (the map is injective and uniform inside a copy) while killing
+# cross-copy matches. Without this, k identical name/text sets would
+# manufacture O(k^2) cross-copy duplicate and edit-distance pairs —
+# an artifact, not corpus growth (customer names feed the fuzzy
+# entity-resolution family; document text feeds the dedup families).
+PERMUTE_TEXT: dict[str, list[str]] = {
+    "documents": ["text"],
+    "customer": ["c_name"],
+}
+
 
 def _rotate_alphabet(i: int) -> tuple[str, str]:
     lo = string.ascii_lowercase
@@ -95,9 +107,12 @@ def main() -> None:
                 c = c.withColumn(
                     col, (F.col(col) + F.lit(i * offsets[dom])).cast("long")
                 )
-            if table == "documents" and i > 0:
+            if i > 0 and table in PERMUTE_TEXT:
                 frm, to = _rotate_alphabet(i)
-                c = c.withColumn("text", F.translate(F.col("text"), frm, to))
+                for col in PERMUTE_TEXT[table]:
+                    c = c.withColumn(
+                        col, F.translate(F.col(col), frm, to)
+                    )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
