@@ -198,6 +198,22 @@ def create_if_not_exists(
         _write(template.limit(0), target_path, partition_by, mode="overwrite")
 
 
+def drop_table(target_path: str) -> None:
+    """Remove a path table entirely: the reader path (snapshot symlink
+    or plain directory) AND its hidden versions root. Callers that
+    `shutil.rmtree` a WAP-committed table path directly would only hit
+    the symlink (rmtree refuses links) and leave every snapshot behind
+    — a rerun would then see the old table through the surviving link."""
+    import shutil
+
+    t = target_path.rstrip("/")
+    if os.path.islink(t):
+        os.unlink(t)
+    elif os.path.isdir(t):
+        shutil.rmtree(t, ignore_errors=True)
+    shutil.rmtree(_versions_root(t), ignore_errors=True)
+
+
 def _table_exists(target_path: str) -> bool:
     return os.path.isdir(target_path) and any(
         not f.startswith((".", "_")) for f in os.listdir(target_path)

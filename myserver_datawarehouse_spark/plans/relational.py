@@ -3742,11 +3742,11 @@ def merge_writer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-construction time (disclosed exception to lazy construction);
     the work dir is keyed on (sf_dir, pid) so concurrent processes
     cannot race, and is rebuilt per call so the query is idempotent."""
-    import shutil
-
     from myserver_datawarehouse_spark.operators.merge import (
+        _versions_root,
         append,
         create_if_not_exists,
+        drop_table,
         ensure_columns,
     )
 
@@ -3758,7 +3758,11 @@ def merge_writer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_tag", F.lit("b")
     )
     target = _pid_tmpdir("msdw_writer_lifecycle", sf_dir)
-    shutil.rmtree(target, ignore_errors=True)
+    # drop_table, not rmtree: after the round-7 WAP unification the
+    # evolved table is a snapshot symlink + hidden versions root, and a
+    # plain rmtree would leave the old snapshots visible to the rerun.
+    drop_table(target)
+    _register_exit_cleanup(_versions_root(target))
     create_if_not_exists(spark, target, batch_a)
     create_if_not_exists(spark, target, batch_a)  # idempotent no-op
     append(batch_a, target)
