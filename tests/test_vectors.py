@@ -129,3 +129,16 @@ def test_gemm_bucket_pairs_matches_hof(spark):
     a = E.near_dup_embedding_cosine_gemm(spark, sf).collect()
     b = E.near_dup_embedding_cosine(spark, sf).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_gemm_multiprobe_matches_join_form(spark):
+    """Multiprobe gemm tier must agree row-for-row with the DataFrame
+    join form (same candidate set, rounding-before-ranking, and
+    (cosine DESC, neighbor_id) tie-break)."""
+    from myserver_datawarehouse_spark.plans import embeddings as E
+
+    sf = "/root/testdata/sf0.001"
+    a = E.embedding_ann_multiprobe(spark, sf).collect()
+    b = E.embedding_ann_multiprobe_join(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
