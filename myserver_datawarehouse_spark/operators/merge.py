@@ -67,7 +67,16 @@ def merge_upsert(
     `publish_overwrite`, so there is no instant at which a reader (or a
     crash) can observe a half-written table — the old plain
     ``mode("overwrite")`` path deleted the live files before the new ones
-    were durable. Locally the published snapshot is exposed to plain
+    were durable.
+
+    Concurrency contract: commits serialize under the table lock and a
+    writer whose claimed version was overtaken raises (never a corrupt
+    or mixed table), but two SIMULTANEOUS merges are snapshot-level
+    last-committer-wins, not serializable transactions — each computed
+    its merge against the snapshot it read. Run one merge writer per
+    table (the reference's hourly cadence) or keep concurrent merges
+    partition-disjoint; a real table format's MERGE has the same
+    read-snapshot semantics unless it adds row-conflict detection. Locally the published snapshot is exposed to plain
     ``spark.read.parquet(target_path)`` readers through an atomically
     swapped symlink over copy-on-write version directories; untouched
     partitions are carried into the new snapshot as hardlinks (an O(files)
