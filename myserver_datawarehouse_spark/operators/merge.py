@@ -86,9 +86,21 @@ def merge_upsert(
     readers going through `read_published`; the symlink is just POSIX's
     native root pointer."""
     _repair_symlink(target_path)
+    link_untouched = bool(partition_by)
     if _table_exists(target_path):
         existing = spark.read.parquet(target_path)
-        if partition_by:
+        if partition_by and _has_flat_data_files(
+            os.path.realpath(target_path.rstrip("/"))
+        ):
+            # Layout mismatch: the current snapshot keeps (some) rows in
+            # top-level flat files — e.g. a table first created by a
+            # plain unpartitioned append. Those rows live outside any
+            # partition directory, so the touched-partition semi-join +
+            # hardlink carry would silently DROP them. Fall back to a
+            # full merge-and-rewrite, which also heals the table into
+            # the partitioned layout for every later merge.
+            link_untouched = False
+        elif partition_by:
             # Only the partitions the batch touches participate: partition
             # pruning on the existing side + copy-on-write hardlinks for
             # everything else. An hourly batch rewrites O(batch dates), not
@@ -111,7 +123,7 @@ def merge_upsert(
     # write lands in a fresh version directory — disjoint paths, so no
     # localCheckpoint materialization is needed anymore.
     _publish_path_snapshot(spark, target_path, merged, partition_by,
-                           link_untouched=bool(partition_by))
+                           link_untouched=link_untouched)
 
 
 def merge_upsert_coalesce(
@@ -159,7 +171,12 @@ def ensure_columns(
     """S8 guarded schema evolution (populate_sources_dag.py:91-104's
     information_schema probe + ALTER TABLE ADD COLUMN): add each missing
     column as typed NULLs. Returns the columns actually added. No-op when
-    everything already exists — idempotent like the reference's guard."""
+    everything already exists — idempotent like the reference's guard.
+
+    The rewritten snapshot keeps the table's hive partition layout
+    (sniffed from the current snapshot's key=value directories):
+    flattening it here would strand the table's history outside the
+    layout a later partitioned merge carries forward."""
     if not _table_exists(target_path):
         raise FileNotFoundError(target_path)
     df = spark.read.parquet(target_path)
@@ -168,7 +185,9 @@ def ensure_columns(
         return []
     for c in missing:
         df = df.withColumn(c, F.lit(None).cast(columns[c]))
-    _publish_path_snapshot(spark, target_path, df, ())
+    _publish_path_snapshot(
+        spark, target_path, df, _partition_spec(target_path)
+    )
     return missing
 
 
@@ -205,6 +224,35 @@ def create_if_not_exists(
     table with the template's schema unless one already exists."""
     if not _table_exists(target_path):
         _write(template.limit(0), target_path, partition_by, mode="overwrite")
+
+
+def _partition_spec(target_path: str) -> list[str]:
+    """Sniff the hive partition column chain from the current snapshot's
+    directory layout (key=value dirs, walked down one branch — Spark
+    layouts are uniform). Empty for flat tables."""
+    spec: list[str] = []
+    cur = os.path.realpath(target_path.rstrip("/"))
+    while os.path.isdir(cur):
+        subdirs = [
+            d for d in os.listdir(cur)
+            if "=" in d and not d.startswith((".", "_"))
+            and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            break
+        spec.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+    return spec
+
+
+def _has_flat_data_files(snapshot_dir: str) -> bool:
+    """True when the snapshot keeps data files at its top level (an
+    unpartitioned layout)."""
+    return any(
+        not f.startswith((".", "_"))
+        and os.path.isfile(os.path.join(snapshot_dir, f))
+        for f in os.listdir(snapshot_dir)
+    )
 
 
 def drop_table(target_path: str) -> None:

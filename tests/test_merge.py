@@ -329,3 +329,77 @@ def test_overwrite_on_wap_table_commits_new_version(spark, tmp_path):
     old = {tuple(r) for r in
            spark.read.parquet(v1_dir).select("id", "v", "d").collect()}
     assert old == {(1, "a", 10)}
+
+
+def test_merge_multilevel_partitions_carried(spark, tmp_path):
+    """Two-level partitioning: a merge touching (d=10, e=1) only must
+    carry (d=10, e=2) — an untouched leaf under a touched prefix — and
+    (d=20, *) wholesale, recursively."""
+    p = str(tmp_path / "t")
+
+    def b2(rows):
+        return spark.createDataFrame(rows, "id long, v string, d int, e int")
+
+    M.merge_upsert(
+        spark, p,
+        b2([(1, "a", 10, 1), (2, "b", 10, 2), (3, "c", 20, 1)]),
+        keys=["id"], partition_by=["d", "e"],
+    )
+    M.merge_upsert(
+        spark, p, b2([(1, "A", 10, 1)]), keys=["id"],
+        partition_by=["d", "e"],
+    )
+    got = {
+        tuple(r) for r in
+        spark.read.parquet(p).select("id", "v", "d", "e").collect()
+    }
+    assert got == {(1, "A", 10, 1), (2, "b", 10, 2), (3, "c", 20, 1)}
+
+
+def test_partitioned_merge_heals_flat_layout(spark, tmp_path):
+    """A table first created by a plain unpartitioned append keeps its
+    rows in top-level flat files; a later partitioned merge must not
+    drop the rows outside the touched partitions (the hardlink carry
+    only understands partition dirs) — it falls back to a full rewrite
+    that also heals the table into the partitioned layout."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.append(batch(spark, [(1, "a", 10), (2, "b", 20)]), p)  # flat layout
+    M.merge_upsert(spark, p, batch(spark, [(2, "B", 20)]), keys=["id"],
+                   partition_by=["d"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20)}
+    # Healed: the new snapshot is hive-partitioned.
+    snap = os.path.realpath(p)
+    assert any(f.startswith("d=") for f in os.listdir(snap))
+    # And the next merge uses the partition-granular carry again.
+    M.merge_upsert(spark, p, batch(spark, [(3, "c", 20)]), keys=["id"],
+                   partition_by=["d"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20), (3, "c", 20)}
+
+
+def test_ensure_columns_preserves_partition_layout(spark, tmp_path):
+    """Schema evolution on a partitioned table must keep the hive
+    layout: flattening it would strand the history outside the layout
+    a later partitioned merge carries forward (silent row loss)."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10), (2, "b", 20)]),
+                   keys=["id"], partition_by=["d"])
+    added = M.ensure_columns(spark, p, {"tag": "string"})
+    assert added == ["tag"]
+    snap = os.path.realpath(p)
+    assert any(f.startswith("d=") for f in os.listdir(snap))  # still hive
+    # Untouched-partition carry still works after the evolution.
+    M.merge_upsert(
+        spark, p,
+        spark.createDataFrame([(2, "B", 20, "x")],
+                              "id long, v string, d int, tag string"),
+        keys=["id"], partition_by=["d"],
+    )
+    got = {
+        tuple(r) for r in
+        spark.read.parquet(p).select("id", "v", "d", "tag").collect()
+    }
+    assert got == {(1, "a", 10, None), (2, "B", 20, "x")}
