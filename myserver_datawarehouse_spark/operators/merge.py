@@ -192,7 +192,30 @@ def ensure_columns(
 
 
 def append(df: DataFrame, target_path: str, partition_by: Sequence[str] = ()) -> None:
-    """S5 append sink (fact_gold_price.py:357-364), bulk."""
+    """S5 append sink (fact_gold_price.py:357-364), bulk.
+
+    Layout guard: appending with a partitioning that disagrees with the
+    table's existing layout produces a MIXED directory Spark reads
+    incompletely — flat part files inside a hive-partitioned table are
+    silently ignored by partition discovery, i.e. the appended rows
+    vanish from every subsequent read. That failure is loud here
+    instead (raise), matching the table-format behavior this writer
+    re-expresses. An empty table (no data files yet) accepts any
+    layout."""
+    t = target_path.rstrip("/")
+    if _table_exists(t):
+        snap = os.path.realpath(t)
+        existing_spec = _partition_spec(t)
+        if existing_spec and list(partition_by) != existing_spec:
+            raise ValueError(
+                f"append layout mismatch: table {t} is partitioned by "
+                f"{existing_spec}, append specifies {list(partition_by)}"
+            )
+        if not existing_spec and partition_by and _has_flat_data_files(snap):
+            raise ValueError(
+                f"append layout mismatch: table {t} is unpartitioned, "
+                f"append specifies {list(partition_by)}"
+            )
     _write(df, target_path, partition_by, mode="append")
 
 

@@ -4482,6 +4482,101 @@ ORDER BY ship_month
 """
 
 
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction, end to end: lineitem
+    joins orders filtered to one priority class. The selective filter
+    lives on the ORDERS side only — no partition layout or fact column
+    encodes it, so neither static nor dynamic partition pruning can
+    reach the fact scan. Catalyst's runtime row-level filtering
+    (`spark.sql.optimizer.runtime.bloomFilter.*`) closes the gap: a
+    `bloom_filter_agg` over the filtered build-side keys is injected as
+    a scalar subquery and the fact scan gains a
+    `might_contain(xxhash64(l_orderkey))` pre-filter, discarding most
+    non-matching fact rows BEFORE the shuffle instead of after the
+    join. The plan injection is RAISED on, not assumed (same discipline
+    as dpp_partitioned_revenue's dynamicpruning assertion), and the
+    oracle is the plain join — so both the pruned plan's correctness
+    and its presence are adjudicated.
+
+    At 100 TB the default thresholds trigger this naturally (the
+    application side must be big enough that pre-shuffle pruning pays
+    — 10 GiB scan size by default); at sf0.1 the threshold is lowered
+    for the query's scope so the mechanism itself is exercised. The
+    bloom filter is a fixed-size mergeable aggregate (one per build
+    side), so the reduction costs one tiny broadcastable subquery
+    against a shuffle of the UNFILTERED fact — the same trade a join
+    index buys in a warehouse, with no layout precommitment."""
+    import contextlib
+    import io
+
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    # Broadcast joins bypass the shuffle the bloom filter prunes; force
+    # the shuffle join a 100 TB orders side would take anyway.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == BLOOM_PRIORITY)
+            .select("o_orderkey")
+        )
+        rev = (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).cast("decimal(28,6)")
+        out = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_lineitems"),
+            )
+            .orderBy("l_returnflag")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        if "might_contain" not in buf.getvalue():
+            raise RuntimeError(
+                "runtime bloom filter was not injected into the fact scan"
+            )
+        # Materialize under the conf so later actions don't depend on
+        # session state at action time (bucketed-join convention).
+        from myserver_datawarehouse_spark.session import materialize
+
+        return materialize(out)
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+BLOOM_PRUNED_JOIN_SQL = f"""
+SELECT l.l_returnflag,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '{BLOOM_PRIORITY}'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
 def jsonl_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/JSONL end-to-end, completing the format matrix (parquet,
     ORC, CSV, JSONL — every reader sources/files.py ships now has an

@@ -1006,6 +1006,13 @@ _SPECS: list[QuerySpec] = [
         "the PUBLISHED table + zero-residual claim vs the oracle",
     ),
     QuerySpec(
+        "bloom_pruned_join",
+        R.bloom_pruned_join,
+        R.BLOOM_PRUNED_JOIN_SQL,
+        "runtime bloom-filter semi-join reduction: might_contain "
+        "injected into the fact scan, asserted + oracle-adjudicated",
+    ),
+    QuerySpec(
         "table_time_travel_audit",
         R.table_time_travel_audit,
         R.TABLE_TIME_TRAVEL_AUDIT_SQL,

@@ -403,3 +403,69 @@ def test_ensure_columns_preserves_partition_layout(spark, tmp_path):
         spark.read.parquet(p).select("id", "v", "d", "tag").collect()
     }
     assert got == {(1, "a", 10, None), (2, "B", 20, "x")}
+
+
+def test_writer_random_op_sequences_match_model(spark, tmp_path):
+    """Stateful model check over the WAP writer: random (seeded,
+    reproducible) sequences of merge/append/overwrite against one table
+    must match a dict model after EVERY op — the class of bug this
+    hunts is state carried wrongly across commits (a stale hardlink, a
+    snapshot leaking through a swap, a partition dropped on a layout
+    transition). Partition values are a function of the key (the
+    writer's partition-scoped-merge contract: keys imply partition);
+    appends only introduce fresh keys (merging pre-existing duplicate
+    key rows is undefined tie-breaking by design)."""
+    import random
+
+    rng = random.Random(7)
+
+    def dpart(i):
+        return (i % 3 + 1) * 10
+
+    for trial in range(3):
+        p = str(tmp_path / f"t{trial}")
+        partitioned = trial != 1
+        pby = ["d"] if partitioned else []
+        model: dict[int, tuple] = {}
+        for step in range(6):
+            op = rng.choice(["merge", "merge", "append", "overwrite"])
+            ids = rng.sample(range(12), rng.randint(1, 4))
+            rows = [(i, rng.choice("abcdef"), dpart(i)) for i in ids]
+            if op == "merge":
+                M.merge_upsert(spark, p, batch(spark, rows), keys=["id"],
+                               partition_by=pby)
+                model.update({r[0]: r for r in rows})
+            elif op == "append":
+                fresh = [r for r in rows if r[0] not in model]
+                if not fresh or not model:
+                    continue  # appending to a not-yet-created table: skip
+                M.append(batch(spark, fresh), p, partition_by=pby)
+                model.update({r[0]: r for r in fresh})
+            else:
+                if not model:
+                    continue
+                M.overwrite(batch(spark, rows), p, partition_by=pby)
+                model = {r[0]: r for r in rows}
+            got = rows_of(spark, p)
+            want = set(model.values())
+            assert got == want, (
+                f"trial {trial} step {step} op {op}: {got} != {want}"
+            )
+
+
+def test_append_layout_mismatch_raises(spark, tmp_path):
+    """A mismatched-partitioning append must fail loudly: Spark's
+    partition discovery silently ignores flat part files inside a
+    hive-partitioned table, so the mixed layout would lose the appended
+    rows from every subsequent read."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10)]), keys=["id"],
+                   partition_by=["d"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        M.append(batch(spark, [(9, "z", 30)]), p)  # flat into partitioned
+    q = str(tmp_path / "u")
+    M.append(batch(spark, [(1, "a", 10)]), q)  # flat table
+    with pytest.raises(ValueError, match="layout mismatch"):
+        M.append(batch(spark, [(9, "z", 30)]), q, partition_by=["d"])
