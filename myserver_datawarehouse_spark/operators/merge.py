@@ -57,11 +57,20 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     partition_by: Sequence[str] = (),
+    order_by: Sequence = (),
 ) -> None:
     """Upsert `updates` into the parquet table at `target_path` by natural
     key. New keys insert; existing keys take the update's row. Running the
     same batch twice yields a byte-identical table (idempotent by
     construction, the reference's re-run safety property).
+
+    Precedence: by default the UPDATE side wins per key (arrival-order
+    semantics, the reference's ON CONFLICT DO UPDATE). Pass `order_by`
+    (columns ranked descending, must be tiebreak-complete) for
+    VALUE-ORDER precedence instead — e.g. ["ts", "event_id"] makes the
+    merge an associative latest-event-time fold, byte-identical no
+    matter how a stream was split into batches or which batch a row
+    arrived in (the streaming foreachBatch contract).
 
     Commit protocol: the merge is WRITE → AUDIT → PUBLISH, same as
     `publish_overwrite`, so there is no instant at which a reader (or a
@@ -109,13 +118,20 @@ def merge_upsert(
             existing = existing.join(
                 F.broadcast(touched), list(partition_by), "left_semi"
             )
-        merged = dedup_latest(
-            updates.withColumn(_PRECEDENCE, F.lit(1)).unionByName(
-                existing.withColumn(_PRECEDENCE, F.lit(0))
-            ),
-            keys,
-            order_by=[_PRECEDENCE],
-        ).drop(_PRECEDENCE)
+        if order_by:
+            merged = dedup_latest(
+                updates.unionByName(existing), keys, order_by=order_by
+            )
+        else:
+            merged = dedup_latest(
+                updates.withColumn(_PRECEDENCE, F.lit(1)).unionByName(
+                    existing.withColumn(_PRECEDENCE, F.lit(0))
+                ),
+                keys,
+                order_by=[_PRECEDENCE],
+            ).drop(_PRECEDENCE)
+    elif order_by:
+        merged = dedup_latest(updates, keys, order_by=order_by)
     else:
         merged = dedup_latest(updates.withColumn(_PRECEDENCE, F.lit(1)), keys,
                               order_by=[_PRECEDENCE]).drop(_PRECEDENCE)

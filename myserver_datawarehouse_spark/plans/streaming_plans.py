@@ -273,7 +273,12 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "msdw_stream_upsert_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
     shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
-    shutil.rmtree(os.path.join(work, "target"), ignore_errors=True)
+    # drop_table, not rmtree: the merged target is a WAP snapshot
+    # symlink since round 7 (rmtree refuses links and would leave the
+    # previous run's snapshots readable through it).
+    from myserver_datawarehouse_spark.operators.merge import drop_table
+
+    drop_table(os.path.join(work, "target"))
     target = SJ.upsert_merge_stream(spark, sf_dir, work)
     return (
         spark.read.parquet(target)

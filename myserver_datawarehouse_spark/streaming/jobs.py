@@ -388,10 +388,7 @@ def upsert_merge_stream(
     becomes `MERGE INTO` unchanged."""
     import os
 
-    from myserver_datawarehouse_spark.operators.merge import (
-        dedup_latest,
-        overwrite,
-    )
+    from myserver_datawarehouse_spark.operators.merge import merge_upsert
     from myserver_datawarehouse_spark.sources.tables import load_table
 
     input_dir = os.path.join(work_dir, "input")
@@ -409,21 +406,21 @@ def upsert_merge_stream(
     )
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
-        s = batch.sparkSession
-        candidates = batch
-        if os.path.isdir(target) and any(
-            not f.startswith((".", "_")) for f in os.listdir(target)
-        ):
-            candidates = batch.unionByName(s.read.parquet(target))
-        # localCheckpoint (not the materialize() profile) on purpose:
-        # the state is consumed by the very next statement inside this
-        # micro-batch, so there is no cross-iteration window in which
-        # executor loss could strand it — the reliable-checkpoint
-        # round trip would buy nothing here.
-        merged = dedup_latest(
-            candidates, list(UPSERT_KEYS), order_by=["ts", "event_id"]
-        ).localCheckpoint(eager=True)
-        overwrite(merged, target)
+        # Route through the WAP-committed merge writer (round 7): the
+        # old dedup + in-place overwrite had a crash window in which a
+        # mid-rewrite failure left the target half-deleted — the stream
+        # checkpoint would replay THIS batch, but rows from earlier
+        # batches absent from it were simply gone. The snapshot commit
+        # makes every micro-batch merge atomic; order_by keeps the
+        # event-time precedence that makes the fold batch-split
+        # invariant.
+        merge_upsert(
+            batch.sparkSession,
+            target,
+            batch,
+            keys=list(UPSERT_KEYS),
+            order_by=["ts", "event_id"],
+        )
 
     q = (
         stream.writeStream.foreachBatch(_merge)
