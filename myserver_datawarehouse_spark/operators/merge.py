@@ -310,6 +310,43 @@ def drop_table(target_path: str) -> None:
     shutil.rmtree(_versions_root(t), ignore_errors=True)
 
 
+def compact_table(
+    spark: SparkSession, target_path: str, target_files: int = 1
+) -> None:
+    """Small-file compaction: rewrite the current snapshot bin-packed
+    and commit it as a new version through the WAP protocol (readers
+    never see a mix; the fragmented snapshot stays time-travelable
+    until vacuum). For a hive-partitioned table the rows are
+    repartitioned on the partition columns so each partition compacts
+    to one file; an unpartitioned table coalesces to `target_files`.
+
+    This is the maintenance op a streaming ingest needs at scale: a
+    file per micro-batch per partition accumulates into listing- and
+    task-scheduling overhead (100k tiny files is a planner problem
+    long before it is an IO problem); periodic compaction restores
+    scan-sized files without blocking readers — exactly the
+    rewrite-and-swap a table format's OPTIMIZE performs."""
+    _repair_symlink(target_path)
+    if not _table_exists(target_path):
+        raise FileNotFoundError(target_path)
+    df = spark.read.parquet(target_path)
+    spec = _partition_spec(target_path)
+    if spec:
+        df = df.repartition(*spec)
+    else:
+        df = df.coalesce(max(1, target_files))
+    _publish_path_snapshot(spark, target_path, df, spec)
+
+
+def data_file_count(target_path: str) -> int:
+    """Number of data files in the CURRENT snapshot (markers/sidecars
+    excluded) — the quantity compaction exists to bound."""
+    n = 0
+    for root, _dirs, files in os.walk(os.path.realpath(target_path)):
+        n += sum(1 for f in files if not f.startswith((".", "_")))
+    return n
+
+
 def _table_exists(target_path: str) -> bool:
     return os.path.isdir(target_path) and any(
         not f.startswith((".", "_")) for f in os.listdir(target_path)

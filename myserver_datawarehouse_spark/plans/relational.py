@@ -5034,6 +5034,77 @@ ORDER BY snapshot, event_type
 """
 
 
+COMPACTION_BATCHES = 8
+
+
+def table_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end to end, driver-adjudicated: the events
+    table lands as {COMPACTION_BATCHES} separate appends of 2 files
+    each (the fragmented layout a per-micro-batch streaming ingest
+    produces), then `compact_table` rewrites the snapshot bin-packed
+    through the WAP commit. The output is the post-compaction rollup
+    (the oracle recomputes it from the source — any row lost or
+    duplicated by the rewrite flips the hash) plus a `files_reduced`
+    flag computed from the ACTUAL before/after data-file counts, which
+    the oracle emits as literal TRUE — a compaction that failed to
+    shrink the file count fails the gate, the approx_distinct_audit
+    within-tolerance pattern applied to a maintenance operation.
+
+    Scale: compaction is one distributed read + write of the current
+    snapshot and an O(1) commit; at 100 TB it runs per-partition (the
+    partitioned form repartitions on the partition columns) and only
+    over partitions whose file counts degraded. Eager-execution,
+    pid-keyed-dir convention as the other writer-lifecycle queries."""
+    from myserver_datawarehouse_spark.operators.merge import (
+        append,
+        compact_table,
+        data_file_count,
+        drop_table,
+    )
+
+    root = _pid_tmpdir("msdw_compaction_table", sf_dir)
+    drop_table(root)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(COMPACTION_BATCHES):
+        append(
+            e.filter(
+                F.pmod(F.col("event_id"), F.lit(COMPACTION_BATCHES)) == i
+            ).repartition(2),
+            root,
+        )
+    before = data_file_count(root)
+    compact_table(spark, root)
+    after = data_file_count(root)
+    return (
+        spark.read.parquet(root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("files_reduced", F.lit(bool(after < before)))
+        .orderBy("event_type")
+    )
+
+
+TABLE_COMPACTION_AUDIT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value,
+       TRUE AS files_reduced
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 LISTAGG_TOPN = 3
 
 

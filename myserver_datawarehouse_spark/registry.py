@@ -1013,6 +1013,13 @@ _SPECS: list[QuerySpec] = [
         "injected into the fact scan, asserted + oracle-adjudicated",
     ),
     QuerySpec(
+        "table_compaction_audit",
+        R.table_compaction_audit,
+        R.TABLE_COMPACTION_AUDIT_SQL,
+        "small-file compaction via WAP rewrite: rollup + actual "
+        "file-count-reduced flag vs literal-TRUE oracle",
+    ),
+    QuerySpec(
         "table_time_travel_audit",
         R.table_time_travel_audit,
         R.TABLE_TIME_TRAVEL_AUDIT_SQL,

@@ -469,3 +469,39 @@ def test_append_layout_mismatch_raises(spark, tmp_path):
     M.append(batch(spark, [(1, "a", 10)]), q)  # flat table
     with pytest.raises(ValueError, match="layout mismatch"):
         M.append(batch(spark, [(9, "z", 30)]), q, partition_by=["d"])
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    """Partitioned compaction: one file per hive partition afterwards,
+    rows byte-identical, fragmented snapshot retained for time travel
+    until vacuum."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(0, "a", 10), (1, "b", 20)]),
+                   keys=["id"], partition_by=["d"])
+    for i in range(1, 4):
+        M.append(
+            batch(spark, [(i * 2, "a", 10), (i * 2 + 1, "b", 20)])
+            .repartition(2),
+            p, partition_by=["d"],
+        )
+    before_rows = rows_of(spark, p)
+    before_files = M.data_file_count(p)
+    M.compact_table(spark, p)
+    assert rows_of(spark, p) == before_rows
+    after_files = M.data_file_count(p)
+    assert after_files < before_files
+    snap = os.path.realpath(p)
+    for part in ("d=10", "d=20"):
+        files = [
+            f for f in os.listdir(os.path.join(snap, part))
+            if not f.startswith((".", "_"))
+        ]
+        assert len(files) == 1, (part, files)
+    # Old fragmented snapshot still time-travelable, then reclaimed.
+    vroot = M._versions_root(p)
+    versions, current = M.published_versions(vroot)
+    assert len(versions) >= 2
+    M.vacuum_versions(vroot)
+    assert rows_of(spark, p) == before_rows
