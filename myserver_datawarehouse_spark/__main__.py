@@ -6,6 +6,8 @@ exposes through Airflow task invocations, re-expressed as a CLI.
         [--limit N] [--output PATH]
     python -m myserver_datawarehouse_spark explain QUERY [--sf-dir DIR]
     python -m myserver_datawarehouse_spark oracle QUERY
+    python -m myserver_datawarehouse_spark table \
+        {versions|compact|vacuum|travel} PATH [--version vN]
 
 `run` prints the first N rows (default 20) to stdout, or writes the
 full result as parquet when --output is given (the distributed path —
@@ -49,6 +51,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
+
+    tb = sub.add_parser(
+        "table",
+        help="maintain a WAP-committed path table "
+        "(versions / compact / vacuum / travel)",
+    )
+    tb.add_argument(
+        "action", choices=("versions", "compact", "vacuum", "travel")
+    )
+    tb.add_argument("path", help="table path (or versions root for WAP "
+                                 "manifest tables)")
+    tb.add_argument("--version", default=None,
+                    help="version name for `travel` (e.g. v1)")
+    tb.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -76,6 +92,42 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no oracle for {args.query!r} (unknown or rows-only)", file=sys.stderr)
             return 1
         print(sql.strip())
+        return 0
+
+    if args.cmd == "table":
+        from myserver_datawarehouse_spark.operators import merge as M
+
+        # A plain path table keeps its versions in the hidden sibling
+        # root; a publish_overwrite table IS its versions root. Accept
+        # either: prefer the sibling root when it exists.
+        vroot = M._versions_root(args.path)
+        root = vroot if os.path.isdir(vroot) else args.path
+        if args.action == "versions":
+            versions, current = M.published_versions(root)
+            for v in versions:
+                mark = " *current" if v == current else ""
+                print(f"{v}{mark}")
+            return 0
+        if args.action == "vacuum":
+            removed = M.vacuum_versions(root)
+            print(f"removed {removed}" if removed else "nothing to vacuum")
+            return 0
+        from myserver_datawarehouse_spark.session import get_spark as _gs
+
+        spark = _gs("cli-table")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.action == "compact":
+            before = M.data_file_count(args.path)
+            M.compact_table(spark, args.path)
+            print(f"compacted: {before} -> {M.data_file_count(args.path)} "
+                  "data files")
+            return 0
+        if not args.version:
+            print("travel needs --version", file=sys.stderr)
+            return 1
+        M.read_version(spark, root, args.version).show(
+            args.limit, truncate=False
+        )
         return 0
 
     fn = registry.queries().get(args.query)
