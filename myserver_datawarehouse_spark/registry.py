@@ -1043,15 +1043,18 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 7 this tier holds 11 queries: the 2
-#      new ones (ann_recall_audit, table_time_travel_audit), the 3
-#      riding the unified WAP writer (flagship_hourly_pipeline,
-#      merge_writer_lifecycle, user_erasure_audit — operators/merge.py
-#      route change), and the 6 routed through the materialize()
-#      checkpoint profile (near_dup_minhash_lsh, dedup_clusters,
-#      corpus_build_pipeline, leakage_safe_split, source_vocab_overlap,
-#      bucketed_colocated_join) — a verdict never outlives a code
-#      change.
+#      are re-checked. For round 7 this tier holds 16 queries: the 5
+#      new ones (ann_recall_audit, embedding_ann_multiprobe,
+#      table_time_travel_audit, bloom_pruned_join,
+#      table_compaction_audit), the 5 riding the unified WAP writer
+#      (flagship_hourly_pipeline, merge_writer_lifecycle,
+#      user_erasure_audit, full_history_rebuild,
+#      streaming_upsert_merge — operators/merge.py +
+#      streaming/jobs.py route changes), and the 6 routed through the
+#      materialize() checkpoint profile (near_dup_minhash_lsh,
+#      dedup_clusters, corpus_build_pipeline, leakage_safe_split,
+#      source_vocab_overlap, bucketed_colocated_join) — a verdict
+#      never outlives a code change.
 #   1. last adjudicated in round 3 (20 queries — the stalest standing
 #      verdicts; the round-7 budget should retire these);
 #   2. last adjudicated in round 4 (42 queries);
