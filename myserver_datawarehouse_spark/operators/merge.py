@@ -178,7 +178,12 @@ def merge_upsert_coalesce(
                 .alias(name)
             )
     merged = u.join(e, cond, "full_outer").select(*cols)
-    _publish_path_snapshot(spark, target_path, merged, ())
+    # Keep the table's existing hive layout (same reasoning as
+    # ensure_columns: flattening a partitioned table strands its
+    # history outside the layout later partitioned merges carry).
+    _publish_path_snapshot(
+        spark, target_path, merged, _partition_spec(target_path)
+    )
 
 
 def ensure_columns(

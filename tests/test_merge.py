@@ -505,3 +505,45 @@ def test_compact_table_partitioned(spark, tmp_path):
     assert len(versions) >= 2
     M.vacuum_versions(vroot)
     assert rows_of(spark, p) == before_rows
+
+
+def test_repair_symlink_recovers_migration_crash(spark, tmp_path):
+    """Crash inside the one-time legacy-migration window (symlink
+    removed after the versions root was committed): the next writer
+    entry must re-point the path at the published snapshot and proceed
+    — no data loss, no manual repair."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10), (2, "b", 20)]),
+                   keys=["id"], partition_by=["d"])
+    os.unlink(p)  # simulate: crash between rename/manifest and swap
+    assert not os.path.exists(p)
+    # Reader path is restored by the next writer and the merge lands on
+    # the published (pre-crash) snapshot, not an empty table.
+    M.merge_upsert(spark, p, batch(spark, [(2, "B", 20)]), keys=["id"],
+                   partition_by=["d"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20)}
+
+
+def test_coalesce_merge_preserves_partition_layout(spark, tmp_path):
+    """merge_upsert_coalesce on a partitioned table must keep the hive
+    layout (same hazard as schema evolution: a flattened snapshot
+    strands history outside later partitioned merges' carry)."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10), (2, "b", 20)]),
+                   keys=["id"], partition_by=["d"])
+    M.merge_upsert_coalesce(
+        spark, p, batch(spark, [(2, None, 20)]), keys=["id"],
+        keep_cols=["v"],
+    )
+    got = rows_of(spark, p)
+    assert got == {(1, "a", 10), (2, "b", 20)}  # NULL keeps existing v
+    snap = os.path.realpath(p)
+    assert any(f.startswith("d=") for f in os.listdir(snap))
+    # Later partitioned merge still carries the untouched partition.
+    M.merge_upsert(spark, p, batch(spark, [(3, "c", 20)]), keys=["id"],
+                   partition_by=["d"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "b", 20), (3, "c", 20)}
