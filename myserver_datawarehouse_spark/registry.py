@@ -1043,13 +1043,14 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 7 this tier holds 16 queries: the 5
+#      are re-checked. For round 7 this tier holds 17 queries: the 5
 #      new ones (ann_recall_audit, embedding_ann_multiprobe,
 #      table_time_travel_audit, bloom_pruned_join,
-#      table_compaction_audit), the 5 riding the unified WAP writer
+#      table_compaction_audit), the 6 riding the unified WAP writer
 #      (flagship_hourly_pipeline, merge_writer_lifecycle,
 #      user_erasure_audit, full_history_rebuild,
-#      streaming_upsert_merge — operators/merge.py +
+#      streaming_upsert_merge, sources_lifecycle —
+#      operators/merge.py +
 #      streaming/jobs.py route changes), and the 6 routed through the
 #      materialize() checkpoint profile (near_dup_minhash_lsh,
 #      dedup_clusters, corpus_build_pipeline, leakage_safe_split,
@@ -1177,7 +1178,6 @@ _ADJUDICATED_R5 = frozenset(
         "salted_user_counts",
         "set_except",
         "set_intersect",
-        "sources_lifecycle",
         "stats_profile",
         "streaming_gap_state",
         "top_volume_orders",
