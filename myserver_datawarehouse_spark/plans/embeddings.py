@@ -1160,3 +1160,72 @@ SELECT method, query_id, {RECALL_K} AS k, n_hit,
 FROM counts
 ORDER BY method, query_id
 """
+
+
+# ------------------------------------------------- semantic dedup clusters
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster collapse in EMBEDDING space: connected
+    components over the cosine near-dup pair graph (the
+    `near_dup_embedding_cosine` pairs), labeling every clustered vector
+    with its component's min vec_id (the canonical survivor) and the
+    component size — the embedding-space twin of `dedup_clusters`
+    (which closes the MinHash text-pair graph). Pair lists alone
+    under-remove: A~B and B~C must collapse to ONE survivor even when
+    A~C was never scored; that closure is exactly connected components,
+    and at training-corpus scale this is how paraphrase/translation
+    near-dups that share no n-grams get deduplicated.
+
+    Scope note: the pair graph is the bucket-pruned one (single-probe
+    sign buckets, tau={NEAR_DUP_TAU}) — the same candidate scope the
+    pair query itself adjudicates, so the oracle's recursive closure
+    runs over the identical edge set. Scale: the CC iteration runs on
+    the EDGE set only (pairs above tau — output-sized, not corpus²),
+    via the shared min-label loop (`materialize` lineage cuts,
+    localCheckpoint locally / reliable checkpoint on a cluster)."""
+    from myserver_datawarehouse_spark.plans.llm_text import _cc_min_labels
+
+    pairs = V.gemm_bucket_pairs(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            V.sign_bucket("embedding", BUCKET_BITS).alias("bucket"),
+        ),
+        NEAR_DUP_TAU,
+    ).select(
+        F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+    )
+    labels = _cc_min_labels(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("label").alias("cluster_id"),
+            "n_members",
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({NEAR_DUP_EMBEDDING_COSINE_SQL}),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM pairs
+  UNION ALL
+  SELECT neighbor_id AS src, vec_id AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS vec_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS vec_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.vec_id
+),
+members AS (SELECT vec_id, MIN(label) AS cluster_id FROM reach GROUP BY vec_id)
+SELECT m.vec_id, m.cluster_id, s.n_members
+FROM members m
+JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY 1) s
+  USING (cluster_id)
+ORDER BY m.vec_id
+"""

@@ -236,6 +236,13 @@ _SPECS: list[QuerySpec] = [
         "ANN: IVF cells, broadcast quantizer, nprobe search",
     ),
     QuerySpec(
+        "semantic_dedup_clusters",
+        EM.semantic_dedup_clusters,
+        EM.SEMANTIC_DEDUP_CLUSTERS_SQL,
+        "dedup: SemDeDup-style connected components over the "
+        "embedding-cosine pair graph (min-label survivor per cluster)",
+    ),
+    QuerySpec(
         "embedding_ann_multiprobe",
         EM.embedding_ann_multiprobe,
         EM.EMBEDDING_ANN_MULTIPROBE_SQL,
