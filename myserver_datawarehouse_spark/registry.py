@@ -1050,10 +1050,11 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 7 this tier holds 17 queries: the 5
+#      are re-checked. For round 7 this tier holds 18 queries: the 6
 #      new ones (ann_recall_audit, embedding_ann_multiprobe,
 #      table_time_travel_audit, bloom_pruned_join,
-#      table_compaction_audit), the 6 riding the unified WAP writer
+#      table_compaction_audit, semantic_dedup_clusters), the 6 riding
+#      the unified WAP writer
 #      (flagship_hourly_pipeline, merge_writer_lifecycle,
 #      user_erasure_audit, full_history_rebuild,
 #      streaming_upsert_merge, sources_lifecycle —
