@@ -72,6 +72,16 @@ def merge_upsert(
     matter how a stream was split into batches or which batch a row
     arrived in (the streaming foreachBatch contract).
 
+    Partition-scoped contract: with `partition_by`, a key's partition
+    values must be STABLE (a function of the key, like date_id of an
+    event's fixed timestamp). An update that moves a key to a new
+    partition is outside the contract — the old partition is untouched
+    by construction (that's what makes the merge O(batch partitions)),
+    so the stale row would survive beside the new one. Every partition-
+    scoped merge engine shares this contract (dynamic partition
+    overwrite, Hive exchange-partition pipelines); a key-mobile table
+    must merge unpartitioned or delete-then-insert.
+
     Commit protocol: the merge is WRITE → AUDIT → PUBLISH, same as
     `publish_overwrite`, so there is no instant at which a reader (or a
     crash) can observe a half-written table — the old plain
@@ -85,7 +95,9 @@ def merge_upsert(
     its merge against the snapshot it read. Run one merge writer per
     table (the reference's hourly cadence) or keep concurrent merges
     partition-disjoint; a real table format's MERGE has the same
-    read-snapshot semantics unless it adds row-conflict detection. Locally the published snapshot is exposed to plain
+    read-snapshot semantics unless it adds row-conflict detection.
+
+    Locally the published snapshot is exposed to plain
     ``spark.read.parquet(target_path)`` readers through an atomically
     swapped symlink over copy-on-write version directories; untouched
     partitions are carried into the new snapshot as hardlinks (an O(files)
@@ -98,7 +110,24 @@ def merge_upsert(
     link_untouched = bool(partition_by)
     if _table_exists(target_path):
         existing = spark.read.parquet(target_path)
-        if partition_by and _has_flat_data_files(
+        existing_spec = _partition_spec(target_path)
+        if existing_spec and partition_by and list(partition_by) != existing_spec:
+            # Committing a snapshot whose partition dirs disagree with
+            # the hardlink-carried ones would publish a MIXED layout
+            # Spark cannot read back (conflicting partition columns) —
+            # the same loud-failure rule as append's layout guard.
+            raise ValueError(
+                f"merge layout mismatch: table {target_path} is "
+                f"partitioned by {existing_spec}, merge specifies "
+                f"{list(partition_by)}"
+            )
+        if existing_spec and not partition_by:
+            # Unpartitioned merge of a partitioned table: the merge is
+            # full-table (no pruning possible without the partition
+            # key), but the published snapshot keeps the hive layout so
+            # later partitioned merges' carry still works.
+            partition_by = existing_spec
+        if link_untouched and _has_flat_data_files(
             os.path.realpath(target_path.rstrip("/"))
         ):
             # Layout mismatch: the current snapshot keeps (some) rows in
@@ -109,7 +138,7 @@ def merge_upsert(
             # full merge-and-rewrite, which also heals the table into
             # the partitioned layout for every later merge.
             link_untouched = False
-        elif partition_by:
+        elif link_untouched:
             # Only the partitions the batch touches participate: partition
             # pruning on the existing side + copy-on-write hardlinks for
             # everything else. An hourly batch rewrites O(batch dates), not
@@ -223,6 +252,7 @@ def append(df: DataFrame, target_path: str, partition_by: Sequence[str] = ()) ->
     instead (raise), matching the table-format behavior this writer
     re-expresses. An empty table (no data files yet) accepts any
     layout."""
+    _repair_symlink(target_path)
     t = target_path.rstrip("/")
     if _table_exists(t):
         snap = os.path.realpath(t)
@@ -252,6 +282,7 @@ def overwrite(df: DataFrame, target_path: str, partition_by: Sequence[str] = ())
     vacuum. Plain directories keep the direct write (their callers own
     the layout). `append` intentionally stays in-place either way —
     it mutates the current snapshot rather than committing a version."""
+    _repair_symlink(target_path)
     if os.path.islink(target_path.rstrip("/")):
         _publish_path_snapshot(
             df.sparkSession, target_path, df, partition_by
@@ -266,6 +297,7 @@ def create_if_not_exists(
 ) -> None:
     """S6 idempotent DDL (fact_gold_price.py:125-138): materialize an empty
     table with the template's schema unless one already exists."""
+    _repair_symlink(target_path)
     if not _table_exists(target_path):
         _write(template.limit(0), target_path, partition_by, mode="overwrite")
 
@@ -330,7 +362,21 @@ def compact_table(
     task-scheduling overhead (100k tiny files is a planner problem
     long before it is an IO problem); periodic compaction restores
     scan-sized files without blocking readers — exactly the
-    rewrite-and-swap a table format's OPTIMIZE performs."""
+    rewrite-and-swap a table format's OPTIMIZE performs.
+
+    Works on both table kinds: a path table (snapshot symlink) compacts
+    through the symlink commit; a `publish_overwrite` manifest root
+    compacts through the manifest commit."""
+    cur = _published_version(target_path)
+    if cur is not None:  # manifest-root table
+        snap = os.path.join(target_path, cur)
+        df = _read_snapshot(spark, snap)
+        spec = _partition_spec(snap)
+        df = df.repartition(*spec) if spec else df.coalesce(
+            max(1, target_files)
+        )
+        publish_overwrite(spark, target_path, df, partition_by=spec)
+        return
     _repair_symlink(target_path)
     if not _table_exists(target_path):
         raise FileNotFoundError(target_path)
@@ -345,9 +391,16 @@ def compact_table(
 
 def data_file_count(target_path: str) -> int:
     """Number of data files in the CURRENT snapshot (markers/sidecars
-    excluded) — the quantity compaction exists to bound."""
+    excluded; a manifest root counts only its published version, not
+    every retained one) — the quantity compaction exists to bound."""
+    cur = _published_version(target_path)
+    base = (
+        os.path.join(target_path, cur)
+        if cur is not None
+        else os.path.realpath(target_path)
+    )
     n = 0
-    for root, _dirs, files in os.walk(os.path.realpath(target_path)):
+    for root, _dirs, files in os.walk(base):
         n += sum(1 for f in files if not f.startswith((".", "_")))
     return n
 
@@ -581,7 +634,26 @@ def _publish_path_snapshot(
                 f"claimed {version}; retry the merge"
             )
         if os.path.isdir(target) and not os.path.islink(target):
-            os.rename(target, os.path.join(vroot, "v0"))  # legacy migration
+            # Legacy migration: the pre-WAP plain directory becomes v0.
+            # The manifest is pointed at v0 BEFORE the rename — a crash
+            # between the rename and the symlink swap then leaves a
+            # healable state (_repair_symlink finds _CURRENT=v0 and
+            # re-points the path at the preserved legacy snapshot);
+            # without the manifest-first write, that crash would make
+            # the table look empty to the next writer and its rows
+            # would silently vanish from the next merge.
+            v0 = os.path.join(vroot, "v0")
+            if os.path.exists(v0):
+                raise RuntimeError(
+                    f"cannot migrate {target}: {v0} already exists "
+                    "(aborted earlier migration?) — repair the table "
+                    "manually before writing"
+                )
+            tmp = os.path.join(vroot, f".{_CURRENT}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write("v0")
+            os.replace(tmp, os.path.join(vroot, _CURRENT))
+            os.rename(target, v0)
         _swap_symlink(target, vroot, version)
         tmp = os.path.join(vroot, f".{_CURRENT}.tmp")
         with open(tmp, "w") as fh:

@@ -96,8 +96,16 @@ def hourly_pipeline(
     batch = extract_hour(spark, sf_dir, hour_start)
 
     # S4: idempotent bulk merge into the fact table (temp dir when the
-    # caller doesn't maintain one — the driver's smoke run).
-    fact_path = (workdir or tempfile.mkdtemp(prefix="dw_fact_")) + "/fact_events"
+    # caller doesn't maintain one — the driver's smoke run; reclaimed
+    # at process exit so repeated bench/verify invocations don't leak
+    # one fact-table copy per call).
+    if workdir is None:
+        import atexit
+        import shutil
+
+        workdir = tempfile.mkdtemp(prefix="dw_fact_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    fact_path = workdir + "/fact_events"
     M.merge_upsert(spark, fact_path, batch, keys=["event_id"],
                    partition_by=["date_id"])
     fact = spark.read.parquet(fact_path)

@@ -51,13 +51,23 @@ def _sf_pid_tag(sf_dir: str) -> str:
 def _register_exit_cleanup(path: str) -> None:
     """Register `path` for removal at process exit, once — so repeated
     processes don't leak lineitem-sized artifacts per run. Shared by
-    the tempdir work dirs and the bucketed-catalog warehouse dirs."""
+    the tempdir work dirs and the bucketed-catalog warehouse dirs.
+    Symlink-aware: a WAP path table leaves a snapshot symlink at its
+    path, which shutil.rmtree refuses (silently, under ignore_errors) —
+    unlink it instead so the entry actually goes away."""
     import atexit
+    import os
     import shutil
+
+    def _remove(p: str = path) -> None:
+        if os.path.islink(p):
+            os.unlink(p)
+        else:
+            shutil.rmtree(p, ignore_errors=True)
 
     if path not in _PID_TMPDIRS:
         _PID_TMPDIRS.add(path)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        atexit.register(_remove)
 
 
 def _register_exit_drop_table(spark: SparkSession, table: str) -> None:
@@ -5056,6 +5066,7 @@ def table_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     over partitions whose file counts degraded. Eager-execution,
     pid-keyed-dir convention as the other writer-lifecycle queries."""
     from myserver_datawarehouse_spark.operators.merge import (
+        _versions_root,
         append,
         compact_table,
         data_file_count,
@@ -5063,6 +5074,10 @@ def table_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = _pid_tmpdir("msdw_compaction_table", sf_dir)
+    # The compacted table's snapshots live in the hidden sibling
+    # versions root — register it too or every bench/verify process
+    # leaks a full copy of the events table past exit.
+    _register_exit_cleanup(_versions_root(root))
     drop_table(root)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"

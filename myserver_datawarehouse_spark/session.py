@@ -50,6 +50,10 @@ def get_spark(
         # Cap in-memory partition bytes so a 100 TB scan splits sanely;
         # harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Reliable-checkpoint data (see `materialize`) is reclaimed when
+        # its frame is garbage-collected instead of accumulating one
+        # copy per materialized intermediate for the session's lifetime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]").config(
@@ -93,11 +97,22 @@ def materialize(df: DataFrame) -> DataFrame:
     if not reliable:
         return df.localCheckpoint(eager=True)
     sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
+    conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if conf_dir:
+        # Explicit conf always wins — setCheckpointDir is idempotent
+        # and cheap, and silently preferring a previously-set dir would
+        # make the documented conf a no-op in long sessions.
+        if (sc.getCheckpointDir() or "").rstrip("/") != conf_dir.rstrip("/"):
+            sc.setCheckpointDir(conf_dir)
+    elif sc.getCheckpointDir() is None:
         import tempfile
 
-        default = os.path.join(
-            tempfile.gettempdir(), f"msdw_ckpt_{os.getpid()}"
+        sc.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), f"msdw_ckpt_{os.getpid()}")
         )
-        sc.setCheckpointDir(spark.conf.get(CHECKPOINT_DIR_CONF, default))
+    # Checkpoint data is reclaimed when the frame is GC'd because
+    # get_spark sets spark.cleaner.referenceTracking.cleanCheckpoints;
+    # on an externally-built session without it, files persist until
+    # the directory is cleaned — the standard Spark trade for state
+    # that must survive executor loss.
     return df.checkpoint(eager=True)

@@ -547,3 +547,84 @@ def test_coalesce_merge_preserves_partition_layout(spark, tmp_path):
     M.merge_upsert(spark, p, batch(spark, [(3, "c", 20)]), keys=["id"],
                    partition_by=["d"])
     assert rows_of(spark, p) == {(1, "a", 10), (2, "b", 20), (3, "c", 20)}
+
+
+def test_migration_crash_before_swap_preserves_legacy_rows(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the legacy dir is renamed into the versions root but
+    BEFORE the symlink swap (the first-ever migration window): the
+    manifest-first protocol must leave a healable state — the next
+    writer re-points the path at the preserved v0 snapshot and merges
+    ON TOP of the old rows instead of silently treating the table as
+    empty."""
+    p = str(tmp_path / "t")
+    M.append(batch(spark, [(1, "a", 10), (2, "b", 20)]), p)  # legacy table
+
+    real_swap = M._swap_symlink
+    calls = {"n": 0}
+
+    def crash_swap(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash before symlink swap")
+        return real_swap(*a, **k)
+
+    monkeypatch.setattr(M, "_swap_symlink", crash_swap)
+    try:
+        M.merge_upsert(spark, p, batch(spark, [(3, "c", 10)]), keys=["id"])
+    except OSError:
+        pass
+
+    # Recovery merge: must land on the preserved legacy snapshot.
+    M.merge_upsert(spark, p, batch(spark, [(3, "c", 10)]), keys=["id"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "b", 20), (3, "c", 10)}
+
+
+def test_merge_layout_mismatch_raises(spark, tmp_path):
+    """Merging with a partition spec that disagrees with the table's
+    layout must fail loudly — the hardlink carry would otherwise commit
+    a mixed-layout snapshot Spark cannot read back."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10)]), keys=["id"],
+                   partition_by=["d"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        M.merge_upsert(spark, p, batch(spark, [(2, "b", 20)]), keys=["id"],
+                       partition_by=["v"])
+
+
+def test_unpartitioned_merge_keeps_partitioned_layout(spark, tmp_path):
+    """An unpartitioned merge_upsert call against a partitioned table
+    merges full-table but must keep the hive layout, so later
+    partitioned merges' copy-on-write carry still works."""
+    import os
+
+    p = str(tmp_path / "t")
+    M.merge_upsert(spark, p, batch(spark, [(1, "a", 10), (2, "b", 20)]),
+                   keys=["id"], partition_by=["d"])
+    M.merge_upsert(spark, p, batch(spark, [(2, "B", 20)]), keys=["id"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20)}
+    snap = os.path.realpath(p)
+    assert any(f.startswith("d=") for f in os.listdir(snap))
+    M.merge_upsert(spark, p, batch(spark, [(3, "c", 20)]), keys=["id"],
+                   partition_by=["d"])
+    assert rows_of(spark, p) == {(1, "a", 10), (2, "B", 20), (3, "c", 20)}
+
+
+def test_compact_table_manifest_root(spark, tmp_path):
+    """compact_table on a publish_overwrite manifest root: compacts the
+    published snapshot through the manifest commit, counts only the
+    current version's files, rows unchanged."""
+    root = str(tmp_path / "wap")
+    M.publish_overwrite(
+        spark, root, batch(spark, [(1, "a", 1), (2, "b", 2)]).repartition(4)
+    )
+    before = M.data_file_count(root)
+    assert before >= 2
+    M.compact_table(spark, root)
+    assert M.data_file_count(root) == 1
+    assert {tuple(r) for r in M.read_published(spark, root).collect()} == {
+        (1, "a", 1), (2, "b", 2)
+    }
