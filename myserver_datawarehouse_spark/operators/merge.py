@@ -23,6 +23,7 @@ Scale design:
 from __future__ import annotations
 
 import contextlib
+import functools
 import json
 import os
 from collections.abc import Sequence
@@ -144,8 +145,23 @@ def merge_upsert(
             # everything else. An hourly batch rewrites O(batch dates), not
             # O(table).
             touched = updates.select(*partition_by).distinct()
-            existing = existing.join(
-                F.broadcast(touched), list(partition_by), "left_semi"
+            # NULL-SAFE equality, not a column-name equi-join: a null
+            # partition value writes into __HIVE_DEFAULT_PARTITION__ in
+            # the staged snapshot (marking that directory 'touched', so
+            # the hardlink carry skips it), but a plain equi-join never
+            # matches null = null — the existing null-partition rows
+            # would be neither merged nor carried, silently vanishing
+            # from the new snapshot. eqNullSafe keeps them in the merge.
+            existing = existing.alias("__e").join(
+                F.broadcast(touched).alias("__t"),
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__e.{c}").eqNullSafe(F.col(f"__t.{c}"))
+                        for c in partition_by
+                    ],
+                ),
+                "left_semi",
             )
         if order_by:
             merged = dedup_latest(
@@ -857,3 +873,22 @@ def vacuum_versions(table_root: str) -> list[str]:
                 shutil.rmtree(os.path.join(table_root, d))
                 removed.append(d)
     return removed
+
+
+def vacuum_path_table(target_path: str) -> list[str]:
+    """`vacuum_versions` for a path table (one committed through
+    `merge_upsert` / `publish_path` rather than `publish_overwrite`):
+    resolves the hidden sibling versions root and removes every version
+    strictly older than the published one. Same concurrency rules as
+    `vacuum_versions` (only-older sweep under the commit lock).
+
+    The steady-state caller is a streaming merge sink: each foreachBatch
+    commit publishes a whole new snapshot version, so without retention
+    an N-batch stream holds O(N x table size) on disk. Per-batch vacuum
+    caps that at ~2 snapshots (published + the one being staged) —
+    hardlink carry means untouched partitions share inodes across the
+    two, so the real overhead is only the rewritten partitions."""
+    vroot = _versions_root(target_path)
+    if not os.path.isdir(vroot):
+        return []
+    return vacuum_versions(vroot)

@@ -1050,96 +1050,53 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. For round 7 this tier holds 18 queries: the 6
-#      new ones (ann_recall_audit, embedding_ann_multiprobe,
-#      table_time_travel_audit, bloom_pruned_join,
-#      table_compaction_audit, semantic_dedup_clusters), the 6 riding
-#      the unified WAP writer
-#      (flagship_hourly_pipeline, merge_writer_lifecycle,
-#      user_erasure_audit, full_history_rebuild,
-#      streaming_upsert_merge, sources_lifecycle —
-#      operators/merge.py +
-#      streaming/jobs.py route changes), and the 6 routed through the
-#      materialize() checkpoint profile (near_dup_minhash_lsh,
-#      dedup_clusters, corpus_build_pipeline, leakage_safe_split,
-#      source_vocab_overlap, bucketed_colocated_join) — a verdict
-#      never outlives a code change.
-#   1. last adjudicated in round 3 (20 queries — the stalest standing
-#      verdicts; the round-7 budget should retire these);
-#   2. last adjudicated in round 4 (42 queries);
-#   3. last adjudicated in round 5 (46 queries);
-#   4. last adjudicated in round 6 (47 standing after the 3 forfeits —
-#      includes the 4 former round-2 verdicts retired on schedule).
+#      are re-checked. After the round-7 fold every one of the 164
+#      registry queries had a green driver verdict at its current name;
+#      this head tier holds the round-8 changes:
+#      flagship_hourly_pipeline and streaming_upsert_merge (riding the
+#      merge_upsert null-safe touched-partition semi-join and the
+#      streaming per-batch vacuum, operators/merge.py +
+#      streaming/jobs.py) plus any new round-8 queries.
+#   1. last adjudicated in round 4 (27 queries — now the stalest
+#      standing verdicts; the round-8 budget should retire these);
+#   2. last adjudicated in round 5 (43 queries);
+#   3. last adjudicated in round 6 (44 queries);
+#   4. last adjudicated in round 7 (48 standing — CORRECTNESS_r07.json
+#      was 50/50 green and retired the whole round-3 tier on schedule;
+#      2 verdicts forfeited to the round-8 writer changes above).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
-# Round-8 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r07.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 8
+# Round-9 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r08.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 9
 # OUT of every set so it returns to the head.
-
-_ADJUDICATED_R3 = frozenset(
-    {
-        "corpus_curation_pipeline",
-        "data_mixture_rebalance",
-        "dedup_incremental_new_docs",
-        "dim_date_integrity",
-        "embedding_norm_stats_by_label",
-        "freshness_probe",
-        "multimodal_features",
-        "multimodal_type_rollup",
-        "quality_percentile_filter",
-        "ranking_report",
-        "scd2_user_history",
-        "sources_summary",
-        "streaming_band_rollup",
-        "streaming_click_attribution",
-        "streaming_dedup_counts",
-        "streaming_minute_agg",
-        "streaming_session_windows",
-        "timestamp_roundtrip",
-        "value_outliers_mad",
-    }
-)
 
 _ADJUDICATED_R4 = frozenset(
     {
         "day_over_day_change",
         "dup_ngram_coverage",
-        "embedding_ann_bucketed",
         "embedding_ann_bucketed_baseline",
         "embedding_covariance_probe",
         "embedding_int8_quantization",
-        "embedding_topk_bruteforce",
-        "embedding_topk_bruteforce_baseline",
         "event_dow_chisquare",
         "events_cube_rollup",
         "events_daily_unpivot",
         "events_funnel_conversion",
         "events_grouping_sets",
-        "gapfill_locf_windowed",
-        "gapfill_missing_minutes_windowed",
         "gopher_quality_flags",
         "grouped_topk_dense",
         "incremental_agg_maintenance",
-        "interpolate_minutes_bracketing_windowed",
-        "interpolate_minutes_nearest2_windowed",
         "kmeans_ivf_clusters",
         "layout_zorder_stats",
         "minute_anomaly_zscore",
-        "near_dup_embedding_cosine",
-        "near_dup_embedding_cosine_baseline",
         "part_brand_margin_topk",
         "quality_weighted_sample",
-        "share_of_total",
-        "share_of_total_broadcast",
         "shipping_priority_topk",
         "source_mix_entropy",
         "source_numeric_ids",
-        "star_join_revenue",
         "streaming_dedup_within_watermark",
         "token_zipf_fit",
-        "top_supplier_per_nation",
         "trailing_range_window_sum",
         "user_retention_cohorts",
         "value_histogram",
@@ -1244,15 +1201,68 @@ _ADJUDICATED_R6 = frozenset(
     }
 )
 
+_ADJUDICATED_R7 = frozenset(
+    {
+        "ann_recall_audit",
+        "bloom_pruned_join",
+        "bucketed_colocated_join",
+        "corpus_build_pipeline",
+        "corpus_curation_pipeline",
+        "data_mixture_rebalance",
+        "dedup_clusters",
+        "dedup_incremental_new_docs",
+        "dim_date_integrity",
+        "embedding_ann_bucketed",
+        "embedding_ann_multiprobe",
+        "embedding_norm_stats_by_label",
+        "embedding_topk_bruteforce",
+        "embedding_topk_bruteforce_baseline",
+        "freshness_probe",
+        "full_history_rebuild",
+        "gapfill_locf_windowed",
+        "gapfill_missing_minutes_windowed",
+        "interpolate_minutes_bracketing_windowed",
+        "interpolate_minutes_nearest2_windowed",
+        "leakage_safe_split",
+        "merge_writer_lifecycle",
+        "multimodal_features",
+        "multimodal_type_rollup",
+        "near_dup_embedding_cosine",
+        "near_dup_embedding_cosine_baseline",
+        "near_dup_minhash_lsh",
+        "quality_percentile_filter",
+        "ranking_report",
+        "scd2_user_history",
+        "semantic_dedup_clusters",
+        "share_of_total",
+        "share_of_total_broadcast",
+        "source_vocab_overlap",
+        "sources_lifecycle",
+        "sources_summary",
+        "star_join_revenue",
+        "streaming_band_rollup",
+        "streaming_click_attribution",
+        "streaming_dedup_counts",
+        "streaming_minute_agg",
+        "streaming_session_windows",
+        "table_compaction_audit",
+        "table_time_travel_audit",
+        "timestamp_roundtrip",
+        "top_supplier_per_nation",
+        "user_erasure_audit",
+        "value_outliers_mad",
+    }
+)
+
 
 def _staleness(name: str) -> int:
-    if name in _ADJUDICATED_R6:
+    if name in _ADJUDICATED_R7:
         return 4
-    if name in _ADJUDICATED_R5:
+    if name in _ADJUDICATED_R6:
         return 3
-    if name in _ADJUDICATED_R4:
+    if name in _ADJUDICATED_R5:
         return 2
-    if name in _ADJUDICATED_R3:
+    if name in _ADJUDICATED_R4:
         return 1
     return 0  # never adjudicated in current form — check first
 

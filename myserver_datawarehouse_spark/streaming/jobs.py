@@ -388,7 +388,10 @@ def upsert_merge_stream(
     becomes `MERGE INTO` unchanged."""
     import os
 
-    from myserver_datawarehouse_spark.operators.merge import merge_upsert
+    from myserver_datawarehouse_spark.operators.merge import (
+        merge_upsert,
+        vacuum_path_table,
+    )
     from myserver_datawarehouse_spark.sources.tables import load_table
 
     input_dir = os.path.join(work_dir, "input")
@@ -421,6 +424,13 @@ def upsert_merge_stream(
             keys=list(UPSERT_KEYS),
             order_by=["ts", "event_id"],
         )
+        # Retention: each micro-batch commit is a whole new snapshot
+        # version, so an unvacuumed N-batch stream holds O(N x table)
+        # on disk. Streaming targets don't need time travel across
+        # batches — vacuum down to the published snapshot right away
+        # (safe concurrently with the NEXT batch's publish: vacuum only
+        # sweeps strictly-older versions, under the commit lock).
+        vacuum_path_table(target)
 
     q = (
         stream.writeStream.foreachBatch(_merge)

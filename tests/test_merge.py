@@ -628,3 +628,47 @@ def test_compact_table_manifest_root(spark, tmp_path):
     assert {tuple(r) for r in M.read_published(spark, root).collect()} == {
         (1, "a", 1), (2, "b", 2)
     }
+
+
+def test_null_partition_rows_survive_partitioned_merge(spark, tmp_path):
+    # Round-7 advice: a null partition value writes into
+    # __HIVE_DEFAULT_PARTITION__ (marking that directory touched, so the
+    # hardlink carry skips it), but a plain equi-join semi-join never
+    # matches null = null — existing null-partition rows were neither
+    # merged nor carried. The null-safe semi-join keeps them.
+    p = str(tmp_path / "t")
+    M.merge_upsert(
+        spark, p, batch(spark, [(1, "a", None), (2, "b", 10)]),
+        keys=["id"], partition_by=["d"],
+    )
+    # batch touches the null partition: update key 1, insert key 3
+    M.merge_upsert(
+        spark, p, batch(spark, [(1, "A", None), (3, "c", None)]),
+        keys=["id"], partition_by=["d"],
+    )
+    assert rows_of(spark, p) == {(1, "A", None), (3, "c", None), (2, "b", 10)}
+    # batch that does NOT touch the null partition: carry preserves it
+    M.merge_upsert(
+        spark, p, batch(spark, [(2, "B", 10)]),
+        keys=["id"], partition_by=["d"],
+    )
+    assert rows_of(spark, p) == {(1, "A", None), (3, "c", None), (2, "B", 10)}
+
+
+def test_streaming_merge_target_vacuumed_per_batch(spark, tmp_path):
+    # Round-7 advice: each foreachBatch commit publishes a new snapshot
+    # version; without retention an N-batch stream holds O(N x table).
+    # vacuum_path_table keeps only the published snapshot.
+    p = str(tmp_path / "t")
+    for i in range(4):
+        M.merge_upsert(spark, p, batch(spark, [(i, "x", 10)]), keys=["id"],
+                       partition_by=["d"])
+        M.vacuum_path_table(p)
+    import os
+
+    vroot = M._versions_root(p)
+    versions, current = M.published_versions(vroot)
+    assert versions == [current]
+    assert rows_of(spark, p) == {(i, "x", 10) for i in range(4)}
+    # vacuum on a table with no versions root is a no-op
+    assert M.vacuum_path_table(str(tmp_path / "nope")) == []
