@@ -1017,9 +1017,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity search, mirroring `approx_distinct_audit`.
 
     For each probe vector (vec_id < {N_PROBES}) and each method
-    ('ivf' = `embedding_ann_ivf`, 'bucket' = `embedding_ann_bucketed`,
-    'multiprobe' = `embedding_ann_multiprobe`, the latter two
-    restricted to the probes), the output carries the hit count against
+    ('ivf' = `embedding_ann_ivf`, 'bucket' = the shipped
+    `embedding_ann_bucketed_gemm` BLAS tier (identical semantics and
+    oracle to the interpreted twin — the audit measures the tier users
+    actually run), 'multiprobe' = `embedding_ann_multiprobe`, the
+    latter two restricted to the probes), the output carries the hit count against
     the exact top-{RECALL_K}, the recall ratio, and a
     `recall_floor_met` flag asserting recall ≥ {RECALL_FLOOR}. Both ANN
     results and the exact baseline are fully deterministic (rounded
@@ -1049,18 +1051,25 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-probe map-only scan, and the recall join is
     probe-count-sized — the audit adds nothing super-linear, so it can
     run continuously as a data-quality monitor next to the index build."""
+    from myserver_datawarehouse_spark.session import materialize
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
-    exact = (
-        embedding_topk_bruteforce(spark, sf_dir)
+    # materialize(): the exact top-k is the shared yardstick for every
+    # method below (the hit semi-join AND the query grid) — without the
+    # lineage cut the brute-force gemm plan would re-execute once per
+    # consumer (6x before the round-8 restructure). N_PROBES x RECALL_K
+    # rows, executor-side.
+    exact = materialize(
+        embedding_topk_gemm(spark, sf_dir)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= RECALL_K)
         .select("query_id", "vec_id")
     )
     ivf = embedding_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
     bucket = (
-        embedding_ann_bucketed(spark, sf_dir)
+        embedding_ann_bucketed_gemm(spark, sf_dir)
         .filter(F.col("vec_id") < N_PROBES)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -1075,24 +1084,29 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor_id").alias("vec_id"),
         )
     )
-    queries = exact.select("query_id").distinct()
-
-    def hits(approx: DataFrame, method: str) -> DataFrame:
-        h = (
-            approx.join(exact, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-        )
-        return queries.join(h, "query_id", "left").select(
-            F.lit(method).alias("method"),
-            "query_id",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-        )
-
-    out = (
-        hits(ivf, "ivf")
-        .unionByName(hits(bucket, "bucket"))
-        .unionByName(hits(multi, "multiprobe"))
+    # One semi-join over the tagged union instead of one per method:
+    # each ANN plan executes exactly once, and the (method x query)
+    # grid is an explode over the probe ids, not a join per method.
+    approx_all = (
+        ivf.withColumn("method", F.lit("ivf"))
+        .unionByName(bucket.withColumn("method", F.lit("bucket")))
+        .unionByName(multi.withColumn("method", F.lit("multiprobe")))
+    )
+    h = (
+        approx_all.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    grid = exact.select("query_id").distinct().select(
+        F.explode(
+            F.array(F.lit("ivf"), F.lit("bucket"), F.lit("multiprobe"))
+        ).alias("method"),
+        "query_id",
+    )
+    out = grid.join(h, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
     )
     recall = F.col("n_hit") / F.lit(RECALL_K)
     return (
@@ -1229,3 +1243,203 @@ JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY 1) s
   USING (cluster_id)
 ORDER BY m.vec_id
 """
+
+
+# ------------------------------------------------------------------ PCA
+# Reference parity: the reference has no PCA, but embedding-space
+# curation at scale needs the whitening/dim-reduction building block
+# (embedding_covariance_probe's docstring promises the full-matrix plan;
+# this query delivers it and adjudicates the result).
+
+PCA_TOP_K = 8
+PCA_RTOL = 1e-6  # projected-variance vs eigenvalue relative tolerance
+
+
+def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus, adjudicated the sketch-tier way
+    (claims checked, not assumed): the covariance matrix accumulates
+    DISTRIBUTED (one numpy X'X partial per Arrow batch via mapInPandas,
+    reduced by a (d^2+d+1)-key aggregate — the MLlib computeCovariance
+    shape), the d x d eigendecomposition runs on the driver (the `fit`
+    step, O(d^3) for d=64 — never corpus-sized), and the top-{PCA_TOP_K}
+    projection is re-applied distributed to verify that the projected
+    coordinates' population variances actually equal the eigenvalues.
+
+    Adjudicated output (one row):
+      - n_vectors, dim: exact, oracle-recomputed.
+      - total_variance: trace of the covariance, accumulated as
+        DECIMAL(28,14) per-dim moments (embedding_covariance_probe's
+        order-independent float policy) so the oracle rebuilds the
+        IDENTICAL value bit-for-bit — the one number that pins the
+        whole decomposition's scale.
+      - trace_conserved: |sum(eigenvalues) - trace| <= 1e-8 * trace —
+        eigh consistency with the decimal-exact trace.
+      - components_orthonormal: max|V'V - I| <= 1e-8.
+      - eigenvalues_monotone: sorted descending, all >= -1e-10.
+      - projection_variance_matches: per-component population variance
+        of the DISTRIBUTED projection within {PCA_RTOL} relative of the
+        corresponding eigenvalue — the end-to-end check that the
+        broadcast projection matrix actually produces the claimed
+        coordinates (oracle: literal TRUE, the compaction-audit flag
+        pattern).
+
+    Scale: two corpus passes (moment partials, projection check) plus
+    one JVM decimal aggregate; every shuffle is (d^2+d+1) keys x task
+    partials, never corpus-sized; the only driver materializations are
+    the 4161-row moment frame and the {PCA_TOP_K}-row variance frame
+    (manifest-scale, independent of corpus size). Float covariance
+    merge order varies across runs, but it feeds only the tolerance
+    flags; the adjudicated total_variance rides the decimal path.
+    Eager-execution convention (the fit runs at plan-construction
+    time), like kmeans_ivf_clusters and the writer-lifecycle queries."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    first = e.select(F.size("embedding").alias("d")).first()
+    d = int(first["d"])
+
+    # --- distributed moment partials -> driver covariance (fit) ------
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vals = np.concatenate(
+                ([float(len(X))], X.sum(axis=0), (X.T @ X).ravel())
+            )
+            yield pd.DataFrame(
+                {"pos": np.arange(-1, d * d + d, dtype=np.int64), "val": vals}
+            )
+
+    sums = (
+        e.select("embedding")
+        .mapInPandas(partials, "pos long, val double")
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+    )
+    stats = {int(r["pos"]): float(r["val"]) for r in sums.collect()}
+    n = stats[-1]
+    sx = np.array([stats[i] for i in range(d)])
+    sxx = np.array([stats[d + i] for i in range(d * d)]).reshape(d, d)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    evals, evecs = evals[::-1], evecs[:, ::-1]  # descending
+
+    trace = float(np.trace(cov))
+    trace_ok = abs(float(evals.sum()) - trace) <= 1e-8 * max(trace, 1.0)
+    ortho_ok = bool(
+        np.abs(evecs.T @ evecs - np.eye(d)).max() <= 1e-8
+    )
+    mono_ok = bool(
+        np.all(np.diff(evals) <= 1e-12) and evals.min() >= -1e-10
+    )
+
+    # --- distributed projection variance check -----------------------
+    Vk = np.ascontiguousarray(evecs[:, :PCA_TOP_K])
+    bc = spark.sparkContext.broadcast((mean, Vk))
+
+    def proj_partials(batches):
+        b_mean, b_V = bc.value
+        k = b_V.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            P = (X - b_mean) @ b_V  # centered projection
+            yield pd.DataFrame(
+                {
+                    "comp": np.tile(np.arange(k, dtype=np.int64), 3),
+                    "kind": np.repeat(np.arange(3, dtype=np.int64), k),
+                    "val": np.concatenate(
+                        (
+                            np.full(k, float(len(P))),
+                            P.sum(axis=0),
+                            (P * P).sum(axis=0),
+                        )
+                    ),
+                }
+            )
+
+    pv = (
+        e.select("embedding")
+        .mapInPandas(proj_partials, "comp long, kind long, val double")
+        .groupBy("comp", "kind")
+        .agg(F.sum("val").alias("val"))
+    )
+    acc: dict[tuple[int, int], float] = {
+        (int(r["comp"]), int(r["kind"])): float(r["val"]) for r in pv.collect()
+    }
+    proj_ok = True
+    for c in range(PCA_TOP_K):
+        nc, s, s2 = acc[(c, 0)], acc[(c, 1)], acc[(c, 2)]
+        var = s2 / nc - (s / nc) ** 2  # population variance
+        lam = float(evals[c])
+        if abs(var - lam) > PCA_RTOL * max(abs(lam), 1e-9):
+            proj_ok = False
+
+    # --- adjudicated output: decimal-exact trace + checked flags -----
+    def el(i: int):
+        return F.element_at("embedding", i + 1).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(d):
+        aggs.append(
+            F.sum((el(i) * el(i)).cast("decimal(28,14)")).alias(f"sxx_{i}")
+        )
+        aggs.append(F.sum(el(i).cast("decimal(28,14)")).alias(f"sx_{i}"))
+    terms = [
+        F.col(f"sxx_{i}").cast("double") / F.col("n")
+        - (F.col(f"sx_{i}").cast("double") / F.col("n"))
+        * (F.col(f"sx_{i}").cast("double") / F.col("n"))
+        for i in range(d)
+    ]
+    total_var = terms[0]
+    for t in terms[1:]:  # left-assoc, mirrored exactly in the oracle SQL
+        total_var = total_var + t
+    return e.agg(*aggs).select(
+        F.col("n").alias("n_vectors"),
+        F.lit(d).alias("dim"),
+        F.round(total_var, 6).alias("total_variance"),
+        F.lit(bool(trace_ok)).alias("trace_conserved"),
+        F.lit(bool(ortho_ok)).alias("components_orthonormal"),
+        F.lit(bool(mono_ok)).alias("eigenvalues_monotone"),
+        F.lit(bool(proj_ok)).alias("projection_variance_matches"),
+    )
+
+
+def _pca_audit_sql(d: int = 64) -> str:
+    aggs = ["COUNT(*) AS n"]
+    terms = []
+    for i in range(d):
+        xi = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+        aggs.append(f"SUM(CAST({xi} * {xi} AS DECIMAL(28,14))) AS sxx_{i}")
+        aggs.append(f"SUM(CAST({xi} AS DECIMAL(28,14))) AS sx_{i}")
+        terms.append(
+            f"(CAST(sxx_{i} AS DOUBLE) / n"
+            f" - (CAST(sx_{i} AS DOUBLE) / n)"
+            f" * (CAST(sx_{i} AS DOUBLE) / n))"
+        )
+    # plain + chain: left-associative in both engines
+    total = "\n    + ".join(terms)
+    return (
+        "WITH agg AS (SELECT "
+        + ",\n  ".join(aggs)
+        + " FROM embeddings)\n"
+        + "SELECT n AS n_vectors,\n"
+        + f"  {d} AS dim,\n"
+        + f"  ROUND({total}, 6) AS total_variance,\n"
+        + "  TRUE AS trace_conserved,\n"
+        + "  TRUE AS components_orthonormal,\n"
+        + "  TRUE AS eigenvalues_monotone,\n"
+        + "  TRUE AS projection_variance_matches\n"
+        + "FROM agg"
+    )
+
+
+EMBEDDING_PCA_AUDIT_SQL = _pca_audit_sql()

@@ -2892,3 +2892,150 @@ FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
 """
+
+
+# ------------------------------------------------- incremental near-dup
+
+INCR_MOD = 5  # batch = doc_id % 5 == 0 (~20%), index = the rest
+
+
+def near_dup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: a NEW batch of documents (doc_id %
+    {INCR_MOD} == 0, the arrival simulation) is checked against the
+    STANDING corpus index (the rest) — the nightly-ingest shape of
+    `near_dup_minhash_lsh`, where the corpus's shingle hashes / LSH
+    band table are a persisted index probed per batch, never
+    recomputed per arrival.
+
+    Same signature scheme as the full-corpus query (shingle k=
+    {SHINGLE_K}, {MINHASH_N} hashes, {LSH_BANDS}x{LSH_ROWS} bands,
+    exact-Jaccard verify at tau={JACCARD_TAU}), but the candidate join
+    is batch-bands x index-bands (an equi-join on band key between two
+    DISJOINT frames, no self-join, no batch-internal pairs) and the
+    verify intersect joins batch hashes to index hashes only. Output:
+    (doc_new, doc_indexed, jaccard) for every batch doc whose match in
+    the index survives the exact verify — the rows an ingest pipeline
+    would route to suppression/canonicalization.
+
+    Scale: per-batch cost is O(batch shingles) + band-bucket collisions
+    against the index — the index side is a standing table written once
+    at corpus build (here rebuilt per run because the harness is
+    stateless; `materialize` marks exactly the two frames a production
+    job persists). The band join's skew profile matches the full-corpus
+    query: hot buckets are boilerplate shingle patterns, absorbed by
+    AQE skew splitting.
+
+    Deliberately does NOT share `_minhash_pairs_for`: that helper backs
+    four standing driver verdicts (near_dup_minhash_lsh,
+    dedup_clusters, corpus_build_pipeline, leakage_safe_split), and
+    the two-frame generalization would change their plan lineage for
+    zero behavior gain — duplication here is cheaper than forfeiting
+    four green verdicts (registry staleness rule)."""
+    d = _docs(spark, sf_dir)
+    p = F.lit(TX.MINHASH_P)
+
+    def side(frame: DataFrame):
+        hs = (
+            TX.shingle_rows(frame, SHINGLE_K)
+            .select("doc_id", TX.hash60("g").alias("h"))
+            .distinct()
+            .transform(materialize)  # read by the sig agg AND the verify join
+        )
+        sig = (
+            hs.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(f"s{i}")
+                    for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
+                ],
+            )
+            .select(
+                "doc_id",
+                "n",
+                F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
+            )
+        )
+        bands = sig.select(
+            "doc_id",
+            F.explode(TX.lsh_band_keys("sig", LSH_BANDS, LSH_ROWS)).alias("bk"),
+        )
+        return hs, sig, bands
+
+    hs_new, sig_new, bands_new = side(
+        d.filter(F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0)
+    )
+    hs_idx, sig_idx, bands_idx = side(
+        d.filter(F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) != 0)
+    )
+    cand = (
+        bands_new.alias("a")
+        .join(bands_idx.alias("b"), F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_indexed"),
+        )
+        .distinct()
+    )
+    inter = (
+        F.broadcast(cand)
+        .join(hs_new.alias("ha"), F.col("doc_new") == F.col("ha.doc_id"))
+        .join(
+            hs_idx.alias("hb"),
+            (F.col("doc_indexed") == F.col("hb.doc_id"))
+            & (F.col("ha.h") == F.col("hb.h")),
+        )
+        .groupBy("doc_new", "doc_indexed")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(
+            F.broadcast(
+                sig_new.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
+            ),
+            "doc_new",
+        )
+        .join(
+            F.broadcast(
+                sig_idx.select(
+                    F.col("doc_id").alias("doc_indexed"), F.col("n").alias("nb")
+                )
+            ),
+            "doc_indexed",
+        )
+        .select("doc_new", "doc_indexed", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .orderBy("doc_new", "doc_indexed")
+    )
+
+
+NEAR_DUP_INCREMENTAL_LSH_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SH_SQL}),
+mhd AS (SELECT doc_id, list_distinct([{_d_hash60('x')} FOR x IN sh]) AS mh
+        FROM sh),
+mhb AS (SELECT doc_id, {_MH_BASE_SQL} AS mh FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_SQL} AS sig FROM mhb),
+bands AS (SELECT doc_id, unnest({_BAND_KEYS_SQL}) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_indexed
+  FROM bands a JOIN bands b ON a.bk = b.bk
+  WHERE a.doc_id % {INCR_MOD} = 0 AND b.doc_id % {INCR_MOD} != 0
+),
+pairs AS (
+  SELECT c.doc_new, c.doc_indexed,
+         ROUND(CAST(len(list_intersect(sa.mh, sb.mh)) AS DOUBLE)
+               / CAST(len(sa.mh) + len(sb.mh)
+                      - len(list_intersect(sa.mh, sb.mh)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN mhd sa ON sa.doc_id = c.doc_new
+  JOIN mhd sb ON sb.doc_id = c.doc_indexed
+)
+SELECT doc_new, doc_indexed, jaccard FROM pairs
+WHERE jaccard >= {JACCARD_TAU}
+ORDER BY doc_new, doc_indexed
+"""

@@ -338,6 +338,14 @@ _SPECS: list[QuerySpec] = [
         "LLM MinHash+LSH near-dup",
     ),
     QuerySpec(
+        "near_dup_incremental_lsh",
+        LT.near_dup_incremental_lsh,
+        LT.NEAR_DUP_INCREMENTAL_LSH_SQL,
+        "incremental near-dup ingest: new batch probed against the "
+        "standing corpus LSH index (batch-bands x index-bands join, "
+        "exact-Jaccard verify) — the nightly-ingest shape",
+    ),
+    QuerySpec(
         "dedup_clusters",
         LT.dedup_clusters,
         LT.DEDUP_CLUSTERS_SQL,
@@ -718,6 +726,15 @@ _SPECS: list[QuerySpec] = [
         "decimal-exact one-pass moments",
     ),
     QuerySpec(
+        "embedding_pca_audit",
+        EM.embedding_pca_audit,
+        EM.EMBEDDING_PCA_AUDIT_SQL,
+        "PCA over the corpus: distributed X'X partials + driver eigh "
+        "(the fit), distributed projection-variance verification; "
+        "decimal-exact trace adjudicated, eigh/orthonormality/"
+        "projection claims checked as flags",
+    ),
+    QuerySpec(
         "events_daily_unpivot",
         R.events_daily_unpivot,
         R.EVENTS_DAILY_UNPIVOT_SQL,
@@ -1027,6 +1044,15 @@ _SPECS: list[QuerySpec] = [
         "file-count-reduced flag vs literal-TRUE oracle",
     ),
     QuerySpec(
+        "file_skipping_scan_audit",
+        R.file_skipping_scan_audit,
+        R.FILE_SKIPPING_SCAN_AUDIT_SQL,
+        "zone-map data skipping on plain parquet: cluster-by-value "
+        "layout, file-level min/max stats pass, stats-pruned scan; "
+        "rollup oracle-recomputed from the raw source + actual "
+        "files-skipped flag",
+    ),
+    QuerySpec(
         "table_time_travel_audit",
         R.table_time_travel_audit,
         R.TABLE_TIME_TRAVEL_AUDIT_SQL,
@@ -1203,7 +1229,6 @@ _ADJUDICATED_R6 = frozenset(
 
 _ADJUDICATED_R7 = frozenset(
     {
-        "ann_recall_audit",
         "bloom_pruned_join",
         "bucketed_colocated_join",
         "corpus_build_pipeline",
