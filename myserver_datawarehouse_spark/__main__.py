@@ -7,7 +7,8 @@ exposes through Airflow task invocations, re-expressed as a CLI.
     python -m myserver_datawarehouse_spark explain QUERY [--sf-dir DIR]
     python -m myserver_datawarehouse_spark oracle QUERY
     python -m myserver_datawarehouse_spark table \
-        {versions|compact|vacuum|travel} PATH [--version vN]
+        {versions|compact|vacuum|travel|stats} PATH [--version vN]
+        [--column COL]
 
 `run` prints the first N rows (default 20) to stdout, or writes the
 full result as parquet when --output is given (the distributed path —
@@ -58,12 +59,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "(versions / compact / vacuum / travel)",
     )
     tb.add_argument(
-        "action", choices=("versions", "compact", "vacuum", "travel")
+        "action", choices=("versions", "compact", "vacuum", "travel", "stats")
     )
     tb.add_argument("path", help="table path (or versions root for WAP "
                                  "manifest tables)")
     tb.add_argument("--version", default=None,
                     help="version name for `travel` (e.g. v1)")
+    tb.add_argument("--column", default=None,
+                    help="column for `stats` (per-file zone map)")
     tb.add_argument("--limit", type=int, default=20)
     return p
 
@@ -121,6 +124,16 @@ def main(argv: list[str] | None = None) -> int:
             M.compact_table(spark, args.path)
             print(f"compacted: {before} -> {M.data_file_count(args.path)} "
                   "data files")
+            return 0
+        if args.action == "stats":
+            if not args.column:
+                print("stats needs --column", file=sys.stderr)
+                return 1
+            from myserver_datawarehouse_spark.sources.files import file_stats
+
+            file_stats(spark, args.path, args.column).show(
+                args.limit, truncate=False
+            )
             return 0
         if not args.version:
             print("travel needs --version", file=sys.stderr)

@@ -5243,12 +5243,9 @@ def file_skipping_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(root)
     )
-    stats = (
-        spark.read.parquet(root)
-        .groupBy(F.input_file_name().alias("path"))
-        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-        .collect()
-    )
+    from myserver_datawarehouse_spark.sources.files import file_stats
+
+    stats = file_stats(spark, root, "value").collect()
     keep = [
         r["path"]
         for r in stats

@@ -128,3 +128,25 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def file_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
+    """Zone map for a parquet table: per-file min/max/rows for `column`,
+    computed in one distributed aggregate over the table. This is the
+    stats table a lakehouse manifest (Delta `stats`, Iceberg
+    `lower_bounds`/`upper_bounds`) records at write commit; on plain
+    parquet it costs one scan and amortizes across every pruned read
+    (see plans/relational.file_skipping_scan_audit for the pruning
+    consumer, and the CLI `table stats` surface)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("path"))
+        .agg(
+            F.min(column).alias("lo"),
+            F.max(column).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("lo", "path")
+    )

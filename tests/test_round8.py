@@ -1,0 +1,109 @@
+"""Round-8 operators: zone-map file skipping, adjudicated PCA,
+incremental LSH ingest. The driver's oracle gate covers output
+equality; these tests pin the CLAIMS the oracles can't see — actual
+file pruning, eigendecomposition internals, index/batch disjointness."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.plans import embeddings as EM
+from myserver_datawarehouse_spark.plans import llm_text as LT
+from myserver_datawarehouse_spark.plans import relational as R
+from myserver_datawarehouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_file_skipping_prunes_and_matches_full_scan(spark):
+    out = R.file_skipping_scan_audit(spark, SF)
+    rows = {r["event_type"]: r for r in out.collect()}
+    # The flag reflects the ACTUAL kept/total counts — clustered layout
+    # plus a narrow band must skip at least one file.
+    assert all(r["files_skipped"] for r in rows.values())
+    # Pruned scan == unpruned filter (zone maps change I/O, never rows).
+    full = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").between(R.ZONEMAP_LO, R.ZONEMAP_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    for r in full.collect():
+        got = rows[r["event_type"]]
+        assert got["n_rows"] == r["n_rows"]
+        assert got["sum_value"] == r["sum_value"]
+
+
+def test_pca_audit_flags_and_trace(spark):
+    row = EM.embedding_pca_audit(spark, SF).collect()[0]
+    assert row["trace_conserved"]
+    assert row["components_orthonormal"]
+    assert row["eigenvalues_monotone"]
+    assert row["projection_variance_matches"]
+    # Trace against a direct local recompute (small SF fits in memory).
+    X = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, SF, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    assert row["n_vectors"] == len(X)
+    assert row["dim"] == X.shape[1]
+    total = float(X.var(axis=0).sum())  # population variance per dim
+    assert abs(row["total_variance"] - total) < 5e-6  # rounded to 6 dp
+
+
+def test_incremental_lsh_sides_disjoint_and_verified(spark):
+    pairs = LT.near_dup_incremental_lsh(spark, SF).collect()
+    assert pairs, "fixture corpus contains cross-side near-dups"
+    for p in pairs:
+        # Left side is always the new batch, right side always the index
+        # — no batch-internal or index-internal pairs.
+        assert p["doc_new"] % LT.INCR_MOD == 0
+        assert p["doc_indexed"] % LT.INCR_MOD != 0
+        assert p["jaccard"] >= LT.JACCARD_TAU
+    # Every emitted pair must also appear in the full-corpus pair set
+    # (incremental ingest is a restriction of the global dedup, never
+    # a different similarity).
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in LT.near_dup_minhash_lsh(spark, SF).collect()
+    }
+    for p in pairs:
+        key = (
+            min(p["doc_new"], p["doc_indexed"]),
+            max(p["doc_new"], p["doc_indexed"]),
+        )
+        assert key in full
+        assert abs(full[key] - p["jaccard"]) < 1e-9
+
+
+def test_cli_table_stats_zone_map(spark, tmp_path, capsys):
+    from myserver_datawarehouse_spark.__main__ import main
+    from myserver_datawarehouse_spark.sources.files import file_stats
+
+    p = str(tmp_path / "zm")
+    (
+        load_table(spark, SF, "events")
+        .select("event_id", "value")
+        .repartitionByRange(4, F.col("value"))
+        .write.parquet(p)
+    )
+    stats = file_stats(spark, p, "value").collect()
+    assert len(stats) == 4
+    assert sum(r["n_rows"] for r in stats) == load_table(
+        spark, SF, "events"
+    ).count()
+    # Range-clustered layout: files ordered by lo don't interleave.
+    ordered = sorted(stats, key=lambda r: r["lo"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi"] <= b["lo"]
+    assert main(["table", "stats", p, "--column", "value"]) == 0
+    assert "lo" in capsys.readouterr().out
+    assert main(["table", "stats", p]) == 1  # --column required

@@ -44,6 +44,10 @@ PROBE_QUERIES = [
     # connected-components / LSH family
     "near_dup_minhash_lsh",
     "dedup_clusters",
+    # round-8 additions: incremental ingest, zone-map pruning, PCA
+    "near_dup_incremental_lsh",
+    "file_skipping_scan_audit",
+    "embedding_pca_audit",
 ]
 
 
