@@ -5280,3 +5280,222 @@ WHERE value BETWEEN {ZONEMAP_LO} AND {ZONEMAP_HI}
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------------ bloom skipping
+
+BLOOM_SKIP_FILES = 32
+BLOOM_SKIP_BITS = 65536  # 8 KiB per file: fpp < 5% at sf0.1 row counts
+BLOOM_PROBE_IDS = (11, 257, 761)  # exist at every SF (event_id is 0..N-1)
+
+
+def bloom_file_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping via per-file bloom filters — the
+    pruning layer zone maps can't provide: `file_skipping_scan_audit`
+    prunes RANGE predicates on the clustered column, but a point lookup
+    on an UNCLUSTERED key (here event_id under hash layout) intersects
+    every file's [min,max], so min/max stats keep everything. A
+    per-file bloom (what Parquet column indexes / split-block bloom
+    filters and Delta's deletion-vector-adjacent blooms record) answers
+    'might this file contain key k' instead.
+
+    Build: bucket = xxhash64(event_id) mod {BLOOM_SKIP_BITS} (JVM-side,
+    codegen), then one vectorized applyInPandas kernel per file turns
+    its buckets into an 8 KiB bitset (numpy bitwise_or.at — the
+    sanctioned Arrow-batch path; per-file bloom STATE is fixed 8 KiB,
+    so the shuffle is files x row-buckets and the result is O(files) x
+    8 KiB, corpus-independent — a real split-block bloom is sized the
+    same way, ~10 bits per distinct key keeps fpp under 5% at sf0.1's
+    3125 rows/file). The driver keeps file blooms only (manifest-
+    scale), tests the probe keys' bits, and reads back only files
+    whose bloom admits ANY probe — with the row filter still applied
+    (blooms give false positives, never false negatives).
+
+    The output is the probe rollup, oracle-recomputed from the raw
+    source (a wrongly-skipped file — a false NEGATIVE, which a correct
+    bloom can never produce — would drop rows and flip the hash), plus
+    the actual files_skipped flag (oracle: literal TRUE). Scale: the
+    bloom build is one pass amortized at write commit like any
+    manifest stat; lookup cost is O(selectivity + fpp) files. With
+    {BLOOM_SKIP_FILES} files and hash layout each probe lives in
+    exactly one file, so the audit also demonstrates the best case:
+    candidates ~= true files + fp. Eager-execution, pid-keyed-dir
+    convention."""
+    import shutil
+
+    from myserver_datawarehouse_spark.sources.files import file_stats  # noqa: F401  (zone-map sibling)
+
+    root = _pid_tmpdir("msdw_bloomskip_table", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.repartition(BLOOM_SKIP_FILES, "event_id").write.mode(
+        "overwrite"
+    ).parquet(root)
+
+    import numpy as np
+    import pandas as pd
+
+    bucket = F.pmod(F.xxhash64(F.col("event_id")), F.lit(BLOOM_SKIP_BITS))
+
+    def build_bloom(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(BLOOM_SKIP_BITS // 8, dtype=np.uint8)
+        b = pdf["bucket"].to_numpy()
+        np.bitwise_or.at(bits, b // 8, (1 << (b % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {"path": [pdf["path"].iloc[0]], "bloom": [bits.tobytes()]}
+        )
+
+    blooms = (
+        spark.read.parquet(root)
+        .select(F.input_file_name().alias("path"), bucket.alias("bucket"))
+        .groupBy("path")
+        .applyInPandas(build_bloom, "path string, bloom binary")
+        .collect()
+    )
+    probe_buckets = [
+        int(r["bucket"])
+        for r in spark.createDataFrame(
+            [(i,) for i in BLOOM_PROBE_IDS], "event_id long"
+        )
+        .select(bucket.alias("bucket"))
+        .collect()
+    ]
+    keep = [
+        r["path"]
+        for r in blooms
+        if any(r["bloom"][b // 8] & (1 << (b % 8)) for b in probe_buckets)
+    ]
+    if not keep:
+        raise RuntimeError(f"bloom kept 0 of {len(blooms)} files")
+    pruned = spark.read.parquet(*keep).filter(
+        F.col("event_id").isin(*BLOOM_PROBE_IDS)
+    )
+    return (
+        pruned.groupBy("event_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("files_skipped", F.lit(bool(len(keep) < len(blooms))))
+        .orderBy("event_id")
+    )
+
+
+BLOOM_FILE_SKIP_AUDIT_SQL = f"""
+SELECT event_id, event_type,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value,
+       TRUE AS files_skipped
+FROM events
+WHERE event_id IN {BLOOM_PROBE_IDS}
+GROUP BY event_id, event_type
+ORDER BY event_id
+"""
+
+
+# ------------------------------------------------- change data feed
+
+CDF_INSERT_MOD = 97
+CDF_INSERT_OFFSET = 100_000_000  # past any real event_id at every SF
+CDF_UPDATE_BUMP = 1000.0  # always changes value (min(value) > 0)
+
+
+def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two WAP snapshots, driver-adjudicated —
+    the Delta CDF / Iceberg changelog capability computed from the
+    versions the writer already retains (`operators/merge.table_changes`).
+    The scenario exercises every change type in one diff:
+
+      v1 = the events table;
+      v2 = v1 minus the erased users (user_id % {ERASURE_MOD} == 0 →
+           DELETEs), with purchase rows' value bumped by
+           {CDF_UPDATE_BUMP} (→ UPDATEs), plus survivor rows with
+           event_id % {CDF_INSERT_MOD} == 0 re-keyed past the id domain
+           (→ INSERTs); everything else → unchanged.
+
+    The output is the per-change-type rollup (row count + value sum,
+    value taken from the TO side where present, FROM side for
+    deletes — exactly what a CDC consumer applies downstream), and the
+    oracle recomputes each class from the raw source by the same
+    predicates — a misclassified key (a missed update, a delete
+    surfacing as unchanged, an insert double-counted) shifts a class
+    total and flips the hash.
+
+    Scale: the diff is ONE key-shuffled full-outer join between the
+    two snapshots — the same cost envelope as the merge that produced
+    v2; a real table format derives the feed from per-commit file
+    metadata instead, with identical semantics (which is what this
+    adjudication pins). Null-safe column compare means value flips
+    to/from NULL classify as updates, not noise. Eager-execution,
+    pid-keyed-dir convention."""
+    import shutil
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        publish_overwrite,
+        table_changes,
+    )
+
+    root = _pid_tmpdir("msdw_cdf_table", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    v1 = publish_overwrite(spark, root, e)
+    survivors = e.filter(F.pmod(F.col("user_id"), F.lit(ERASURE_MOD)) != 0)
+    updated = survivors.withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value") + F.lit(CDF_UPDATE_BUMP),
+        ).otherwise(F.col("value")),
+    )
+    inserts = survivors.filter(
+        F.pmod(F.col("event_id"), F.lit(CDF_INSERT_MOD)) == 0
+    ).select(
+        (F.col("event_id") + F.lit(CDF_INSERT_OFFSET)).alias("event_id"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    v2 = publish_overwrite(spark, root, updated.unionByName(inserts))
+    changes = table_changes(spark, root, v1, v2, keys=["event_id"])
+    return (
+        changes.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("change_type")
+    )
+
+
+TABLE_CHANGES_FEED_SQL = f"""
+SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM events WHERE user_id % {ERASURE_MOD} = 0
+UNION ALL
+SELECT 'insert', COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM events
+WHERE user_id % {ERASURE_MOD} != 0 AND event_id % {CDF_INSERT_MOD} = 0
+UNION ALL
+SELECT 'unchanged', COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM events
+WHERE user_id % {ERASURE_MOD} != 0 AND event_type != 'purchase'
+UNION ALL
+SELECT 'update', COUNT(*),
+       CAST(ROUND(SUM(CAST(value + {CDF_UPDATE_BUMP} AS DECIMAL(18,6))), 2)
+            AS DOUBLE)
+FROM events
+WHERE user_id % {ERASURE_MOD} != 0 AND event_type = 'purchase'
+ORDER BY change_type
+"""

@@ -1044,6 +1044,23 @@ _SPECS: list[QuerySpec] = [
         "file-count-reduced flag vs literal-TRUE oracle",
     ),
     QuerySpec(
+        "table_changes_feed",
+        R.table_changes_feed,
+        R.TABLE_CHANGES_FEED_SQL,
+        "change data feed between two WAP snapshots (Delta CDF shape): "
+        "full-outer key diff classifying insert/delete/update/unchanged, "
+        "per-class rollup oracle-recomputed from the raw source",
+    ),
+    QuerySpec(
+        "bloom_file_skip_audit",
+        R.bloom_file_skip_audit,
+        R.BLOOM_FILE_SKIP_AUDIT_SQL,
+        "point-lookup file skipping via per-file bloom bitsets (the "
+        "pruning zone maps can't give an unclustered key): vectorized "
+        "bitset kernel per file, driver probes manifest-scale blooms, "
+        "pruned scan; rollup oracle-recomputed + files-skipped flag",
+    ),
+    QuerySpec(
         "file_skipping_scan_audit",
         R.file_skipping_scan_audit,
         R.FILE_SKIPPING_SCAN_AUDIT_SQL,

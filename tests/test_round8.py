@@ -107,3 +107,49 @@ def test_cli_table_stats_zone_map(spark, tmp_path, capsys):
     assert main(["table", "stats", p, "--column", "value"]) == 0
     assert "lo" in capsys.readouterr().out
     assert main(["table", "stats", p]) == 1  # --column required
+
+
+def test_bloom_file_skip_prunes_without_false_negatives(spark):
+    out = {r["event_id"]: r for r in R.bloom_file_skip_audit(spark, SF).collect()}
+    # No false negatives: every probe id present in the source appears.
+    src = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_id").isin(*R.BLOOM_PROBE_IDS))
+        .collect()
+    )
+    assert {r["event_id"] for r in src} == set(out)
+    for r in src:
+        assert out[r["event_id"]]["n_rows"] == 1
+        assert out[r["event_id"]]["files_skipped"]
+
+
+def test_table_changes_classifies_all_types(spark, tmp_path):
+    from myserver_datawarehouse_spark.operators import merge as M
+
+    root = str(tmp_path / "cdf")
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", None), (4, "w", 4.0)],
+        "id long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "x", 1.0),      # unchanged
+            (2, "y", 9.0),      # update (value change)
+            (3, "z", 3.0),      # update (NULL -> value is an update)
+            (5, "n", 5.0),      # insert
+        ],                       # id 4 absent -> delete
+        "id long, s string, v double",
+    )
+    v1 = M.publish_overwrite(spark, root, a)
+    v2 = M.publish_overwrite(spark, root, b)
+    got = {
+        r["id"]: r["change_type"]
+        for r in M.table_changes(spark, root, v1, v2, keys=["id"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "update",
+        3: "update",
+        4: "delete",
+        5: "insert",
+    }
