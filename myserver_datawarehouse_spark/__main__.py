@@ -59,7 +59,10 @@ def _build_parser() -> argparse.ArgumentParser:
         "(versions / compact / vacuum / travel)",
     )
     tb.add_argument(
-        "action", choices=("versions", "compact", "vacuum", "travel", "stats")
+        "action",
+        choices=(
+            "versions", "compact", "vacuum", "travel", "stats", "delete"
+        ),
     )
     tb.add_argument("path", help="table path (or versions root for WAP "
                                  "manifest tables)")
@@ -67,6 +70,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="version name for `travel` (e.g. v1)")
     tb.add_argument("--column", default=None,
                     help="column for `stats` (per-file zone map)")
+    tb.add_argument("--where", default=None,
+                    help="SQL predicate for `delete` (merge-on-read)")
+    tb.add_argument("--keys", default=None,
+                    help="comma-separated key columns for `delete`")
     tb.add_argument("--limit", type=int, default=20)
     return p
 
@@ -134,6 +141,19 @@ def main(argv: list[str] | None = None) -> int:
             file_stats(spark, args.path, args.column).show(
                 args.limit, truncate=False
             )
+            return 0
+        if args.action == "delete":
+            if not args.where or not args.keys:
+                print("delete needs --where and --keys", file=sys.stderr)
+                return 1
+            from pyspark.sql import functions as F
+
+            version = M.delete_where(
+                spark, root, F.expr(args.where),
+                keys=[k.strip() for k in args.keys.split(",")],
+            )
+            print(f"published {version} (merge-on-read; no data files "
+                  "rewritten — `compact` folds the deletes in)")
             return 0
         if not args.version:
             print("travel needs --version", file=sys.stderr)

@@ -416,7 +416,10 @@ def data_file_count(target_path: str) -> int:
         else os.path.realpath(target_path)
     )
     n = 0
-    for root, _dirs, files in os.walk(base):
+    for root, dirs, files in os.walk(base):
+        # sidecar trees (e.g. the _deletes equality-delete files) are
+        # not data files
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         n += sum(1 for f in files if not f.startswith((".", "_")))
     return n
 
@@ -525,16 +528,56 @@ def _stage_snapshot(
 
 def _read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Read one version directory, falling back to the `_SCHEMA.json`
-    sidecar when inference has nothing to work with (0-row snapshot)."""
+    sidecar when inference has nothing to work with (0-row snapshot).
+    Equality-delete sidecars (`_deletes/`, written by `delete_where`)
+    are applied on read — merge-on-read semantics."""
     try:
-        return spark.read.parquet(snapshot_dir)
+        df = spark.read.parquet(snapshot_dir)
     except Exception:
         sidecar = os.path.join(snapshot_dir, "_SCHEMA.json")
         if os.path.isfile(sidecar):
             with open(sidecar) as fh:
                 schema = StructType.fromJson(json.load(fh))
-            return spark.read.schema(schema).parquet(snapshot_dir)
-        raise
+            df = spark.read.schema(schema).parquet(snapshot_dir)
+        else:
+            raise
+    return _apply_deletes(spark, snapshot_dir, df)
+
+
+def _delete_meta(snapshot_dir: str) -> dict | None:
+    meta = os.path.join(snapshot_dir, _DELETES, "_META.json")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta) as fh:
+        return json.load(fh)
+
+
+def _apply_deletes(
+    spark: SparkSession, snapshot_dir: str, df: DataFrame
+) -> DataFrame:
+    """Subtract the snapshot's equality-delete sidecar: a NULL-SAFE
+    anti-join of the data against the deleted-key set. The delete set
+    is typically tiny relative to the table (a GDPR user list against
+    100 TB of facts), so AQE plans this as a broadcast anti-join —
+    O(data scan) with no shuffle of the big side."""
+    meta = _delete_meta(snapshot_dir)
+    if meta is None:
+        return df
+    ddir = os.path.join(snapshot_dir, _DELETES)
+    has_rows = any(
+        not f.startswith((".", "_"))
+        for _r, _d, files in os.walk(ddir)
+        for f in files
+    )
+    if not has_rows:
+        return df
+    keys = meta["keys"]
+    dels = spark.read.parquet(ddir).select(*keys).dropDuplicates(keys)
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [df[k].eqNullSafe(dels[k]) for k in keys],
+    )
+    return df.join(dels, cond, "left_anti")
 
 
 def _link_untouched(current_dir: str, staged_dir: str) -> None:
@@ -715,6 +758,7 @@ def write_bucketed(
 # remaining ACID gap vs a table format's MERGE — crash atomicity).
 
 _CURRENT = "_CURRENT"
+_DELETES = "_deletes"
 
 
 def _published_version(table_root: str) -> str | None:
@@ -788,13 +832,19 @@ def publish_overwrite(
     mode=overwrite, which deletes the live files before the new ones
     are durable (tested in tests/test_merge.py)."""
     version = _stage_snapshot(spark, table_root, df, partition_by, audit)
+    _commit_manifest(table_root, version)
+    return version
+
+
+def _commit_manifest(table_root: str, version: str) -> None:
+    """PUBLISH step shared by every manifest-root committer. Commit
+    under the table lock so the conflict check and the manifest swap
+    are one atomic step (check-then-act alone would let a concurrent
+    publisher commit between the check and the os.replace, after which
+    this swap would move the manifest BACKWARDS — possibly onto a
+    version a concurrent vacuum just deleted). vacuum_versions takes
+    the same lock, closing the race from the vacuum side too."""
     staged = os.path.join(table_root, version)
-    # Commit under the table lock so the conflict check and the manifest
-    # swap are one atomic step (check-then-act alone would let a
-    # concurrent publisher commit between the check and the os.replace,
-    # after which this swap would move the manifest BACKWARDS — possibly
-    # onto a version a concurrent vacuum just deleted). vacuum_versions
-    # takes the same lock, closing the race from the vacuum side too.
     with _commit_lock(table_root):
         cur = _published_version(table_root)
         if cur is not None and int(version[1:]) <= int(cur[1:]):
@@ -811,7 +861,6 @@ def publish_overwrite(
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, os.path.join(table_root, _CURRENT))  # commit point
-    return version
 
 
 def read_published(spark: SparkSession, table_root: str) -> DataFrame:
@@ -961,3 +1010,110 @@ def table_changes(
         ],
         change.alias("change_type"),
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table_root: str,
+    condition,
+    keys: Sequence[str],
+) -> str:
+    """MERGE-ON-READ row deletion (the Iceberg v2 equality-delete /
+    Delta deletion-vector capability, on plain parquet + the WAP
+    manifest): delete the published rows matching `condition` WITHOUT
+    rewriting any data file.
+
+    The commit writes a new snapshot version that
+
+      1. HARDLINKS every data file of the current version (and any
+         prior delete files) — zero bytes of data copied or rewritten;
+      2. appends ONE small parquet delete file under `_deletes/`
+         holding just the key columns of the doomed rows;
+      3. publishes through the same conflict-checked manifest swap as
+         `publish_overwrite` — readers see either the old snapshot or
+         the new one with the deletes applied, never a mix.
+
+    Readers (`read_published` / `read_version` / `table_changes`)
+    subtract the delete set with a null-safe anti-join at scan time;
+    `compact_table` is the major compaction that folds the deletes
+    into rewritten data files (the new version has no `_deletes/`).
+
+    Why this matters at 100 TB: a copy-on-write erasure of 0.001% of
+    rows rewrites every file that contains one of them — potentially
+    the whole table. Merge-on-read writes O(deleted keys) bytes and
+    defers the rewrite to the next scheduled compaction, which is how
+    GDPR erasure SLAs are met on petabyte tables. Deletes accumulate
+    across versions (each commit carries the prior delete files by
+    hardlink); read cost grows with the delete-set size until
+    compaction resets it.
+
+    `keys` must identify rows for deletion purposes — every row whose
+    key appears in the delete set is removed (exactly the equality-
+    delete contract). All delete commits against one table must use
+    the same key spec (enforced via the `_META.json` sidecar).
+    Returns the published version name.
+
+    Reference parity: the reference has no row-deletion path at all —
+    erasure there is a full-table rewrite (see `user_erasure_audit`);
+    this operator is the scale-correct replacement."""
+    import shutil
+
+    cur = _published_version(table_root)
+    if cur is None:
+        raise FileNotFoundError(f"no published version under {table_root}")
+    cur_dir = os.path.join(table_root, cur)
+    prior_meta = _delete_meta(cur_dir)
+    if prior_meta is not None and list(prior_meta["keys"]) != list(keys):
+        raise ValueError(
+            f"delete key spec {list(keys)} != table's established "
+            f"spec {prior_meta['keys']}"
+        )
+    # Doomed keys are computed against the CURRENT LOGICAL view (prior
+    # deletes already applied), so re-deleting an already-deleted key
+    # is a no-op rather than a duplicate entry.
+    doomed = (
+        _read_snapshot(spark, cur_dir)
+        .filter(condition)
+        .select(*keys)
+        .dropDuplicates(list(keys))
+    )
+    version = _claim_next_version(table_root)
+    staged = os.path.join(table_root, version)
+    # Carry: every data file and prior delete file, by hardlink (inode
+    # refcount keeps them alive if the old version is vacuumed).
+    _link_all_files(cur_dir, staged)
+    for sidecar in ("_SCHEMA.json",):
+        src = os.path.join(cur_dir, sidecar)
+        if os.path.isfile(src):
+            shutil.copy(src, os.path.join(staged, sidecar))
+    ddir = os.path.join(staged, _DELETES)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        doomed.observe(obs, F.count(F.lit(1)).alias("n_deletes"))
+        # a delete set is manifest-scale metadata: one file, not 32
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(ddir)
+    )
+    n_new = obs.get["n_deletes"]
+    with open(os.path.join(ddir, "_META.json"), "w") as fh:
+        json.dump({"keys": list(keys)}, fh)
+    # AUDIT: the staged delete files read back complete (every prior
+    # delete row plus the new ones), and the staged data file set is
+    # exactly the current one — a failed carry or a torn delete write
+    # raises here and never touches the manifest.
+    back = spark.read.parquet(ddir).count()
+    prior = (
+        spark.read.parquet(os.path.join(cur_dir, _DELETES)).count()
+        if _delete_meta(cur_dir) is not None
+        else 0
+    )
+    if back != prior + n_new:
+        raise RuntimeError(
+            f"audit failed for {staged}: {back} delete rows read back "
+            f"(expected {prior} carried + {n_new} new)"
+        )
+    _commit_manifest(table_root, version)
+    return version

@@ -1084,6 +1084,15 @@ _SPECS: list[QuerySpec] = [
         "order-dependence: rank-keyed array_sort -> array_join, "
         "bit-identical to string_agg(... ORDER BY)",
     ),
+    QuerySpec(
+        "deletion_vector_audit",
+        R.deletion_vector_audit,
+        R.DELETION_VECTOR_AUDIT_SQL,
+        "merge-on-read deletion (equality-delete sidecar + hardlink "
+        "carry, zero data files rewritten — inode-checked), survivor "
+        "rollup through the MOR reader, compaction-consistency "
+        "null-safe-compared, all oracle-adjudicated",
+    ),
 ]
 
 

@@ -672,3 +672,132 @@ def test_streaming_merge_target_vacuumed_per_batch(spark, tmp_path):
     assert rows_of(spark, p) == {(i, "x", 10) for i in range(4)}
     # vacuum on a table with no versions root is a no-op
     assert M.vacuum_path_table(str(tmp_path / "nope")) == []
+
+
+# ----------------------- merge-on-read deletion vectors (delete_where)
+
+
+def _dv_table(spark, tmp_path):
+    root = str(tmp_path / "dv")
+    df = batch(
+        spark,
+        [(i, f"v{i}", i % 3) for i in range(30)],
+    )
+    v1 = M.publish_overwrite(spark, root, df)
+    return root, v1
+
+
+def test_delete_where_removes_rows_without_rewriting_files(
+    spark, tmp_path
+):
+    import os
+
+    root, v1 = _dv_table(spark, tmp_path)
+    inodes_v1 = {
+        f: os.stat(os.path.join(root, v1, f)).st_ino
+        for f in os.listdir(os.path.join(root, v1))
+        if not f.startswith((".", "_"))
+    }
+    v2 = M.delete_where(spark, root, F.col("d") == 0, keys=["id"])
+    got = {r["id"] for r in M.read_published(spark, root).collect()}
+    assert got == {i for i in range(30) if i % 3 != 0}
+    # copy-on-write: every data file of v2 is the same inode as v1's
+    inodes_v2 = {
+        f: os.stat(os.path.join(root, v2, f)).st_ino
+        for f in os.listdir(os.path.join(root, v2))
+        if not f.startswith((".", "_"))
+    }
+    assert inodes_v2 and inodes_v2 == inodes_v1
+    # time travel: v1 still reads the full table
+    assert M.read_version(spark, root, v1).count() == 30
+
+
+def test_delete_where_accumulates_and_redelete_is_noop(spark, tmp_path):
+    root, _ = _dv_table(spark, tmp_path)
+    M.delete_where(spark, root, F.col("id") < 5, keys=["id"])
+    M.delete_where(spark, root, F.col("id") < 10, keys=["id"])
+    assert M.read_published(spark, root).count() == 20
+    # second commit's delete file holds only the NEW keys (5..9): the
+    # doomed set was computed on the logical view with prior deletes
+    # already applied
+    import os
+
+    cur = M._published_version(root)
+    dels = spark.read.parquet(os.path.join(root, cur, "_deletes"))
+    assert dels.count() == 10  # 5 carried + 5 new, no duplicates
+
+
+def test_delete_where_crash_before_commit_leaves_table_intact(
+    spark, tmp_path, monkeypatch
+):
+    root, _ = _dv_table(spark, tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(M, "_commit_manifest", boom)
+    try:
+        M.delete_where(spark, root, F.col("id") < 5, keys=["id"])
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert M._published_version(root) == "v1"
+    assert M.read_published(spark, root).count() == 30
+
+
+def test_compact_folds_deletes_into_data(spark, tmp_path):
+    import os
+
+    root, _ = _dv_table(spark, tmp_path)
+    M.delete_where(spark, root, F.col("d") == 1, keys=["id"])
+    M.compact_table(spark, root)
+    cur = M._published_version(root)
+    assert M._delete_meta(os.path.join(root, cur)) is None
+    got = {r["id"] for r in M.read_published(spark, root).collect()}
+    assert got == {i for i in range(30) if i % 3 != 1}
+
+
+def test_delete_where_key_spec_must_match(spark, tmp_path):
+    import pytest
+
+    root, _ = _dv_table(spark, tmp_path)
+    M.delete_where(spark, root, F.col("id") == 0, keys=["id"])
+    with pytest.raises(ValueError, match="key spec"):
+        M.delete_where(spark, root, F.col("id") == 1, keys=["v"])
+
+
+def test_delete_where_null_keys_are_null_safe(spark, tmp_path):
+    root = str(tmp_path / "dvnull")
+    df = spark.createDataFrame(
+        [(None, "a", 0), (1, "b", 0), (2, "c", 1)],
+        "id long, v string, d int",
+    )
+    M.publish_overwrite(spark, root, df)
+    # deleting the null-id row must actually remove it (eqNullSafe
+    # anti-join; a plain equi-join would never match null = null)
+    M.delete_where(spark, root, F.col("id").isNull(), keys=["id"])
+    got = {r["id"] for r in M.read_published(spark, root).collect()}
+    assert got == {1, 2}
+
+
+def test_delete_where_unpublished_root_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        M.delete_where(
+            spark, str(tmp_path / "nope"), F.lit(True), keys=["id"]
+        )
+
+
+def test_table_changes_sees_mor_deletes(spark, tmp_path):
+    root, _ = _dv_table(spark, tmp_path)
+    v2 = M.delete_where(spark, root, F.col("id") < 3, keys=["id"])
+    v3 = M.delete_where(spark, root, F.col("id") == 5, keys=["id"])
+    ch = M.table_changes(spark, root, v2, v3, keys=["id"])
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in ch.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type == {"delete": 1, "unchanged": 26}
