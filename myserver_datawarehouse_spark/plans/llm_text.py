@@ -3039,3 +3039,259 @@ SELECT doc_new, doc_indexed, jaccard FROM pairs
 WHERE jaccard >= {JACCARD_TAU}
 ORDER BY doc_new, doc_indexed
 """
+
+
+# --------------------------- sketch tier: theta/KMV set operations
+
+THETA_K = 128          # sketch size (k minimum hash values per source)
+THETA_SALT = 64        # stage-1 fanout for the scalable top-k-smallest
+_THETA_MAX = float(2**60)  # hash60 range; exactly representable
+
+
+def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier SET OPERATIONS: pairwise distinct-vocabulary union
+    and intersection between sources estimated from THETA/KMV sketches
+    (k minimum hash values) — the capability HLL cannot provide (HLLs
+    union but never intersect; theta sketches do both, which is why
+    they are the cross-dataset overlap primitive at corpus scale).
+
+    Sketch: per source keep the THETA_K smallest distinct `hash60`
+    values of its distinct 3-shingle set (shingles, not unigrams: the
+    fixture corpus draws from a 31-word vocabulary, so the unigram
+    universe would never leave the sketch's exact regime — 3-grams
+    give a ~10k-element universe per source at sf0.1 and the
+    estimator actually estimates). Built scale-safe in two stages — a
+    salted top-k per (source, hash mod {salt}) window bounds every
+    partition, then a final top-k per source over ≤ salt*k survivors —
+    so no single reducer ever sees a whole source's vocabulary (the
+    naive one-window version is a 20-partition skew trap at 100 TB).
+    The sketch is mergeable state, THETA_K hashes per source,
+    shippable between clusters like any summary.
+
+    Estimation (per pair, standard KMV): keep the K smallest of the
+    two sketches' union; θ = the Kth value; union_est = (K-1)·2^60/θ;
+    jaccard ≈ matches-in-kept / K; inter_est = jaccard · union_est.
+    If the union holds fewer than K hashes the sketch IS the exact set
+    and both estimates collapse to exact counts.
+
+    Adjudication follows the sketch-tier rule (claims, not just
+    outputs): the EXACT intersection rides along (computed via the
+    array-local pair generation of `source_vocab_overlap`, never a
+    token self-join) and `within_tol` checks the estimate against a
+    3σ ≈ 0.27·|union| KMV bound. The oracle rebuilds the identical
+    sketch from the identical md5-based hashes — bit-for-bit, so a
+    wrong window, a dropped tie, or a mis-staged top-k flips the hash.
+
+    Reference parity: no sketch tier exists in the reference at all;
+    this extends the engine's mergeable-summary family
+    (approx_distinct/quantile, count-min) with set algebra."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(
+            "source",
+            F.explode(TX.shingles(TX.tokenize("text"), 3)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .transform(materialize)
+    )
+    hashed = vocab.select(
+        "source", TX.hash60("tok").alias("h")
+    ).distinct()
+    # two-stage top-k-smallest (salted, every partition bounded)
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(THETA_SALT))
+    ).orderBy("h")
+    w2 = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= THETA_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= THETA_K)
+        .drop("rn")
+    )
+    srcs = vocab.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+    )
+    u = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (F.col("source") == F.col("sa"))
+            | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(
+            F.max((F.col("source") == F.col("sa")).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("source") == F.col("sb")).cast("int")).alias(
+                "in_b"
+            ),
+        )
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    agg = (
+        u.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= THETA_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+            ).alias("matches"),
+        )
+    )
+    # exact yardstick: array-local pair generation (no token self-join)
+    exact = (
+        vocab.groupBy("tok")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.sa", "p.sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab")
+    )
+    k = F.lit(THETA_K)
+    union_raw = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        (k - 1).cast("double")
+        * F.lit(_THETA_MAX)
+        / F.col("kth").cast("double")
+    )
+    inter_raw = F.when(
+        F.col("n_kept") < k, F.col("matches").cast("double")
+    ).otherwise(
+        F.col("matches").cast("double") * F.col("u_raw") / k.cast("double")
+    )
+    union_exact = (
+        F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        agg.join(exact, ["sa", "sb"], "left")
+        .na.fill({"n_shared": 0})
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("sa"),
+                    F.col("vocab").alias("vocab_a"),
+                )
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("sb"),
+                    F.col("vocab").alias("vocab_b"),
+                )
+            ),
+            "sb",
+        )
+        .withColumn("u_raw", union_raw)
+        .withColumn("i_raw", inter_raw)
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_shared",
+            F.round("u_raw", 2).alias("union_est"),
+            F.round("i_raw", 2).alias("inter_est"),
+            (
+                F.abs(F.col("i_raw") - F.col("n_shared"))
+                <= F.lit(0.27) * union_exact + F.lit(2.0)
+            ).alias("within_tol"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+THETA_SKETCH_OVERLAP_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+v AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest({_SH_POS_SQL}) AS t FROM toks)
+  WHERE t <> ''
+),
+hashed AS (SELECT DISTINCT source, {_d_hash60('t')} AS h FROM v),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed)
+  WHERE rn <= {THETA_K}
+),
+srcs AS (SELECT DISTINCT source FROM v),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+u AS (
+  SELECT p.sa, p.sb, s.h,
+         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT sa, sb, COUNT(*) AS n_kept, MAX(h) AS kth,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+           AS matches
+  FROM (
+    SELECT u.*,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM u)
+  WHERE rn <= {THETA_K}
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared
+  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, COUNT(*) AS vocab FROM v GROUP BY 1),
+est AS (
+  SELECT g.sa, g.sb, COALESCE(e.n_shared, 0) AS n_shared,
+         sa_.vocab AS vocab_a, sb_.vocab AS vocab_b,
+         CASE WHEN g.n_kept < {THETA_K}
+              THEN CAST(g.n_kept AS DOUBLE)
+              ELSE CAST({THETA_K - 1} AS DOUBLE) * power(2.0, 60)
+                   / CAST(g.kth AS DOUBLE) END AS u_raw,
+         g.n_kept, g.matches
+  FROM agg g
+  LEFT JOIN ex e ON e.sa = g.sa AND e.sb = g.sb
+  JOIN sizes sa_ ON sa_.source = g.sa
+  JOIN sizes sb_ ON sb_.source = g.sb
+)
+SELECT sa AS source_a, sb AS source_b, n_shared,
+       ROUND(u_raw, 2) AS union_est,
+       ROUND(CASE WHEN n_kept < {THETA_K}
+                  THEN CAST(matches AS DOUBLE)
+                  ELSE CAST(matches AS DOUBLE) * u_raw
+                       / CAST({THETA_K} AS DOUBLE) END, 2) AS inter_est,
+       ABS(CASE WHEN n_kept < {THETA_K}
+                THEN CAST(matches AS DOUBLE)
+                ELSE CAST(matches AS DOUBLE) * u_raw
+                     / CAST({THETA_K} AS DOUBLE) END
+           - n_shared)
+         <= 0.27 * CAST(vocab_a + vocab_b - n_shared AS DOUBLE) + 2.0
+         AS within_tol
+FROM est
+ORDER BY source_a, source_b
+"""

@@ -649,6 +649,16 @@ _SPECS: list[QuerySpec] = [
         "array-local (no token self-join)",
     ),
     QuerySpec(
+        "theta_sketch_overlap",
+        LT.theta_sketch_overlap,
+        LT.THETA_SKETCH_OVERLAP_SQL,
+        "sketch tier: theta/KMV distinct set operations — pairwise "
+        "union+intersection estimates from k-minimum-values sketches "
+        "(salted two-stage top-k, bounded state), exact intersection "
+        "yardstick + 3-sigma within_tol flag, oracle rebuilds the "
+        "identical sketch bit-for-bit",
+    ),
+    QuerySpec(
         "source_mix_entropy",
         LT.source_mix_entropy,
         LT.SOURCE_MIX_ENTROPY_SQL,

@@ -153,3 +153,63 @@ def test_table_changes_classifies_all_types(spark, tmp_path):
         4: "delete",
         5: "insert",
     }
+
+
+def test_theta_sketch_two_stage_topk_matches_plain_window(spark):
+    """The salted two-stage top-k-smallest (the 100 TB skew-safe
+    construction) must select EXACTLY the K smallest hashes per source
+    — byte-identical to the naive single window it replaces."""
+    from pyspark.sql import Window
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("source"),
+            F.xxhash64(F.col("id")).alias("h"),
+        )
+        .distinct()
+    )
+    k, salt = LT.THETA_K, LT.THETA_SALT
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(salt))
+    ).orderBy("h")
+    w2 = Window.partitionBy("source").orderBy("h")
+    staged = (
+        df.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    plain = (
+        df.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    assert set(map(tuple, staged.collect())) == set(
+        map(tuple, plain.collect())
+    )
+
+
+def test_theta_sketch_exact_mode_for_tiny_universe(spark, monkeypatch):
+    """When the pairwise union holds fewer than K hashes the sketch IS
+    the exact set: estimates must collapse to exact counts."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    # unigram domain: the fixture corpus has a 31-word vocabulary, far
+    # below K=128, so every pair runs the exact-mode branch
+    sql = LT.THETA_SKETCH_OVERLAP_SQL.replace(
+        "unnest([array_to_string(tks[i:i+2], ' ') "
+        "FOR i IN generate_series(1, len(tks) - 2)])",
+        "unnest(tks)",
+    )
+    rows = con.sql(
+        "SELECT COUNT(*) FROM (" + sql + ") "
+        "WHERE inter_est <> n_shared OR NOT within_tol"
+    ).fetchone()
+    assert rows[0] == 0
