@@ -3295,3 +3295,336 @@ SELECT sa AS source_a, sb AS source_b, n_shared,
 FROM est
 ORDER BY source_a, source_b
 """
+
+
+# ------------------------------------ corpus search (inverted index)
+
+SEARCH_QUERIES = {
+    "q_dup_merge_window": ["dup", "merge", "window"],
+    "q_vec_slow_big_stream": ["vector", "slow", "big", "stream"],
+    "q_customer_query": ["customer", "query"],
+}
+SEARCH_PHRASES = {
+    "p_row_fast_merge": "row fast merge",
+    "p_sort_table_window": "sort table window",
+    "p_query_big_table": "query big table",
+}
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _search_skeleton(spark: SparkSession, mapping: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(k,) for k in sorted(mapping)], "query_id string"
+    )
+
+
+def keyword_search_conjunctive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conjunctive (AND) keyword search through an INVERTED-INDEX plan
+    shape: explode the corpus into (term, doc) postings, keep only the
+    query terms' posting lists (the filter rides INTO the explode's
+    projection — no full posting build), and intersect lists by
+    counting distinct matched terms per doc against the query's term
+    count. This is the search-engine execution model expressed
+    relationally: posting-list intersection == groupBy(doc) HAVING
+    count(DISTINCT term) = |query|.
+
+    Output is one row per query (a VALUES skeleton keeps zero-match
+    queries present): match count plus an order-free doc-set checksum
+    (sum + min + max of matched doc_ids) the oracle recomputes via
+    list_has_all over the raw text — a doc matched by the index but
+    not the scan (or vice versa) shifts the checksum and fails.
+
+    Scale: the posting shuffle is (query terms x their docs), not the
+    corpus; stopword-heavy terms skew their reducer, which is why real
+    engines intersect rarest-first — here the per-(query,doc) count
+    aggregate does the equivalent in one map-side-combinable pass.
+    Reference parity: the reference has no text search; this is the
+    retrieval tier of the LLM-pipeline surface."""
+    d = _docs(spark, sf_dir)
+    terms = spark.createDataFrame(
+        [
+            (qid, t, len(ts))
+            for qid, ts in SEARCH_QUERIES.items()
+            for t in ts
+        ],
+        "query_id string, term string, n_terms int",
+    )
+    postings = (
+        d.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("query_id", "doc_id", "n_terms")
+        .agg(F.count_distinct("term").alias("hit"))
+        .filter(F.col("hit") == F.col("n_terms"))
+    )
+    agg = postings.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("doc_id").alias("doc_checksum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    return (
+        _search_skeleton(spark, SEARCH_QUERIES)
+        .join(agg, "query_id", "left")
+        .na.fill(
+            {"n_matched": 0, "doc_checksum": 0, "first_doc": -1,
+             "last_doc": -1}
+        )
+        .orderBy("query_id")
+    )
+
+
+def _kw_sql() -> str:
+    cases = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, "
+        f"[{', '.join(repr(t) for t in ts)}] AS terms"
+        for qid, ts in sorted(SEARCH_QUERIES.items())
+    )
+    return f"""
+WITH toks AS ({{toks}}),
+q AS ({cases}),
+m AS (
+  SELECT q.query_id, t.doc_id
+  FROM q JOIN toks t ON list_has_all(t.tks, q.terms)
+)
+SELECT q.query_id,
+       COALESCE(COUNT(m.doc_id), 0) AS n_matched,
+       CAST(COALESCE(SUM(m.doc_id), 0) AS BIGINT) AS doc_checksum,
+       COALESCE(MIN(m.doc_id), -1) AS first_doc,
+       COALESCE(MAX(m.doc_id), -1) AS last_doc
+FROM q LEFT JOIN m ON m.query_id = q.query_id
+GROUP BY q.query_id
+ORDER BY q.query_id
+"""
+
+
+def phrase_search_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact PHRASE search through positional postings: posexplode the
+    corpus into (doc, term, position) and match a w-word phrase by
+    joining the w posting lists on (doc, position + offset) — the
+    positional-index adjacency walk every phrase-capable engine runs,
+    expressed as w-1 equi-joins on (doc_id, pos) keys.
+
+    The oracle finds phrases by space-padded substring position over
+    the normalized text — a COMPLETELY DIFFERENT algorithm, so
+    agreement adjudicates the index construction end-to-end (an
+    off-by-one in the position key, a dropped duplicate occurrence, a
+    boundary bug at the doc edge all diverge). Zero-match phrases stay
+    present via the VALUES skeleton (sf0.001 genuinely has one).
+
+    Scale: postings for the phrase's terms only; the adjacency joins
+    are keyed on (doc, pos) — uniformly distributed, no skew; w-1
+    joins of filtered lists, never a text scan per phrase."""
+    d = _docs(spark, sf_dir)
+    postings = d.select(
+        "doc_id",
+        F.posexplode(TX.tokenize("text")).alias("pos", "term"),
+    )
+    out = None
+    for pid, phrase in sorted(SEARCH_PHRASES.items()):
+        words = phrase.split()
+        m = postings.filter(F.col("term") == words[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = postings.filter(F.col("term") == w).select(
+                F.col("doc_id").alias("d_"), F.col("pos").alias("p_")
+            )
+            m = m.join(
+                nxt,
+                (F.col("doc_id") == F.col("d_"))
+                & (F.col("p_") == F.col("p0") + i),
+            ).drop("d_", "p_")
+        hits = m.select("doc_id").distinct()
+        row = hits.agg(
+            F.lit(pid).alias("query_id"),
+            F.count(F.lit(1)).alias("n_matched"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("doc_checksum"),
+            F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_doc"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("last_doc"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("query_id")
+
+
+def _phrase_sql() -> str:
+    cases = "\nUNION ALL\n".join(
+        f"SELECT '{pid}' AS query_id, '{ph}' AS phrase"
+        for pid, ph in sorted(SEARCH_PHRASES.items())
+    )
+    return f"""
+WITH toks AS ({{toks}}),
+q AS ({cases}),
+m AS (
+  SELECT q.query_id, t.doc_id
+  FROM q JOIN toks t
+    ON position((' ' || q.phrase || ' ') IN (' ' || t.norm || ' ')) > 0
+)
+SELECT q.query_id,
+       COALESCE(COUNT(m.doc_id), 0) AS n_matched,
+       CAST(COALESCE(SUM(m.doc_id), 0) AS BIGINT) AS doc_checksum,
+       COALESCE(MIN(m.doc_id), -1) AS first_doc,
+       COALESCE(MAX(m.doc_id), -1) AS last_doc
+FROM q LEFT JOIN m ON m.query_id = q.query_id
+GROUP BY q.query_id
+ORDER BY q.query_id
+"""
+
+
+KEYWORD_SEARCH_CONJUNCTIVE_SQL = _kw_sql().format(toks=_TOKS_SQL)
+PHRASE_SEARCH_POSITIONAL_SQL = _phrase_sql().format(toks=_TOKS_SQL)
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1={k1}, b={b}): score every document
+    holding at least one query term and return the top-{k} per query
+    with deterministic tie-break (score desc, doc_id asc) — the
+    classic lexical ranking tier under any RAG or dedup-by-retrieval
+    pipeline.
+
+    Engine-exact float policy (see plans/relational.py): idf and each
+    per-(doc,term) partial score are rounded to 12 dp and summed in
+    DECIMAL so the fold is partition-order independent; avgdl is
+    decimal-exact (integer token counts) rounded to 6 dp before use.
+    The oracle recomputes the identical formula from the raw text, so
+    a tf/df/length bug or a wrong tie-break flips the hash.
+
+    Scale: tf postings only for query terms (filter inside the
+    explode projection); df and avgdl are map-side-combinable
+    aggregates; the final top-k is a bounded per-query window."""
+    d = _docs(spark, sf_dir)
+    terms = spark.createDataFrame(
+        [(qid, t) for qid, ts in SEARCH_QUERIES.items() for t in ts],
+        "query_id string, term string",
+    )
+    toks = d.select(
+        "doc_id", F.explode(TX.tokenize("text")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("dl").cast("decimal(28,6)"))
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(terms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        12,
+    )
+    part = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (
+            F.col("tf")
+            + k1
+            * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+        12,
+    )
+    scored = (
+        tf.join(F.broadcast(terms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df_), "term")
+        .withColumn("idf", idf)
+        .withColumn("part", part.cast("decimal(28,14)"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("part"), 6).cast("double").alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+bm25_search.__doc__ = bm25_search.__doc__.format(
+    k1=BM25_K1, b=BM25_B, k=BM25_TOPK
+)
+
+
+def _bm25_sql() -> str:
+    cases = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, t AS term "
+        f"FROM unnest([{', '.join(repr(t) for t in ts)}]) AS u(t)"
+        for qid, ts in sorted(SEARCH_QUERIES.items())
+    )
+    return f"""
+WITH toks AS ({{toks}}),
+q AS ({cases}),
+tk AS (
+  SELECT doc_id, unnest(tks) AS term FROM toks
+),
+tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk2 GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(ROUND(SUM(CAST(dl AS DECIMAL(28,6))) / COUNT(*), 6)
+              AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tk2
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ROUND(SUM(CAST(ROUND(
+             ROUND(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)),
+                   12)
+             * (tf.tf * ({BM25_K1} + 1))
+             / (tf.tf + {BM25_K1}
+                * (1.0 - {BM25_B}
+                   + {BM25_B} * dl.dl / s.avgdl)), 12)
+             AS DECIMAL(28,14))), 6) AS DOUBLE) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score
+FROM (
+  SELECT scored.*,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored)
+WHERE rank <= {BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+BM25_SEARCH_SQL = _bm25_sql().format(toks=_TOKS_SQL)

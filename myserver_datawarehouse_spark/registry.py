@@ -649,6 +649,30 @@ _SPECS: list[QuerySpec] = [
         "array-local (no token self-join)",
     ),
     QuerySpec(
+        "keyword_search_conjunctive",
+        LT.keyword_search_conjunctive,
+        LT.KEYWORD_SEARCH_CONJUNCTIVE_SQL,
+        "retrieval tier: conjunctive keyword search via inverted-index "
+        "posting-list intersection (count-distinct-terms HAVING), "
+        "doc-set checksum vs a list_has_all scan oracle",
+    ),
+    QuerySpec(
+        "phrase_search_positional",
+        LT.phrase_search_positional,
+        LT.PHRASE_SEARCH_POSITIONAL_SQL,
+        "retrieval tier: exact phrase search via positional postings "
+        "adjacency joins; oracle finds phrases by padded substring "
+        "position — different algorithm, same answer",
+    ),
+    QuerySpec(
+        "bm25_search",
+        LT.bm25_search,
+        LT.BM25_SEARCH_SQL,
+        "retrieval tier: BM25 ranked top-k per query (k1=1.2 b=0.75), "
+        "decimal-exact score fold, deterministic tie-break, oracle "
+        "recomputes the identical formula",
+    ),
+    QuerySpec(
         "theta_sketch_overlap",
         LT.theta_sketch_overlap,
         LT.THETA_SKETCH_OVERLAP_SQL,

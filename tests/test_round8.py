@@ -213,3 +213,58 @@ def test_theta_sketch_exact_mode_for_tiny_universe(spark, monkeypatch):
         "WHERE inter_est <> n_shared OR NOT within_tol"
     ).fetchone()
     assert rows[0] == 0
+
+
+def test_phrase_search_keeps_zero_match_skeleton(spark):
+    """sf0.001 genuinely has a zero-occurrence phrase: the skeleton row
+    must survive with count 0 and -1 sentinels (no dropped query, no
+    NULL-typed bigints)."""
+    out = {
+        r["query_id"]: r
+        for r in LT.phrase_search_positional(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(out) == set(LT.SEARCH_PHRASES)
+    zero = out["p_sort_table_window"]
+    assert zero["n_matched"] == 0
+    assert zero["doc_checksum"] == 0
+    assert zero["first_doc"] == -1 and zero["last_doc"] == -1
+
+
+def test_keyword_search_matches_array_scan(spark):
+    """Posting-list intersection must agree with the naive
+    array-contains full scan (different plan, same answer)."""
+    from myserver_datawarehouse_spark.operators import text as TX
+
+    sf = "/root/testdata/sf0.001"
+    d = LT._docs(spark, sf).withColumn("tks", TX.tokenize("text"))
+    got = {
+        r["query_id"]: (r["n_matched"], r["doc_checksum"])
+        for r in LT.keyword_search_conjunctive(spark, sf).collect()
+    }
+    for qid, ts in LT.SEARCH_QUERIES.items():
+        cond = F.lit(True)
+        for t in ts:
+            cond = cond & F.array_contains("tks", t)
+        ref = d.filter(cond).agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("doc_id"), F.lit(0))
+        ).collect()[0]
+        assert got[qid] == (ref[0], ref[1]), qid
+
+
+def test_phrase_search_counts_overlapping_docs_once(spark):
+    """A phrase occurring twice in one doc contributes ONE matched doc
+    (hits are doc-distinct)."""
+    out = {
+        r["query_id"]: r["n_matched"]
+        for r in LT.phrase_search_positional(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    # oracle-checked counts at sf0.01 (distinct docs, not occurrences)
+    assert out == {
+        "p_row_fast_merge": 2,
+        "p_sort_table_window": 1,
+        "p_query_big_table": 2,
+    }
