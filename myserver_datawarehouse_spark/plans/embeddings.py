@@ -1443,3 +1443,370 @@ def _pca_audit_sql(d: int = 64) -> str:
 
 
 EMBEDDING_PCA_AUDIT_SQL = _pca_audit_sql()
+
+
+# ----------------- product quantization (IVFPQ's compression half)
+
+PQ_M = 4            # subspaces
+PQ_SUBDIM = 16      # 64-dim embeddings / PQ_M
+PQ_K = 8            # centroids per subspace (one 3-bit code each)
+PQ_ITERS = 2        # Lloyd iterations per subspace (trained jointly)
+PQ_TOPK = 10        # ADC retrieval depth audited
+PQ_COMPRESSION = 64.0  # 64 dims x float32 -> 4 one-byte codes
+
+
+def embedding_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION with asymmetric-distance retrieval, fully
+    adjudicated — the compression half of the FAISS IVFPQ design that
+    makes billion-vector ANN feasible (the coarse half is
+    `embedding_ann_ivf`): vectors are split into {m} subspaces of
+    {sd} dims; each subspace gets its own {k}-centroid Lloyd codebook
+    (trained JOINTLY in one dataflow — the subspace id is just another
+    grouping key, so all {m} k-means runs ride the same shuffles);
+    every vector compresses to {m} one-byte codes ({cx:.0f}x smaller
+    than float32).
+
+    Retrieval is classic ADC: per probe, a {m}x{k} lookup table of
+    subspace distances is built against the codebooks ONCE, and each
+    candidate's distance estimate is a table-lookup sum over its codes
+    — expressed as an array-indexed `aggregate` over a broadcast LUT,
+    so the scan is map-side with NO shuffle until the top-k window.
+    Codebook ids are densely renumbered per subspace and the LUT is
+    skeleton-filled over all {m}x{k} slots, so a cluster emptied
+    during training can never corrupt the positional indexing.
+
+    The audit computes, per probe: recall@{tk} of the ADC top-{tk}
+    against the EXACT L2 top-{tk} (both deterministic: distances
+    rounded to {dp} dp, id tie-breaks) and the mean absolute ADC
+    error over the returned candidates — the estimate-quality number
+    PQ papers report. The DuckDB oracle retrains the identical
+    codebooks (decimal-rounded Lloyd, unrolled iterations, same
+    renumber + skeleton) and recomputes both result sets — recall
+    VALUES are adjudicated, not just a floor flag.
+
+    Scale: training shuffles k·dim decimal partials per iteration
+    (never corpus²); encoding is one broadcast-join pass; ADC is
+    broadcast-LUT + map-side aggregate per candidate, the exact
+    access pattern a 100 TB scan needs (codes live columnar, 4 bytes
+    a row; the float vectors are only read by training and the exact
+    yardstick)."""
+    from myserver_datawarehouse_spark.session import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("x"),
+    )
+    subs = v.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(x, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+            )
+        ).alias("sub", "xs"),
+    )
+    sx = subs.select(
+        "vec_id", "sub", "xs", V.dot("xs", "xs").alias("xx")
+    )
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("xs").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        cc = cents.select("sub", "cid", "c", V.dot("c", "c").alias("cc"))
+        d2 = F.round(
+            F.col("xx") - 2 * V.dot("xs", "c") + F.col("cc"), KMEANS_DP
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        return (
+            sx.join(F.broadcast(cc), "sub")
+            .select("vec_id", "sub", "xs", "xx", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        el = assigned.select(
+            "sub", "cid", F.posexplode("xs").alias("pos", "val")
+        )
+        means = el.groupBy("sub", "cid", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                KMEANS_DP,
+            ).alias("m")
+        )
+        return (
+            means.groupBy("sub", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("sm")
+            )
+            .select(
+                "sub", "cid", F.expr("transform(sm, s -> s.m)").alias("c")
+            )
+        )
+
+    for _ in range(PQ_ITERS):
+        cents = update(assign(cents))
+    # materialize: the trained codebook (<= M*K rows) feeds encoding,
+    # the dense renumber AND the LUT — without the cut each consumer
+    # would re-run the whole training lineage.
+    cents = materialize(cents)
+    wsub = Window.partitionBy("sub").orderBy("cid")
+    dense = cents.select("sub", "cid").withColumn(
+        "dcid", F.row_number().over(wsub) - 1
+    )
+    codes = (
+        assign(cents)
+        .join(F.broadcast(dense), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "dcid"))
+            ).alias("sc")
+        )
+        .select(
+            "vec_id", F.expr("transform(sc, s -> s.dcid)").alias("codes")
+        )
+    )
+    qs = subs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("xs").alias("q")
+    )
+    lut_vals = (
+        qs.join(
+            cents.join(F.broadcast(dense), ["sub", "cid"]).select(
+                "sub", "dcid", "c", V.dot("c", "c").alias("cc")
+            ),
+            "sub",
+        )
+        .select(
+            "query_id",
+            (F.col("sub") * PQ_K + F.col("dcid")).alias("slot"),
+            F.round(
+                V.dot("q", "q") - 2 * V.dot("q", "c") + F.col("cc"),
+                KMEANS_DP,
+            ).alias("d2p"),
+        )
+    )
+    slots = spark.createDataFrame(
+        [(s,) for s in range(PQ_M * PQ_K)], "slot int"
+    )
+    lut_arr = materialize(
+        qs.select("query_id")
+        .distinct()
+        .crossJoin(F.broadcast(slots))
+        .join(lut_vals, ["query_id", "slot"], "left")
+        .na.fill({"d2p": 0.0})
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("slot", "d2p"))
+            ).alias("sl")
+        )
+        .select(
+            "query_id", F.expr("transform(sl, s -> s.d2p)").alias("lut")
+        )
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("x").alias("q")
+    )
+    cand = (
+        codes.join(v, "vec_id")
+        .crossJoin(F.broadcast(lut_arr.join(probes, "query_id")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as double), "
+                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+            ).alias("est_d2"),
+            F.round(
+                V.dot("x", "x") - 2 * V.dot("x", "q") + V.dot("q", "q"),
+                KMEANS_DP,
+            ).alias("true_d2"),
+        )
+    )
+    w_est = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
+    w_true = Window.partitionBy("query_id").orderBy("true_d2", "vec_id")
+    ranked = cand.select(
+        "query_id",
+        "vec_id",
+        "est_d2",
+        "true_d2",
+        F.row_number().over(w_est).alias("r_est"),
+        F.row_number().over(w_true).alias("r_true"),
+    ).filter(
+        (F.col("r_est") <= PQ_TOPK) | (F.col("r_true") <= PQ_TOPK)
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("r_est") <= PQ_TOPK)
+                    & (F.col("r_true") <= PQ_TOPK)
+                ).cast("long")
+            ).alias("n_hit"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("r_est") <= PQ_TOPK,
+                        F.round(
+                            F.abs(
+                                F.col("est_d2") - F.col("true_d2")
+                            ),
+                            6,
+                        ).cast("decimal(28,12)"),
+                    )
+                ).cast("double")
+                / PQ_TOPK,
+                6,
+            ).alias("avg_adc_err"),
+        )
+        .select(
+            "query_id",
+            F.lit(PQ_TOPK).alias("k"),
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(PQ_TOPK), 4).alias("recall"),
+            "avg_adc_err",
+            F.lit(PQ_COMPRESSION).alias("compression_x"),
+        )
+        .orderBy("query_id")
+    )
+
+
+embedding_pq_adc_audit.__doc__ = embedding_pq_adc_audit.__doc__.format(
+    m=PQ_M, sd=PQ_SUBDIM, k=PQ_K, cx=PQ_COMPRESSION, tk=PQ_TOPK,
+    dp=KMEANS_DP,
+)
+
+
+def _pq_sql() -> str:
+    sd, m, k = PQ_SUBDIM, PQ_M, PQ_K
+    parts = [
+        f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings),
+subs AS (
+  SELECT vec_id, g.m AS sub, x[g.m * {sd} + 1 : g.m * {sd} + {sd}] AS xs
+  FROM v, (SELECT unnest(generate_series(0, {m - 1})) AS m) g
+),
+sx AS (SELECT vec_id, sub, xs, list_dot_product(xs, xs) AS xx FROM subs),
+c0 AS (SELECT sub, vec_id AS cid, xs AS c FROM subs
+       WHERE vec_id < {k})"""
+    ]
+    for i in range(1, PQ_ITERS + 2):
+        parts.append(
+            f"""a{i} AS (
+  SELECT sx.vec_id, sx.sub, sx.xs, sx.xx, c.cid,
+         ROUND(sx.xx - 2 * list_dot_product(sx.xs, c.c)
+               + list_dot_product(c.c, c.c), {KMEANS_DP}) AS d2
+  FROM sx JOIN c{i - 1} c ON c.sub = sx.sub
+),
+s{i} AS (
+  SELECT vec_id, sub, xs, cid, d2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, cid) AS rn FROM a{i})
+  WHERE rn = 1
+)"""
+        )
+        if i <= PQ_ITERS:
+            parts.append(
+                f"""e{i} AS (
+  SELECT sub, cid, generate_subscripts(xs, 1) - 1 AS pos,
+         unnest(xs) AS val
+  FROM s{i}
+),
+m{i} AS (
+  SELECT sub, cid, pos,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), {KMEANS_DP}) AS m
+  FROM e{i} GROUP BY 1, 2, 3
+),
+c{i} AS (SELECT sub, cid, list(m ORDER BY pos) AS c
+         FROM m{i} GROUP BY 1, 2)"""
+            )
+    last_c = f"c{PQ_ITERS}"
+    last_s = f"s{PQ_ITERS + 1}"
+    parts.append(
+        f"""dn AS (
+  SELECT sub, cid,
+         ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cid) - 1 AS dcid
+  FROM {last_c}
+),
+codes AS (
+  SELECT s.vec_id, list(d.dcid ORDER BY s.sub) AS codes
+  FROM {last_s} s JOIN dn d ON d.sub = s.sub AND d.cid = s.cid
+  GROUP BY 1
+),
+qs AS (SELECT vec_id AS query_id, sub, xs AS q FROM subs
+       WHERE vec_id < {N_PROBES}),
+lut_vals AS (
+  SELECT q.query_id, c.sub * {k} + d.dcid AS slot,
+         ROUND(list_dot_product(q.q, q.q)
+               - 2 * list_dot_product(q.q, c.c)
+               + list_dot_product(c.c, c.c), {KMEANS_DP}) AS d2p
+  FROM qs q
+  JOIN {last_c} c ON c.sub = q.sub
+  JOIN dn d ON d.sub = c.sub AND d.cid = c.cid
+),
+lut_arr AS (
+  SELECT g.query_id, list(COALESCE(l.d2p, 0.0) ORDER BY g.slot) AS lut
+  FROM (SELECT DISTINCT query_id, s.slot
+        FROM qs, (SELECT unnest(generate_series(0, {m * k - 1}))
+                  AS slot) s) g
+  LEFT JOIN lut_vals l ON l.query_id = g.query_id AND l.slot = g.slot
+  GROUP BY 1
+),
+probes AS (SELECT vec_id AS query_id, x AS q FROM v
+           WHERE vec_id < {N_PROBES}),
+cand AS (
+  SELECT l.query_id, c.vec_id,
+         list_sum([l.lut[i * {k} + c.codes[i + 1] + 1]
+                   FOR i IN generate_series(0, {m - 1})]) AS est_d2,
+         ROUND(list_dot_product(v.x, v.x)
+               - 2 * list_dot_product(v.x, p.q)
+               + list_dot_product(p.q, p.q), {KMEANS_DP}) AS true_d2
+  FROM codes c
+  JOIN v ON v.vec_id = c.vec_id
+  CROSS JOIN lut_arr l
+  JOIN probes p ON p.query_id = l.query_id
+  WHERE c.vec_id <> l.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, est_d2, true_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY est_d2, vec_id) AS r_est,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY true_d2, vec_id) AS r_true
+  FROM cand
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, {PQ_TOPK} AS k,
+       CAST(SUM(CASE WHEN r_est <= {PQ_TOPK} AND r_true <= {PQ_TOPK}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN r_est <= {PQ_TOPK} AND r_true <= {PQ_TOPK}
+                      THEN 1 ELSE 0 END) / CAST({PQ_TOPK} AS DOUBLE),
+             4) AS recall,
+       CAST(ROUND(CAST(SUM(CASE WHEN r_est <= {PQ_TOPK}
+                     THEN CAST(ROUND(ABS(est_d2 - true_d2), 6)
+                               AS DECIMAL(28,12)) END) AS DOUBLE)
+             / {PQ_TOPK}, 6) AS DOUBLE) AS avg_adc_err,
+       CAST({PQ_COMPRESSION} AS DOUBLE) AS compression_x
+FROM ranked
+WHERE r_est <= {PQ_TOPK} OR r_true <= {PQ_TOPK}
+GROUP BY query_id
+ORDER BY query_id
+"""
+    )
+
+
+EMBEDDING_PQ_ADC_AUDIT_SQL = _pq_sql()

@@ -649,6 +649,16 @@ _SPECS: list[QuerySpec] = [
         "array-local (no token self-join)",
     ),
     QuerySpec(
+        "embedding_pq_adc_audit",
+        EM.embedding_pq_adc_audit,
+        EM.EMBEDDING_PQ_ADC_AUDIT_SQL,
+        "product quantization (IVFPQ's compression half): per-subspace "
+        "Lloyd codebooks trained jointly, 64x-compressed codes, "
+        "broadcast-LUT asymmetric-distance top-k; recall@10 vs exact "
+        "L2 and mean ADC error, oracle retrains the identical "
+        "codebooks",
+    ),
+    QuerySpec(
         "keyword_search_conjunctive",
         LT.keyword_search_conjunctive,
         LT.KEYWORD_SEARCH_CONJUNCTIVE_SQL,

@@ -268,3 +268,19 @@ def test_phrase_search_counts_overlapping_docs_once(spark):
         "p_sort_table_window": 1,
         "p_query_big_table": 2,
     }
+
+
+def test_pq_adc_audit_shape_and_honest_recall(spark):
+    """PQ/ADC audit returns one row per probe with finite positive ADC
+    error and recall in [0, 1]; compression constant matches the
+    4-subspace one-byte-code layout."""
+    rows = EM.embedding_pq_adc_audit(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == EM.N_PROBES
+    for r in rows:
+        assert r["k"] == EM.PQ_TOPK
+        assert 0 <= r["n_hit"] <= EM.PQ_TOPK
+        assert abs(r["recall"] - r["n_hit"] / EM.PQ_TOPK) < 1e-9
+        assert r["avg_adc_err"] > 0.0
+        assert r["compression_x"] == 64.0
