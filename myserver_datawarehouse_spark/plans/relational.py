@@ -5626,3 +5626,232 @@ WHERE user_id % {ERASURE_MOD} != 0
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# -------------------------- incremental JOIN-view maintenance (IVM)
+
+IVM_ORDERS_CUTOFF = "1997-01-01"
+IVM_SHIP_CUTOFF = "1997-03-01"
+
+
+def incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-SIDED incremental view maintenance for a JOIN view — the
+    delta-algebra upgrade of `incremental_agg_maintenance` (which
+    maintains a single-relation aggregate): for V = γ(A ⋈ B) with
+    BOTH relations receiving new rows,
+
+        ΔV = γ(ΔA ⋈ B₀) ⊕ γ(A₀ ⋈ ΔB) ⊕ γ(ΔA ⋈ ΔB)
+
+    and the maintained view is base ⊕ ΔV (decimal partials are
+    associative, so ⊕ is a union + re-aggregate). A = orders split at
+    o_orderdate {oc}; B = lineitem split at l_shipdate {sc}; the
+    view is revenue per o_orderpriority. All four quadrants are
+    genuinely populated at every SF.
+
+    The output carries the maintained rollup AND an `ivm_consistent`
+    flag null-safe-comparing it against the full recompute γ(A ⋈ B)
+    inside the same job — the oracle recomputes the rollup from
+    scratch, so a wrong delta term (the classic bug: forgetting
+    ΔA ⋈ ΔB, or double-counting it) breaks both the flag and the
+    hash.
+
+    Scale: this is the refresh plan a stored join-view runs at 100 TB
+    — the base aggregate is a stored table (built inline here, like
+    the agg-IVM query), and only delta-sized joins execute per
+    refresh: ΔA ⋈ B₀ and A₀ ⋈ ΔB shuffle O(|Δ| + matched keys), with
+    the runtime bloom/DPP pruning the stored side's scan; nothing
+    rescans history ⋈ history."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        )
+        .cast("decimal(28,6)")
+        .alias("rev"),
+    )
+    oc = F.lit(IVM_ORDERS_CUTOFF).cast("timestamp")
+    sc = F.lit(IVM_SHIP_CUTOFF).cast("timestamp")
+    a0 = o.filter(F.col("o_orderdate") < oc)
+    da = o.filter(F.col("o_orderdate") >= oc)
+    b0 = li.filter(F.col("l_shipdate") < sc)
+    db = li.filter(F.col("l_shipdate") >= sc)
+
+    def _agg(orders_side: DataFrame, items_side: DataFrame) -> DataFrame:
+        return (
+            orders_side.join(
+                items_side,
+                orders_side["o_orderkey"] == items_side["l_orderkey"],
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("rev").alias("s"),
+            )
+        )
+
+    base = _agg(a0, b0)  # stands for the stored view
+    maintained = (
+        base.unionByName(_agg(da, b0))
+        .unionByName(_agg(a0, db))
+        .unionByName(_agg(da, db))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_items"),
+            F.sum(F.col("s").cast("decimal(28,6)")).alias("s"),
+        )
+    )
+    recomputed = (
+        _agg(o, li)
+        .withColumnsRenamed({"n": "rn", "s": "rs"})
+    )
+    return (
+        maintained.join(recomputed, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            "n_items",
+            F.round(F.col("s"), 2).cast("double").alias("revenue"),
+            (
+                F.col("n_items").eqNullSafe(F.col("rn"))
+                & F.col("s")
+                .cast("decimal(28,6)")
+                .eqNullSafe(F.col("rs").cast("decimal(28,6)"))
+            ).alias("ivm_consistent"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+incremental_join_maintenance.__doc__ = (
+    incremental_join_maintenance.__doc__.format(
+        oc=IVM_ORDERS_CUTOFF, sc=IVM_SHIP_CUTOFF
+    )
+)
+
+
+INCREMENTAL_JOIN_MAINTENANCE_SQL = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       TRUE AS ivm_consistent
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ----------------------- numeric profiling: correlation/regression
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def column_correlation_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multivariate numeric profiling: Pearson correlation and the OLS
+    regression line (slope, intercept of y on x) for every pair of
+    lineitem measures, from ONE pass of decimal-exact moments — the
+    column-relationship scan a data-quality monitor runs before
+    trusting a feature (is discount coupled to price? did a loader
+    break the quantity/price relationship?).
+
+    Exactness policy: the 15 moments (count, 4 sums, 4 sum-of-squares,
+    6 cross-products) accumulate in DECIMAL — exact integers of scale
+    12, so partition order cannot matter — and are cast to double
+    once, after which corr/slope/intercept are identically-
+    parenthesized double arithmetic in both engines (IEEE-determined,
+    rounded to 6 dp). The oracle recomputes the same moments in SQL.
+
+    Scale: a single map-side-combinable aggregate to ONE row — zero
+    shuffle beyond the 32-partial reduce — then 6 driver-trivial
+    projections. This is the textbook mergeable-moments pattern: the
+    same 15 numbers maintain the profile incrementally forever."""
+    li = load_table(spark, sf_dir, "lineitem").select(*CORR_COLS)
+    d = {c: F.col(c).cast("decimal(18,6)") for c in CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"q_{c}"))
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"p_{a}_{b}"))
+    m = li.agg(*aggs)
+    out = None
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            n = F.col("n").cast("double")
+            num = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            dx = n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            dy = n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            row = m.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n"),
+                # + 0.0 normalizes IEEE negative zero (a slope that
+                # rounds to -0.0 must hash like 0.0 in both engines)
+                (F.round(num / F.sqrt(dx * dy), 6) + F.lit(0.0)).alias(
+                    "corr"
+                ),
+                (F.round(num / dx, 6) + F.lit(0.0)).alias("slope"),
+                (
+                    F.round(
+                        (F.col(f"s_{b}") - (num / dx) * F.col(f"s_{a}"))
+                        / n,
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("intercept"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_x", "col_y")
+
+
+def _corr_profile_sql() -> str:
+    moments = ["COUNT(*) AS n"]
+    for c in CORR_COLS:
+        moments.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c}"
+        )
+        # DECIMAL(19,6), not (18,6): forces DuckDB onto the int128
+        # representation — the int64-backed width-18 multiply overflows
+        # (Spark's BigDecimal path is width-agnostic; values identical)
+        moments.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(19,6))"
+            f" * CAST({c} AS DECIMAL(19,6))) AS DOUBLE) AS q_{c}"
+        )
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            moments.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(19,6))"
+                f" * CAST({b} AS DECIMAL(19,6))) AS DOUBLE) AS p_{a}_{b}"
+            )
+    rows = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            n = "CAST(n AS DOUBLE)"
+            num = f"({n} * p_{a}_{b} - s_{a} * s_{b})"
+            dx = f"({n} * q_{a} - s_{a} * s_{a})"
+            dy = f"({n} * q_{b} - s_{b} * s_{b})"
+            rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,\n"
+                f"  ROUND({num} / sqrt({dx} * {dy}), 6) + 0.0 AS corr,\n"
+                f"  ROUND({num} / {dx}, 6) + 0.0 AS slope,\n"
+                f"  ROUND((s_{b} - ({num} / {dx}) * s_{a}) / {n}, 6) + 0.0"
+                f" AS intercept\nFROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ",\n  ".join(moments)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+COLUMN_CORRELATION_PROFILE_SQL = _corr_profile_sql()

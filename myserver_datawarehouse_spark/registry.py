@@ -1129,6 +1129,21 @@ _SPECS: list[QuerySpec] = [
         "bit-identical to string_agg(... ORDER BY)",
     ),
     QuerySpec(
+        "column_correlation_profile",
+        R.column_correlation_profile,
+        R.COLUMN_CORRELATION_PROFILE_SQL,
+        "profiling: pairwise Pearson corr + OLS line from one pass of "
+        "decimal-exact mergeable moments (zero-shuffle single-row agg)",
+    ),
+    QuerySpec(
+        "incremental_join_maintenance",
+        R.incremental_join_maintenance,
+        R.INCREMENTAL_JOIN_MAINTENANCE_SQL,
+        "two-sided incremental JOIN-view maintenance: dA*B0 + A0*dB + "
+        "dA*dB delta algebra, maintained rollup null-safe-compared to "
+        "the full recompute in-job, oracle recomputes from scratch",
+    ),
+    QuerySpec(
         "deletion_vector_audit",
         R.deletion_vector_audit,
         R.DELETION_VECTOR_AUDIT_SQL,

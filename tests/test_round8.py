@@ -284,3 +284,30 @@ def test_pq_adc_audit_shape_and_honest_recall(spark):
         assert abs(r["recall"] - r["n_hit"] / EM.PQ_TOPK) < 1e-9
         assert r["avg_adc_err"] > 0.0
         assert r["compression_x"] == 64.0
+
+
+def test_ivm_join_quadrants_all_populated_and_consistent(spark):
+    """The two-sided IVM scenario must exercise every delta quadrant
+    (dA x B0, A0 x dB, dA x dB all non-empty) and the maintained view
+    must equal the full recompute on every group."""
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    oc = F.lit(R.IVM_ORDERS_CUTOFF).cast("timestamp")
+    sc = F.lit(R.IVM_SHIP_CUTOFF).cast("timestamp")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (o["o_orderdate"] >= oc).alias("na"),
+        (li["l_shipdate"] >= sc).alias("nb"),
+    )
+    quads = {
+        (r["na"], r["nb"]): r["cnt"]
+        for r in j.groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert all(
+        quads.get(q, 0) > 0
+        for q in [(False, False), (True, False), (False, True), (True, True)]
+    ), quads
+    rows = R.incremental_join_maintenance(spark, sf).collect()
+    assert rows and all(r["ivm_consistent"] for r in rows)
