@@ -3628,3 +3628,182 @@ ORDER BY query_id, rank
 
 
 BM25_SEARCH_SQL = _bm25_sql().format(toks=_TOKS_SQL)
+
+
+# --------------------------- link analysis: PageRank on word graph
+
+PAGERANK_ITERS = 5
+PAGERANK_D = 0.85     # damping
+PAGERANK_DP = 12      # per-term rounding: kills cross-engine ulp drift
+
+
+def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PAGERANK over the word co-occurrence graph — the link-
+    analysis tier next to the connected-components family: nodes are
+    tokens, an edge (a, b) carries the number of documents where both
+    occur, and {it} power iterations of damped rank flow run as pure
+    DataFrame algebra. The fixture vocabulary is small, but the PLAN
+    is the web-scale one: each iteration is ranks ⋈ edges on src (one
+    key shuffle of O(E) contribution rows) + a dst-keyed sum — never
+    adjacency matrices, never driver-side state beyond the loop
+    counter.
+
+    Engine-exactness: transition probabilities (w / out-weight), each
+    contribution (rank x p), and each new rank ((1-d)/N + d·Σ) are
+    rounded to {dp} dp, with the Σ accumulated in DECIMAL — so every
+    iteration is bit-reproducible and the DuckDB oracle (the same
+    {it} iterations unrolled as CTEs) rebuilds identical ranks.
+    Nodes join from a skeleton each iteration (LEFT), so a node with
+    no inbound edges would keep its teleport mass instead of
+    vanishing (the classic lost-mass bug; the co-occurrence graph is
+    symmetric, but the plan must not rely on that).
+
+    Scale: edge generation reuses the array-local pair pattern (pairs
+    emitted per doc from the sorted distinct-token array, counted by
+    key); iterations shuffle O(E) rows with map-side partial sums.
+    Reference parity: none — a new analysis family for the engine."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(TX.tokenize("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    pairs = (
+        toks.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    trans = edges.join(outw, "src").select(
+        "src",
+        "dst",
+        F.round(
+            F.col("w").cast("double") / F.col("wsum").cast("double"),
+            PAGERANK_DP,
+        ).alias("p"),
+    )
+    from myserver_datawarehouse_spark.session import materialize
+
+    trans = materialize(trans)  # shared by every iteration
+    nodes = trans.select(F.col("src").alias("token")).distinct()
+    n_nodes = nodes.count()  # scalar: the only driver value (like CC)
+    r0 = F.round(F.lit(1.0) / F.lit(float(n_nodes)), PAGERANK_DP)
+    base = F.round(
+        F.lit(1.0 - PAGERANK_D) / F.lit(float(n_nodes)), PAGERANK_DP
+    )
+    ranks = nodes.select("token", r0.alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            ranks.join(
+                trans, ranks["token"] == trans["src"]
+            )
+            .select(
+                "dst",
+                F.round(F.col("rank") * F.col("p"), PAGERANK_DP)
+                .cast("decimal(28,14)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(
+                contribs, nodes["token"] == contribs["dst"], "left"
+            )
+            .select(
+                "token",
+                F.round(
+                    base
+                    + F.lit(PAGERANK_D) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    PAGERANK_DP,
+                ).alias("rank"),
+            )
+        )
+    w = Window.orderBy(F.col("rank").desc(), F.col("token"))
+    return ranks.select(
+        "token",
+        F.round("rank", 8).alias("rank"),
+        F.row_number().over(w).alias("pos"),
+    ).orderBy("pos")
+
+
+def _pagerank_sql() -> str:
+    d, dp = PAGERANK_D, PAGERANK_DP
+    parts = [
+        f"""toks AS (
+  SELECT DISTINCT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(tks) AS t FROM tk0)
+  WHERE t <> ''
+),
+pairs AS (
+  SELECT x.tok AS a, y.tok AS b, COUNT(*) AS w
+  FROM toks x JOIN toks y
+    ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+trans AS (
+  SELECT src, dst,
+         ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src)
+                                        AS DOUBLE), {dp}) AS p
+  FROM edges
+),
+nodes AS (SELECT DISTINCT src AS token FROM trans),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT token, ROUND(1.0 / CAST(n AS DOUBLE), {dp}) AS rank
+  FROM nodes, nn
+)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT t.dst,
+         CAST(SUM(CAST(ROUND(r.rank * t.p, {dp}) AS DECIMAL(28,14)))
+              AS DOUBLE) AS s
+  FROM r{i - 1} r JOIN trans t ON t.src = r.token
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.token,
+         ROUND(ROUND((1.0 - {d}) / CAST(nn.n AS DOUBLE), {dp})
+               + {d} * COALESCE(c.s, 0.0), {dp}) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN c{i} c ON c.dst = n.token
+)"""
+        )
+    return (
+        "WITH tk0 AS (" + _TOKS_SQL + "),\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT token, ROUND(rank, 8) AS rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, token)
+            AS INT) AS pos
+FROM r{PAGERANK_ITERS}
+ORDER BY pos
+"""
+    )
+
+
+TOKEN_PAGERANK_SQL = _pagerank_sql()

@@ -5855,3 +5855,133 @@ def _corr_profile_sql() -> str:
 
 
 COLUMN_CORRELATION_PROFILE_SQL = _corr_profile_sql()
+
+
+# ------------------------- SCD2 point-in-time (PIT) dimension join
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against an SCD2 dimension — the consuming
+    half of `scd2_user_history` (which builds versions but nothing
+    reads them): non-purchase events are state observations collapsed
+    into [valid_from, valid_to) versions per user, and each purchase
+    is joined to the version VALID AT ITS TIMESTAMP — \"what state was
+    this user in when they bought\" — the temporal-correctness join
+    every warehouse needs to avoid leaking future dimension values
+    into historical facts.
+
+    Join shape: equi-join on user_id with the interval predicate in
+    the join condition — per-user version counts are small, so the
+    range filter rides the equi-join's hash exchange (no interval
+    index needed); intervals are disjoint by construction, so each
+    fact matches at most one version, and pre-first-observation
+    purchases land in an explicit 'pre_history' bucket via the left
+    join (never silently dropped).
+
+    The oracle rebuilds the identical versions (same window algebra as
+    the SCD2 history oracle) and the identical interval join — an
+    off-by-one at a version boundary (purchase ts == valid_from must
+    match the NEW version: [from, to) semantics) moves rows between
+    states and flips the hash.
+
+    Scale: one window pass over observations (user-keyed sort), one
+    user-keyed equi-join; both shuffles are the minimum any
+    per-entity history walk moves. 100 TB form unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = obs.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("version"),
+    )
+    versions = runs.groupBy("user_id", "version", "state").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    high_date = F.lit("2200-01-01 00:00:00").cast("timestamp")
+    dim = versions.withColumn(
+        "valid_to",
+        F.coalesce(F.lead("valid_from").over(wv), high_date),
+    ).select(
+        F.col("user_id").alias("d_user"), "state", "valid_from", "valid_to"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    cond = (
+        (p["user_id"] == dim["d_user"])
+        & (dim["valid_from"] <= p["ts"])
+        & (p["ts"] < dim["valid_to"])
+    )
+    return (
+        p.join(dim, cond, "left")
+        .select(
+            F.coalesce(F.col("state"), F.lit("pre_history")).alias(
+                "state_at_purchase"
+            ),
+            "value",
+        )
+        .groupBy("state_at_purchase")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("state_at_purchase")
+    )
+
+
+SCD2_POINT_IN_TIME_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         value
+  FROM events
+),
+obs AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS changed
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type AS state, ts,
+         SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, version, state, MIN(ts) AS valid_from
+  FROM runs GROUP BY 1, 2, 3
+),
+dim AS (
+  SELECT user_id AS d_user, state, valid_from,
+         COALESCE(lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY version),
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+  FROM versions
+),
+p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+SELECT COALESCE(d.state, 'pre_history') AS state_at_purchase,
+       COUNT(*) AS n_purchases,
+       CAST(ROUND(SUM(CAST(p.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM p
+LEFT JOIN dim d
+  ON d.d_user = p.user_id
+ AND d.valid_from <= p.ts AND p.ts < d.valid_to
+GROUP BY 1
+ORDER BY 1
+"""

@@ -683,6 +683,14 @@ _SPECS: list[QuerySpec] = [
         "recomputes the identical formula",
     ),
     QuerySpec(
+        "token_pagerank",
+        LT.token_pagerank,
+        LT.TOKEN_PAGERANK_SQL,
+        "link analysis: weighted PageRank on the word co-occurrence "
+        "graph, 5 decimal-exact power iterations as edge-list "
+        "dataflow, oracle unrolls identical iterations",
+    ),
+    QuerySpec(
         "theta_sketch_overlap",
         LT.theta_sketch_overlap,
         LT.THETA_SKETCH_OVERLAP_SQL,
@@ -1127,6 +1135,14 @@ _SPECS: list[QuerySpec] = [
         "ordered group-concat (LISTAGG shape) without collect_list "
         "order-dependence: rank-keyed array_sort -> array_join, "
         "bit-identical to string_agg(... ORDER BY)",
+    ),
+    QuerySpec(
+        "scd2_point_in_time_join",
+        R.scd2_point_in_time_join,
+        R.SCD2_POINT_IN_TIME_JOIN_SQL,
+        "point-in-time join against the SCD2 dimension: purchases "
+        "matched to the user-state version valid at their timestamp, "
+        "[from,to) boundary semantics, explicit pre_history bucket",
     ),
     QuerySpec(
         "column_correlation_profile",
