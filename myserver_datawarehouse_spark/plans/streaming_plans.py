@@ -443,3 +443,65 @@ FROM em
 
 
 STREAMING_WATERMARK_AUDIT_SQL = _streaming_watermark_audit_sql()
+
+
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log applied as a stream (insert/update/delete with tombstone
+    precedence — see streaming/jobs.cdc_apply_stream): after the drain,
+    the published target minus tombstones must equal the net effect of
+    the log — survivors of the GDPR-cohort delete with purchase values
+    bumped — which the oracle recomputes directly from the raw source.
+    A lost delete (resurrected row), a replayed update, or an
+    order-dependent apply all shift a class total and flip the hash.
+
+    Eager-execution, fixed per-sf work dir (same conventions as
+    streaming_upsert_merge); the returned frame re-reads the target."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from myserver_datawarehouse_spark.operators.merge import drop_table
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "msdw_stream_cdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    drop_table(os.path.join(work, "target"))
+    target = SJ.cdc_apply_stream(spark, sf_dir, work)
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("op") != "D")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _cdc_apply_sql() -> str:
+    from myserver_datawarehouse_spark.plans.relational import (
+        CDF_UPDATE_BUMP,
+        ERASURE_MOD,
+    )
+
+    return f"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(
+           CASE WHEN event_type = 'purchase'
+                THEN value + {CDF_UPDATE_BUMP} ELSE value END
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id % {ERASURE_MOD} != 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+STREAMING_CDC_APPLY_SQL = _cdc_apply_sql()

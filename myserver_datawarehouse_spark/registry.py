@@ -1137,6 +1137,14 @@ _SPECS: list[QuerySpec] = [
         "bit-identical to string_agg(... ORDER BY)",
     ),
     QuerySpec(
+        "streaming_cdc_apply",
+        ST.streaming_cdc_apply,
+        ST.STREAMING_CDC_APPLY_SQL,
+        "§2.12 CDC log applied as a stream: insert/update/delete with "
+        "tombstone precedence (order-independent log-compaction fold), "
+        "net effect oracle-recomputed from the raw source",
+    ),
+    QuerySpec(
         "scd2_point_in_time_join",
         R.scd2_point_in_time_join,
         R.SCD2_POINT_IN_TIME_JOIN_SQL,

@@ -594,3 +594,97 @@ def watermark_audit_stream(
         finally:
             q.stop()
     return spark.table(sink_name), dropped
+
+
+# ----------------------------------------------------- CDC apply sink
+
+CDC_APPLY_FILES = 8
+CDC_APPLY_FILES_PER_TRIGGER = 2
+
+
+def cdc_apply_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> str:
+    """Apply a CHANGE-DATA-CAPTURE log as a stream (the consuming
+    counterpart of `operators/merge.table_changes`, which produces
+    one): a CDC log of insert/update/delete records drains through
+    foreachBatch into a WAP-committed target. Returns the target path.
+
+    Order-independence is the design point: a CDC consumer cannot
+    assume the file source hands it batches in log order, so instead
+    of applying ops sequentially the merge keeps the HIGHEST-SEQUENCE
+    record per key (`order_by=["seq"]` precedence — the Kafka
+    log-compaction rule), with deletes riding along as TOMBSTONE rows
+    that win by sequence and are filtered at read. The fold is
+    associative and commutative, so the final table is byte-identical
+    under ANY batch split or arrival order — same invariance argument
+    as `upsert_merge_stream`, extended to deletes.
+
+    At 100 TB the tombstone filter is the read-side of merge-on-read;
+    the scheduled compaction that physically drops tombstones is
+    `delete_where` + `compact_table` (see deletion_vector_audit).
+
+    The synthetic log exercises every op class: all events as base
+    inserts (seq 1), purchase-value updates (seq 2), GDPR-cohort
+    deletes (seq 3, overlapping the updates so delete-after-update
+    precedence is genuinely tested)."""
+    import os
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        merge_upsert,
+        vacuum_path_table,
+    )
+    from myserver_datawarehouse_spark.plans.relational import (
+        CDF_UPDATE_BUMP,
+        ERASURE_MOD,
+    )
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    target = os.path.join(work_dir, "target")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = e.select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    updates = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") + F.lit(CDF_UPDATE_BUMP))
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    deletes = e.filter(
+        F.pmod(F.col("user_id"), F.lit(ERASURE_MOD)) == 0
+    ).select("*", F.lit("D").alias("op"), F.lit(3).alias("seq"))
+    cdc = base.unionByName(updates).unionByName(deletes)
+    cdc.repartition(CDC_APPLY_FILES).write.mode("overwrite").parquet(
+        input_dir
+    )
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", CDC_APPLY_FILES_PER_TRIGGER)
+        .parquet(input_dir)
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            target,
+            batch,
+            keys=["event_id"],
+            order_by=["seq"],
+        )
+        vacuum_path_table(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return target

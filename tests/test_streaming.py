@@ -477,3 +477,39 @@ def test_gap_state_survives_query_restart(spark, tmp_path):
     assert len(rows2) == 1
     assert (rows2[0].n_events, rows2[0].n_gap_runs) == (5, 2)
     assert rows2[0].last_minute_ts == dt.datetime(2024, 1, 1, 0, 10, 0)
+
+
+def test_cdc_apply_order_independent(spark, tmp_path):
+    """The CDC fold (highest-seq wins, tombstones filtered at read)
+    must be invariant under apply order: delete-then-update-then-insert
+    merges yield the same table as the log order."""
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.operators.merge import merge_upsert
+
+    rows = [
+        (1, "a", 10.0, "I", 1), (2, "a", 20.0, "I", 1),
+        (3, "b", 30.0, "I", 1),
+        (2, "a", 25.0, "U", 2),          # update row 2
+        (3, "b", None, "D", 3),          # delete row 3
+        (2, "a", None, "D", 3),          # delete-after-update: D wins
+    ]
+    schema = "event_id long, event_type string, value double, op string, seq int"
+
+    def apply_order(order, path):
+        for idx in order:
+            batch = spark.createDataFrame([rows[idx]], schema)
+            merge_upsert(
+                spark, path, batch, keys=["event_id"], order_by=["seq"]
+            )
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .filter(F.col("op") != "D")
+            .collect()
+        }
+
+    fwd = apply_order(range(6), str(tmp_path / "fwd"))
+    rev = apply_order(reversed(range(6)), str(tmp_path / "rev"))
+    assert fwd == rev
+    assert {r[0] for r in fwd} == {1}  # 2 and 3 deleted, 1 survives
