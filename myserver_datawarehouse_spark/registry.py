@@ -1189,9 +1189,17 @@ _SPECS: list[QuerySpec] = [
 #      registry queries had a green driver verdict at its current name;
 #      this head tier holds the round-8 changes:
 #      flagship_hourly_pipeline and streaming_upsert_merge (riding the
-#      merge_upsert null-safe touched-partition semi-join and the
-#      streaming per-batch vacuum, operators/merge.py +
-#      streaming/jobs.py) plus any new round-8 queries.
+#      merge_upsert null-safe touched-partition semi-join, the
+#      streaming per-batch vacuum, AND the round-8b _read_snapshot
+#      merge-on-read delete application, operators/merge.py +
+#      streaming/jobs.py) plus the 16 new round-8 queries
+#      (file_skipping_scan_audit, embedding_pca_audit,
+#      near_dup_incremental_lsh, bloom_file_skip_audit,
+#      table_changes_feed, deletion_vector_audit,
+#      theta_sketch_overlap, keyword_search_conjunctive,
+#      phrase_search_positional, bm25_search, embedding_pq_adc_audit,
+#      incremental_join_maintenance, column_correlation_profile,
+#      scd2_point_in_time_join, token_pagerank, streaming_cdc_apply).
 #   1. last adjudicated in round 4 (27 queries — now the stalest
 #      standing verdicts; the round-8 budget should retire these);
 #   2. last adjudicated in round 5 (43 queries);
@@ -1262,7 +1270,6 @@ _ADJUDICATED_R5 = frozenset(
         "idle_balance_audit",
         "interpolate_cross_midnight",
         "late_shipment_priority",
-        "latest_event_per_user_type",
         "local_supplier_volume",
         "multimodal_frame_sample",
         "nation_market_share",
@@ -1352,13 +1359,11 @@ _ADJUDICATED_R7 = frozenset(
         "embedding_topk_bruteforce",
         "embedding_topk_bruteforce_baseline",
         "freshness_probe",
-        "full_history_rebuild",
         "gapfill_locf_windowed",
         "gapfill_missing_minutes_windowed",
         "interpolate_minutes_bracketing_windowed",
         "interpolate_minutes_nearest2_windowed",
         "leakage_safe_split",
-        "merge_writer_lifecycle",
         "multimodal_features",
         "multimodal_type_rollup",
         "near_dup_embedding_cosine",
@@ -1371,7 +1376,6 @@ _ADJUDICATED_R7 = frozenset(
         "share_of_total",
         "share_of_total_broadcast",
         "source_vocab_overlap",
-        "sources_lifecycle",
         "sources_summary",
         "star_join_revenue",
         "streaming_band_rollup",
@@ -1379,11 +1383,8 @@ _ADJUDICATED_R7 = frozenset(
         "streaming_dedup_counts",
         "streaming_minute_agg",
         "streaming_session_windows",
-        "table_compaction_audit",
-        "table_time_travel_audit",
         "timestamp_roundtrip",
         "top_supplier_per_nation",
-        "user_erasure_audit",
         "value_outliers_mad",
     }
 )

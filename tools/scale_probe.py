@@ -48,6 +48,15 @@ PROBE_QUERIES = [
     "near_dup_incremental_lsh",
     "file_skipping_scan_audit",
     "embedding_pca_audit",
+    # round-8b additions: MOR deletes, sketch set-ops, retrieval tier,
+    # PQ, link analysis, join-IVM, CDC apply
+    "deletion_vector_audit",
+    "theta_sketch_overlap",
+    "bm25_search",
+    "embedding_pq_adc_audit",
+    "token_pagerank",
+    "incremental_join_maintenance",
+    "streaming_cdc_apply",
 ]
 
 
