@@ -35,12 +35,19 @@ No generic warm-up can pre-pay it because codegen is per-plan. Default
 is unchanged vs the round-5 protocol while the medians now measure
 steady state.
 
-Adaptive reps (round 7): when a query's timed reps spread wider than
+Adaptive reps (round 7, CENTRAL-GAP criterion since round 9): when the
+median's central gap — for even n the distance between the two middle
+reps, for odd n the median's distance to its nearest neighbor — exceeds
 $SPARK_GRAFT_BENCH_SPREAD_RETRY (default 0.3 s), up to
-$SPARK_GRAFT_BENCH_MAX_EXTRA (default 2) additional timed reps run —
-a median of two is just their mean, so one noisy rep used to shift the
-recorded time by half its error; with a third rep the noise falls out
-of the median entirely. Steady queries still pay exactly 2 reps.
+$SPARK_GRAFT_BENCH_MAX_EXTRA (default 4) additional timed reps run.
+The round-7 rule retried on max-min spread, which on a BIMODAL query
+(host noise doubling some reps) could exhaust the budget on an even
+rep count whose median straddles the two modes (star_join_revenue r8:
+reps [3.64,1.48,1.16,4.15] → 2.56 s recorded for a ~1.3 s plan). If
+the gap never closes, the LOWER central rep is reported and the query
+is disclosed in the stdout line's `noisy` map (name → [min, max]):
+the fast mode is the plan's cost, the slow mode is the host. Steady
+queries still pay exactly 2 reps.
 
 Sharding: `python bench.py --family plans_a,plans_b` (or
 $SPARK_GRAFT_BENCH_FAMILY) restricts the run to the named query
@@ -87,6 +94,7 @@ def build_line(
     reps: int = 1,
     spreads: dict[str, float] | None = None,
     warm_reps: int = 0,
+    noisy: dict[str, list[float]] | None = None,
 ) -> str:
     """The ONE stdout line the driver records. Contract (tested in
     tests/test_plan_shapes.py): valid JSON, < 1900 chars — the driver
@@ -113,6 +121,12 @@ def build_line(
             statistics.median(spreads.values()), 3
         )
         payload["spread_max"] = round(max(spreads.values()), 3)
+    if noisy:
+        # Queries whose central gap never closed: host-noise-bound, the
+        # recorded time is the lower central rep (worst 5 by gap).
+        payload["noisy"] = dict(
+            sorted(noisy.items(), key=lambda kv: kv[1][1] - kv[1][0])[-5:]
+        )
     line = json.dumps(payload, separators=(",", ":"))
     assert len(line) < 1900, f"bench line {len(line)} chars, driver tail is 2000"
     return line
@@ -177,12 +191,13 @@ def main() -> None:
     SPREAD_RETRY_SEC = float(
         os.environ.get("SPARK_GRAFT_BENCH_SPREAD_RETRY", "0.3")
     )
-    MAX_EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+    MAX_EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4"))
     warm_reps = max(
         0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "1"))
     )
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    noisy: dict[str, list[float]] = {}
     all_reps: dict[str, list[float]] = {}
     families: dict[str, float] = {}
     specs = registry.specs()
@@ -205,16 +220,36 @@ def main() -> None:
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
-        # Adaptive extra reps (round 7, per the round-6 advice): a
-        # median of two is just their mean, so one noisy rep shifts it
-        # by half its error. When the observed spread exceeds
-        # SPREAD_RETRY_SEC, add timed reps (up to MAX_EXTRA_REPS) —
-        # an odd count makes the median a true middle value and the
-        # noisy rep falls out entirely.
+        # Adaptive extra reps, CENTRAL-GAP criterion (round 9, per the
+        # round-8 verdict #6): the round-7 rule retried on max-min
+        # spread, which on a BIMODAL query (host noise doubling some
+        # reps) kept adding reps until the budget ran out on an EVEN
+        # count whose median is the mean of a fast and a slow rep —
+        # star_join_revenue's r8 reps [3.64,1.48,1.16,4.15] recorded a
+        # 2.56 s median for a ~1.3 s plan. The estimator is only
+        # trustworthy when the median has a close NEIGHBOR, so the
+        # retry criterion is the central gap: for even n the distance
+        # between the two middle reps (the median is their mean); for
+        # odd n the median's distance to its nearest neighbor. Reps
+        # are added until the gap closes or the budget (default 4
+        # extra) runs out; if it never closes, the LOWER central rep
+        # is reported (the fast mode is the plan's true cost — the
+        # slow mode is the host interloper) and the query lands in
+        # the stdout line's `noisy` map with its min for disclosure.
+        def central_gap(ts: list[float]) -> float:
+            s = sorted(ts)
+            n = len(s)
+            if n < 2:
+                return 0.0
+            if n % 2 == 0:
+                return s[n // 2] - s[n // 2 - 1]
+            mid = n // 2
+            return min(s[mid] - s[mid - 1], s[mid + 1] - s[mid])
+
         extra = 0
         while (
             len(times) > 1
-            and max(times) - min(times) > SPREAD_RETRY_SEC
+            and central_gap(times) > SPREAD_RETRY_SEC
             and extra < MAX_EXTRA_REPS
         ):
             t0 = time.perf_counter()
@@ -223,7 +258,15 @@ def main() -> None:
             ).save()
             times.append(round(time.perf_counter() - t0, 3))
             extra += 1
-        med = round(statistics.median(times), 3)
+        if central_gap(times) > SPREAD_RETRY_SEC:
+            noisy[spec.name] = [round(min(times), 3), round(max(times), 3)]
+            if len(times) % 2 == 0:
+                ts = sorted(times)
+                med = round(ts[len(ts) // 2 - 1], 3)  # lower central rep
+            else:
+                med = round(statistics.median(times), 3)
+        else:
+            med = round(statistics.median(times), 3)
         timings[spec.name] = med
         spreads[spec.name] = round(max(times) - min(times), 3)
         all_reps[spec.name] = times
@@ -255,13 +298,14 @@ def main() -> None:
                 "reps": reps,
                 "warm_reps": warm_reps,
                 "families": families,
+                "noisy": noisy,  # central gap never closed; med = lower central
                 "sf": sf,
             },
             fh,
         )
     line = build_line(
         timings, families, sf, reps=reps, spreads=spreads,
-        warm_reps=warm_reps,
+        warm_reps=warm_reps, noisy=noisy,
     )
     sys.stdout.flush()
     print(line, flush=True)

@@ -56,7 +56,7 @@ def _build_parser() -> argparse.ArgumentParser:
     tb = sub.add_parser(
         "table",
         help="maintain a WAP-committed path table "
-        "(versions / compact / vacuum / travel)",
+        "(versions / compact / vacuum / travel / stats / delete)",
     )
     tb.add_argument(
         "action",

@@ -418,10 +418,40 @@ def data_file_count(target_path: str) -> int:
     n = 0
     for root, dirs, files in os.walk(base):
         # sidecar trees (e.g. the _deletes equality-delete files) are
-        # not data files
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        # not data files — but a hive partition directory can start
+        # with an underscore too (a null partition value renders as
+        # __HIVE_DEFAULT_PARTITION__ and a partition COLUMN may itself
+        # be underscore-named, giving "_col=..."), so only prune
+        # underscore dirs that are not partition dirs.
+        dirs[:] = [d for d in dirs if not _is_sidecar_dir(d)]
         n += sum(1 for f in files if not f.startswith((".", "_")))
     return n
+
+
+def _is_sidecar_dir(d: str) -> bool:
+    """True for marker/sidecar directories (.crc trees, _deletes,
+    _temporary); FALSE for hive partition directories even when they
+    start with an underscore ("_col=v", "col=__HIVE_DEFAULT_PARTITION__"
+    — the latter never starts with "_" at the dir level but an
+    underscore-named partition column does)."""
+    if d.startswith("."):
+        return True
+    return d.startswith("_") and "=" not in d
+
+
+def _data_file_inodes(base: str) -> dict[str, int]:
+    """relative-path -> inode for every data file under a snapshot
+    (sidecar trees excluded) — the delete_where audit's evidence that
+    a merge-on-read commit carried EXACTLY the current data file set
+    and copied zero bytes (hardlinks share inodes)."""
+    out: dict[str, int] = {}
+    for root, dirs, files in os.walk(base):
+        dirs[:] = [d for d in dirs if not _is_sidecar_dir(d)]
+        for f in files:
+            if not f.startswith((".", "_")):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, base)] = os.stat(p).st_ino
+    return out
 
 
 def _table_exists(target_path: str) -> bool:
@@ -1100,10 +1130,28 @@ def delete_where(
     n_new = obs.get["n_deletes"]
     with open(os.path.join(ddir, "_META.json"), "w") as fh:
         json.dump({"keys": list(keys)}, fh)
-    # AUDIT: the staged delete files read back complete (every prior
-    # delete row plus the new ones), and the staged data file set is
-    # exactly the current one — a failed carry or a torn delete write
-    # raises here and never touches the manifest.
+    # AUDIT (both halves verified): (1) the staged data file set is
+    # EXACTLY the current one, hardlinked — same relative paths, same
+    # inodes, zero bytes copied; (2) the staged delete files read back
+    # complete (every prior delete row plus the new ones). A failed
+    # carry or a torn delete write raises here and never touches the
+    # manifest.
+    cur_files = _data_file_inodes(cur_dir)
+    staged_files = _data_file_inodes(staged)
+    if cur_files != staged_files:
+        extra = set(staged_files) - set(cur_files)
+        missing = set(cur_files) - set(staged_files)
+        relinked = {
+            p
+            for p in set(cur_files) & set(staged_files)
+            if cur_files[p] != staged_files[p]
+        }
+        raise RuntimeError(
+            f"audit failed for {staged}: data file carry is not an "
+            f"exact hardlink of {cur_dir} (extra={sorted(extra)[:3]}, "
+            f"missing={sorted(missing)[:3]}, "
+            f"inode-mismatch={sorted(relinked)[:3]})"
+        )
     back = spark.read.parquet(ddir).count()
     prior = (
         spark.read.parquet(os.path.join(cur_dir, _DELETES)).count()

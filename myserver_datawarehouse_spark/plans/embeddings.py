@@ -1017,7 +1017,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity search, mirroring `approx_distinct_audit`.
 
     For each probe vector (vec_id < {N_PROBES}) and each method
-    ('ivf' = `embedding_ann_ivf`, 'bucket' = the shipped
+    ('ivf' = `embedding_ann_ivf`, 'ivfpq' = the composed
+    `embedding_ivfpq_search` (its top-{RECALL_K} by estimated
+    distance — the ADC estimate is rated against the exact yardstick,
+    so this row prices the compression loss ON TOP of the coarse
+    quantizer's), 'bucket' = the shipped
     `embedding_ann_bucketed_gemm` BLAS tier (identical semantics and
     oracle to the interpreted twin — the audit measures the tier users
     actually run), 'multiprobe' = `embedding_ann_multiprobe`, the
@@ -1068,6 +1072,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     ivf = embedding_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    ivfpq = (
+        embedding_ivfpq_search(spark, sf_dir)
+        .filter(F.col("pos") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
     bucket = (
         embedding_ann_bucketed_gemm(spark, sf_dir)
         .filter(F.col("vec_id") < N_PROBES)
@@ -1089,6 +1098,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grid is an explode over the probe ids, not a join per method.
     approx_all = (
         ivf.withColumn("method", F.lit("ivf"))
+        .unionByName(ivfpq.withColumn("method", F.lit("ivfpq")))
         .unionByName(bucket.withColumn("method", F.lit("bucket")))
         .unionByName(multi.withColumn("method", F.lit("multiprobe")))
     )
@@ -1099,7 +1109,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = exact.select("query_id").distinct().select(
         F.explode(
-            F.array(F.lit("ivf"), F.lit("bucket"), F.lit("multiprobe"))
+            F.array(
+                F.lit("ivf"),
+                F.lit("ivfpq"),
+                F.lit("bucket"),
+                F.lit("multiprobe"),
+            )
         ).alias("method"),
         "query_id",
     )
@@ -1122,58 +1137,8 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RECALL_AUDIT_SQL = f"""
-WITH exact_k AS (
-  SELECT query_id, vec_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY query_id ORDER BY cosine DESC, vec_id
-         ) AS rn
-  FROM ({EMBEDDING_TOPK_BRUTEFORCE_SQL}) x
-),
-base AS (SELECT query_id, vec_id FROM exact_k WHERE rn <= {RECALL_K}),
-ivf AS (SELECT query_id, vec_id FROM ({EMBEDDING_ANN_IVF_SQL}) y),
-bkt AS (
-  SELECT vec_id AS query_id, neighbor_id AS vec_id
-  FROM ({EMBEDDING_ANN_BUCKETED_SQL}) z
-  WHERE vec_id < {N_PROBES}
-),
-mp AS (
-  SELECT vec_id AS query_id, neighbor_id AS vec_id
-  FROM ({EMBEDDING_ANN_MULTIPROBE_SQL}) m
-  WHERE vec_id < {N_PROBES}
-),
-q AS (SELECT DISTINCT query_id FROM base),
-counts AS (
-  SELECT 'ivf' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
-  FROM q LEFT JOIN (
-    SELECT i.query_id, COUNT(*) AS n
-    FROM ivf i JOIN base b
-      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
-    GROUP BY i.query_id
-  ) h ON h.query_id = q.query_id
-  UNION ALL
-  SELECT 'bucket' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
-  FROM q LEFT JOIN (
-    SELECT k.query_id, COUNT(*) AS n
-    FROM bkt k JOIN base b
-      ON k.query_id = b.query_id AND k.vec_id = b.vec_id
-    GROUP BY k.query_id
-  ) h ON h.query_id = q.query_id
-  UNION ALL
-  SELECT 'multiprobe' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
-  FROM q LEFT JOIN (
-    SELECT m.query_id, COUNT(*) AS n
-    FROM mp m JOIN base b
-      ON m.query_id = b.query_id AND m.vec_id = b.vec_id
-    GROUP BY m.query_id
-  ) h ON h.query_id = q.query_id
-)
-SELECT method, query_id, {RECALL_K} AS k, n_hit,
-       ROUND(n_hit / {RECALL_K}.0, 4) AS recall,
-       n_hit / {RECALL_K}.0 >= {RECALL_FLOOR} AS recall_floor_met
-FROM counts
-ORDER BY method, query_id
-"""
+# ANN_RECALL_AUDIT_SQL is assigned at the END of this module: its
+# f-string embeds EMBEDDING_IVFPQ_SEARCH_SQL, defined below.
 
 
 # ------------------------------------------------- semantic dedup clusters
@@ -1810,3 +1775,427 @@ ORDER BY query_id
 
 
 EMBEDDING_PQ_ADC_AUDIT_SQL = _pq_sql()
+
+
+# ------------------------------------------------------------- IVFPQ
+
+IVFPQ_DIM = 64  # embeddings table vector width
+
+
+def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the two ANN halves composed into the genuine FAISS
+    shape (the round-8 verdict's ask): the COARSE quantizer of
+    `embedding_ann_ivf` (deterministic centroid pick, here with L2
+    assignment — residual geometry is Euclidean) partitions the corpus
+    into inverted lists; PRODUCT QUANTIZATION (`embedding_pq_adc_audit`
+    machinery) is trained on the RESIDUALS x - c(x), so each vector is
+    stored as its cell id + {m} one-byte codes; a query probes its
+    {npq} nearest cells and scores candidates by ASYMMETRIC DISTANCE:
+    per (query, cell) a {m}x{k} LUT of
+    ||(q - c_cell)_sub - codeword||^2 is built once, and each
+    candidate's distance estimate is a code-indexed LUT sum —
+    ||q - x||^2 ~ ||(q - c) - (x - c)||^2 with the residual PQ-coded.
+
+    Every step is deterministic and oracle-retrained: centroid pick by
+    id, L2 cell assignment (distances rounded to {dp} dp, id
+    tie-breaks), PQ init from the first {k} vectors' residuals,
+    {it} decimal-exact Lloyd iterations, dense code renumber,
+    skeleton-filled LUTs — the DuckDB oracle rebuilds BOTH quantizers
+    and the full search, so a drift anywhere in the pipeline flips the
+    hash. Output: top-{tk} per probe by estimated distance.
+
+    Scale anatomy (the 100 TB plan): training shuffles k*subdim
+    decimal partials per iteration (never corpus^2); encoding is one
+    broadcast pass; the search reads only the PROBED cells' code lists
+    (cell-partitioned in a real deployment, nprobe * avg-cell-size
+    candidates), the LUT join is broadcast (probes x nprobe x {m}x{k}
+    floats), and the scan side is map-only until the final bounded
+    top-k window. The float vectors are touched only by training and
+    encoding — retrieval runs entirely on 4-byte codes, which is what
+    makes billion-vector serving fit in memory.
+
+    Reference parity: none — the reference has no vector tier; this is
+    the LLM-pipeline similarity-search scale path."""
+    from myserver_datawarehouse_spark.session import materialize
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("x"),
+    )
+    v = v.withColumn("xx", V.dot("x", "x"))
+    cent = v.filter(F.col("vec_id") % IVF_CENT_MOD == 0).select(
+        F.col("vec_id").alias("ccid"),
+        F.col("x").alias("c"),
+        F.col("xx").alias("cc"),
+    )
+    d2c = F.round(
+        F.col("xx") - 2 * V.dot("x", "c") + F.col("cc"), KMEANS_DP
+    )
+    w_asn = Window.partitionBy("vec_id").orderBy("d2c", "ccid")
+    asn = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "x", "ccid", "c", d2c.alias("d2c"))
+        .withColumn("rn", F.row_number().over(w_asn))
+    )
+    residual = F.zip_with("x", "c", lambda a, b: a - b)
+    cells = asn.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("ccid").alias("cell"), residual.alias("r")
+    )
+    sub_slices = (
+        f"transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(r, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+    )
+    rsub = cells.select(
+        "vec_id",
+        F.posexplode(F.expr(sub_slices)).alias("sub", "rs"),
+    )
+    sx = rsub.select(
+        "vec_id", "sub", "rs", V.dot("rs", "rs").alias("xx")
+    )
+    cb = sx.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("rs").alias("c")
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        cc = cb.select("sub", "cid", "c", V.dot("c", "c").alias("cc"))
+        d2 = F.round(
+            F.col("xx") - 2 * V.dot("rs", "c") + F.col("cc"), KMEANS_DP
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        return (
+            sx.join(F.broadcast(cc), "sub")
+            .select("vec_id", "sub", "rs", "xx", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        el = assigned.select(
+            "sub", "cid", F.posexplode("rs").alias("pos", "val")
+        )
+        means = el.groupBy("sub", "cid", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                KMEANS_DP,
+            ).alias("m")
+        )
+        return (
+            means.groupBy("sub", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("sm")
+            )
+            .select(
+                "sub", "cid", F.expr("transform(sm, s -> s.m)").alias("c")
+            )
+        )
+
+    for _ in range(PQ_ITERS):
+        cb = update(assign(cb))
+    # materialize: the trained residual codebook feeds encoding, the
+    # dense renumber AND every probe LUT (see embedding_pq_adc_audit).
+    cb = materialize(cb)
+    wsub = Window.partitionBy("sub").orderBy("cid")
+    dense = cb.select("sub", "cid").withColumn(
+        "dcid", F.row_number().over(wsub) - 1
+    )
+    codes = (
+        assign(cb)
+        .join(F.broadcast(dense), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "dcid"))
+            ).alias("sc")
+        )
+        .select(
+            "vec_id", F.expr("transform(sc, s -> s.dcid)").alias("codes")
+        )
+    )
+    probe_cells = asn.filter(
+        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ccid").alias("cell"),
+        residual.alias("r"),
+    )
+    qsub = probe_cells.select(
+        "query_id",
+        "cell",
+        F.posexplode(F.expr(sub_slices)).alias("sub", "qs"),
+    )
+    lut_vals = (
+        qsub.join(
+            F.broadcast(
+                cb.join(F.broadcast(dense), ["sub", "cid"]).select(
+                    "sub", "dcid", "c", V.dot("c", "c").alias("cc")
+                )
+            ),
+            "sub",
+        )
+        .select(
+            "query_id",
+            "cell",
+            (F.col("sub") * PQ_K + F.col("dcid")).alias("slot"),
+            F.round(
+                V.dot("qs", "qs") - 2 * V.dot("qs", "c") + F.col("cc"),
+                KMEANS_DP,
+            ).alias("d2p"),
+        )
+    )
+    slots = spark.range(PQ_M * PQ_K).select(
+        F.col("id").cast("int").alias("slot")
+    )
+    lut_arr = materialize(
+        probe_cells.select("query_id", "cell")
+        .crossJoin(F.broadcast(slots))
+        .join(lut_vals, ["query_id", "cell", "slot"], "left")
+        .na.fill({"d2p": 0.0})
+        .groupBy("query_id", "cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("slot", "d2p"))
+            ).alias("sl")
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.expr("transform(sl, s -> s.d2p)").alias("lut"),
+        )
+    )
+    cand = (
+        cells.select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .join(F.broadcast(lut_arr), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as double), "
+                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+            ).alias("est_raw"),
+        )
+    )
+    w_est = Window.partitionBy("query_id").orderBy("est_raw", "vec_id")
+    return (
+        cand.withColumn("pos", F.row_number().over(w_est))
+        .filter(F.col("pos") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "pos",
+            "vec_id",
+            "cell",
+            F.round("est_raw", 6).alias("est_d2"),
+        )
+        .orderBy("query_id", "pos")
+    )
+
+
+embedding_ivfpq_search.__doc__ = embedding_ivfpq_search.__doc__.format(
+    m=PQ_M, k=PQ_K, npq=IVF_NPROBE, dp=KMEANS_DP, it=PQ_ITERS,
+    tk=PQ_TOPK,
+)
+
+
+def _ivfpq_sql() -> str:
+    sd, m, k, dim = PQ_SUBDIM, PQ_M, PQ_K, IVFPQ_DIM
+    parts = [
+        f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings),
+vv AS (SELECT vec_id, x, list_dot_product(x, x) AS xx FROM v),
+cent AS (SELECT vec_id AS ccid, x AS c, xx AS cc FROM vv
+         WHERE vec_id % {IVF_CENT_MOD} = 0),
+asn AS (
+  SELECT vv.vec_id, vv.x, cent.ccid, cent.c,
+         ROW_NUMBER() OVER (
+           PARTITION BY vv.vec_id
+           ORDER BY ROUND(vv.xx - 2 * list_dot_product(vv.x, cent.c)
+                          + cent.cc, {KMEANS_DP}), cent.ccid
+         ) AS rn
+  FROM vv CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, ccid AS cell,
+         [x[i] - c[i] FOR i IN generate_series(1, {dim})] AS r
+  FROM asn WHERE rn = 1
+),
+rsub AS (
+  SELECT vec_id, g.m AS sub, r[g.m * {sd} + 1 : g.m * {sd} + {sd}] AS rs
+  FROM cells, (SELECT unnest(generate_series(0, {m - 1})) AS m) g
+),
+sx AS (SELECT vec_id, sub, rs, list_dot_product(rs, rs) AS xx FROM rsub),
+c0 AS (SELECT sub, vec_id AS cid, rs AS c FROM rsub
+       WHERE vec_id < {k})"""
+    ]
+    for i in range(1, PQ_ITERS + 2):
+        parts.append(
+            f"""a{i} AS (
+  SELECT sx.vec_id, sx.sub, sx.rs, sx.xx, c.cid,
+         ROUND(sx.xx - 2 * list_dot_product(sx.rs, c.c)
+               + list_dot_product(c.c, c.c), {KMEANS_DP}) AS d2
+  FROM sx JOIN c{i - 1} c ON c.sub = sx.sub
+),
+s{i} AS (
+  SELECT vec_id, sub, rs, cid, d2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, cid) AS rn FROM a{i})
+  WHERE rn = 1
+)"""
+        )
+        if i <= PQ_ITERS:
+            parts.append(
+                f"""e{i} AS (
+  SELECT sub, cid, generate_subscripts(rs, 1) - 1 AS pos,
+         unnest(rs) AS val
+  FROM s{i}
+),
+m{i} AS (
+  SELECT sub, cid, pos,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), {KMEANS_DP}) AS m
+  FROM e{i} GROUP BY 1, 2, 3
+),
+c{i} AS (SELECT sub, cid, list(m ORDER BY pos) AS c
+         FROM m{i} GROUP BY 1, 2)"""
+            )
+    last_c = f"c{PQ_ITERS}"
+    last_s = f"s{PQ_ITERS + 1}"
+    parts.append(
+        f"""dn AS (
+  SELECT sub, cid,
+         ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cid) - 1 AS dcid
+  FROM {last_c}
+),
+codes AS (
+  SELECT s.vec_id, list(d.dcid ORDER BY s.sub) AS codes
+  FROM {last_s} s JOIN dn d ON d.sub = s.sub AND d.cid = s.cid
+  GROUP BY 1
+),
+pc AS (
+  SELECT vec_id AS query_id, ccid AS cell,
+         [x[i] - c[i] FOR i IN generate_series(1, {dim})] AS qr
+  FROM asn WHERE vec_id < {N_PROBES} AND rn <= {IVF_NPROBE}
+),
+qsub AS (
+  SELECT query_id, cell, g.m AS sub,
+         qr[g.m * {sd} + 1 : g.m * {sd} + {sd}] AS qs
+  FROM pc, (SELECT unnest(generate_series(0, {m - 1})) AS m) g
+),
+lut_vals AS (
+  SELECT q.query_id, q.cell, c.sub * {k} + d.dcid AS slot,
+         ROUND(list_dot_product(q.qs, q.qs)
+               - 2 * list_dot_product(q.qs, c.c)
+               + list_dot_product(c.c, c.c), {KMEANS_DP}) AS d2p
+  FROM qsub q
+  JOIN {last_c} c ON c.sub = q.sub
+  JOIN dn d ON d.sub = c.sub AND d.cid = c.cid
+),
+lut_arr AS (
+  SELECT g.query_id, g.cell,
+         list(COALESCE(l.d2p, 0.0) ORDER BY g.slot) AS lut
+  FROM (SELECT query_id, cell, s.slot
+        FROM pc, (SELECT unnest(generate_series(0, {m * k - 1}))
+                  AS slot) s) g
+  LEFT JOIN lut_vals l ON l.query_id = g.query_id
+                      AND l.cell = g.cell AND l.slot = g.slot
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT l.query_id, cl.vec_id, cl.cell,
+         list_sum([l.lut[i * {k} + co.codes[i + 1] + 1]
+                   FOR i IN generate_series(0, {m - 1})]) AS est_raw
+  FROM cells cl
+  JOIN codes co ON co.vec_id = cl.vec_id
+  JOIN lut_arr l ON l.cell = cl.cell
+  WHERE cl.vec_id <> l.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, cell, est_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY est_raw, vec_id) AS pos
+  FROM cand
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, pos, vec_id, cell, ROUND(est_raw, 6) AS est_d2
+FROM rk WHERE pos <= {PQ_TOPK}
+ORDER BY query_id, pos
+"""
+    )
+
+
+EMBEDDING_IVFPQ_SEARCH_SQL = _ivfpq_sql()
+
+
+ANN_RECALL_AUDIT_SQL = f"""
+WITH exact_k AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rn
+  FROM ({EMBEDDING_TOPK_BRUTEFORCE_SQL}) x
+),
+base AS (SELECT query_id, vec_id FROM exact_k WHERE rn <= {RECALL_K}),
+ivf AS (SELECT query_id, vec_id FROM ({EMBEDDING_ANN_IVF_SQL}) y),
+ipq AS (
+  SELECT query_id, vec_id FROM ({EMBEDDING_IVFPQ_SEARCH_SQL}) pq
+  WHERE pos <= {RECALL_K}
+),
+bkt AS (
+  SELECT vec_id AS query_id, neighbor_id AS vec_id
+  FROM ({EMBEDDING_ANN_BUCKETED_SQL}) z
+  WHERE vec_id < {N_PROBES}
+),
+mp AS (
+  SELECT vec_id AS query_id, neighbor_id AS vec_id
+  FROM ({EMBEDDING_ANN_MULTIPROBE_SQL}) m
+  WHERE vec_id < {N_PROBES}
+),
+q AS (SELECT DISTINCT query_id FROM base),
+counts AS (
+  SELECT 'ivf' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT i.query_id, COUNT(*) AS n
+    FROM ivf i JOIN base b
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY i.query_id
+  ) h ON h.query_id = q.query_id
+  UNION ALL
+  SELECT 'ivfpq' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT p.query_id, COUNT(*) AS n
+    FROM ipq p JOIN base b
+      ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+    GROUP BY p.query_id
+  ) h ON h.query_id = q.query_id
+  UNION ALL
+  SELECT 'bucket' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT k.query_id, COUNT(*) AS n
+    FROM bkt k JOIN base b
+      ON k.query_id = b.query_id AND k.vec_id = b.vec_id
+    GROUP BY k.query_id
+  ) h ON h.query_id = q.query_id
+  UNION ALL
+  SELECT 'multiprobe' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT m.query_id, COUNT(*) AS n
+    FROM mp m JOIN base b
+      ON m.query_id = b.query_id AND m.vec_id = b.vec_id
+    GROUP BY m.query_id
+  ) h ON h.query_id = q.query_id
+)
+SELECT method, query_id, {RECALL_K} AS k, n_hit,
+       ROUND(n_hit / {RECALL_K}.0, 4) AS recall,
+       n_hit / {RECALL_K}.0 >= {RECALL_FLOOR} AS recall_floor_met
+FROM counts
+ORDER BY method, query_id
+"""

@@ -3314,9 +3314,26 @@ BM25_B = 0.75
 BM25_TOPK = 10
 
 
+def _values_df(spark: SparkSession, rows: list[tuple], cols: str) -> DataFrame:
+    """Tiny literal frame as a VALUES local relation (LocalTableScan in
+    the plan) — createDataFrame would parallelize it into an RDD-backed
+    scan, which the plan lint rightly flags as a driver-materialized
+    input even when the payload is a handful of query terms."""
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+    )
+    return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({cols})")
+
+
 def _search_skeleton(spark: SparkSession, mapping: dict) -> DataFrame:
-    return spark.createDataFrame(
-        [(k,) for k in sorted(mapping)], "query_id string"
+    return _values_df(
+        spark, [(k,) for k in sorted(mapping)], "query_id"
     )
 
 
@@ -3345,13 +3362,14 @@ def keyword_search_conjunctive(
     Reference parity: the reference has no text search; this is the
     retrieval tier of the LLM-pipeline surface."""
     d = _docs(spark, sf_dir)
-    terms = spark.createDataFrame(
+    terms = _values_df(
+        spark,
         [
             (qid, t, len(ts))
             for qid, ts in SEARCH_QUERIES.items()
             for t in ts
         ],
-        "query_id string, term string, n_terms int",
+        "query_id, term, n_terms",
     )
     postings = (
         d.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
@@ -3498,9 +3516,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode projection); df and avgdl are map-side-combinable
     aggregates; the final top-k is a bounded per-query window."""
     d = _docs(spark, sf_dir)
-    terms = spark.createDataFrame(
+    terms = _values_df(
+        spark,
         [(qid, t) for qid, ts in SEARCH_QUERIES.items() for t in ts],
-        "query_id string, term string",
+        "query_id, term",
     )
     toks = d.select(
         "doc_id", F.explode(TX.tokenize("text")).alias("term")

@@ -505,3 +505,110 @@ ORDER BY event_type
 
 
 STREAMING_CDC_APPLY_SQL = _cdc_apply_sql()
+
+
+def streaming_cdc_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC producer→consumer contract, end-to-end (round-8 verdict ask
+    #5): primary publishes v1→v2 via WAP, `table_changes` EXTRACTS the
+    feed, the streaming apply CONSUMES it into a replica, and the
+    adjudicated output proves replica ≡ primary@v2 two ways — the
+    per-event-type rollup of the replica (oracle recomputes v2 from
+    the raw source by the same predicates) and `n_mismatch`, a
+    null-safe full-outer row diff between replica and v2 that must be
+    0 on every row (a lost tombstone, a replayed update, or a dropped
+    insert makes it positive and flips the hash).
+
+    Eager-execution, fixed per-sf work dir (the streaming_upsert_merge
+    convention); the returned frame re-reads both tables."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from myserver_datawarehouse_spark.operators.merge import (
+        drop_table,
+        read_version,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "msdw_stream_cdcrep_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "primary"), ignore_errors=True)
+    drop_table(os.path.join(work, "replica"))
+    replica_path, primary, v2 = SJ.cdc_replicate_stream(
+        spark, sf_dir, work
+    )
+    replica = (
+        spark.read.parquet(replica_path)
+        .filter(F.col("op") != "D")
+        .select("event_id", "user_id", "event_type", "value")
+        .alias("r")
+    )
+    v2df = read_version(spark, primary, v2).alias("p")
+    same = (
+        F.col("r.user_id").eqNullSafe(F.col("p.user_id"))
+        & F.col("r.event_type").eqNullSafe(F.col("p.event_type"))
+        & F.col("r.value").eqNullSafe(F.col("p.value"))
+    )
+    diff = (
+        replica.join(
+            v2df, F.col("r.event_id") == F.col("p.event_id"), "full_outer"
+        )
+        .filter(
+            F.col("r.event_id").isNull()
+            | F.col("p.event_id").isNull()
+            | ~same
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    return (
+        replica.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(diff))
+        .select("event_type", "n_rows", "sum_value", "n_mismatch")
+        .orderBy("event_type")
+    )
+
+
+def _cdc_replication_sql() -> str:
+    from myserver_datawarehouse_spark.plans.relational import (
+        CDF_INSERT_MOD,
+        CDF_INSERT_OFFSET,
+        CDF_UPDATE_BUMP,
+        ERASURE_MOD,
+    )
+
+    return f"""
+WITH v2 AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN value + {CDF_UPDATE_BUMP} ELSE value END AS value
+  FROM events WHERE user_id % {ERASURE_MOD} != 0
+  UNION ALL
+  SELECT event_id + {CDF_INSERT_OFFSET}, user_id, event_type, value
+  FROM events
+  WHERE user_id % {ERASURE_MOD} != 0
+    AND event_id % {CDF_INSERT_MOD} = 0
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM v2
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+STREAMING_CDC_REPLICATION_SQL = _cdc_replication_sql()

@@ -1176,6 +1176,23 @@ _SPECS: list[QuerySpec] = [
         "rollup through the MOR reader, compaction-consistency "
         "null-safe-compared, all oracle-adjudicated",
     ),
+    QuerySpec(
+        "embedding_ivfpq_search",
+        EM.embedding_ivfpq_search,
+        EM.EMBEDDING_IVFPQ_SEARCH_SQL,
+        "IVFPQ: coarse quantizer + residual product quantization + "
+        "probe-limited asymmetric-distance search (the FAISS shape); "
+        "oracle retrains BOTH quantizers and replays the full search",
+    ),
+    QuerySpec(
+        "streaming_cdc_replication",
+        ST.streaming_cdc_replication,
+        ST.STREAMING_CDC_REPLICATION_SQL,
+        "CDC producer→consumer contract end-to-end: WAP v1→v2, "
+        "table_changes extracts the feed, the streaming apply "
+        "replays it into a replica; rollup + zero-mismatch diff "
+        "against v2 adjudicated (the Delta-CDF replication pattern)",
+    ),
 ]
 
 
@@ -1185,65 +1202,44 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. After the round-7 fold every one of the 164
+#      are re-checked. After the round-8 fold every one of the 180
 #      registry queries had a green driver verdict at its current name;
-#      this head tier holds the round-8 changes:
-#      flagship_hourly_pipeline and streaming_upsert_merge (riding the
-#      merge_upsert null-safe touched-partition semi-join, the
-#      streaming per-batch vacuum, AND the round-8b _read_snapshot
-#      merge-on-read delete application, operators/merge.py +
-#      streaming/jobs.py) plus the 16 new round-8 queries
-#      (file_skipping_scan_audit, embedding_pca_audit,
-#      near_dup_incremental_lsh, bloom_file_skip_audit,
-#      table_changes_feed, deletion_vector_audit,
-#      theta_sketch_overlap, keyword_search_conjunctive,
-#      phrase_search_positional, bm25_search, embedding_pq_adc_audit,
-#      incremental_join_maintenance, column_correlation_profile,
-#      scd2_point_in_time_join, token_pagerank, streaming_cdc_apply).
-#   1. last adjudicated in round 4 (27 queries — now the stalest
-#      standing verdicts; the round-8 budget should retire these);
-#   2. last adjudicated in round 5 (43 queries);
+#      this head tier holds the round-9 additions and changes:
+#      embedding_ivfpq_search + streaming_cdc_replication (new),
+#      keyword_search_conjunctive + bm25_search (VALUES literal-frame
+#      plan change), ann_recall_audit (new ivfpq method row).
+#   1. last adjudicated in round 4 (3 stragglers the round-8 budget
+#      couldn't reach: part_brand_margin_topk,
+#      trailing_range_window_sum, events_grouping_sets — first in
+#      line for the round-9 budget);
+#   2. last adjudicated in round 5 (42 queries);
 #   3. last adjudicated in round 6 (44 queries);
-#   4. last adjudicated in round 7 (48 standing — CORRECTNESS_r07.json
-#      was 50/50 green and retired the whole round-3 tier on schedule;
-#      2 verdicts forfeited to the round-8 writer changes above).
+#   4. last adjudicated in round 7 (41 queries);
+#   5. last adjudicated in round 8 (47 standing — CORRECTNESS_r08.json
+#      was 50/50 green; 3 verdicts forfeited to round-9 changes: the
+#      VALUES literal-frame plan change in the retrieval tier and the
+#      ivfpq method row added to ann_recall_audit).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
-# Round-9 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r08.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 9
+# GROWTH-BUDGET POLICY (asserted by test_staleness_debt_bounded):
+# with a 50-query/round adjudication budget, a registry of N queries
+# fully rotates in ceil(N/50) rounds, so the stalest legitimate
+# standing verdict is ceil(N/50) rounds older than the newest folded
+# record. Keep (new/changed queries per round) + (stalest standing
+# tier) <= 50 so the budget always clears the head AND the oldest
+# tier; at N=180 that means <= ~35 new queries/round steady-state.
+#
+# Round-10 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r09.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 10
 # OUT of every set so it returns to the head.
 
 _ADJUDICATED_R4 = frozenset(
     {
-        "day_over_day_change",
-        "dup_ngram_coverage",
-        "embedding_ann_bucketed_baseline",
-        "embedding_covariance_probe",
-        "embedding_int8_quantization",
-        "event_dow_chisquare",
-        "events_cube_rollup",
-        "events_daily_unpivot",
-        "events_funnel_conversion",
         "events_grouping_sets",
-        "gopher_quality_flags",
-        "grouped_topk_dense",
-        "incremental_agg_maintenance",
-        "kmeans_ivf_clusters",
-        "layout_zorder_stats",
-        "minute_anomaly_zscore",
         "part_brand_margin_topk",
-        "quality_weighted_sample",
-        "shipping_priority_topk",
-        "source_mix_entropy",
-        "source_numeric_ids",
-        "streaming_dedup_within_watermark",
-        "token_zipf_fit",
         "trailing_range_window_sum",
-        "user_retention_cohorts",
-        "value_histogram",
-        "word_cooccurrence_pmi",
     }
 )
 
@@ -1389,8 +1385,62 @@ _ADJUDICATED_R7 = frozenset(
     }
 )
 
+_ADJUDICATED_R8 = frozenset(
+    {
+        "bloom_file_skip_audit",
+        "column_correlation_profile",
+        "day_over_day_change",
+        "deletion_vector_audit",
+        "dup_ngram_coverage",
+        "embedding_ann_bucketed_baseline",
+        "embedding_covariance_probe",
+        "embedding_int8_quantization",
+        "embedding_pca_audit",
+        "embedding_pq_adc_audit",
+        "event_dow_chisquare",
+        "events_cube_rollup",
+        "events_daily_unpivot",
+        "events_funnel_conversion",
+        "file_skipping_scan_audit",
+        "flagship_hourly_pipeline",
+        "full_history_rebuild",
+        "gopher_quality_flags",
+        "grouped_topk_dense",
+        "incremental_agg_maintenance",
+        "incremental_join_maintenance",
+        "kmeans_ivf_clusters",
+        "latest_event_per_user_type",
+        "layout_zorder_stats",
+        "merge_writer_lifecycle",
+        "minute_anomaly_zscore",
+        "near_dup_incremental_lsh",
+        "phrase_search_positional",
+        "quality_weighted_sample",
+        "scd2_point_in_time_join",
+        "shipping_priority_topk",
+        "source_mix_entropy",
+        "source_numeric_ids",
+        "sources_lifecycle",
+        "streaming_cdc_apply",
+        "streaming_dedup_within_watermark",
+        "streaming_upsert_merge",
+        "table_changes_feed",
+        "table_compaction_audit",
+        "table_time_travel_audit",
+        "theta_sketch_overlap",
+        "token_pagerank",
+        "token_zipf_fit",
+        "user_erasure_audit",
+        "user_retention_cohorts",
+        "value_histogram",
+        "word_cooccurrence_pmi",
+    }
+)
+
 
 def _staleness(name: str) -> int:
+    if name in _ADJUDICATED_R8:
+        return 5
     if name in _ADJUDICATED_R7:
         return 4
     if name in _ADJUDICATED_R6:
@@ -1400,6 +1450,7 @@ def _staleness(name: str) -> int:
     if name in _ADJUDICATED_R4:
         return 1
     return 0  # never adjudicated in current form — check first
+
 
 
 _SPECS.sort(key=lambda s: _staleness(s.name))  # stable: keeps in-tier order

@@ -801,3 +801,68 @@ def test_table_changes_sees_mor_deletes(spark, tmp_path):
         .collect()
     }
     assert by_type == {"delete": 1, "unchanged": 26}
+
+
+def test_delete_where_on_partitioned_table(spark, tmp_path):
+    """Round-8 advice: delete_where was only exercised unpartitioned.
+    On a hive-partitioned snapshot the hardlink carry must reproduce
+    the partition tree exactly (same inodes), _deletes must sit beside
+    the partition dirs without confusing partition inference, and the
+    delete key may BE the partition column."""
+    import os
+
+    root = str(tmp_path / "dvpart")
+    df = batch(spark, [(i, f"v{i}", i % 3) for i in range(30)])
+    v1 = M.publish_overwrite(spark, root, df, partition_by=["d"])
+    inodes_v1 = M._data_file_inodes(os.path.join(root, v1))
+    assert any(os.sep in p and p.startswith("d=") for p in inodes_v1)
+
+    # delete keyed on the PARTITION column: drops a whole partition
+    v2 = M.delete_where(spark, root, F.col("d") == 1, keys=["d"])
+    got = M.read_published(spark, root)
+    # partition column survives MOR read (inference skipped _deletes)
+    assert set(got.columns) == {"id", "v", "d"}
+    assert {r["id"] for r in got.collect()} == {
+        i for i in range(30) if i % 3 != 1
+    }
+    # carry: every data file of v2 is the same inode, partition tree
+    # included; the delete sidecar lives at the snapshot root
+    v2_dir = os.path.join(root, v2)
+    assert M._data_file_inodes(v2_dir) == inodes_v1
+    assert os.path.isdir(os.path.join(v2_dir, "_deletes"))
+
+    # a second delete keyed on the same spec accumulates (carried
+    # delete file + new one) and time travel still sees v1 complete
+    M.delete_where(spark, root, F.col("d") == 0, keys=["d"])
+    assert {
+        r["d"] for r in M.read_published(spark, root).collect()
+    } == {2}
+    assert M.read_version(spark, root, v1).count() == 30
+
+
+def test_delete_where_null_partition_value(spark, tmp_path):
+    """Null partition values render as __HIVE_DEFAULT_PARTITION__ on
+    disk; the carry, the file-set audit and data_file_count must all
+    treat that directory as data, and a MOR delete must be able to
+    target the null partition (null-safe anti-join on the partition
+    key)."""
+    root = str(tmp_path / "dvnullpart")
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 10), (3, "c", None)],
+        "id long, v string, d int",
+    )
+    v1 = M.publish_overwrite(spark, root, df, partition_by=["d"])
+    import os
+
+    n_before = M.data_file_count(root)
+    assert n_before >= 2  # the null partition's files ARE counted
+    M.delete_where(spark, root, F.col("d").isNull(), keys=["d"])
+    assert {
+        tuple(r)
+        for r in M.read_published(spark, root)
+        .select("id", "v", "d")
+        .collect()
+    } == {(2, "b", 10)}
+    # data files unchanged (MOR), including the null partition's
+    assert M.data_file_count(root) == n_before
+    assert M.read_version(spark, root, v1).count() == 3

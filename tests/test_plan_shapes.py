@@ -435,13 +435,18 @@ def test_bench_line_contract_at_registry_scale():
     timings = {s.name: 123.456 for s in registry.specs()}
     spreads = {s.name: 1.234 for s in registry.specs()}
     families = {f"family_{i}": 999.999 for i in range(12)}
-    line = build_line(timings, families, 0.1, reps=3, spreads=spreads)
+    # worst case: every query noise-flagged (line keeps only 5)
+    noisy = {s.name: [111.111, 222.222] for s in registry.specs()}
+    line = build_line(
+        timings, families, 0.1, reps=3, spreads=spreads, noisy=noisy
+    )
     parsed = _json.loads(line)
     assert len(line) < 1900
     assert parsed["n_queries"] == len(registry.specs())
     assert len(parsed["queries"]) == 20
     assert parsed["reps"] == 3
     assert parsed["spread_median"] == 1.234 and parsed["spread_max"] == 1.234
+    assert len(parsed["noisy"]) == 5
 
 
 def test_registry_integrity():

@@ -76,6 +76,17 @@ ALLOW: dict[str, dict[str, str]] = {
         "encoding, dense renumber and the per-probe LUT; per-probe "
         "LUT array (N_PROBES rows) broadcast into the ADC scan"
     },
+    "token_pagerank": {
+        "RDD_SCAN": _LC + "; materialized transition table shared by "
+        "every rank iteration (without it each iteration re-derives "
+        "the edge list from the corpus)"
+    },
+    "embedding_ivfpq_search": {
+        "RDD_SCAN": _LC + "; trained residual codebook shared by "
+        "encoding, dense renumber and every probe LUT; per-(probe,"
+        "cell) LUT arrays broadcast into the code scan (same shape "
+        "as embedding_pq_adc_audit)"
+    },
 }
 
 
