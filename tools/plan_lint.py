@@ -87,6 +87,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "cell) LUT arrays broadcast into the code scan (same shape "
         "as embedding_pq_adc_audit)"
     },
+    "token_triangle_count": {
+        "RDD_SCAN": _LC + "; canonical edge list + oriented edge "
+        "list, each consumed by multiple joins/aggregates of the "
+        "forward algorithm"
+    },
 }
 
 

@@ -57,11 +57,21 @@ PROBE_QUERIES = [
     "token_pagerank",
     "incremental_join_maintenance",
     "streaming_cdc_apply",
+    # round-9 additions: composed IVFPQ, CDC replication round-trip
+    "embedding_ivfpq_search",
+    "streaming_cdc_replication",
 ]
 
 
 def main() -> None:
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    # Subset re-measurement (comma-separated names): results MERGE into
+    # the committed artifact instead of clobbering the full table.
+    subset = [
+        q
+        for q in os.environ.get("SPARK_GRAFT_PROBE_QUERIES", "").split(",")
+        if q.strip()
+    ]
     spark = get_spark(
         "scale-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -72,7 +82,7 @@ def main() -> None:
 
     specs = {s.name: s for s in registry.specs()}
     out: dict[str, dict[str, float]] = {}
-    for name in PROBE_QUERIES:
+    for name in (subset or PROBE_QUERIES):
         spec = specs[name]
         out[name] = {}
         for sf_dir in sf_dirs:
@@ -92,9 +102,15 @@ def main() -> None:
             out[name][tag] = round(statistics.median(times), 3)
             print(f"{name} @ {tag}: {out[name][tag]} {times}", flush=True)
 
-    result = {"queries": out, "sf_dirs": sf_dirs}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scale_probe.json")
+    if subset and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        prior.get("queries", {}).update(out)
+        result = {"queries": prior["queries"], "sf_dirs": sf_dirs}
+    else:
+        result = {"queries": out, "sf_dirs": sf_dirs}
     with open(path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
