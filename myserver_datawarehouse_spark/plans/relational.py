@@ -5985,3 +5985,79 @@ LEFT JOIN dim d
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences: for every user's events ordered by (ts, event_id), the
+    (from_type → to_type) transition counts, row-normalized into
+    probabilities — the behavioral-analytics primitive under funnel
+    prediction, anomaly scoring and synthetic-sequence generation.
+
+    One user-keyed shuffle does everything: the LEAD window rides the
+    (user_id, ts) sort, the transition rollup is a map-side-combinable
+    count on the (from, to) pair, and row-normalization joins the
+    per-from totals back as a BROADCAST (distinct event types are a
+    handful at any corpus size, so the probability join never
+    shuffles the transition table). Probabilities are n/total on
+    exact integers, rounded to 6 dp — identical in both engines.
+
+    Scale: the only corpus-sized cost is the per-user sort (shared
+    shape with user_sessionization, one Exchange); everything after
+    is event-type-cardinality-sized. Reference parity: none — an
+    analytics-tier addition."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("tot")
+    )
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("tot"), 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+),
+seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM e
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, SUM(n_transitions) AS tot
+  FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_transitions,
+       ROUND(CAST(t.n_transitions AS DOUBLE) / tot.tot, 6) AS p
+FROM trans t JOIN tot USING (from_type)
+ORDER BY from_type, to_type
+"""

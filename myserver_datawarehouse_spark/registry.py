@@ -1218,6 +1218,14 @@ _SPECS: list[QuerySpec] = [
         "TF-IDF rankings per query (rank-only fusion, the calibration-"
         "free way to blend rankers); fused top-k adjudicated",
     ),
+    QuerySpec(
+        "event_transition_matrix",
+        R.event_transition_matrix,
+        R.EVENT_TRANSITION_MATRIX_SQL,
+        "first-order Markov transition matrix over per-user event "
+        "sequences: one user-keyed sort, map-side pair counts, "
+        "broadcast row-normalization",
+    ),
 ]
 
 
