@@ -4020,8 +4020,6 @@ def token_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded 6 dp), so the oracle (same orientation, same joins)
     matches exactly.
     Reference parity: none — graph tier of the LLM-pipeline surface."""
-    from myserver_datawarehouse_spark.session import materialize
-
     d = _docs(spark, sf_dir)
     pairs = (
         d.select(TX.tokenize("text").alias("tks"))
@@ -4052,6 +4050,17 @@ def token_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return triangle_stats(pairs)
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Degree-ordered forward triangle counting over a canonical
+    (a < b) undirected edge frame — factored out of
+    `token_triangle_count` so the algorithm is testable on arbitrary
+    graphs (tests/test_round9.py checks it against naive O(n^3)
+    enumeration on seeded random graphs)."""
+    from myserver_datawarehouse_spark.session import materialize
+
     edges = materialize(pairs)  # canonical a < b, shared 4 ways below
     deg = (
         edges.select(F.col("a").alias("t"))

@@ -103,3 +103,82 @@ def test_ivfpq_codes_are_dense_and_bounded(spark):
         by_q.setdefault(r["query_id"], []).append(r["pos"])
     for q, ps in by_q.items():
         assert sorted(ps) == list(range(1, EM.PQ_TOPK + 1)), q
+
+
+def _greedy_merge(seq, a, b):
+    out = []
+    for x in seq:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def test_bpe_fold_matches_python_reference_exhaustively(spark):
+    """Every {a,b}-sequence up to length 6 x every merge pair: the
+    Spark aggregate-fold must equal the reference leftmost-greedy
+    rewrite (overlap runs like 'aaaa' are where naive SQL rewrites
+    go wrong)."""
+    from itertools import product
+
+    cases = []
+    for n in range(1, 7):
+        for seq in product("ab", repeat=n):
+            for a, b in (("a", "a"), ("a", "b"), ("b", "a")):
+                cases.append((list(seq), a, b))
+    df = spark.createDataFrame(cases, "s array<string>, a string, b string")
+    got = df.select(
+        "s",
+        "a",
+        "b",
+        F.expr(
+            "aggregate(slice(s, 2, size(s)-1), "
+            "array(element_at(s, 1)), "
+            "(acc, x) -> CASE WHEN element_at(acc, -1) = a AND x = b "
+            "THEN concat(slice(acc, 1, size(acc)-1), "
+            "array(concat(a, b))) "
+            "ELSE concat(acc, array(x)) END)"
+        ).alias("r"),
+    ).collect()
+    assert len(got) == len(cases)
+    for row in got:
+        assert row["r"] == _greedy_merge(row["s"], row["a"], row["b"]), (
+            row["s"], row["a"], row["b"], row["r"])
+
+
+def test_triangle_forward_algorithm_matches_naive_enumeration(spark):
+    """Seeded pseudo-random graphs: the degree-ordered forward count
+    must equal naive O(n^3) triangle enumeration, and the wedge count
+    must equal sum(deg*(deg-1)/2)."""
+    import hashlib
+    from itertools import combinations
+
+    for seed, n_nodes, density_mod in [(1, 10, 3), (2, 14, 4), (3, 9, 2)]:
+        nodes = [f"n{i:02d}" for i in range(n_nodes)]
+        edges = [
+            (a, b)
+            for a, b in combinations(nodes, 2)
+            if int(
+                hashlib.md5(f"{seed}|{a}|{b}".encode()).hexdigest(), 16
+            ) % density_mod == 0
+        ]
+        if not edges:
+            continue
+        eset = set(edges)
+        naive = sum(
+            1
+            for a, b, c in combinations(nodes, 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        df = spark.createDataFrame(edges, "a string, b string")
+        got = LT.triangle_stats(df).collect()[0]
+        assert got["n_triangles"] == naive, (seed, naive, got)
+        assert got["n_wedges"] == wedges
+        assert got["n_edges"] == len(edges)
+        assert got["n_nodes"] == len(deg)
