@@ -5996,11 +5996,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One user-keyed shuffle does everything: the LEAD window rides the
     (user_id, ts) sort, the transition rollup is a map-side-combinable
-    count on the (from, to) pair, and row-normalization joins the
-    per-from totals back as a BROADCAST (distinct event types are a
-    handful at any corpus size, so the probability join never
-    shuffles the transition table). Probabilities are n/total on
-    exact integers, rounded to 6 dp — identical in both engines.
+    count on the (from, to) pair, and row-normalization is a window
+    SUM over the already-aggregated transition frame (event-type² rows
+    — re-keying THAT costs nothing, while a join against a separately
+    computed totals frame would duplicate the whole corpus scan +
+    window subtree, which is exactly what the first cut of this plan
+    did until PLANS.md showed the doubled Exchange tree). Probabilities
+    are n/total on exact integers, rounded to 6 dp — identical in both
+    engines.
 
     Scale: the only corpus-sized cost is the per-user sort (shared
     shape with user_sessionization, one Exchange); everything after
@@ -6018,21 +6021,17 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
-    totals = trans.groupBy("from_type").agg(
-        F.sum("n_transitions").alias("tot")
-    )
-    return (
-        trans.join(F.broadcast(totals), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n_transitions",
-            F.round(
-                F.col("n_transitions").cast("double") / F.col("tot"), 6
-            ).alias("p"),
-        )
-        .orderBy("from_type", "to_type")
-    )
+    w_tot = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_tot),
+            6,
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
 
 
 EVENT_TRANSITION_MATRIX_SQL = """
