@@ -1849,8 +1849,13 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_asn))
     )
     residual = F.zip_with("x", "c", lambda a, b: a - b)
-    cells = asn.filter(F.col("rn") == 1).select(
-        "vec_id", F.col("ccid").alias("cell"), residual.alias("r")
+    # materialize: the coarse assignment feeds PQ training (via sx),
+    # encoding AND the candidate scan — without the cut each consumer
+    # re-runs the O(N*K) assignment join + ranking window.
+    cells = materialize(
+        asn.filter(F.col("rn") == 1).select(
+            "vec_id", F.col("ccid").alias("cell"), residual.alias("r")
+        )
     )
     sub_slices = (
         f"transform(sequence(0, {PQ_M - 1}), "
@@ -1860,8 +1865,12 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.expr(sub_slices)).alias("sub", "rs"),
     )
-    sx = rsub.select(
-        "vec_id", "sub", "rs", V.dot("rs", "rs").alias("xx")
+    # materialize: every Lloyd round's assign() and the final encoding
+    # assign() fold over the same residual-subspace frame.
+    sx = materialize(
+        rsub.select(
+            "vec_id", "sub", "rs", V.dot("rs", "rs").alias("xx")
+        )
     )
     cb = sx.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").alias("cid"), F.col("rs").alias("c")
