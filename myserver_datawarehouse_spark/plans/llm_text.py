@@ -4354,3 +4354,315 @@ def _qterms_sql() -> str:
 
 
 HYBRID_SEARCH_RRF_SQL = _rrf_sql().format(qterms=_qterms_sql())
+
+
+# ------------------------- prefix-filtered exact similarity join (PPJoin)
+
+
+def near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT thresholded Jaccard self-join over the FULL corpus via
+    prefix filtering (the SSJoin/PPJoin candidate rule) — the
+    no-false-negative alternative to LSH when the contract is "every
+    pair >= tau, guaranteed".
+
+    Candidate rule: order every doc's shingle hashes by a single global
+    order (document frequency ascending, hash as tie-break — rarest
+    first) and keep only the first n - ceil(tau*n) + 1 as the doc's
+    PREFIX. If J(a,b) >= tau then |a ∩ b| >= ceil(tau*max(na,nb)), and
+    two sorted sets overlapping that much must collide inside these
+    prefixes — so an equi-join on prefix tokens alone finds every
+    qualifying pair (Bayardo et al. WWW'07; Xiao et al. WWW'08).
+
+    Why this scales where the full token join does not: the join key
+    space is the RAREST ~half of each doc's shingles, so hot shingles
+    (df in the thousands, cost df^2 rows in `ngram_jaccard_pairs`'s
+    intersection join) never become join keys; candidate volume is
+    bounded by rare-token collisions. Verification then touches only
+    candidate pairs: sorted hash arrays meet in `array_intersect`
+    (JVM set-intersect on longs). Output == the exact all-pairs oracle,
+    unsampled — the one O(n^2)-free EXACT join in the dedup tier.
+    """
+    d = _docs(spark, sf_dir)
+    h = materialize(
+        TX.shingle_rows(d, SHINGLE_K)
+        .select("doc_id", TX.hash60("g").alias("h"))
+        .distinct()
+    )
+    sizes = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_tok = h.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "h")
+    )
+    pref = (
+        h.join(df_tok, "h")
+        .select("doc_id", "h", "df", pos.alias("pos"))
+        .join(F.broadcast(sizes), "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(JACCARD_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "h")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = h.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("hs_a", "hs_b"))
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        verified.select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NEAR_DUP_PREFIX_FILTER_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS (
+  SELECT doc_id, list_distinct({_SH_POS_SQL}) AS sh FROM toks
+),
+mh AS (
+  SELECT doc_id, list_distinct([{_d_hash60('x')} FOR x IN sh]) AS mh,
+         len(list_distinct([{_d_hash60('x')} FOR x IN sh])) AS n
+  FROM sh
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.mh, b.mh)) AS DOUBLE)
+               / CAST(a.n + b.n - len(list_intersect(a.mh, b.mh)) AS DOUBLE),
+               6) AS jaccard
+  FROM mh a JOIN mh b
+    ON a.doc_id < b.doc_id
+   AND CAST(least(a.n, b.n) AS DOUBLE) >= {JACCARD_TAU} * greatest(a.n, b.n)
+)
+WHERE jaccard >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------- trained Naive Bayes language identification
+
+NB_LOG_DP = 12  # per-term log rounding before exact decimal accumulation
+
+
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID: multinomial Naive Bayes with Laplace
+    smoothing, fit on the even-doc_id half, scored on the odd half,
+    reported as a confusion matrix — the supervised upgrade of the
+    marker-list heuristic (`lang_id_confusion`), trained and applied
+    entirely as dataflow.
+
+    The smoothed per-class score factors into sparse + dense parts:
+      score(d, l) = ln P(l) + sum_{t in d} ln(c_tl + 1)
+                    - |d ∩ vocab| * ln(n_l + V)
+    Absent (t, l) pairs contribute ln(0 + 1) = 0, so ONLY the sparse
+    nonzero (token, lang) count table is ever materialized or joined —
+    no vocab x langs densification. Every ln is rounded to NB_LOG_DP
+    (12) dp and cast to decimal BEFORE accumulation (the engine's float
+    policy: exact, partition-order-free sums; argmax compares decimals
+    with lang as tie-break).
+
+    Scale: train counts are one (token, lang) groupBy (vocab-bounded);
+    scoring joins test tokens to that sparse table and rolls up per
+    (doc, lang) — both shuffles keyed on token/doc, never on the
+    corpus cross langs.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", F.explode(TX.tokenize("text")).alias("t")
+    ).filter(F.col("t") != "")
+    train = tok.filter(F.col("doc_id") % 2 == 0)
+    test = tok.filter(F.col("doc_id") % 2 == 1)
+
+    counts = train.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("t").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    class_tot = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    dec = f"decimal(28,{NB_LOG_DP})"
+    lnc1 = counts.select(
+        "lang", "t", F.round(F.log(F.col("c") + 1), NB_LOG_DP).cast(dec).alias("lnc1")
+    )
+    priors_raw = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    n_train_docs = priors_raw.agg(F.sum("nd").alias("ndt"))
+    model_cls = (
+        class_tot.join(F.broadcast(priors_raw), "lang")
+        .crossJoin(F.broadcast(n_train_docs))
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "lang",
+            F.round(F.log(F.col("nd") / F.col("ndt")), NB_LOG_DP)
+            .cast(dec)
+            .alias("lnprior"),
+            F.round(F.log(F.col("n_l") + F.col("v")), NB_LOG_DP)
+            .cast(dec)
+            .alias("lnden"),
+        )
+    )
+
+    in_vocab = test.join(vocab, "t").select(
+        "doc_id", F.col("lang").alias("lang_true"), "t"
+    )
+    m = in_vocab.groupBy("doc_id", "lang_true").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # Test docs with ZERO in-vocab tokens still get a prediction (the
+    # prior argmax): build the skeleton from all test docs.
+    docs_test = test.select(
+        "doc_id", F.col("lang").alias("lang_true")
+    ).distinct()
+    skel = docs_test.crossJoin(F.broadcast(model_cls.select("lang")))
+    s1 = (
+        in_vocab.join(
+            lnc1.withColumnRenamed("lang", "lang_m"), "t"
+        )
+        .groupBy("doc_id", F.col("lang_m").alias("lang"))
+        .agg(F.sum("lnc1").alias("s1"))
+    )
+    scored = (
+        skel.join(s1, ["doc_id", "lang"], "left")
+        .join(m.select("doc_id", "m"), "doc_id", "left")
+        .join(F.broadcast(model_cls), "lang")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang",
+            (
+                F.col("lnprior")
+                + F.coalesce(F.col("s1"), F.lit(0).cast(dec))
+                - F.coalesce(F.col("m"), F.lit(0)) * F.col("lnden")
+            ).alias("score"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("score"), F.asc("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("lang_true", F.col("lang").alias("lang_pred"))
+    )
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+NAIVE_BAYES_LANGID_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (
+  SELECT doc_id, lang, t
+  FROM (SELECT doc_id, lang, unnest(tks) AS t FROM toks)
+  WHERE t <> ''
+),
+train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+counts AS (SELECT lang, t, COUNT(*) AS c FROM train GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT t FROM counts),
+v_size AS (SELECT COUNT(*) AS v FROM vocab),
+class_tot AS (SELECT lang, SUM(c) AS n_l FROM counts GROUP BY 1),
+lnc1 AS (
+  SELECT lang, t,
+         CAST(ROUND(ln(c + 1), {NB_LOG_DP}) AS DECIMAL(28,{NB_LOG_DP})) AS lnc1
+  FROM counts
+),
+priors_raw AS (
+  SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM train GROUP BY 1
+),
+n_train_docs AS (SELECT SUM(nd) AS ndt FROM priors_raw),
+model_cls AS (
+  SELECT c.lang,
+         CAST(ROUND(ln(CAST(p.nd AS DOUBLE) / n.ndt), {NB_LOG_DP})
+              AS DECIMAL(28,{NB_LOG_DP})) AS lnprior,
+         CAST(ROUND(ln(CAST(c.n_l + v.v AS DOUBLE)), {NB_LOG_DP})
+              AS DECIMAL(28,{NB_LOG_DP})) AS lnden
+  FROM class_tot c
+  CROSS JOIN n_train_docs n CROSS JOIN v_size v
+  JOIN priors_raw p ON p.lang = c.lang
+),
+in_vocab AS (
+  SELECT doc_id, test.lang AS lang_true, t
+  FROM test JOIN vocab USING (t)
+),
+m AS (
+  SELECT doc_id, lang_true, COUNT(*) AS m
+  FROM in_vocab GROUP BY 1, 2
+),
+docs_test AS (SELECT DISTINCT doc_id, lang AS lang_true FROM test),
+skel AS (
+  SELECT d.doc_id, d.lang_true, mc.lang
+  FROM docs_test d CROSS JOIN (SELECT lang FROM model_cls) mc
+),
+s1 AS (
+  SELECT iv.doc_id, l.lang, SUM(l.lnc1) AS s1
+  FROM in_vocab iv JOIN lnc1 l USING (t)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT skel.doc_id, skel.lang_true, skel.lang,
+         mc.lnprior
+         + COALESCE(s1.s1, 0)
+         - COALESCE(m.m, 0) * mc.lnden AS score
+  FROM skel
+  LEFT JOIN s1 ON s1.doc_id = skel.doc_id AND s1.lang = skel.lang
+  LEFT JOIN m ON m.doc_id = skel.doc_id
+  JOIN model_cls mc ON mc.lang = skel.lang
+),
+pred AS (
+  SELECT lang_true, lang AS lang_pred
+  FROM (
+    SELECT scored.*, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2
+ORDER BY lang_true, lang_pred
+"""

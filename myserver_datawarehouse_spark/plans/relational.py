@@ -6060,3 +6060,357 @@ SELECT t.from_type, t.to_type, t.n_transitions,
 FROM trans t JOIN tot USING (from_type)
 ORDER BY from_type, to_type
 """
+
+
+# --------------------------- market-basket association rules (A-priori)
+
+AFFINITY_MIN_SUPPORT = 5  # min co-occurring baskets for a rule
+
+
+def brand_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for every ordered
+    brand pair co-occurring in >= {AFFINITY_MIN_SUPPORT} orders, emit
+    support, confidence(a -> b) and lift — the frequent-itemset tier
+    (k=2) of a recommender / assortment pipeline.
+
+    Scale shape: the basket table is ONE hash aggregate
+    (orderkey -> sorted distinct brand array, bounded by the 25-brand
+    vocabulary), and pair generation is ARRAY-LOCAL inside that row —
+    no self-join of the (order, brand) table on orderkey, so the
+    shuffle is one groupBy on the fact key and the pair explosion is
+    C(|basket|, 2) map-side rows. Supports and the rule join touch
+    only the brand-pair vocabulary (<= 25*24 rows), all broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    )
+    n_total = baskets.agg(F.count(F.lit(1)).alias("n"))
+    idx = F.sequence(F.lit(0), F.size("bs") - 2)
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size("bs")),
+                lambda y: F.struct(
+                    F.element_at(F.col("bs"), i + 1).alias("x"), y.alias("y")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.filter(F.size("bs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= AFFINITY_MIN_SUPPORT)
+    )
+    singles = b.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
+    directed = pairs.select("x", "y", "support").unionByName(
+        pairs.select(
+            F.col("y").alias("x"), F.col("x").alias("y"), "support"
+        )
+    )
+    out = (
+        directed.join(
+            F.broadcast(
+                singles.select(
+                    F.col("p_brand").alias("x"), F.col("s").alias("s_x")
+                )
+            ),
+            "x",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("p_brand").alias("y"), F.col("s").alias("s_y")
+                )
+            ),
+            "y",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("s_x").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("support") * F.col("n")).cast("double")
+                / (F.col("s_x") * F.col("s_y")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+    return out
+
+
+brand_affinity_rules.__doc__ = brand_affinity_rules.__doc__.format(
+    AFFINITY_MIN_SUPPORT=AFFINITY_MIN_SUPPORT
+)
+
+
+BRAND_AFFINITY_RULES_SQL = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n_total AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+pairs AS (
+  SELECT a.p_brand AS x, c.p_brand AS y, COUNT(*) AS support
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {AFFINITY_MIN_SUPPORT}
+),
+singles AS (SELECT p_brand, COUNT(*) AS s FROM b GROUP BY 1),
+directed AS (
+  SELECT x, y, support FROM pairs
+  UNION ALL
+  SELECT y AS x, x AS y, support FROM pairs
+)
+SELECT d.x AS antecedent, d.y AS consequent, d.support,
+       ROUND(CAST(d.support AS DOUBLE) / sx.s, 6) AS confidence,
+       ROUND(CAST(d.support * n_total.n AS DOUBLE) / (sx.s * sy.s), 6)
+         AS lift
+FROM directed d
+JOIN singles sx ON sx.p_brand = d.x
+JOIN singles sy ON sy.p_brand = d.y
+CROSS JOIN n_total
+ORDER BY antecedent, consequent
+"""
+
+
+# ------------------------------- CUSUM changepoint over minute counts
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection per event type: CUSUM of per-minute event
+    counts against the series' own mean; report the minute where the
+    cumulative deviation peaks (the classic single-changepoint
+    estimator — where the rate shifted, if it shifted).
+
+    Exactness: CUSUM_k = prefix_k - k*mean is held as the INTEGER
+    numerator n*prefix_k - k*total (mean = total/n never materializes
+    as a float), so the argmax decision is exact bigint comparison;
+    the reported cusum divides once at the output edge.
+
+    Scale shape: the heavy reduction (events -> minute counts) is one
+    map-side-combinable groupBy; the sequential pass runs per type
+    over MINUTE rows, whose count is bounded by the calendar (~526k
+    rows/type/year), not by event volume — so the per-type window
+    partition stays small no matter how many raw events back it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mins = (
+        ev.select(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    cur = (
+        mins.withColumn("prefix", F.sum("cnt").over(w))
+        .withColumn("k", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("minute")
+        ))
+        .withColumn("n", F.count(F.lit(1)).over(tot))
+        .withColumn("total", F.sum("cnt").over(tot))
+        .withColumn(
+            "dev_num", F.col("n") * F.col("prefix") - F.col("k") * F.col("total")
+        )
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("dev_num")).desc(), F.col("minute").asc()
+        )
+    )
+    return (
+        cur.withColumn("rn", pick)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("minute").alias("cp_minute"),
+            F.col("n").alias("n_minutes"),
+            F.round(
+                F.col("dev_num").cast("double") / F.col("n").cast("double"), 6
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_CHANGEPOINT_SQL = """
+WITH mins AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type, minute,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY minute
+                        ROWS UNBOUNDED PRECEDING) AS prefix,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY minute) AS k,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM mins
+),
+dev AS (
+  SELECT *, n * prefix - k * total AS dev_num FROM cur
+)
+SELECT event_type, minute AS cp_minute, n AS n_minutes,
+       ROUND(CAST(dev_num AS DOUBLE) / n, 6) AS cusum_peak
+FROM (
+  SELECT dev.*, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY abs(dev_num) DESC, minute ASC) AS rn
+  FROM dev)
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+# ----------------- equi-depth histogram via distributed global rank
+
+EQUI_DEPTH_BINS = 16
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: {EQUI_DEPTH_BINS} bins with
+    (near-)equal row counts — the optimizer/statistics histogram shape
+    (`value_histogram` is the equi-WIDTH twin). Bucket boundaries are
+    exact NTILE semantics, but computed WITHOUT the single-partition
+    global window: `operators/ranking.global_rank` range-partitions on
+    (o_totalprice, o_orderkey), ranks locally, and shifts by broadcast
+    partition offsets — every stage parallel, the one driver object a
+    #partitions-row count list. The NTILE bucket is then pure integer
+    arithmetic on the exact rank (ranking.ntile_from_rank), so the
+    distributed plan reproduces the window function bit-for-bit — the
+    oracle IS `NTILE({EQUI_DEPTH_BINS}) OVER (ORDER BY ...)`.
+    """
+    from myserver_datawarehouse_spark.operators.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], rank_col="r")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    binned = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "bin", ntile_from_rank(F.col("r"), F.col("n"), EQUI_DEPTH_BINS)
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("bin_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+equi_depth_histogram.__doc__ = equi_depth_histogram.__doc__.format(
+    EQUI_DEPTH_BINS=EQUI_DEPTH_BINS
+)
+
+
+EQUI_DEPTH_HISTOGRAM_SQL = f"""
+WITH q AS (
+  SELECT o_totalprice,
+         NTILE({EQUI_DEPTH_BINS}) OVER (
+           ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS bin_total
+FROM q GROUP BY bin ORDER BY bin
+"""
+
+
+# ------------------------------------ Pareto skyline (2-D dominance)
+
+
+def supplier_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of suppliers on (revenue UP, returned revenue
+    DOWN): the suppliers no other supplier beats on both axes — the
+    multi-objective "best vendors" query a sourcing dashboard runs,
+    and a genuinely non-SQL-native operator (dominance is a quantified
+    NOT EXISTS, quadratic if evaluated naively).
+
+    Plan: one exact-decimal fact aggregate per supplier, then
+    `operators/ranking.skyline_2d` — the distributive local-skyline /
+    global-skyline reduction (domination is transitive, so per-bucket
+    survivors suffice), each phase a sort-based window sweep, never a
+    pairwise self-join. The oracle IS the naive NOT EXISTS, so the
+    adjudication proves the O(n log n) plan equals the O(n^2) spec.
+    """
+    from myserver_datawarehouse_spark.operators.ranking import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(rev).alias("revenue"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", rev).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).alias("returned_rev"),
+    )
+    sky = skyline_2d(
+        per, maximize="revenue", minimize="returned_rev", tie_break="l_suppkey"
+    )
+    return sky.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(F.col("returned_rev").cast("double"), 2).alias("returned_rev"),
+    ).orderBy("s_suppkey")
+
+
+SUPPLIER_PARETO_SKYLINE_SQL = """
+WITH per AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE 0 END) AS returned_rev
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey AS s_suppkey,
+       ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(returned_rev AS DOUBLE), 2) AS returned_rev
+FROM per a
+WHERE NOT EXISTS (
+  SELECT 1 FROM per b
+  WHERE b.revenue >= a.revenue AND b.returned_rev <= a.returned_rev
+    AND (b.revenue > a.revenue OR b.returned_rev < a.returned_rev)
+)
+ORDER BY s_suppkey
+"""

@@ -1226,6 +1226,60 @@ _SPECS: list[QuerySpec] = [
         "sequences: one user-keyed sort, map-side pair counts, "
         "broadcast row-normalization",
     ),
+    QuerySpec(
+        "near_dup_prefix_filter",
+        LT.near_dup_prefix_filter,
+        LT.NEAR_DUP_PREFIX_FILTER_SQL,
+        "EXACT tau-Jaccard self-join over the FULL corpus via prefix "
+        "filtering (SSJoin/PPJoin): rarest-token prefixes are the only "
+        "join keys, candidates verified by array intersect; the "
+        "guaranteed-recall alternative to LSH, oracle is the exact "
+        "all-pairs join",
+    ),
+    QuerySpec(
+        "brand_affinity_rules",
+        R.brand_affinity_rules,
+        R.BRAND_AFFINITY_RULES_SQL,
+        "association rules (frequent 2-itemsets): support / confidence "
+        "/ lift over order baskets; pair generation array-local per "
+        "basket (one fact-key groupBy, no self-join), rule join on the "
+        "broadcast brand vocabulary",
+    ),
+    QuerySpec(
+        "cusum_changepoint",
+        R.cusum_changepoint,
+        R.CUSUM_CHANGEPOINT_SQL,
+        "CUSUM changepoint per event type: exact integer deviation "
+        "numerator (n*prefix - k*total) so the argmax is float-free; "
+        "sequential pass over minute aggregates (calendar-bounded), "
+        "raw-event reduction map-side",
+    ),
+    QuerySpec(
+        "equi_depth_histogram",
+        R.equi_depth_histogram,
+        R.EQUI_DEPTH_HISTOGRAM_SQL,
+        "equi-depth histogram over a fact column via DISTRIBUTED exact "
+        "global rank (range exchange + broadcast partition offsets — "
+        "no single-partition window); NTILE reproduced bit-for-bit by "
+        "integer arithmetic on the rank",
+    ),
+    QuerySpec(
+        "supplier_pareto_skyline",
+        R.supplier_pareto_skyline,
+        R.SUPPLIER_PARETO_SKYLINE_SQL,
+        "2-D Pareto skyline via the distributive local->global window "
+        "sweep (domination transitive, no pairwise self-join); oracle "
+        "is the naive NOT EXISTS dominance spec",
+    ),
+    QuerySpec(
+        "naive_bayes_langid",
+        LT.naive_bayes_langid,
+        LT.NAIVE_BAYES_LANGID_SQL,
+        "trained multinomial Naive Bayes language ID (Laplace-smoothed, "
+        "even/odd train-test split) as pure dataflow: sparse "
+        "(token,lang) model only, factored dense term, exact decimal "
+        "log-sum accumulation; confusion matrix adjudicated",
+    ),
 ]
 
 

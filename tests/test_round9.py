@@ -182,3 +182,111 @@ def test_triangle_forward_algorithm_matches_naive_enumeration(spark):
         assert got["n_wedges"] == wedges
         assert got["n_edges"] == len(edges)
         assert got["n_nodes"] == len(deg)
+
+
+def test_prefix_filter_recall_equals_exact_allpairs(spark):
+    """The prefix-filter join must emit EXACTLY the thresholded exact
+    pairs (no false negatives is the whole contract), and its
+    candidate set must be a strict subset of the full-token join's
+    pair space — the pruning that makes it scale."""
+    from myserver_datawarehouse_spark.operators import text as TX
+
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in LT.near_dup_prefix_filter(spark, SF).collect()
+    }
+    # Exact all-pairs ground truth via per-doc shingle-hash sets.
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    h = (
+        TX.shingle_rows(d, LT.SHINGLE_K)
+        .select("doc_id", TX.hash60("g").alias("h"))
+        .distinct()
+    )
+    sets = {
+        r.doc_id: frozenset(r.hs)
+        for r in h.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .collect()
+    }
+    ids = sorted(sets)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and round(inter / union, 6) >= LT.JACCARD_TAU:
+                truth[(a, b)] = round(inter / union, 6)
+    assert out == truth
+    assert truth  # fixture must actually exercise the >= tau path
+
+
+def test_global_rank_matches_window_row_number(spark):
+    from myserver_datawarehouse_spark.operators.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+    from pyspark.sql import Window
+
+    # Duplicates on the value column force the tie-break path; 7 rows
+    # over 4 range partitions force empty/short partitions.
+    rows = [(v, i) for i, v in enumerate([5.0, 1.0, 5.0, 3.0, 1.0, 9.0, 3.0])]
+    df = spark.createDataFrame(rows, "v double, id long")
+    got = {
+        r.id: r.rank
+        for r in global_rank(df, ["v", "id"], num_partitions=4).collect()
+    }
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+    # ntile_from_rank reproduces NTILE(k) for every n, k combination.
+    for n in range(1, 12):
+        for k in (1, 2, 3, 4, 5):
+            d = spark.range(1, n + 1).select(
+                F.col("id").alias("r"),
+                ntile_from_rank(F.col("id"), F.lit(n), k).alias("b"),
+            )
+            w = {r.r: r.b for r in d.collect()}
+            ref = {
+                r.r: r.nt
+                for r in spark.range(1, n + 1)
+                .select(
+                    F.col("id").alias("r"),
+                    F.ntile(k).over(Window.orderBy("id")).alias("nt"),
+                )
+                .collect()
+            }
+            assert w == ref, (n, k)
+
+
+def test_skyline_2d_matches_bruteforce_with_duplicates(spark):
+    from myserver_datawarehouse_spark.operators.ranking import skyline_2d
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 9), rng.randint(0, 9)) for i in range(60)]
+    rows += [(100, 5, 5), (101, 5, 5)]  # interior duplicates
+    rows += [(102, 11, 0), (103, 11, 0)]  # frontier duplicates: both stay
+    df = spark.createDataFrame(rows, "id long, gain long, cost long")
+    got = {
+        r.id
+        for r in skyline_2d(
+            df, maximize="gain", minimize="cost", tie_break="id",
+            salt_buckets=7,
+        ).collect()
+    }
+    want = set()
+    for i, g, c in rows:
+        dominated = any(
+            g2 >= g and c2 <= c and (g2 > g or c2 < c)
+            for j, g2, c2 in rows
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want and want
+    assert {102, 103} <= got  # the frontier-duplicate pair both survive

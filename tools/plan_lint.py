@@ -92,6 +92,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "list, each consumed by multiple joins/aggregates of the "
         "forward algorithm"
     },
+    "near_dup_prefix_filter": {
+        "RDD_SCAN": _LC + "; distinct shingle-hash frame shared by "
+        "the df ranking, the prefix join (twice) and the "
+        "verification arrays"
+    },
+    "equi_depth_histogram": {
+        "RDD_SCAN": _LC + "; ranking.global_rank's range-partitioned "
+        "frame shared by the partition-count pass and the rank pass "
+        "(the alternative recomputes the range exchange)"
+    },
 }
 
 
