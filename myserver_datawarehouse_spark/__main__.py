@@ -56,12 +56,14 @@ def _build_parser() -> argparse.ArgumentParser:
     tb = sub.add_parser(
         "table",
         help="maintain a WAP-committed path table "
-        "(versions / compact / vacuum / travel / stats / delete)",
+        "(versions / compact / vacuum / travel / stats / delete / "
+        "evolve)",
     )
     tb.add_argument(
         "action",
         choices=(
-            "versions", "compact", "vacuum", "travel", "stats", "delete"
+            "versions", "compact", "vacuum", "travel", "stats",
+            "delete", "evolve"
         ),
     )
     tb.add_argument("path", help="table path (or versions root for WAP "
@@ -74,6 +76,8 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="SQL predicate for `delete` (merge-on-read)")
     tb.add_argument("--keys", default=None,
                     help="comma-separated key columns for `delete`")
+    tb.add_argument("--partition-by", default=None,
+                    help="comma-separated partition columns for `evolve`")
     tb.add_argument("--limit", type=int, default=20)
     return p
 
@@ -141,6 +145,22 @@ def main(argv: list[str] | None = None) -> int:
             file_stats(spark, args.path, args.column).show(
                 args.limit, truncate=False
             )
+            return 0
+        if args.action == "evolve":
+            if not getattr(args, "partition_by", None):
+                print("evolve needs --partition-by", file=sys.stderr)
+                return 1
+            from myserver_datawarehouse_spark.operators import (
+                evolution as EV,
+            )
+
+            version = EV.evolve_partition_spec(
+                spark, root,
+                [c.strip() for c in args.partition_by.split(",")],
+            )
+            print(f"published {version} (partition-spec evolution; zero "
+                  "data bytes written — new writes follow the new spec, "
+                  "`compact` folds old layouts in)")
             return 0
         if args.action == "delete":
             if not args.where or not args.keys:

@@ -1,0 +1,468 @@
+"""Partition-spec EVOLUTION on the WAP manifest table (the Iceberg
+partition-evolution capability, re-expressed on plain parquet):
+re-partition a table for FUTURE writes without rewriting a byte of
+existing data.
+
+Why it exists at 100 TB: repartitioning a petabyte table by rewriting it
+is a week of cluster time; the Iceberg answer is to version the
+partition SPEC — old files keep their old layout, new files use the new
+one, and the reader unions per-spec subtrees (each pruned by its own
+layout). Compaction is the scheduled rewrite that folds everything into
+the active spec when (if ever) it pays for itself.
+
+Layout: an evolved snapshot version directory holds one subtree per
+spec plus a manifest —
+
+    v3/_SPECS.json              [{"id":0,"partition_by":["day"]},
+                                 {"id":1,"partition_by":["day","event_type"]}]
+    v3/_layout-0/day=.../*.parquet      (old files, HARDLINK-carried)
+    v3/_layout-0/_deletes/...           (equality-deletes vs spec 0)
+    v3/_layout-1/day=.../event_type=.../*.parquet   (new writes)
+
+The `_layout-*` names are underscore-prefixed ON PURPOSE: plain
+`spark.read.parquet(version_dir)` readers skip underscore directories,
+so an evolved table can never be HALF-read by a reader that does not
+understand specs — it reads as schema-less/empty (loud), exactly like a
+real table format's directory. `read_evolved` is the reader.
+
+Merge semantics across specs (`evolved_merge`): the update batch is
+merged into the ACTIVE layout with the same touched-partition
+copy-on-write carry as `merge.merge_upsert`; rows the batch REPLACES
+that still live in legacy layouts are removed by appending the batch's
+keys to each legacy layout's equality-delete sidecar (`_deletes`,
+`merge._apply_deletes` subtracts them at read) — O(batch) bytes against
+the legacy data, never a legacy rewrite. A key deleted in a legacy
+layout and re-inserted later lands in the active layout, so the delete
+only ever suppresses superseded rows.
+
+Reference parity: the reference repartitions by DROP TABLE + full
+reload (populate_sources_dag.py's rebuild pattern); this module is the
+scale-correct replacement.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from myserver_datawarehouse_spark.operators import merge as M
+from myserver_datawarehouse_spark.operators.merge import (
+    _apply_deletes,
+    _claim_next_version,
+    _commit_manifest,
+    _link_all_files,
+    _link_untouched,
+    _published_version,
+    dedup_latest,
+)
+
+_SPECS = "_SPECS.json"
+_SCHEMA = "_SCHEMA.json"
+_DELETES = "_deletes"
+_PRECEDENCE = "__msdw_precedence"
+
+
+def _layout_dir(version_dir: str, spec_id: int) -> str:
+    return os.path.join(version_dir, f"_layout-{spec_id}")
+
+
+def _specs(version_dir: str) -> list[dict] | None:
+    p = os.path.join(version_dir, _SPECS)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _snapshot_schema(version_dir: str) -> StructType:
+    with open(os.path.join(version_dir, _SCHEMA)) as fh:
+        return StructType.fromJson(json.load(fh))
+
+
+def _current_dir(table_root: str) -> str:
+    cur = _published_version(table_root)
+    if cur is None:
+        raise FileNotFoundError(f"no published version under {table_root}")
+    return os.path.join(table_root, cur)
+
+
+def _has_data_files(base: str) -> bool:
+    for r, dirs, files in os.walk(base):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        if any(not f.startswith((".", "_")) for f in files):
+            return True
+    return False
+
+
+def _read_layout(
+    spark: SparkSession, version_dir: str, spec_id: int, schema: StructType
+) -> DataFrame | None:
+    """One spec subtree: partition-inferred parquet read, that layout's
+    equality-deletes subtracted, then columns re-ordered and partition
+    values cast back to the logical schema (hive round-trips stringify
+    partition values; the snapshot-level `_SCHEMA.json` is the truth)."""
+    ldir = _layout_dir(version_dir, spec_id)
+    if not os.path.isdir(ldir) or not _has_data_files(ldir):
+        return None
+    df = _apply_deletes(spark, ldir, spark.read.parquet(ldir))
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def read_snapshot_dir(spark: SparkSession, version_dir: str) -> DataFrame:
+    """Spec-union read of ONE evolved version directory (the hook
+    merge._read_snapshot dispatches through, which makes time travel
+    and table_changes evolution-aware)."""
+    specs = _specs(version_dir)
+    schema = _snapshot_schema(version_dir)
+    parts = [
+        d
+        for s in specs
+        if (d := _read_layout(spark, version_dir, s["id"], schema))
+        is not None
+    ]
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_evolved(spark: SparkSession, table_root: str) -> DataFrame:
+    """Read the published snapshot of an evolved table: the unionByName
+    of every spec subtree (each with its own partition pruning — a
+    filter on a spec-1 partition column dir-prunes spec-1 files and
+    row-group-prunes spec-0 files, the honest Iceberg behavior). Falls
+    back to the plain reader for never-evolved tables, so one entry
+    point serves both."""
+    vdir = _current_dir(table_root)
+    if _specs(vdir) is None:
+        return M.read_published(spark, table_root)
+    return read_snapshot_dir(spark, vdir)
+
+
+def evolve_partition_spec(
+    spark: SparkSession,
+    table_root: str,
+    new_partition_by: Sequence[str],
+) -> str:
+    """Commit a new snapshot whose ACTIVE partition spec is
+    `new_partition_by`, carrying every existing data file by HARDLINK
+    (zero data bytes written — the commit is O(files) metadata). The
+    first evolution moves the flat/hive current snapshot under
+    `_layout-0`; later evolutions append a spec. Returns the published
+    version name."""
+    cur_dir = _current_dir(table_root)
+    specs = _specs(cur_dir)
+    schema = (
+        _snapshot_schema(cur_dir)
+        if os.path.isfile(os.path.join(cur_dir, _SCHEMA))
+        else M.read_published(spark, table_root).schema
+    )
+    missing = [c for c in new_partition_by if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in table schema")
+    version = _claim_next_version(table_root)
+    staged = os.path.join(table_root, version)
+    if specs is None:
+        prior_spec = M._partition_spec(cur_dir)
+        specs = [{"id": 0, "partition_by": prior_spec}]
+        # Legacy snapshot becomes spec subtree 0 (data + deletes, all
+        # hardlinks — inode refcount keeps them alive across vacuums).
+        _link_all_files(cur_dir, _layout_dir(staged, 0))
+        ddir = os.path.join(cur_dir, _DELETES)
+        if os.path.isdir(ddir):
+            meta = os.path.join(ddir, "_META.json")
+            if os.path.isfile(meta):
+                shutil.copy(
+                    meta,
+                    os.path.join(
+                        _layout_dir(staged, 0), _DELETES, "_META.json"
+                    ),
+                )
+    else:
+        for s in specs:
+            src = _layout_dir(cur_dir, s["id"])
+            if os.path.isdir(src):
+                _link_all_files(src, _layout_dir(staged, s["id"]))
+                _carry_delete_meta(src, _layout_dir(staged, s["id"]))
+    if list(new_partition_by) == list(specs[-1]["partition_by"]):
+        shutil.rmtree(staged)
+        raise ValueError(
+            f"table already partitioned by {list(new_partition_by)}"
+        )
+    new_id = specs[-1]["id"] + 1
+    specs = specs + [{"id": new_id, "partition_by": list(new_partition_by)}]
+    os.makedirs(_layout_dir(staged, new_id), exist_ok=True)
+    with open(os.path.join(staged, _SPECS), "w") as fh:
+        json.dump(specs, fh)
+    with open(os.path.join(staged, _SCHEMA), "w") as fh:
+        fh.write(schema.json())
+    _commit_manifest(table_root, version)
+    return version
+
+
+def _carry_delete_meta(src_layout: str, dst_layout: str) -> None:
+    meta = os.path.join(src_layout, _DELETES, "_META.json")
+    if os.path.isfile(meta):
+        os.makedirs(os.path.join(dst_layout, _DELETES), exist_ok=True)
+        shutil.copy(meta, os.path.join(dst_layout, _DELETES, "_META.json"))
+
+
+def evolved_merge(
+    spark: SparkSession,
+    table_root: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence = (),
+) -> str:
+    """Upsert into an evolved table. New/updated rows land in the
+    ACTIVE layout under its partition spec with the same
+    touched-partition copy-on-write carry as `merge.merge_upsert`;
+    superseded rows still living in LEGACY layouts are equality-deleted
+    (the batch's keys append to each legacy `_deletes` sidecar —
+    O(batch keys) bytes, no legacy data file touched, same null-safe
+    anti-join at read as `delete_where`).
+
+    Same precedence contract as merge_upsert: update wins by default,
+    `order_by` (tiebreak-complete, descending) for value-order
+    precedence. The batch's keys are first LOOKED UP in every legacy
+    layout (one scan per legacy spec, semi-joined to the broadcast
+    batch-key set) and the matching rows JOIN THE FOLD — so a stale
+    replay loses to a newer legacy row just as it loses to a newer
+    active row; whichever version survives lands in the active layout
+    and the legacy copy dies by equality delete. That legacy lookup is
+    the price of cross-layout upsert (a real table format pays it too,
+    with manifest/bloom key-skipping narrowing the scan); keys not in
+    any legacy layout cost the anti-join nothing. Partition values
+    must remain a stable function of the key WITHIN each spec (the
+    merge_upsert contract, per layout)."""
+    cur_dir = _current_dir(table_root)
+    specs = _specs(cur_dir)
+    if specs is None:
+        raise ValueError(
+            f"{table_root} has no partition-spec manifest; use "
+            "merge.merge_upsert or evolve_partition_spec first"
+        )
+    schema = _snapshot_schema(cur_dir)
+    active = specs[-1]
+    partition_by = list(active["partition_by"])
+    version = _claim_next_version(table_root)
+    staged = os.path.join(table_root, version)
+    try:
+        # --- Legacy lookup: the batch keys' current rows in every
+        # legacy layout must enter the precedence fold (a newer legacy
+        # row beats a stale replay under order_by).
+        batch_keys = updates.select(*keys).dropDuplicates(list(keys))
+        legacy_rows = None
+        for spec_l in specs[:-1]:
+            lr = _read_layout(spark, cur_dir, spec_l["id"], schema)
+            if lr is None:
+                continue
+            hit = lr.alias("__l").join(
+                F.broadcast(batch_keys).alias("__k"),
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__l.{k}").eqNullSafe(F.col(f"__k.{k}"))
+                        for k in keys
+                    ],
+                ),
+                "left_semi",
+            )
+            legacy_rows = (
+                hit if legacy_rows is None else legacy_rows.unionByName(hit)
+            )
+        # --- ACTIVE layout: merge with touched-partition carry.
+        active_existing = _read_layout(spark, cur_dir, active["id"], schema)
+        existing = active_existing
+        if existing is not None:
+            touched = updates.select(*partition_by).distinct()
+            existing = existing.alias("__e").join(
+                F.broadcast(touched).alias("__t"),
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__e.{c}").eqNullSafe(F.col(f"__t.{c}"))
+                        for c in partition_by
+                    ],
+                ),
+                "left_semi",
+            )
+        if legacy_rows is not None:
+            # Legacy hits join the fold WHOLE (their partition values
+            # under the ACTIVE spec may differ from where they sit in
+            # the legacy layout, so the touched-partition prune does
+            # not apply to them).
+            existing = (
+                legacy_rows
+                if existing is None
+                else existing.unionByName(legacy_rows)
+            )
+        if order_by:
+            both = (
+                updates
+                if existing is None
+                else updates.unionByName(existing)
+            )
+            merged = dedup_latest(both, keys, order_by=order_by)
+        else:
+            upd = updates.withColumn(_PRECEDENCE, F.lit(1))
+            both = (
+                upd
+                if existing is None
+                else upd.unionByName(
+                    existing.withColumn(_PRECEDENCE, F.lit(0))
+                )
+            )
+            merged = dedup_latest(
+                both, keys, order_by=[_PRECEDENCE]
+            ).drop(_PRECEDENCE)
+        merged = merged.select(*schema.fieldNames())
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        adir = _layout_dir(staged, active["id"])
+        (
+            merged.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+            .write.mode("append")
+            .partitionBy(*partition_by)
+            .parquet(adir)
+        )
+        expected = obs.get["rows_written"]
+        cur_active = _layout_dir(cur_dir, active["id"])
+        if os.path.isdir(cur_active):
+            _link_untouched(cur_active, adir)
+            # Active-layout deletes: carried MINUS the batch's keys (a
+            # re-inserted key must not be suppressed by its own past).
+            _rewrite_deletes(
+                spark, cur_active, adir, updates, keys, subtract=True
+            )
+        # AUDIT the active layout before any legacy work: the rewritten
+        # partitions must read back complete.
+        back = _read_layout(spark, staged, active["id"], schema)
+        n = 0 if back is None else back.count()
+        carried = (
+            0
+            if active_existing is None or not os.path.isdir(cur_active)
+            else active_existing
+            .join(
+                F.broadcast(updates.select(*partition_by).distinct()),
+                partition_by,
+                "left_anti",
+            )
+            .count()
+        )
+        if n != expected + carried:
+            raise RuntimeError(
+                f"evolved_merge audit failed for {staged}: active layout "
+                f"read back {n} rows (wrote {expected}, carried {carried})"
+            )
+        # --- LEGACY layouts: hardlink-carry + equality-delete the keys.
+        for s in specs[:-1]:
+            src = _layout_dir(cur_dir, s["id"])
+            if not os.path.isdir(src) or not _has_data_files(src):
+                continue
+            dst = _layout_dir(staged, s["id"])
+            _link_all_files(src, dst)
+            _rewrite_deletes(
+                spark, src, dst, updates, keys, subtract=False
+            )
+        with open(os.path.join(staged, _SPECS), "w") as fh:
+            json.dump(specs, fh)
+        with open(os.path.join(staged, _SCHEMA), "w") as fh:
+            fh.write(schema.json())
+    except Exception:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    _commit_manifest(table_root, version)
+    return version
+
+
+def _rewrite_deletes(
+    spark: SparkSession,
+    src_layout: str,
+    dst_layout: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    subtract: bool,
+) -> None:
+    """Write `dst_layout/_deletes` as src's delete set MINUS (active
+    layout: re-inserted keys resurrect) or PLUS (legacy layouts: the
+    batch supersedes) the batch's keys. The delete file is rewritten
+    (not linked) because it changes; it is O(keys), not data-sized."""
+    meta = M._delete_meta(src_layout)
+    if meta is not None and list(meta["keys"]) != list(keys):
+        raise ValueError(
+            f"evolved_merge keys {list(keys)} != layout's established "
+            f"delete spec {meta['keys']}"
+        )
+    batch_keys = updates.select(*keys).dropDuplicates(list(keys))
+    prior = None
+    src_ddir = os.path.join(src_layout, _DELETES)
+    if meta is not None and _has_data_files(src_ddir):
+        prior = (
+            spark.read.parquet(src_ddir)
+            .select(*keys)
+            .dropDuplicates(list(keys))
+        )
+    if subtract:
+        new_set = (
+            None
+            if prior is None
+            else prior.join(
+                F.broadcast(batch_keys),
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [prior[k].eqNullSafe(batch_keys[k]) for k in keys],
+                ),
+                "left_anti",
+            )
+        )
+    else:
+        new_set = (
+            batch_keys
+            if prior is None
+            else prior.unionByName(batch_keys).dropDuplicates(list(keys))
+        )
+    dst_ddir = os.path.join(dst_layout, _DELETES)
+    # A carried-by-hardlink _deletes tree must be REPLACED, not
+    # appended to (the links point at the old version's delete files).
+    if os.path.isdir(dst_ddir):
+        shutil.rmtree(dst_ddir)
+    if new_set is None:
+        return
+    new_set.coalesce(1).write.mode("append").parquet(dst_ddir)
+    with open(os.path.join(dst_ddir, "_META.json"), "w") as fh:
+        json.dump({"keys": list(keys)}, fh)
+
+
+def compact_evolved(
+    spark: SparkSession, table_root: str
+) -> str:
+    """Major compaction: rewrite the whole logical table into the
+    ACTIVE spec — specs collapse to one, every equality-delete folds
+    into the data, and the snapshot becomes plain-reader-compatible
+    again (a single hive tree at the version root, no `_SPECS.json`).
+    This is the one deliberate full rewrite, scheduled when layout
+    debt is worth paying down, never implicit."""
+    cur_dir = _current_dir(table_root)
+    specs = _specs(cur_dir)
+    if specs is None:
+        raise ValueError(f"{table_root} is not an evolved table")
+    active = specs[-1]
+    df = read_evolved(spark, table_root)
+    version = M._stage_snapshot(
+        spark, table_root, df, list(active["partition_by"])
+    )
+    _commit_manifest(table_root, version)
+    return version

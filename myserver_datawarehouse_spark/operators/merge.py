@@ -560,7 +560,15 @@ def _read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Read one version directory, falling back to the `_SCHEMA.json`
     sidecar when inference has nothing to work with (0-row snapshot).
     Equality-delete sidecars (`_deletes/`, written by `delete_where`)
-    are applied on read — merge-on-read semantics."""
+    are applied on read — merge-on-read semantics. Evolved snapshots
+    (a `_SPECS.json` partition-spec manifest with per-spec `_layout-*`
+    subtrees, written by operators/evolution.py) route through the
+    spec-union reader, so read_published / read_version (time travel) /
+    table_changes are evolution-aware for free."""
+    if os.path.isfile(os.path.join(snapshot_dir, "_SPECS.json")):
+        from myserver_datawarehouse_spark.operators import evolution as _EV
+
+        return _EV.read_snapshot_dir(spark, snapshot_dir)
     try:
         df = spark.read.parquet(snapshot_dir)
     except Exception:

@@ -3858,6 +3858,27 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     et al.) stays tractable. The only driver values are the {it}
     winning pairs (one 1-row collect per round, like pagerank's node
     count). Reference parity: none — LLM-pipeline surface."""
+    _, merges = _bpe_train(spark, sf_dir)
+    return _values_df(
+        spark,
+        merges,
+        "it, left_sym, right_sym, pair_freq",
+    ).select(
+        F.col("it").cast("int").alias("it"),
+        "left_sym",
+        "right_sym",
+        F.col("pair_freq").cast("bigint").alias("pair_freq"),
+    ).orderBy("it")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The shared BPE training loop: returns (the vocabulary frame with
+    its fully-rewritten symbol sequences after BPE_ITERS greedy merges,
+    the merge table). bpe_merge_training adjudicates the merges;
+    bpe_encode_corpus adjudicates the encoded vocabulary's token
+    statistics — one loop, two audited surfaces."""
     from myserver_datawarehouse_spark.session import materialize
 
     d = _docs(spark, sf_dir)
@@ -3918,16 +3939,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
             )
         )
-    return _values_df(
-        spark,
-        merges,
-        "it, left_sym, right_sym, pair_freq",
-    ).select(
-        F.col("it").cast("int").alias("it"),
-        "left_sym",
-        "right_sym",
-        F.col("pair_freq").cast("bigint").alias("pair_freq"),
-    ).orderBy("it")
+    return words, merges
 
 
 bpe_merge_training.__doc__ = bpe_merge_training.__doc__.format(
@@ -3988,6 +4000,59 @@ w{i} AS (
 
 
 BPE_MERGE_TRAINING_SQL = _bpe_sql()
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges: the corpus vocabulary after all
+    BPE_ITERS greedy rewrites, rolled up per final token — frequency
+    (occurrences weighted by word count), distinct words containing it,
+    and token length. This is the tokenizer's OUTPUT side (what the
+    token-count budget of a training run is measured in), adjudicating
+    the train→apply contract end-to-end: a drift anywhere in the merge
+    chain changes some word's final segmentation and flips a frequency.
+
+    Scale: same as training — the corpus is touched once for the word
+    frequencies; the rewrites and this rollup run on the
+    vocabulary-sized frame."""
+    words, _ = _bpe_train(spark, sf_dir)
+    return (
+        words.select("w", "cnt", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").alias("freq"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .select(
+            "token",
+            F.length("token").alias("token_len"),
+            "freq",
+            "n_words",
+        )
+        .orderBy(F.col("freq").desc(), "token")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    # Reuse the training CTE chain; the final SELECT unnests the
+    # rewritten symbol sequences of w{BPE_ITERS} instead of the merges.
+    chain = _bpe_sql()
+    head, _, _tail = chain.partition("\nSELECT CAST(it AS INT) AS it,")
+    return (
+        head
+        + f"""
+SELECT token, CAST(length(token) AS INT) AS token_len,
+       CAST(SUM(cnt) AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM (
+  SELECT w, cnt, unnest(s) AS token FROM w{BPE_ITERS}
+)
+GROUP BY token
+ORDER BY freq DESC, token
+"""
+    )
+
+
+BPE_ENCODE_CORPUS_SQL = _bpe_encode_sql()
 
 
 # ---------------- triangle counting on the co-occurrence graph
@@ -4393,7 +4458,10 @@ def near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "h")
     )
-    pref = (
+    # materialize: the prefix frame feeds BOTH sides of the self-join —
+    # without the cut each side re-runs the df join + per-doc ranking
+    # window over the full shingle table (the query's dominant sort).
+    pref = materialize(
         h.join(df_tok, "h")
         .select("doc_id", "h", "df", pos.alias("pos"))
         .join(F.broadcast(sizes), "doc_id")
@@ -4416,9 +4484,13 @@ def near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sets = h.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count(F.lit(1)).alias("n"),
+    # materialize: the per-doc sorted hash arrays join the candidate
+    # pairs on BOTH key columns — one aggregation instead of two.
+    sets = materialize(
+        h.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     verified = (
         cand.join(

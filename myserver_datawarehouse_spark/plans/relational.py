@@ -6414,3 +6414,175 @@ WHERE NOT EXISTS (
 )
 ORDER BY s_suppkey
 """
+
+
+# --------------------------- partition-spec evolution (Iceberg shape)
+
+EVOLVE_UPDATE_MOD = 5  # user_id % MOD == 0 rows get value*2 in the batch
+EVOLVE_INSERT_MOD = 7  # user_id % MOD == 3 rows are cloned as inserts
+EVOLVE_INSERT_OFFSET = 100_000_000
+
+
+def partition_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION, driver-adjudicated (the Iceberg
+    capability of repartitioning a table for future writes without
+    rewriting existing data — the reference repartitions by dropping
+    and reloading the whole table). Scenario: publish events
+    partitioned by day; evolve the spec to (day, event_type); merge a
+    batch (updates double the value of the user_id % {umod} == 0
+    cohort, inserts clone the user_id % {imod} == 3 cohort under
+    offset ids) through `operators/evolution.evolved_merge`; rollup
+    per event type through the spec-union reader; major-compact into
+    the active spec and roll up again.
+
+    Four claims ride the output as flags computed from the actual
+    filesystem, not assumed:
+
+      evolve_zero_copy — the evolution commit hardlinked every data
+        file (same inodes): re-partitioning wrote ZERO data bytes;
+      legacy_untouched — the merge left every legacy-layout data file
+        the same inode; superseded legacy rows died by an equality-
+        delete sidecar, not a rewrite;
+      new_files_active_only — every data file the merge created lives
+        under the ACTIVE layout (new writes follow the new spec);
+      compaction_consistent — the per-type rollup is identical through
+        the multi-layout reader and after the compaction rewrite.
+
+    The oracle recomputes the expected post-merge state from the raw
+    source (same update/insert rules in SQL), so a reader that loses a
+    legacy row, resurrects a superseded one, or double-counts across
+    layouts flips a group total and fails the hash.
+
+    Scale: evolution is O(files) metadata; the merge writes O(batch)
+    data + O(batch keys) delete bytes; only the scheduled compaction
+    rewrites — exactly the 100 TB repartitioning story.
+    Reference parity: replaces populate_sources_dag.py's drop-and-
+    reload repartitioning."""
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.operators import evolution as EV
+    from myserver_datawarehouse_spark.operators import merge as M
+
+    def _data_inodes(base: str) -> dict[str, int]:
+        out = {}
+        for r, dirs, files in os.walk(base):
+            dirs[:] = [d for d in dirs if d != "_deletes" and not d.startswith(".")]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out[os.path.join(os.path.relpath(r, base), f)] = os.stat(
+                        os.path.join(r, f)
+                    ).st_ino
+        return out
+
+    root = _pid_tmpdir("msdw_evolve_table", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("day"),
+    )
+    M.publish_overwrite(spark, root, ev, partition_by=["day"])
+    v1_dir = os.path.join(root, M._published_version(root))
+    v1_inodes = _data_inodes(v1_dir)
+    EV.evolve_partition_spec(spark, root, ["day", "event_type"])
+    v2_dir = os.path.join(root, M._published_version(root))
+    l0 = EV._layout_dir(v2_dir, 0)
+    evolve_zero_copy = bool(v1_inodes) and _data_inodes(l0) == v1_inodes
+    l0_before = _data_inodes(l0)
+    updates = ev.filter(
+        F.pmod(F.col("user_id"), F.lit(EVOLVE_UPDATE_MOD)) == 0
+    ).withColumn("value", F.col("value") * 2)
+    inserts = ev.filter(
+        F.pmod(F.col("user_id"), F.lit(EVOLVE_INSERT_MOD)) == 3
+    ).withColumn("event_id", F.col("event_id") + EVOLVE_INSERT_OFFSET)
+    EV.evolved_merge(
+        spark, root, updates.unionByName(inserts), keys=["event_id"]
+    )
+    v3_dir = os.path.join(root, M._published_version(root))
+    l0_after = _data_inodes(EV._layout_dir(v3_dir, 0))
+    legacy_untouched = l0_after == l0_before
+    # New inodes introduced by the merge must all live under _layout-1.
+    old_inodes = set(l0_before.values())
+    new_outside_active = {
+        p: ino
+        for p, ino in _data_inodes(v3_dir).items()
+        if ino not in old_inodes and "_layout-1" not in p
+    }
+    new_files_active_only = not new_outside_active and bool(
+        _data_inodes(EV._layout_dir(v3_dir, 1))
+    )
+    rollup_cols = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    ]
+    before = {
+        r.event_type: (r.n_rows, r.sum_value)
+        for r in EV.read_evolved(spark, root)
+        .groupBy("event_type")
+        .agg(*rollup_cols)
+        .collect()
+    }
+    EV.compact_evolved(spark, root)
+    after = {
+        r.event_type: (r.n_rows, r.sum_value)
+        for r in M.read_published(spark, root)
+        .groupBy("event_type")
+        .agg(*rollup_cols)
+        .collect()
+    }
+    compaction_consistent = before == after
+    flags = (
+        F.lit(bool(evolve_zero_copy)).alias("evolve_zero_copy"),
+        F.lit(bool(legacy_untouched)).alias("legacy_untouched"),
+        F.lit(bool(new_files_active_only)).alias("new_files_active_only"),
+        F.lit(bool(compaction_consistent)).alias("compaction_consistent"),
+    )
+    return (
+        EV.read_evolved(spark, root)
+        .groupBy("event_type")
+        .agg(*rollup_cols)
+        .select("event_type", "n_rows", "sum_value", *flags)
+        .orderBy("event_type")
+    )
+
+
+partition_evolution_audit.__doc__ = partition_evolution_audit.__doc__.format(
+    umod=EVOLVE_UPDATE_MOD, imod=EVOLVE_INSERT_MOD
+)
+
+
+PARTITION_EVOLUTION_AUDIT_SQL = f"""
+WITH src AS (
+  SELECT event_id, user_id, event_type, value FROM events
+),
+merged AS (
+  -- rows not superseded by the update batch (NULL user_id is never
+  -- in the batch, so it must survive — hence the explicit IS NULL arm)
+  SELECT event_id, event_type, value FROM src
+  WHERE user_id IS NULL OR user_id % {EVOLVE_UPDATE_MOD} <> 0
+  UNION ALL
+  -- the update batch's rows (value doubled)
+  SELECT event_id, event_type, value * 2 AS value FROM src
+  WHERE user_id % {EVOLVE_UPDATE_MOD} = 0
+  UNION ALL
+  -- the cloned inserts under offset ids
+  SELECT event_id + {EVOLVE_INSERT_OFFSET} AS event_id, event_type, value
+  FROM src WHERE user_id % {EVOLVE_INSERT_MOD} = 3
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value,
+       TRUE AS evolve_zero_copy,
+       TRUE AS legacy_untouched,
+       TRUE AS new_files_active_only,
+       TRUE AS compaction_consistent
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -612,3 +612,167 @@ ORDER BY event_type
 
 
 STREAMING_CDC_REPLICATION_SQL = _cdc_replication_sql()
+
+
+def streaming_evolved_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a table whose partition spec EVOLVED
+    mid-lifecycle (the 13th §2.12 shape): seed = latest-per-key over
+    the even-event_id half (unpartitioned layout), spec evolves to
+    (event_type), the odd half streams in via foreachBatch ->
+    evolution.evolved_merge. The adjudicated output is the final
+    logical table read through the spec-union reader — identical to
+    the batch latest-per-key dedup over ALL events (the associative
+    event-time fold makes it batch-split invariant), PLUS a
+    `seed_files_untouched` flag proving the pre-evolution data files
+    were never rewritten (every micro-batch's superseded seed rows
+    died by equality-delete sidecar, not a rewrite).
+
+    Same eager-at-construction bench note as streaming_upsert_merge;
+    fixed per-sf work dir, cleared up front."""
+    import hashlib
+    import os
+    import shutil
+
+    import tempfile
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "msdw_stream_evolve_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    from myserver_datawarehouse_spark.operators import evolution as EV
+    from myserver_datawarehouse_spark.operators import merge as M
+
+    root = SJ.evolved_upsert_stream(spark, sf_dir, work)
+
+    def _seed_inodes(vdir: str) -> dict[str, int]:
+        out = {}
+        l0 = EV._layout_dir(vdir, 0)
+        for r, dirs, files in os.walk(l0):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out[f] = os.stat(os.path.join(r, f)).st_ino
+        return out
+
+    import json
+
+    versions, current = M.published_versions(root)
+    vdir = os.path.join(root, current)
+    with open(os.path.join(work, "seed_inodes.json")) as fh:
+        seed_before = {k: int(v) for k, v in json.load(fh).items()}
+    seed_after = _seed_inodes(vdir)
+    has_sidecar = os.path.isdir(
+        os.path.join(EV._layout_dir(vdir, 0), "_deletes")
+    )
+    # Every seed data file survives N merges + vacuums with the SAME
+    # inode (pure hardlink carry), and the superseded rows' removal is
+    # represented by an equality-delete sidecar.
+    flag = F.lit(
+        bool(seed_before) and seed_after == seed_before and has_sidecar
+    ).alias("seed_files_untouched")
+    return (
+        EV.read_evolved(spark, root)
+        .select("user_id", "event_type", "event_id", "ts", "value", flag)
+        .orderBy("user_id", "event_type")
+    )
+
+
+STREAMING_EVOLVED_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value,
+       TRUE AS seed_files_untouched
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (14th §2.12 variant): click ->
+    purchase attribution where clicks with NO purchase in the hour
+    emit a null-extended row ONLY once the watermark proves no match
+    can still arrive. The emitted set is a deterministic function of
+    (data, batch split, delay, range), adjudicated against the
+    calibrated model:
+
+      matches   — exactly the inner-join pair set (emit on arrival);
+      null rows — unmatched clicks with click_ts + RANGE < W_final,
+                  where W_final = least(max click_ts, max buy_ts) -
+                  DELAY (global watermark = min over the two
+                  watermarked inputs; availableNow's final no-data
+                  batch flushes the closed windows) — calibrated
+                  empirically, exact at every test SF;
+      withheld  — unmatched clicks whose window the watermark never
+                  closed are ABSENT (still buffered at stop): the
+                  honest outer-join contract, pinned by the oracle
+                  REQUIRING their absence.
+
+    Eager-execution note: the replay runs at plan construction in a
+    per-(sf, pid) work dir."""
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_outer_attr", sf_dir)
+    out = SJ.outer_attribution_stream(spark, sf_dir, work)
+    # buy_id rides as STRING: a nullable bigint degrades to float64
+    # through Arrow/pandas on the compare path ('4985.0' vs '4985'
+    # hash mismatch); the string form is null-safe and lossless.
+    return out.select(
+        "user_id", "click_id", F.col("buy_id").cast("string").alias("buy_id")
+    ).orderBy("user_id", "click_id", "buy_id")
+
+
+def _outer_attribution_sql() -> str:
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        OUTER_ATTR_DELAY_MIN as D,
+        OUTER_ATTR_RANGE_MIN as R,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+c AS (
+  SELECT user_id, ts AS cts, event_id AS click_id
+  FROM ev WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id AS bu, ts AS bts, event_id AS buy_id
+  FROM ev WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least(
+           (SELECT MAX(ts) FROM ev WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM ev WHERE event_type = 'purchase')
+         ) - INTERVAL {D} MINUTE AS w
+),
+matches AS (
+  SELECT c.user_id, c.click_id, CAST(b.buy_id AS VARCHAR) AS buy_id
+  FROM c JOIN b
+    ON c.user_id = b.bu
+   AND b.bts >= c.cts
+   AND b.bts <= c.cts + INTERVAL {R} MINUTE
+),
+nulls AS (
+  SELECT c.user_id, c.click_id, CAST(NULL AS VARCHAR) AS buy_id
+  FROM c CROSS JOIN wm
+  WHERE c.cts + INTERVAL {R} MINUTE < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM b
+      WHERE b.bu = c.user_id AND b.bts >= c.cts
+        AND b.bts <= c.cts + INTERVAL {R} MINUTE
+    )
+)
+SELECT * FROM matches
+UNION ALL
+SELECT * FROM nulls
+ORDER BY user_id, click_id, buy_id
+"""
+
+
+STREAMING_OUTER_ATTRIBUTION_SQL = _outer_attribution_sql()

@@ -1280,6 +1280,43 @@ _SPECS: list[QuerySpec] = [
         "(token,lang) model only, factored dense term, exact decimal "
         "log-sum accumulation; confusion matrix adjudicated",
     ),
+    QuerySpec(
+        "partition_evolution_audit",
+        R.partition_evolution_audit,
+        R.PARTITION_EVOLUTION_AUDIT_SQL,
+        "partition-spec evolution (Iceberg shape): evolve day -> "
+        "(day,event_type) with hardlink-carried layouts, cross-layout "
+        "merge (legacy rows die by equality-delete, new writes follow "
+        "the active spec), spec-union reader, compaction; four "
+        "filesystem-checked flags + rollup adjudicated",
+    ),
+    QuerySpec(
+        "bpe_encode_corpus",
+        LT.bpe_encode_corpus,
+        LT.BPE_ENCODE_CORPUS_SQL,
+        "BPE train->APPLY contract: the corpus vocabulary after all "
+        "greedy merge rewrites, rolled up per final token (weighted "
+        "frequency, distinct words, length) — the tokenizer's output "
+        "side, vocabulary-sized dataflow",
+    ),
+    QuerySpec(
+        "streaming_evolved_upsert",
+        ST.streaming_evolved_upsert,
+        ST.STREAMING_EVOLVED_UPSERT_SQL,
+        "streaming x partition-spec evolution: foreachBatch "
+        "evolved_merge into a mid-lifecycle-evolved table; final "
+        "logical table == batch latest-per-key fold (batch-split "
+        "invariant), seed-layout inode map proves zero rewrites",
+    ),
+    QuerySpec(
+        "streaming_outer_attribution",
+        ST.streaming_outer_attribution,
+        ST.STREAMING_OUTER_ATTRIBUTION_SQL,
+        "LEFT OUTER stream-stream join: null rows emitted only when "
+        "the watermark closes a click's match window; emitted set "
+        "adjudicated against the calibrated watermark model incl. the "
+        "REQUIRED absence of still-buffered tail clicks",
+    ),
 ]
 
 
@@ -1297,7 +1334,12 @@ _SPECS: list[QuerySpec] = [
 #      (new); keyword_search_conjunctive + bm25_search (VALUES
 #      literal-frame plan change); ann_recall_audit (new ivfpq method
 #      row); embedding_ann_ivf (fixed-centroid-budget quantizer — the
-#      round-9 scale probe caught the %-mod rule going quadratic).
+#      round-9 scale probe caught the %-mod rule going quadratic);
+#      and the round-9b/9c tier: near_dup_prefix_filter,
+#      brand_affinity_rules, cusum_changepoint, equi_depth_histogram,
+#      supplier_pareto_skyline, naive_bayes_langid,
+#      partition_evolution_audit, bpe_encode_corpus,
+#      streaming_evolved_upsert, streaming_outer_attribution.
 #   1. last adjudicated in round 4 (3 stragglers the round-8 budget
 #      couldn't reach: part_brand_margin_topk,
 #      trailing_range_window_sum, events_grouping_sets — first in

@@ -820,3 +820,236 @@ def cdc_replicate_stream(
     finally:
         q.stop()
     return replica, primary, v2
+
+
+def evolved_upsert_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_input_files: int = UPSERT_INPUT_FILES,
+    files_per_trigger: int = UPSERT_FILES_PER_TRIGGER,
+) -> str:
+    """Continuous ingest INTO AN EVOLVED TABLE (streaming x
+    partition-spec evolution): the target starts as an UNPARTITIONED
+    manifest table seeded with the even-event_id half of the corpus
+    (latest row per (user_id, event_type)), its spec then evolves to
+    partition by event_type, and the odd half streams in through
+    foreachBatch -> evolution.evolved_merge. Every micro-batch lands
+    in the new layout; rows it supersedes in the pre-evolution layout
+    die by equality-delete sidecar — the seeded files are never
+    rewritten (asserted by the registry audit's inode flag).
+
+    The merge is the same associative event-time fold as
+    upsert_merge_stream (order_by = ts, event_id desc), so the final
+    logical table is byte-identical no matter how the stream was split
+    into batches — which is what lets one DuckDB oracle (latest row
+    per key over ALL events) adjudicate the whole pipeline.
+
+    Partition-stability note: the evolved spec is (event_type) — a
+    component of the MERGE KEY, hence trivially stable per key. A spec
+    on a key-mobile column (e.g. day under latest-wins) would be
+    outside the merge contract, same as merge_upsert's.
+
+    Returns the manifest table root."""
+    import os
+
+    from myserver_datawarehouse_spark.operators import evolution as EV
+    from myserver_datawarehouse_spark.operators import merge as M
+    from myserver_datawarehouse_spark.operators.merge import dedup_latest
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    root = os.path.join(work_dir, "evolved_target")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    seed = dedup_latest(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+    )
+    M.publish_overwrite(spark, root, seed)
+    EV.evolve_partition_spec(spark, root, ["event_type"])
+    # Record the seed layout's (file -> inode) map so the registry
+    # audit can prove, after N micro-batch merges + vacuums, that the
+    # pre-evolution data files were never rewritten.
+    import json as _json
+
+    vdir = os.path.join(root, M._published_version(root))
+    inodes = {}
+    for r, dirs, files in os.walk(EV._layout_dir(vdir, 0)):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for f in files:
+            if f.endswith(".parquet"):
+                inodes[f] = os.stat(os.path.join(r, f)).st_ino
+    with open(os.path.join(work_dir, "seed_inodes.json"), "w") as fh:
+        _json.dump(inodes, fh)
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition(n_input_files)
+        .write.mode("overwrite")
+        .parquet(input_dir)
+    )
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        EV.evolved_merge(
+            batch.sparkSession,
+            root,
+            batch,
+            keys=["user_id", "event_type"],
+            order_by=["ts", "event_id"],
+        )
+        # Same retention rule as upsert_merge_stream: a streaming
+        # target needs no cross-batch time travel; hardlink carry
+        # makes the per-batch vacuum metadata-cheap.
+        M.vacuum_versions(root)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return root
+
+
+OUTER_ATTR_BATCHES = 3
+OUTER_ATTR_DELAY_MIN = 30
+OUTER_ATTR_RANGE_MIN = 60
+
+
+def outer_attribution_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join (the missing §2.12 shape next to
+    the inner `click_attribution_query`): every click joins its
+    purchases within {range} minutes; clicks with NO purchase emit a
+    null-extended row — but only once the watermark PROVES no match
+    can still arrive (the left row is evicted from state). Events
+    replay in {nb} TIME-ORDERED batches (tertile split, file order
+    pinned by mtime), so the watermark advances monotonically and the
+    emitted set is a deterministic function of (data, delay, range):
+
+      matches   — every qualifying (click, buy) pair (inner results
+                  emit on arrival; time-ordered replay means a click
+                  is never evicted before its in-range buys arrived);
+      null rows — unmatched clicks old enough that the final watermark
+                  closed their match window (the exact boundary is
+                  calibrated in the registry oracle — see
+                  streaming_plans.streaming_outer_attribution);
+      withheld  — unmatched clicks whose window the watermark has NOT
+                  closed stay in state at stop and are absent: the
+                  honest outer-join contract, same one Delta/Flink
+                  pipelines live with.
+
+    availableNow runs the final no-data flush batch whenever the last
+    data batch advanced the watermark, so eviction results land before
+    the query stops."""
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    src = os.path.join(work_dir, "src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    bounds = base.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / OUTER_ATTR_BATCHES
+    mtime = 1_700_000_000
+    for k in range(OUTER_ATTR_BATCHES):
+        cut_lo = lo + span * k
+        cut_hi = lo + span * (k + 1)
+        # Last batch is UNBOUNDED above: timedelta division loses
+        # sub-microsecond precision, so lo + 3*span can land a hair
+        # BELOW the true max timestamp — a <= cut_hi bound would then
+        # silently drop the max row, shifting the watermark the oracle
+        # models (caught by a 3-row diff at sf0.01).
+        cond = F.col("ts") >= F.lit(cut_lo)
+        if k < OUTER_ATTR_BATCHES - 1:
+            cond = cond & (F.col("ts") < F.lit(cut_hi))
+        part = base.filter(cond)
+        stage = os.path.join(work_dir, f"stage_{k}")
+        shutil.rmtree(stage, ignore_errors=True)
+        part.coalesce(1).write.parquet(stage)
+        (name,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dest = os.path.join(src, f"batch_{k}.parquet")
+        os.replace(os.path.join(stage, name), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        mtime += 10
+        os.utime(dest, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", f"{OUTER_ATTR_DELAY_MIN} minutes")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", f"{OUTER_ATTR_DELAY_MIN} minutes")
+    )
+    j = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (
+            F.col("buy_ts")
+            <= F.col("click_ts")
+            + F.expr(f"INTERVAL {OUTER_ATTR_RANGE_MIN} MINUTES")
+        ),
+        "left_outer",
+    )
+    out = j.select("user_id", "click_id", "click_ts", "buy_id")
+    sink_name = "streaming_outer_attribution_sink"
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(sink_name)
+
+
+outer_attribution_stream.__doc__ = outer_attribution_stream.__doc__.format(
+    range=OUTER_ATTR_RANGE_MIN, nb=OUTER_ATTR_BATCHES
+)

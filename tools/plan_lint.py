@@ -97,6 +97,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "the df ranking, the prefix join (twice) and the "
         "verification arrays"
     },
+    "bpe_encode_corpus": {
+        "RDD_SCAN": _LC + "; the per-round rewritten vocabulary frame "
+        "(same _bpe_train loop as bpe_merge_training — each merge "
+        "round re-reads the prior round's rewrite)"
+    },
     "equi_depth_histogram": {
         "RDD_SCAN": _LC + "; ranking.global_rank's range-partitioned "
         "frame shared by the partition-count pass and the rank pass "

@@ -60,6 +60,15 @@ PROBE_QUERIES = [
     # round-9 additions: composed IVFPQ, CDC replication round-trip
     "embedding_ivfpq_search",
     "streaming_cdc_replication",
+    # round-9b/9c additions: exact prefix-filter join, rank/skyline
+    # algebra, NB scoring join, partition evolution, BPE apply
+    "near_dup_prefix_filter",
+    "equi_depth_histogram",
+    "supplier_pareto_skyline",
+    "naive_bayes_langid",
+    "partition_evolution_audit",
+    "bpe_encode_corpus",
+    "streaming_evolved_upsert",
 ]
 
 
