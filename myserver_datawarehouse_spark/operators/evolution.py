@@ -466,3 +466,94 @@ def compact_evolved(
     )
     _commit_manifest(table_root, version)
     return version
+
+
+def _link_missing_files(src: str, dst: str) -> None:
+    """Hardlink every data/delete file under src into dst, preserving
+    relative paths, skipping paths dst already has (the freshly
+    appended part files) — names never collide because Spark part
+    files embed a per-write UUID."""
+    for root, dirs, files in os.walk(src):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            tgt = os.path.join(out, f)
+            if not os.path.exists(tgt):
+                os.link(os.path.join(root, f), tgt)
+
+
+def evolved_append(
+    spark: SparkSession, table_root: str, rows: DataFrame
+) -> str:
+    """Append-only ingest into an evolved table: the batch lands in the
+    ACTIVE layout under its spec, every other file (all legacy layouts
+    AND the active layout's existing partitions) carries by hardlink,
+    and no delete bookkeeping runs — the O(batch) fast path for
+    insert-only feeds (no keys, no precedence, duplicates allowed,
+    exactly like `merge.append`)."""
+    cur_dir = _current_dir(table_root)
+    specs = _specs(cur_dir)
+    if specs is None:
+        raise ValueError(
+            f"{table_root} has no partition-spec manifest; use "
+            "merge.append or evolve_partition_spec first"
+        )
+    schema = _snapshot_schema(cur_dir)
+    active = specs[-1]
+    partition_by = list(active["partition_by"])
+    version = _claim_next_version(table_root)
+    staged = os.path.join(table_root, version)
+    try:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        adir = _layout_dir(staged, active["id"])
+        (
+            rows.select(*schema.fieldNames())
+            .observe(obs, F.count(F.lit(1)).alias("rows_written"))
+            .write.mode("append")
+            .partitionBy(*partition_by)
+            .parquet(adir)
+        )
+        expected = obs.get["rows_written"]
+        for s in specs:
+            src = _layout_dir(cur_dir, s["id"])
+            if not os.path.isdir(src) or not _has_data_files(src):
+                continue
+            dst = _layout_dir(staged, s["id"])
+            if s["id"] == active["id"]:
+                # An append rewrites NOTHING: every prior data file of
+                # the active layout links in beside the new part files
+                # (merge's _link_untouched is wrong here — it treats a
+                # dir the write created as "rewritten" and would drop
+                # the prior rows of appended partitions), and the whole
+                # delete set carries verbatim (append-only feeds never
+                # re-insert deleted keys — the fast-append contract).
+                _link_missing_files(src, dst)
+                _carry_delete_meta(src, dst)
+            else:
+                _link_all_files(src, dst)
+                _carry_delete_meta(src, dst)
+        back = _read_layout(spark, staged, active["id"], schema)
+        n = 0 if back is None else back.count()
+        prior_active = _read_layout(spark, cur_dir, active["id"], schema)
+        prior_n = 0 if prior_active is None else prior_active.count()
+        if n != expected + prior_n:
+            raise RuntimeError(
+                f"evolved_append audit failed for {staged}: active "
+                f"layout read back {n} rows (appended {expected}, "
+                f"prior {prior_n})"
+            )
+        with open(os.path.join(staged, _SPECS), "w") as fh:
+            json.dump(specs, fh)
+        with open(os.path.join(staged, _SCHEMA), "w") as fh:
+            fh.write(schema.json())
+    except Exception:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    _commit_manifest(table_root, version)
+    return version

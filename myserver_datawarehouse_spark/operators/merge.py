@@ -386,6 +386,17 @@ def compact_table(
     cur = _published_version(target_path)
     if cur is not None:  # manifest-root table
         snap = os.path.join(target_path, cur)
+        if os.path.isfile(os.path.join(snap, "_SPECS.json")):
+            # Evolved table: compaction IS the layout-debt paydown —
+            # rewrite everything into the ACTIVE spec and collapse the
+            # per-spec subtrees (evolution.compact_evolved), never an
+            # accidental unpartitioned rewrite.
+            from myserver_datawarehouse_spark.operators import (
+                evolution as _EV,
+            )
+
+            _EV.compact_evolved(spark, target_path)
+            return
         df = _read_snapshot(spark, snap)
         spec = _partition_spec(snap)
         df = df.repartition(*spec) if spec else df.coalesce(

@@ -303,3 +303,69 @@ def test_order_by_newer_legacy_row_beats_stale_batch(spark, tmp_path):
     l1 = EV._read_layout(spark, vdir, 1, EV._snapshot_schema(vdir))
     assert {r.id for r in l1.collect()} == {1}
     assert EV.read_evolved(spark, root).filter(F.col("id") == 1).count() == 1
+
+
+def test_evolved_append_fast_path(spark, tmp_path):
+    root = _tbl(spark, tmp_path)
+    EV.evolve_partition_spec(spark, root, ["day", "typ"])
+    # Two appends into the SAME partition: both batches' rows survive
+    # beside each other (append never rewrites or dedups).
+    a1 = spark.createDataFrame(
+        [(10, "a", 10, 1.5)], "id long, typ string, day int, v double"
+    )
+    a2 = spark.createDataFrame(
+        [(11, "a", 10, 2.5), (12, "c", 12, 3.5)],
+        "id long, typ string, day int, v double",
+    )
+    vdir0 = os.path.join(root, M._published_version(root))
+    inodes0 = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(EV._layout_dir(vdir0, 0))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    EV.evolved_append(spark, root, a1)
+    EV.evolved_append(spark, root, a2)
+    got = {r.id: r.v for r in EV.read_evolved(spark, root).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0, 10: 1.5, 11: 2.5, 12: 3.5}
+    # Legacy layout untouched (same inodes) and deletes-free.
+    vdir = os.path.join(root, M._published_version(root))
+    inodes = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(EV._layout_dir(vdir, 0))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert inodes == inodes0
+    # compact_table on an evolved root routes to compact_evolved: the
+    # snapshot collapses to a plain hive tree under the ACTIVE spec.
+    M.compact_table(spark, root)
+    vdir2 = os.path.join(root, M._published_version(root))
+    assert EV._specs(vdir2) is None
+    assert any(d.startswith("day=") for d in os.listdir(vdir2))
+    plain = {r.id: r.v for r in M.read_published(spark, root).collect()}
+    assert plain == got
+
+
+def test_evolved_append_then_merge_deletes_appended_key(spark, tmp_path):
+    """Append then upsert the same key: the merged row wins once even
+    though the appended copy sits in the active layout already."""
+    root = _tbl(spark, tmp_path)
+    EV.evolve_partition_spec(spark, root, ["typ"])
+    EV.evolved_append(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(20, "a", 10, 1.0)], "id long, typ string, day int, v double"
+        ),
+    )
+    EV.evolved_merge(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(20, "a", 10, 9.0)], "id long, typ string, day int, v double"
+        ),
+        keys=["id"],
+    )
+    rows = EV.read_evolved(spark, root).filter(F.col("id") == 20).collect()
+    assert len(rows) == 1 and rows[0].v == 9.0
