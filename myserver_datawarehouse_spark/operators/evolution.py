@@ -285,7 +285,10 @@ def evolved_merge(
         # --- ACTIVE layout: merge with touched-partition carry.
         active_existing = _read_layout(spark, cur_dir, active["id"], schema)
         existing = active_existing
-        if existing is not None:
+        # With an UNPARTITIONED active spec there is no touched-partition
+        # prune (and nothing to hardlink-carry): the merge is full-layout
+        # by construction, same as merge_upsert without partition_by.
+        if existing is not None and partition_by:
             touched = updates.select(*partition_by).distinct()
             existing = existing.alias("__e").join(
                 F.broadcast(touched).alias("__t"),
@@ -353,7 +356,11 @@ def evolved_merge(
         n = 0 if back is None else back.count()
         carried = (
             0
-            if active_existing is None or not os.path.isdir(cur_active)
+            if (
+                active_existing is None
+                or not partition_by
+                or not os.path.isdir(cur_active)
+            )
             else active_existing
             .join(
                 F.broadcast(updates.select(*partition_by).distinct()),

@@ -369,3 +369,19 @@ def test_evolved_append_then_merge_deletes_appended_key(spark, tmp_path):
     )
     rows = EV.read_evolved(spark, root).filter(F.col("id") == 20).collect()
     assert len(rows) == 1 and rows[0].v == 9.0
+
+
+def test_merge_into_unpartitioned_active_spec(spark, tmp_path):
+    """Evolving a hive table to an UNPARTITIONED spec (de-partitioning
+    — also a real Iceberg operation) must merge full-layout instead of
+    crashing on an empty touched-partition prune."""
+    root = _tbl(spark, tmp_path)
+    EV.evolve_partition_spec(spark, root, [])
+    upd = spark.createDataFrame(
+        [(2, "a", 10, 20.0), (5, "c", 12, 5.0)],
+        "id long, typ string, day int, v double",
+    )
+    EV.evolved_merge(spark, root, upd, keys=["id"])
+    EV.evolved_merge(spark, root, upd, keys=["id"])  # replay idempotent
+    got = {r.id: r.v for r in EV.read_evolved(spark, root).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0, 5: 5.0}
