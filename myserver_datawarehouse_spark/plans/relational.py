@@ -6586,3 +6586,97 @@ FROM merged
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------- seasonal-naive forecast backtest
+
+BACKTEST_TRAIN_DAYS = 20  # day-of-month <= N trains, rest tests
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST as dataflow: fit the seasonal-naive model
+    (per event type, the mean value at each hour-of-day over the
+    training window) and score it on the held-out tail — the
+    train/score/evaluate loop every metrics-forecasting pipeline runs,
+    expressed as two aggregates and a join, no driver-side model
+    object.
+
+    Exactness: the per-group MAE is assembled WITHOUT ever averaging
+    in floats — each test row contributes |x*c_g - s_g| in exact
+    decimal (x scaled by the group's training count so the training
+    mean never materializes), the deviations sum exactly, and the two
+    output doubles (seasonal_mean, mae) each come from ONE division at
+    the output edge, rounded identically in the oracle.
+
+    Scale: one map-side-combinable aggregate over the train split
+    (group space = types x 24), a broadcast model join onto the test
+    scan, one rollup. Test groups without training data drop (inner
+    join) — the honest contract: the model cannot score a season it
+    never saw."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    train = ev.filter(F.dayofmonth("ts") <= BACKTEST_TRAIN_DAYS)
+    test = ev.filter(F.dayofmonth("ts") > BACKTEST_TRAIN_DAYS)
+    model = train.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.sum(dec).alias("s_g"),
+        F.count(F.lit(1)).alias("c_g"),
+    )
+    dev = F.abs(dec * F.col("c_g") - F.col("s_g"))
+    scored = (
+        test.select("event_type", F.hour("ts").alias("hod"), "value")
+        .join(F.broadcast(model), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.first("s_g").alias("s_g"),
+            F.first("c_g").alias("c_g"),
+            F.sum(dev).alias("sum_dev"),
+        )
+    )
+    return scored.select(
+        "event_type",
+        "hod",
+        "n_test",
+        F.round(
+            F.col("s_g").cast("double") / F.col("c_g").cast("double"), 6
+        ).alias("seasonal_mean"),
+        F.round(
+            F.col("sum_dev").cast("double")
+            / (F.col("c_g") * F.col("n_test")).cast("double"),
+            6,
+        ).alias("mae"),
+    ).orderBy("event_type", "hod")
+
+
+SEASONAL_NAIVE_BACKTEST_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+train AS (SELECT * FROM ev WHERE day(ts) <= {BACKTEST_TRAIN_DAYS}),
+test  AS (SELECT * FROM ev WHERE day(ts) >  {BACKTEST_TRAIN_DAYS}),
+model AS (
+  SELECT event_type, hour(ts) AS hod, SUM(v) AS s_g, COUNT(*) AS c_g
+  FROM train GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.event_type, hour(t.ts) AS hod,
+         COUNT(*) AS n_test,
+         ANY_VALUE(m.s_g) AS s_g,
+         ANY_VALUE(m.c_g) AS c_g,
+         SUM(abs(t.v * m.c_g - m.s_g)) AS sum_dev
+  FROM test t
+  JOIN model m ON m.event_type = t.event_type AND m.hod = hour(t.ts)
+  GROUP BY 1, 2
+)
+SELECT event_type, hod, n_test,
+       ROUND(CAST(s_g AS DOUBLE) / c_g, 6) AS seasonal_mean,
+       ROUND(CAST(sum_dev AS DOUBLE) / (c_g * n_test), 6) AS mae
+FROM scored
+ORDER BY event_type, hod
+"""

@@ -1317,6 +1317,15 @@ _SPECS: list[QuerySpec] = [
         "adjudicated against the calibrated watermark model incl. the "
         "REQUIRED absence of still-buffered tail clicks",
     ),
+    QuerySpec(
+        "seasonal_naive_backtest",
+        R.seasonal_naive_backtest,
+        R.SEASONAL_NAIVE_BACKTEST_SQL,
+        "forecast backtest as dataflow: seasonal-naive fit on the "
+        "training window, held-out MAE per (type, hour) with the "
+        "count-scaled decimal deviation trick (no float averaging "
+        "until the output edge)",
+    ),
 ]
 
 
@@ -1339,7 +1348,8 @@ _SPECS: list[QuerySpec] = [
 #      brand_affinity_rules, cusum_changepoint, equi_depth_histogram,
 #      supplier_pareto_skyline, naive_bayes_langid,
 #      partition_evolution_audit, bpe_encode_corpus,
-#      streaming_evolved_upsert, streaming_outer_attribution.
+#      streaming_evolved_upsert, streaming_outer_attribution,
+#      seasonal_naive_backtest.
 #   1. last adjudicated in round 4 (3 stragglers the round-8 budget
 #      couldn't reach: part_brand_margin_topk,
 #      trailing_range_window_sum, events_grouping_sets — first in
