@@ -1373,62 +1373,28 @@ _SPECS: list[QuerySpec] = [
 # tier) <= 50 so the budget always clears the head AND the oldest
 # tier; at N=180 that means <= ~35 new queries/round steady-state.
 #
-# Round-10 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r09.json lands, paste its sets here (latest green verdict
+# Round-11 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r10.json lands, paste its sets here (latest green verdict
 # wins; later FAIL invalidates), and keep any query changed in round 10
 # OUT of every set so it returns to the head.
 
-_ADJUDICATED_R4 = frozenset(
-    {
-        "events_grouping_sets",
-        "part_brand_margin_topk",
-        "trailing_range_window_sum",
-    }
-)
-
 _ADJUDICATED_R5 = frozenset(
     {
-        "approx_distinct_audit",
         "below_avg_quantity_revenue",
-        "big_spender_customers",
         "brand_revenue_concentration",
         "brand_size_disjunctive_revenue",
-        "customer_fuzzy_match",
         "customer_fuzzy_match_edit2",
         "customer_order_distribution",
-        "customers_without_orders",
-        "distinct_scan",
-        "document_chunks",
-        "events_asof_enrichment",
-        "events_asof_forward",
-        "events_multires_rollup",
-        "events_value_band_join",
-        "first_appearance_order",
-        "first_last_event_probe",
         "idle_balance_audit",
-        "interpolate_cross_midnight",
         "late_shipment_priority",
         "local_supplier_volume",
-        "multimodal_frame_sample",
         "nation_market_share",
         "nation_trade_flows",
-        "normalized_quotes",
         "null_key_rollup",
         "order_priority_audit",
         "pii_scrub_audit",
-        "pricing_summary",
         "promo_revenue_share",
-        "revenue_rollup",
-        "rolling_minute_avg",
-        "salted_user_counts",
-        "set_except",
-        "set_intersect",
-        "stats_profile",
-        "streaming_gap_state",
         "top_volume_orders",
-        "user_spend_quartiles",
-        "value_drift_psi",
-        "value_percentiles",
     }
 )
 
@@ -1579,17 +1545,72 @@ _ADJUDICATED_R8 = frozenset(
     }
 )
 
+_ADJUDICATED_R9 = frozenset(
+    {
+        "ann_recall_audit",
+        "approx_distinct_audit",
+        "big_spender_customers",
+        "bm25_search",
+        "bpe_encode_corpus",
+        "bpe_merge_training",
+        "brand_affinity_rules",
+        "customer_fuzzy_match",
+        "customers_without_orders",
+        "cusum_changepoint",
+        "distinct_scan",
+        "document_chunks",
+        "embedding_ann_ivf",
+        "embedding_ivfpq_search",
+        "equi_depth_histogram",
+        "event_transition_matrix",
+        "events_asof_enrichment",
+        "events_asof_forward",
+        "events_grouping_sets",
+        "events_multires_rollup",
+        "events_value_band_join",
+        "first_appearance_order",
+        "first_last_event_probe",
+        "hybrid_search_rrf",
+        "interpolate_cross_midnight",
+        "keyword_search_conjunctive",
+        "multimodal_frame_sample",
+        "naive_bayes_langid",
+        "near_dup_prefix_filter",
+        "normalized_quotes",
+        "part_brand_margin_topk",
+        "partition_evolution_audit",
+        "pricing_summary",
+        "revenue_rollup",
+        "rolling_minute_avg",
+        "salted_user_counts",
+        "seasonal_naive_backtest",
+        "set_except",
+        "set_intersect",
+        "stats_profile",
+        "streaming_cdc_replication",
+        "streaming_evolved_upsert",
+        "streaming_gap_state",
+        "streaming_outer_attribution",
+        "supplier_pareto_skyline",
+        "token_triangle_count",
+        "trailing_range_window_sum",
+        "user_spend_quartiles",
+        "value_drift_psi",
+        "value_percentiles",
+    }
+)
+
 
 def _staleness(name: str) -> int:
-    if name in _ADJUDICATED_R8:
+    if name in _ADJUDICATED_R9:
         return 5
-    if name in _ADJUDICATED_R7:
+    if name in _ADJUDICATED_R8:
         return 4
-    if name in _ADJUDICATED_R6:
+    if name in _ADJUDICATED_R7:
         return 3
-    if name in _ADJUDICATED_R5:
+    if name in _ADJUDICATED_R6:
         return 2
-    if name in _ADJUDICATED_R4:
+    if name in _ADJUDICATED_R5:
         return 1
     return 0  # never adjudicated in current form — check first
 
