@@ -28,10 +28,11 @@ real table format's directory. `read_evolved` is the reader.
 Merge semantics across specs (`evolved_merge`): the update batch is
 merged into the ACTIVE layout with the same touched-partition
 copy-on-write carry as `merge.merge_upsert`; rows the batch REPLACES
-that still live in legacy layouts are removed by appending the batch's
-keys to each legacy layout's equality-delete sidecar (`_deletes`,
-`merge._apply_deletes` subtracts them at read) — O(batch) bytes against
-the legacy data, never a legacy rewrite. A key deleted in a legacy
+that still live in legacy layouts are removed by appending ONLY the
+batch keys with a live row in that layout to its equality-delete
+sidecar (`_deletes`, `merge._apply_deletes` subtracts them at read) —
+O(superseded rows) bytes per layout, never a legacy rewrite, and a
+merge touching no legacy rows carries every sidecar by hardlink. A key deleted in a legacy
 layout and re-inserted later lands in the active layout, so the delete
 only ever suppresses superseded rows.
 
@@ -171,10 +172,23 @@ def evolve_partition_spec(
     missing = [c for c in new_partition_by if c not in schema.fieldNames()]
     if missing:
         raise ValueError(f"partition columns {missing} not in table schema")
+    # Validate BEFORE claiming a version or linking a single file: a
+    # no-op evolution on a large table must fail in O(1), not after an
+    # O(files) hardlink carry (and a crash mid-carry would otherwise
+    # leave an orphan staging dir for a doomed commit).
+    active_spec = (
+        M._partition_spec(cur_dir)
+        if specs is None
+        else list(specs[-1]["partition_by"])
+    )
+    if list(new_partition_by) == list(active_spec):
+        raise ValueError(
+            f"table already partitioned by {list(new_partition_by)}"
+        )
     version = _claim_next_version(table_root)
     staged = os.path.join(table_root, version)
     if specs is None:
-        prior_spec = M._partition_spec(cur_dir)
+        prior_spec = active_spec
         specs = [{"id": 0, "partition_by": prior_spec}]
         # Legacy snapshot becomes spec subtree 0 (data + deletes, all
         # hardlinks — inode refcount keeps them alive across vacuums).
@@ -195,11 +209,6 @@ def evolve_partition_spec(
             if os.path.isdir(src):
                 _link_all_files(src, _layout_dir(staged, s["id"]))
                 _carry_delete_meta(src, _layout_dir(staged, s["id"]))
-    if list(new_partition_by) == list(specs[-1]["partition_by"]):
-        shutil.rmtree(staged)
-        raise ValueError(
-            f"table already partitioned by {list(new_partition_by)}"
-        )
     new_id = specs[-1]["id"] + 1
     specs = specs + [{"id": new_id, "partition_by": list(new_partition_by)}]
     os.makedirs(_layout_dir(staged, new_id), exist_ok=True)
@@ -264,6 +273,7 @@ def evolved_merge(
         # row beats a stale replay under order_by).
         batch_keys = updates.select(*keys).dropDuplicates(list(keys))
         legacy_rows = None
+        legacy_hits: dict[int, DataFrame] = {}
         for spec_l in specs[:-1]:
             lr = _read_layout(spark, cur_dir, spec_l["id"], schema)
             if lr is None:
@@ -279,6 +289,7 @@ def evolved_merge(
                 ),
                 "left_semi",
             )
+            legacy_hits[spec_l["id"]] = hit
             legacy_rows = (
                 hit if legacy_rows is None else legacy_rows.unionByName(hit)
             )
@@ -348,12 +359,18 @@ def evolved_merge(
             # Active-layout deletes: carried MINUS the batch's keys (a
             # re-inserted key must not be suppressed by its own past).
             _rewrite_deletes(
-                spark, cur_active, adir, updates, keys, subtract=True
+                spark, cur_active, adir, batch_keys, keys, subtract=True
             )
         # AUDIT the active layout before any legacy work: the rewritten
         # partitions must read back complete.
         back = _read_layout(spark, staged, active["id"], schema)
         n = 0 if back is None else back.count()
+        # The carried count must use the SAME null-safe partition
+        # predicate as the fold's touched-partition semi-join above: a
+        # plain column-list anti-join is null-UNSAFE, so a batch with a
+        # NULL partition value would count the folded null-partition
+        # rows in both `expected` and `carried` and spuriously fail the
+        # audit on a correct merge.
         carried = (
             0
             if (
@@ -361,10 +378,18 @@ def evolved_merge(
                 or not partition_by
                 or not os.path.isdir(cur_active)
             )
-            else active_existing
+            else active_existing.alias("__e")
             .join(
-                F.broadcast(updates.select(*partition_by).distinct()),
-                partition_by,
+                F.broadcast(
+                    updates.select(*partition_by).distinct()
+                ).alias("__t"),
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__e.{c}").eqNullSafe(F.col(f"__t.{c}"))
+                        for c in partition_by
+                    ],
+                ),
                 "left_anti",
             )
             .count()
@@ -374,15 +399,26 @@ def evolved_merge(
                 f"evolved_merge audit failed for {staged}: active layout "
                 f"read back {n} rows (wrote {expected}, carried {carried})"
             )
-        # --- LEGACY layouts: hardlink-carry + equality-delete the keys.
+        # --- LEGACY layouts: hardlink-carry + equality-delete ONLY the
+        # batch keys that actually have a live row in that layout (the
+        # per-spec semi-join above already computed them). Unioning the
+        # FULL batch key set would grow every legacy sidecar by
+        # O(sum of all batch keys) per merge regardless of relevance;
+        # bounding to real hits keeps each sidecar O(superseded rows).
         for s in specs[:-1]:
             src = _layout_dir(cur_dir, s["id"])
             if not os.path.isdir(src) or not _has_data_files(src):
                 continue
             dst = _layout_dir(staged, s["id"])
             _link_all_files(src, dst)
+            hit = legacy_hits.get(s["id"])
+            hit_keys = (
+                None
+                if hit is None
+                else hit.select(*keys).dropDuplicates(list(keys))
+            )
             _rewrite_deletes(
-                spark, src, dst, updates, keys, subtract=False
+                spark, src, dst, hit_keys, keys, subtract=False
             )
         with open(os.path.join(staged, _SPECS), "w") as fh:
             json.dump(specs, fh)
@@ -399,21 +435,35 @@ def _rewrite_deletes(
     spark: SparkSession,
     src_layout: str,
     dst_layout: str,
-    updates: DataFrame,
+    key_set: DataFrame | None,
     keys: Sequence[str],
     subtract: bool,
 ) -> None:
     """Write `dst_layout/_deletes` as src's delete set MINUS (active
     layout: re-inserted keys resurrect) or PLUS (legacy layouts: the
-    batch supersedes) the batch's keys. The delete file is rewritten
-    (not linked) because it changes; it is O(keys), not data-sized."""
+    batch supersedes) `key_set`. Callers pass the RELEVANT keys only —
+    for a legacy layout that is the batch keys with a live row in that
+    layout, never the whole batch — so each sidecar stays O(rows it
+    actually suppresses). The delete file is rewritten (not linked)
+    because it changes; it is O(keys), not data-sized. When `key_set`
+    is None or empty the hardlink-carried sidecar stands verbatim and
+    no rewrite (O(cumulative deletes)) is paid at all."""
     meta = M._delete_meta(src_layout)
     if meta is not None and list(meta["keys"]) != list(keys):
         raise ValueError(
             f"evolved_merge keys {list(keys)} != layout's established "
             f"delete spec {meta['keys']}"
         )
-    batch_keys = updates.select(*keys).dropDuplicates(list(keys))
+    if not subtract and (
+        key_set is None or key_set.limit(1).count() == 0
+    ):
+        # Nothing to add to this legacy layout: its delete part files
+        # are already hardlinked under dst by _link_all_files (delete
+        # files are immutable-by-convention — every rewrite lands in a
+        # NEW version dir), so only the sidecar's meta needs carrying
+        # and the O(cumulative deletes) rewrite is skipped entirely.
+        _carry_delete_meta(src_layout, dst_layout)
+        return
     prior = None
     src_ddir = os.path.join(src_layout, _DELETES)
     if meta is not None and _has_data_files(src_ddir):
@@ -426,20 +476,22 @@ def _rewrite_deletes(
         new_set = (
             None
             if prior is None
+            else prior
+            if key_set is None
             else prior.join(
-                F.broadcast(batch_keys),
+                F.broadcast(key_set),
                 functools.reduce(
                     lambda a, b: a & b,
-                    [prior[k].eqNullSafe(batch_keys[k]) for k in keys],
+                    [prior[k].eqNullSafe(key_set[k]) for k in keys],
                 ),
                 "left_anti",
             )
         )
     else:
         new_set = (
-            batch_keys
+            key_set
             if prior is None
-            else prior.unionByName(batch_keys).dropDuplicates(list(keys))
+            else prior.unionByName(key_set).dropDuplicates(list(keys))
         )
     dst_ddir = os.path.join(dst_layout, _DELETES)
     # A carried-by-hardlink _deletes tree must be REPLACED, not

@@ -90,11 +90,15 @@ def test_cross_layout_merge_updates_inserts_and_idempotency(spark, tmp_path):
     assert _vals(spark, root) == want
     # The superseded legacy row was removed by an equality delete, not
     # a rewrite: layout-0 keeps its data files, with a _deletes sidecar.
+    # The sidecar is BOUNDED to keys with a live row in that layout —
+    # key 5 is a pure insert that never existed in layout 0, so it must
+    # NOT bloat the sidecar (growth is O(superseded rows), not O(sum of
+    # all batch keys)).
     vdir = os.path.join(root, M._published_version(root))
     l0 = EV._layout_dir(vdir, 0)
     assert os.path.isdir(os.path.join(l0, "_deletes"))
     dels = spark.read.parquet(os.path.join(l0, "_deletes"))
-    assert sorted(r.id for r in dels.collect()) == [2, 5]
+    assert sorted(r.id for r in dels.collect()) == [2]
 
 
 def test_legacy_data_files_never_rewritten_by_merge(spark, tmp_path):
@@ -239,10 +243,50 @@ def test_vacuum_keeps_live_layout_files(spark, tmp_path):
 
 def test_evolve_rejects_unknown_column_and_same_spec(spark, tmp_path):
     root = _tbl(spark, tmp_path)
+    listing = sorted(os.listdir(root))
     with pytest.raises(ValueError, match="not in table schema"):
         EV.evolve_partition_spec(spark, root, ["nope"])
     with pytest.raises(ValueError, match="already partitioned"):
         EV.evolve_partition_spec(spark, root, ["day"])
+    # Both rejections happen BEFORE a version is claimed or a single
+    # file is linked: no orphan staging dir, no burned version number.
+    assert sorted(os.listdir(root)) == listing
+
+
+def test_same_spec_rejected_pre_claim_on_evolved_table(spark, tmp_path):
+    root = _tbl(spark, tmp_path)
+    EV.evolve_partition_spec(spark, root, ["day", "typ"])
+    listing = sorted(os.listdir(root))
+    with pytest.raises(ValueError, match="already partitioned"):
+        EV.evolve_partition_spec(spark, root, ["day", "typ"])
+    assert sorted(os.listdir(root)) == listing
+
+
+def test_merge_with_null_partition_value_passes_audit(spark, tmp_path):
+    # Regression: the carried-rows audit must use the same null-SAFE
+    # partition predicate as the fold's touched-partition prune. With a
+    # null-unsafe anti-join, active-layout rows whose partition value
+    # is NULL were counted in both `expected` and `carried`, failing a
+    # CORRECT merge with the audit RuntimeError.
+    root = str(tmp_path / "tblnull")
+    df = spark.createDataFrame(
+        [(1, None, 10, 1.0), (2, "a", 10, 2.0)],
+        "id long, typ string, day int, v double",
+    )
+    M.publish_overwrite(spark, root, df, partition_by=["day"])
+    EV.evolve_partition_spec(spark, root, ["typ"])
+    u1 = spark.createDataFrame(
+        [(1, None, 10, 10.0), (3, None, 11, 3.0)],
+        "id long, typ string, day int, v double",
+    )
+    EV.evolved_merge(spark, root, u1, keys=["id"])  # NULLs enter active
+    u2 = spark.createDataFrame(
+        [(3, None, 11, 30.0), (4, "b", 12, 4.0)],
+        "id long, typ string, day int, v double",
+    )
+    EV.evolved_merge(spark, root, u2, keys=["id"])  # audits NULL carry
+    got = {r.id: r.v for r in EV.read_evolved(spark, root).collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 30.0, 4: 4.0}
 
 
 def test_evolved_merge_requires_spec_manifest(spark, tmp_path):
