@@ -47,7 +47,12 @@ reps [3.64,1.48,1.16,4.15] → 2.56 s recorded for a ~1.3 s plan). If
 the gap never closes, the LOWER central rep is reported and the query
 is disclosed in the stdout line's `noisy` map (name → [min, max]):
 the fast mode is the plan's cost, the slow mode is the host. Steady
-queries still pay exactly 2 reps.
+queries still pay exactly 2 reps. A query whose central gap DOES close
+but whose total rep RANGE still exceeds
+$SPARK_GRAFT_BENCH_RANGE_DISCLOSE (default 1.0 s) also lands in
+`noisy` (round-9 verdict #6: a trustworthy median does not excuse an
+undisclosed 2.6 s min-max spread — the range is the host-bimodality
+evidence a reader comparing rounds needs).
 
 Sharding: `python bench.py --family plans_a,plans_b` (or
 $SPARK_GRAFT_BENCH_FAMILY) restricts the run to the named query
@@ -192,6 +197,9 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_BENCH_SPREAD_RETRY", "0.3")
     )
     MAX_EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4"))
+    RANGE_DISCLOSE_SEC = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RANGE_DISCLOSE", "1.0")
+    )
     warm_reps = max(
         0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "1"))
     )
@@ -267,6 +275,12 @@ def main() -> None:
                 med = round(statistics.median(times), 3)
         else:
             med = round(statistics.median(times), 3)
+            if max(times) - min(times) > RANGE_DISCLOSE_SEC:
+                # Median converged, but the run saw a host phase wide
+                # enough to matter cross-round: disclose the range.
+                noisy[spec.name] = [
+                    round(min(times), 3), round(max(times), 3)
+                ]
         timings[spec.name] = med
         spreads[spec.name] = round(max(times) - min(times), 3)
         all_reps[spec.name] = times

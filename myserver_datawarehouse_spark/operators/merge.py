@@ -933,6 +933,60 @@ def read_version(
     return _read_snapshot(spark, path)
 
 
+def merge_upsert_published(
+    spark: SparkSession,
+    table_root: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+    order_by: Sequence = (),
+) -> str:
+    """`merge_upsert`, for MANIFEST-root tables (the publish_overwrite /
+    read_published layout — version dirs + `_CURRENT`, no symlink):
+    touched-partition copy-on-write fold, hardlink carry of untouched
+    partitions, WRITE → AUDIT → PUBLISH commit. Same precedence and
+    partition-stability contract as `merge_upsert`. This is the plain
+    fast path a stream writer routes to after `compact_evolved`
+    collapses an evolved table back to one layout (the writer keeps
+    merging; only the carry scope changes). Returns the published
+    version name."""
+    cur_v = _published_version(table_root)
+    if cur_v is None:
+        raise FileNotFoundError(f"no published version under {table_root}")
+    cur_dir = os.path.join(table_root, cur_v)
+    existing = _read_snapshot(spark, cur_dir)
+    if partition_by:
+        touched = updates.select(*partition_by).distinct()
+        existing = existing.alias("__e").join(
+            F.broadcast(touched).alias("__t"),
+            functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__e.{c}").eqNullSafe(F.col(f"__t.{c}"))
+                    for c in partition_by
+                ],
+            ),
+            "left_semi",
+        )
+    if order_by:
+        merged = dedup_latest(
+            updates.unionByName(existing), keys, order_by=order_by
+        )
+    else:
+        merged = dedup_latest(
+            updates.withColumn(_PRECEDENCE, F.lit(1)).unionByName(
+                existing.withColumn(_PRECEDENCE, F.lit(0))
+            ),
+            keys,
+            order_by=[_PRECEDENCE],
+        ).drop(_PRECEDENCE)
+    version = _stage_snapshot(spark, table_root, merged, partition_by)
+    if partition_by:
+        _link_untouched(cur_dir, os.path.join(table_root, version))
+    _commit_manifest(table_root, version)
+    return version
+
+
 def published_versions(table_root: str) -> tuple[list[str], str | None]:
     """(all retained version dirs in order, currently published one)."""
     versions = sorted(

@@ -126,6 +126,62 @@ def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
     )
 
 
+PHASH_BITS = 60
+PHASH_WINDOW = 8
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """60-bit perceptual fingerprint of each image payload, one Arrow
+    batch at a time.
+
+    Fake decode (the PIL-less stand-in for an 8x8 luma/DCT grid): every
+    sliding PHASH_WINDOW-byte block of the payload is binned by the
+    shared hash60 primitive (md5 -> 15 hex chars -> bigint, mod 60) into
+    a 60-bin block-intensity histogram; bit i of the hash is 1 iff bin i
+    is above the mean bin occupancy (the average-hash thresholding rule,
+    on exact integer cross-multiplication so both engines agree
+    bit-for-bit). Sliding blocks are content-aligned: an edit perturbs
+    only the ~PHASH_WINDOW blocks that overlap it, so near-identical
+    payloads land within a small Hamming ball while unrelated ones sit
+    ~30 bits apart. Swapping in decode_media + real pixel blocks changes
+    only this kernel's body, not the Spark plan around it.
+    """
+    w = PHASH_WINDOW
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            bs = bytes(payload)
+            n = len(bs) - w + 1
+            cnt = [0] * PHASH_BITS
+            for j in range(max(n, 0)):
+                b = (
+                    int(hashlib.md5(bs[j : j + w]).hexdigest()[:15], 16)
+                    % PHASH_BITS
+                )
+                cnt[b] += 1
+            h = 0
+            for i in range(PHASH_BITS):
+                if PHASH_BITS * cnt[i] > n:
+                    h |= 1 << i
+            ids.append(doc_id)
+            hashes.append(h)
+        yield pd.DataFrame(
+            {"doc_id": ids, "phash": pd.Series(hashes, dtype="int64")}
+        )
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual hash over image payloads via mapInPandas: one 60-bit
+    BIGINT per image, ready for the SimHash chunk-banding machinery
+    (operators/text.simhash_chunks / hamming60) — the image arm of the
+    near-dup tier."""
+    imgs = media.filter(F.col("media_type") == "image")
+    return imgs.select("doc_id", "payload").mapInPandas(
+        _phash_kernel, schema=PHASH_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 
 

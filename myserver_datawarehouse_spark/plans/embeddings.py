@@ -1016,6 +1016,7 @@ ORDER BY vec_id, cosine DESC, neighbor_id
 
 RECALL_K = IVF_TOP_K  # == BUCKET_TOP_K: exact top-3 is the common baseline
 RECALL_FLOOR = 0.3  # the flag's threshold; see measured values below
+RECALL_NPROBE_SWEEP = (1, 2, 4)  # the audited nprobe tuning curve
 
 
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,7 +1030,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `embedding_ivfpq_search` (its top-{RECALL_K} by estimated
     distance — the ADC estimate is rated against the exact yardstick,
     so this row prices the compression loss ON TOP of the coarse
-    quantizer's), 'bucket' = the shipped
+    quantizer's), 'ivfpq_np1'/'ivfpq_np4' = the nprobe tuning curve
+    (every sweep point derived from ONE nprobe-max candidate pipeline
+    by probe_rank cuts — training runs once, the curve costs filters),
+    'ivfpq_refined' = `embedding_ivfpq_refined`'s exact re-rank of the
+    {REFINE_R}-deep ADC shortlist (its recall is the compression loss
+    BOUGHT BACK per unit of exact-scoring work), 'bucket' = the shipped
     `embedding_ann_bucketed_gemm` BLAS tier (identical semantics and
     oracle to the interpreted twin — the audit measures the tier users
     actually run), 'multiprobe' = `embedding_ann_multiprobe`, the
@@ -1046,6 +1052,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured recall (this audit's own output): bucket mean ≈ 0.04,
     ivf mean ≈ 0.29–0.37, multiprobe mean ≈ 0.6 across sf0.001–sf0.1.
+    The round-10 sweep rows measure ivfpq_refined ≈ 0.83 (the exact
+    re-rank recovers the full coarse-tier recall — compression loss
+    bought back for {REFINE_R} exact distances/query) while the nprobe
+    curve is FLAT on this fixture (np1 = np2 = np4): every ADC top-k
+    candidate comes from the rank-1 cell because near-isotropic
+    vectors give ADC errors larger than the true distance gaps, so
+    extra probes add candidates that never crack the estimated top-k.
+    That flatness is the honest measurement the sweep exists to
+    surface — on clustered real embeddings the same rows spread.
     Single-probe numbers are the honest floor for the synthetic
     near-isotropic embedding table — random-ish vectors are ANN's worst
     case (every cosine is close to every other, so bucket/cell
@@ -1080,9 +1095,56 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     ivf = embedding_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
-    ivfpq = (
-        embedding_ivfpq_search(spark, sf_dir)
-        .filter(F.col("pos") <= RECALL_K)
+    # One candidate pipeline at the sweep's max nprobe; every sweep
+    # point (and the refined leg's shortlist) is a probe_rank /
+    # est_raw cut over this single materialized frame — training runs
+    # ONCE, so the nprobe curve costs filters, not re-trainings.
+    cand4 = materialize(
+        _ivfpq_candidates(spark, sf_dir, max(RECALL_NPROBE_SWEEP))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("est_raw", "vec_id")
+
+    def _np_leg(np: int) -> DataFrame:
+        return (
+            cand4.filter(F.col("probe_rank") <= np)
+            .withColumn("rn", F.row_number().over(w_adc))
+            .filter(F.col("rn") <= RECALL_K)
+            .select("query_id", "vec_id")
+        )
+
+    ivfpq = _np_leg(IVF_NPROBE)  # the shipped nprobe=2 configuration
+    ivfpq_np1 = _np_leg(1)
+    ivfpq_np4 = _np_leg(4)
+    short = (
+        cand4.filter(F.col("probe_rank") <= IVF_NPROBE)
+        .withColumn("r_adc", F.row_number().over(w_adc))
+        .filter(F.col("r_adc") <= REFINE_R)
+        .select("query_id", "vec_id")
+    )
+    vv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("x"),
+    )
+    vv = vv.withColumn("xx", V.dot("x", "x"))
+    qv = vv.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("xx").alias("qxx"),
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    refined = (
+        vv.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.col("qxx") - 2 * V.dot("qx", "x") + F.col("xx"),
+                KMEANS_DP,
+            ).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= RECALL_K)
         .select("query_id", "vec_id")
     )
     bucket = (
@@ -1107,6 +1169,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_all = (
         ivf.withColumn("method", F.lit("ivf"))
         .unionByName(ivfpq.withColumn("method", F.lit("ivfpq")))
+        .unionByName(ivfpq_np1.withColumn("method", F.lit("ivfpq_np1")))
+        .unionByName(ivfpq_np4.withColumn("method", F.lit("ivfpq_np4")))
+        .unionByName(
+            refined.withColumn("method", F.lit("ivfpq_refined"))
+        )
         .unionByName(bucket.withColumn("method", F.lit("bucket")))
         .unionByName(multi.withColumn("method", F.lit("multiprobe")))
     )
@@ -1120,6 +1187,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.lit("ivf"),
                 F.lit("ivfpq"),
+                F.lit("ivfpq_np1"),
+                F.lit("ivfpq_np4"),
+                F.lit("ivfpq_refined"),
                 F.lit("bucket"),
                 F.lit("multiprobe"),
             )
@@ -1791,42 +1861,17 @@ IVFPQ_DIM = 64    # embeddings table vector width
 IVFPQ_CENTS = IVF_CENTS  # shared fixed centroid budget (see IVF_CENTS)
 
 
-def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFPQ — the two ANN halves composed into the genuine FAISS
-    shape (the round-8 verdict's ask): a COARSE quantizer (deterministic
-    FIXED-BUDGET centroid pick — {nc} cells regardless of corpus size,
-    so assignment is O(N·K) and cells grow in size, the deployment
-    model — with L2 assignment: residual geometry is Euclidean)
-    partitions the corpus
-    into inverted lists; PRODUCT QUANTIZATION (`embedding_pq_adc_audit`
-    machinery) is trained on the RESIDUALS x - c(x), so each vector is
-    stored as its cell id + {m} one-byte codes; a query probes its
-    {npq} nearest cells and scores candidates by ASYMMETRIC DISTANCE:
-    per (query, cell) a {m}x{k} LUT of
-    ||(q - c_cell)_sub - codeword||^2 is built once, and each
-    candidate's distance estimate is a code-indexed LUT sum —
-    ||q - x||^2 ~ ||(q - c) - (x - c)||^2 with the residual PQ-coded.
-
-    Every step is deterministic and oracle-retrained: centroid pick by
-    id, L2 cell assignment (distances rounded to {dp} dp, id
-    tie-breaks), PQ init from the first {k} vectors' residuals,
-    {it} decimal-exact Lloyd iterations, dense code renumber,
-    skeleton-filled LUTs — the DuckDB oracle rebuilds BOTH quantizers
-    and the full search, so a drift anywhere in the pipeline flips the
-    hash. Output: top-{tk} per probe by estimated distance.
-
-    Scale anatomy (the 100 TB plan): training shuffles k*subdim
-    decimal partials per iteration (never corpus^2); encoding is one
-    broadcast pass; the search reads only the PROBED cells' code lists
-    (cell-partitioned in a real deployment, nprobe * avg-cell-size
-    candidates), the LUT join is broadcast (probes x nprobe x {m}x{k}
-    floats), and the scan side is map-only until the final bounded
-    top-k window. The float vectors are touched only by training and
-    encoding — retrieval runs entirely on 4-byte codes, which is what
-    makes billion-vector serving fit in memory.
-
-    Reference parity: none — the reference has no vector tier; this is
-    the LLM-pipeline similarity-search scale path."""
+def _ivfpq_candidates(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """The shared IVFPQ pipeline up to ADC-scored candidates:
+    (query_id, vec_id, cell, probe_rank, est_raw), where probe_rank is
+    the probed cell's rank in the query's coarse-distance order. Both
+    quantizers are trained EXACTLY as `embedding_ivfpq_search` documents
+    (training is nprobe-independent); callers cut by probe_rank and
+    est_raw — which is how `ann_recall_audit` derives the whole
+    nprobe sweep from ONE pipeline run instead of re-training per
+    sweep point."""
     from myserver_datawarehouse_spark.session import materialize
 
     v = load_table(spark, sf_dir, "embeddings").select(
@@ -1936,10 +1981,11 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probe_cells = asn.filter(
-        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= IVF_NPROBE)
+        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= nprobe)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("ccid").alias("cell"),
+        F.col("rn").alias("probe_rank"),
         residual.alias("r"),
     )
     qsub = probe_cells.select(
@@ -1970,11 +2016,11 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("slot")
     )
     lut_arr = materialize(
-        probe_cells.select("query_id", "cell")
+        probe_cells.select("query_id", "cell", "probe_rank")
         .crossJoin(F.broadcast(slots))
         .join(lut_vals, ["query_id", "cell", "slot"], "left")
         .na.fill({"d2p": 0.0})
-        .groupBy("query_id", "cell")
+        .groupBy("query_id", "cell", "probe_rank")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("slot", "d2p"))
@@ -1983,10 +2029,11 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cell",
+            "probe_rank",
             F.expr("transform(sl, s -> s.d2p)").alias("lut"),
         )
     )
-    cand = (
+    return (
         cells.select("vec_id", "cell")
         .join(codes, "vec_id")
         .join(F.broadcast(lut_arr), "cell")
@@ -1995,12 +2042,52 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "cell",
+            "probe_rank",
             F.expr(
                 f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as double), "
                 f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
             ).alias("est_raw"),
         )
     )
+
+
+def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the two ANN halves composed into the genuine FAISS
+    shape (the round-8 verdict's ask): a COARSE quantizer (deterministic
+    FIXED-BUDGET centroid pick — {nc} cells regardless of corpus size,
+    so assignment is O(N·K) and cells grow in size, the deployment
+    model — with L2 assignment: residual geometry is Euclidean)
+    partitions the corpus
+    into inverted lists; PRODUCT QUANTIZATION (`embedding_pq_adc_audit`
+    machinery) is trained on the RESIDUALS x - c(x), so each vector is
+    stored as its cell id + {m} one-byte codes; a query probes its
+    {npq} nearest cells and scores candidates by ASYMMETRIC DISTANCE:
+    per (query, cell) a {m}x{k} LUT of
+    ||(q - c_cell)_sub - codeword||^2 is built once, and each
+    candidate's distance estimate is a code-indexed LUT sum —
+    ||q - x||^2 ~ ||(q - c) - (x - c)||^2 with the residual PQ-coded.
+
+    Every step is deterministic and oracle-retrained: centroid pick by
+    id, L2 cell assignment (distances rounded to {dp} dp, id
+    tie-breaks), PQ init from the first {k} vectors' residuals,
+    {it} decimal-exact Lloyd iterations, dense code renumber,
+    skeleton-filled LUTs — the DuckDB oracle rebuilds BOTH quantizers
+    and the full search, so a drift anywhere in the pipeline flips the
+    hash. Output: top-{tk} per probe by estimated distance.
+
+    Scale anatomy (the 100 TB plan): training shuffles k*subdim
+    decimal partials per iteration (never corpus^2); encoding is one
+    broadcast pass; the search reads only the PROBED cells' code lists
+    (cell-partitioned in a real deployment, nprobe * avg-cell-size
+    candidates), the LUT join is broadcast (probes x nprobe x {m}x{k}
+    floats), and the scan side is map-only until the final bounded
+    top-k window. The float vectors are touched only by training and
+    encoding — retrieval runs entirely on 4-byte codes, which is what
+    makes billion-vector serving fit in memory.
+
+    Reference parity: none — the reference has no vector tier; this is
+    the LLM-pipeline similarity-search scale path."""
+    cand = _ivfpq_candidates(spark, sf_dir, IVF_NPROBE)
     w_est = Window.partitionBy("query_id").orderBy("est_raw", "vec_id")
     return (
         cand.withColumn("pos", F.row_number().over(w_est))
@@ -2016,13 +2103,87 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REFINE_R = 50  # ADC shortlist depth handed to the exact re-ranker
+
+
+def embedding_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + REFINE — the production FAISS third stage
+    (IndexRefineFlat): the coarse+PQ pipeline shortlists the top-{r}
+    candidates per query by ADC estimate, then the ORIGINAL vectors of
+    just those {r} ids are fetched and re-scored by exact L2, and the
+    final top-{tk} is cut on exact distance. Compression error affects
+    only which {r} candidates enter the shortlist, never their final
+    ordering — the measured recall win over raw IVFPQ is adjudicated in
+    `ann_recall_audit`'s ivfpq_refined row.
+
+    Scale anatomy: the shortlist is N_PROBES x {r} ids — a BROADCAST
+    against the vector table, so the exact re-rank is one map-side
+    semi-join + {r} real distance computations per query (point lookups
+    by id against a cell-partitioned store in a real deployment). The
+    expensive full-precision vectors are touched for {r} rows per
+    query, not per candidate-list — this is exactly the memory/recall
+    trade FAISS ships."""
+    cand = _ivfpq_candidates(spark, sf_dir, IVF_NPROBE)
+    w_adc = Window.partitionBy("query_id").orderBy("est_raw", "vec_id")
+    short = (
+        cand.withColumn("r_adc", F.row_number().over(w_adc))
+        .filter(F.col("r_adc") <= REFINE_R)
+        .select("query_id", "vec_id", "cell")
+    )
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("x"),
+    )
+    v = v.withColumn("xx", V.dot("x", "x"))
+    qv = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("xx").alias("qxx"),
+    )
+    ex = (
+        v.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.round(
+                F.col("qxx") - 2 * V.dot("qx", "x") + F.col("xx"),
+                KMEANS_DP,
+            ).alias("d2"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        ex.withColumn("pos", F.row_number().over(w_ex))
+        .filter(F.col("pos") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "pos",
+            "vec_id",
+            "cell",
+            F.round("d2", 6).alias("exact_d2"),
+        )
+        .orderBy("query_id", "pos")
+    )
+
+
+embedding_ivfpq_refined.__doc__ = embedding_ivfpq_refined.__doc__.format(
+    r=REFINE_R, tk=PQ_TOPK
+)
+
+
 embedding_ivfpq_search.__doc__ = embedding_ivfpq_search.__doc__.format(
     m=PQ_M, k=PQ_K, npq=IVF_NPROBE, dp=KMEANS_DP, it=PQ_ITERS,
     tk=PQ_TOPK, nc=IVFPQ_CENTS,
 )
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_cand_parts(nprobe: int) -> list[str]:
+    """CTE chain shared by every IVFPQ oracle: both quantizers trained,
+    corpus encoded, `cand` = (query_id, vec_id, cell, probe_rank,
+    est_raw) for the given nprobe — the SQL twin of
+    `_ivfpq_candidates`."""
     sd, m, k, dim = PQ_SUBDIM, PQ_M, PQ_K, IVFPQ_DIM
     parts = [
         f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
@@ -2097,9 +2258,9 @@ codes AS (
   GROUP BY 1
 ),
 pc AS (
-  SELECT vec_id AS query_id, ccid AS cell,
+  SELECT vec_id AS query_id, ccid AS cell, rn AS probe_rank,
          [x[i] - c[i] FOR i IN generate_series(1, {dim})] AS qr
-  FROM asn WHERE vec_id < {N_PROBES} AND rn <= {IVF_NPROBE}
+  FROM asn WHERE vec_id < {N_PROBES} AND rn <= {nprobe}
 ),
 qsub AS (
   SELECT query_id, cell, g.m AS sub,
@@ -2116,25 +2277,32 @@ lut_vals AS (
   JOIN dn d ON d.sub = c.sub AND d.cid = c.cid
 ),
 lut_arr AS (
-  SELECT g.query_id, g.cell,
+  SELECT g.query_id, g.cell, g.probe_rank,
          list(COALESCE(l.d2p, 0.0) ORDER BY g.slot) AS lut
-  FROM (SELECT query_id, cell, s.slot
+  FROM (SELECT query_id, cell, probe_rank, s.slot
         FROM pc, (SELECT unnest(generate_series(0, {m * k - 1}))
                   AS slot) s) g
   LEFT JOIN lut_vals l ON l.query_id = g.query_id
                       AND l.cell = g.cell AND l.slot = g.slot
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 ),
 cand AS (
-  SELECT l.query_id, cl.vec_id, cl.cell,
+  SELECT l.query_id, cl.vec_id, cl.cell, l.probe_rank,
          list_sum([l.lut[i * {k} + co.codes[i + 1] + 1]
                    FOR i IN generate_series(0, {m - 1})]) AS est_raw
   FROM cells cl
   JOIN codes co ON co.vec_id = cl.vec_id
   JOIN lut_arr l ON l.cell = cl.cell
   WHERE cl.vec_id <> l.query_id
-),
-rk AS (
+)"""
+    )
+    return parts
+
+
+def _ivfpq_sql() -> str:
+    parts = _ivfpq_cand_parts(IVF_NPROBE)
+    parts.append(
+        """rk AS (
   SELECT query_id, vec_id, cell, est_raw,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY est_raw, vec_id) AS pos
@@ -2155,6 +2323,56 @@ ORDER BY query_id, pos
 EMBEDDING_IVFPQ_SEARCH_SQL = _ivfpq_sql()
 
 
+def _ivfpq_refined_sql() -> str:
+    parts = _ivfpq_cand_parts(IVF_NPROBE)
+    parts.append(
+        f"""short AS (
+  SELECT query_id, vec_id, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY est_raw, vec_id) AS r_adc
+        FROM cand)
+  WHERE r_adc <= {REFINE_R}
+),
+ex AS (
+  SELECT s.query_id, s.vec_id, s.cell,
+         ROUND(q.xx - 2 * list_dot_product(q.x, t.x) + t.xx,
+               {KMEANS_DP}) AS d2
+  FROM short s
+  JOIN vv t ON t.vec_id = s.vec_id
+  JOIN vv q ON q.vec_id = s.query_id
+),
+rk2 AS (
+  SELECT query_id, vec_id, cell, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, vec_id) AS pos
+  FROM ex
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, pos, vec_id, cell, ROUND(d2, 6) AS exact_d2
+FROM rk2 WHERE pos <= {PQ_TOPK}
+ORDER BY query_id, pos
+"""
+    )
+
+
+EMBEDDING_IVFPQ_REFINED_SQL = _ivfpq_refined_sql()
+
+
+def _ivfpq_cand_full_sql(nprobe: int) -> str:
+    """Complete SELECT over the candidate CTE chain — embeddable as a
+    subquery (the audit derives every nprobe sweep point from ONE
+    nprobe-max run by cutting probe_rank, mirroring the Spark side)."""
+    return (
+        "WITH "
+        + ",\n".join(_ivfpq_cand_parts(nprobe))
+        + "\nSELECT query_id, vec_id, cell, probe_rank, est_raw FROM cand"
+    )
+
+
 ANN_RECALL_AUDIT_SQL = f"""
 WITH exact_k AS (
   SELECT query_id, vec_id,
@@ -2165,9 +2383,59 @@ WITH exact_k AS (
 ),
 base AS (SELECT query_id, vec_id FROM exact_k WHERE rn <= {RECALL_K}),
 ivf AS (SELECT query_id, vec_id FROM ({EMBEDDING_ANN_IVF_SQL}) y),
+pqc AS (
+  SELECT * FROM ({_ivfpq_cand_full_sql(max(RECALL_NPROBE_SWEEP))}) t
+),
 ipq AS (
-  SELECT query_id, vec_id FROM ({EMBEDDING_IVFPQ_SEARCH_SQL}) pq
-  WHERE pos <= {RECALL_K}
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY est_raw, vec_id) AS rn
+        FROM pqc WHERE probe_rank <= {IVF_NPROBE})
+  WHERE rn <= {RECALL_K}
+),
+ipq1 AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY est_raw, vec_id) AS rn
+        FROM pqc WHERE probe_rank <= 1)
+  WHERE rn <= {RECALL_K}
+),
+ipq4 AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY est_raw, vec_id) AS rn
+        FROM pqc WHERE probe_rank <= 4)
+  WHERE rn <= {RECALL_K}
+),
+vv2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS xx
+  FROM embeddings
+),
+shortr AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY est_raw, vec_id) AS r_adc
+        FROM pqc WHERE probe_rank <= {IVF_NPROBE})
+  WHERE r_adc <= {REFINE_R}
+),
+refd AS (
+  SELECT query_id, vec_id
+  FROM (SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY ROUND(q.xx - 2 * list_dot_product(q.x, t.x)
+                                + t.xx, {KMEANS_DP}), s.vec_id
+               ) AS rn
+        FROM shortr s
+        JOIN vv2 t ON t.vec_id = s.vec_id
+        JOIN vv2 q ON q.vec_id = s.query_id)
+  WHERE rn <= {RECALL_K}
 ),
 bkt AS (
   SELECT vec_id AS query_id, neighbor_id AS vec_id
@@ -2193,6 +2461,30 @@ counts AS (
   FROM q LEFT JOIN (
     SELECT p.query_id, COUNT(*) AS n
     FROM ipq p JOIN base b
+      ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+    GROUP BY p.query_id
+  ) h ON h.query_id = q.query_id
+  UNION ALL
+  SELECT 'ivfpq_np1' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT p.query_id, COUNT(*) AS n
+    FROM ipq1 p JOIN base b
+      ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+    GROUP BY p.query_id
+  ) h ON h.query_id = q.query_id
+  UNION ALL
+  SELECT 'ivfpq_np4' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT p.query_id, COUNT(*) AS n
+    FROM ipq4 p JOIN base b
+      ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+    GROUP BY p.query_id
+  ) h ON h.query_id = q.query_id
+  UNION ALL
+  SELECT 'ivfpq_refined' AS method, q.query_id, COALESCE(h.n, 0) AS n_hit
+  FROM q LEFT JOIN (
+    SELECT p.query_id, COUNT(*) AS n
+    FROM refd p JOIN base b
       ON p.query_id = b.query_id AND p.vec_id = b.vec_id
     GROUP BY p.query_id
   ) h ON h.query_id = q.query_id

@@ -2588,6 +2588,133 @@ ORDER BY doc_id
 """
 
 
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL — `dup_ngram_coverage` upgraded from
+    diagnosis to surgery (the ExactSubstr transform of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token covered by a corpus-duplicated 8-gram is excised, unique text
+    passes through byte-identical, and the output row carries the
+    provenance (n_removed, unchanged) plus the residual duplicated-gram
+    count of the CLEANED corpus — the adjudicated proof the surgery
+    converged (0 on this corpus).
+
+    Shape: gram rows (codegen lead-window assembly) -> hash60 -> ONE
+    count-window shuffle on the uniform gram hash -> dup start
+    positions roll up per doc (collect_list, bounded by grams/doc) ->
+    one doc-keyed join back to the token arrays -> the excision is
+    array-local codegen (keep position p iff no dup gram starts in
+    [p-7, p]) -> residual audit re-runs the gram-count pass over the
+    cleaned text. At 100 TB: two gram-hash shuffles and two doc-keyed
+    joins, nothing all-pairs, gram strings never outlive their hash
+    projection. The per-token exists() over a doc's dup-start list is
+    O(tokens x dup starts) worst-case for a fully-templated doc —
+    acceptable because both factors are per-document, not corpus-sized.
+    """
+    k = DUP_NGRAM_K
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", TX.tokenize("text").alias("tks"))
+    grams = TX.shingle_rows(d, k=k).select(
+        "doc_id", "pos", TX.hash60("g").alias("gh")
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    starts = (
+        grams.select("doc_id", "pos", c.alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ss"))
+    )
+    j = toks.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "tks",
+        F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+    )
+    keep = F.filter(
+        F.sequence(F.lit(0), F.size("tks") - 1),
+        lambda p: ~F.exists(
+            F.col("ss"), lambda s: (s <= p) & (s >= p - (k - 1))
+        ),
+    )
+    base = j.select(
+        "doc_id",
+        F.size("tks").alias("n_tokens"),
+        (F.size("tks") - F.size(keep)).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(keep, lambda p: F.element_at(F.col("tks"), p + 1)),
+        ).alias("cleaned_text"),
+    )
+    rh = TX.shingle_rows(
+        base.select("doc_id", "cleaned_text"), k=k, text_col="cleaned_text"
+    ).select("doc_id", TX.hash60("g").alias("gh"))
+    rc = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    res = (
+        rh.select("doc_id", rc.alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("residual_dup_grams"))
+    )
+    return (
+        base.join(res, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.md5("cleaned_text").alias("cleaned_md5"),
+            (F.col("n_removed") == 0).cast("int").alias("unchanged"),
+            F.coalesce("residual_dup_grams", F.lit(0))
+            .cast("long")
+            .alias("residual_dup_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT doc_id, i, array_to_string(tks[i:i+{DUP_NGRAM_K - 1}], ' ') AS g
+  FROM toks,
+       LATERAL unnest(generate_series(1, len(tks) - {DUP_NGRAM_K - 1}))
+         AS u(i)
+),
+cnt AS (
+  SELECT doc_id, i, COUNT(*) OVER (PARTITION BY {_d_hash60("g")}) AS c
+  FROM grams
+),
+starts AS (SELECT doc_id, list(i) AS ss FROM cnt WHERE c > 1 GROUP BY doc_id),
+cleaned AS (
+  SELECT t.doc_id, len(t.tks) AS n_tokens,
+         [t.tks[p] FOR p IN generate_series(1, len(t.tks))
+          IF len(list_filter(COALESCE(s.ss, []),
+                             x -> x <= p AND x >= p - {DUP_NGRAM_K - 1})) = 0]
+           AS ck
+  FROM toks t LEFT JOIN starts s USING (doc_id)
+),
+cg AS (
+  SELECT doc_id, array_to_string(ck[i:i+{DUP_NGRAM_K - 1}], ' ') AS g
+  FROM cleaned,
+       LATERAL unnest(generate_series(1, len(ck) - {DUP_NGRAM_K - 1}))
+         AS u(i)
+),
+rc AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY {_d_hash60("g")}) AS c FROM cg
+),
+res AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS residual_dup_grams
+  FROM rc GROUP BY doc_id
+)
+SELECT c.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_tokens - len(ck) AS INT) AS n_removed,
+       md5(COALESCE(array_to_string(ck, ' '), '')) AS cleaned_md5,
+       CAST(CASE WHEN n_tokens = len(ck) THEN 1 ELSE 0 END AS INT)
+         AS unchanged,
+       COALESCE(res.residual_dup_grams, 0) AS residual_dup_grams
+FROM cleaned c LEFT JOIN res USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------ Gopher quality rules
 
 GOPHER_MIN_TOKENS = 30

@@ -6,10 +6,11 @@ length, so the Arrow kernel and the SQL twin agree bit-for-bit).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from myserver_datawarehouse_spark.operators import multimodal as MM
+from myserver_datawarehouse_spark.operators import text as TX
 from myserver_datawarehouse_spark.sources.tables import load_table
 
 _MT_CASE = (
@@ -102,6 +103,108 @@ SELECT media_type,
 FROM m
 GROUP BY 1
 ORDER BY media_type
+"""
+
+
+PHASH_CHUNKS = 4
+PHASH_HAMMING_MAX = PHASH_CHUNKS - 1  # pigeonhole-complete radius
+
+
+def near_dup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over image payloads —
+    the image arm of the dedup tier (text has exact/MinHash/SimHash/
+    prefix-filter; this gives binary media the same capability).
+
+    Pipeline: binary payload -> 60-bit block-histogram aHash in the
+    mapInPandas kernel (operators/multimodal.image_phash) -> 4x15-bit
+    chunk banding (operators/text.simhash_chunks — the SimHash band
+    machinery reused verbatim) -> equi-join on (chunk_idx, chunk_value)
+    -> exact Hamming verify <= 3 (pigeonhole-complete for that radius)
+    -> survivor pick (min doc_id among each retired doc's matches).
+
+    At 100 TB: candidates come ONLY from shared 15-bit buckets
+    (corpus/32768 expected fan-out per chunk), never an all-pairs or a
+    payload shuffle — the payload never leaves its scan; only the
+    8-byte (doc_id, phash) pairs move.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.with_fake_payload(docs)
+    ph = MM.image_phash(media)
+    chunks = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(TX.simhash_chunks("phash", PHASH_CHUNKS)).alias(
+            "c", "cv"
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            TX.hamming60(F.col("a.phash"), F.col("b.phash")).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.min("doc_a").over(Window.partitionBy("doc_b")).alias("survivor"),
+    ).orderBy("doc_a", "doc_b")
+
+
+_PHASH_W = MM.PHASH_WINDOW
+_PHASH_CHUNK_W = TX.SIMHASH_BITS // PHASH_CHUNKS
+_PHASH_CHUNK_MASK = (1 << _PHASH_CHUNK_W) - 1
+
+NEAR_DUP_IMAGE_PHASH_SQL = f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) - {_PHASH_W} + 1 AS n
+  FROM documents WHERE doc_id % 3 = 0
+),
+bins AS (
+  SELECT doc_id, n,
+         [CAST(('0x' || substring(md5(substring(text, j, {_PHASH_W})), 1, 15))::BIGINT
+               % {MM.PHASH_BITS} AS INT)
+          FOR j IN generate_series(1, n)] AS bs
+  FROM img
+),
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(
+           [CASE WHEN {MM.PHASH_BITS} * len(list_filter(bs, b -> b = i)) > n
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+            FOR i IN generate_series(0, {MM.PHASH_BITS - 1})]) AS BIGINT)
+           AS phash
+  FROM bins
+),
+chunks AS (
+  SELECT doc_id, phash, c,
+         CAST((phash >> (c * {_PHASH_CHUNK_W})) & {_PHASH_CHUNK_MASK} AS INT)
+           AS cv
+  FROM ph, LATERAL unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS u(c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming,
+       MIN(doc_a) OVER (PARTITION BY doc_b) AS survivor
+FROM pairs
+WHERE hamming <= {PHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
 """
 
 

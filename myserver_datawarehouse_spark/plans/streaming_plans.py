@@ -691,6 +691,64 @@ FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
 """
 
 
+def streaming_compaction_race(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction racing a live stream (15th §2.12 variant, the
+    round-9 verdict's ask #5): foreachBatch evolved-merge ingest with
+    an injected-CRASH compaction after batch 1, a REAL mid-stream
+    compaction after batch 2, and state-routed plain-path merges after
+    it (streaming/jobs.compaction_race_stream). Adjudicated output =
+    the final logical table (== the batch latest-per-key fold — any
+    row lost or duplicated by the crash, the compaction, or the layout
+    switch flips the hash) + the run's maintenance flags: the crashed
+    commit left the published version intact, a later batch streamed
+    over the evolved table before the real compaction collapsed the
+    specs, and at least one post-compaction batch took the plain
+    fast path.
+
+    Same eager-at-construction bench note as streaming_upsert_merge;
+    per-(sf, pid) work dir."""
+    import json
+    import os
+
+    from myserver_datawarehouse_spark.operators import merge as M
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_race", sf_dir)
+    # Re-entrant within a process: a second plan construction must
+    # replay the whole lifecycle, not resume a consumed checkpoint.
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    root = SJ.compaction_race_stream(spark, sf_dir, work)
+    with open(os.path.join(work, "race_flags.json")) as fh:
+        flags = json.load(fh)
+    ok = F.lit(
+        bool(flags["crash_left_version_intact"])
+        and bool(flags["stream_survived_crash"])
+        and bool(flags["compaction_collapsed_specs"])
+        and flags["plain_path_batches"] >= 1
+    ).alias("maintenance_contract_held")
+    return (
+        M.read_published(spark, root)
+        .select("user_id", "event_type", "event_id", "ts", "value", ok)
+        .orderBy("user_id", "event_type")
+    )
+
+
+STREAMING_COMPACTION_RACE_SQL = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value,
+       TRUE AS maintenance_contract_held
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
 def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream join (14th §2.12 variant): click ->
     purchase attribution where clicks with NO purchase in the hour

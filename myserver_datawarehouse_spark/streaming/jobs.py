@@ -923,6 +923,147 @@ def evolved_upsert_stream(
     return root
 
 
+def compaction_race_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_input_files: int = UPSERT_INPUT_FILES,
+    files_per_trigger: int = UPSERT_FILES_PER_TRIGGER,
+) -> str:
+    """Compaction RACING a live stream (streaming x table maintenance,
+    the 15th §2.12 shape): the evolved-table ingest of
+    `evolved_upsert_stream`, with table maintenance interleaved
+    BETWEEN micro-batches of the same running foreachBatch query —
+
+      batch 0: evolved_merge (two layouts in play);
+      batch 1: evolved_merge, then a compaction whose manifest commit
+               CRASHES (injected) — the WAP protocol must leave the
+               published snapshot byte-identical and the stream
+               running;
+      batch 2: evolved_merge over the still-evolved table (proving the
+               crashed compaction changed nothing), then a REAL
+               compaction folds all layouts + delete sidecars into one
+               plain partitioned snapshot mid-stream;
+      batch 3: the writer routes by table state and takes the plain
+               merge_upsert fast path into the compacted layout.
+
+    Every step holds exactly-once: merges are the associative
+    event-time fold (batch-split invariant) and compaction is a
+    logical no-op (same rows, new layout), so the final table must
+    equal the batch latest-per-key oracle — any row lost or duplicated
+    by the crash, the compaction, or the layout switch flips the
+    adjudicated hash. Run flags (crash left version intact; compaction
+    actually collapsed the specs; post-compaction batches really took
+    the plain path) are written to `race_flags.json` for the registry
+    audit.
+
+    Returns the manifest table root."""
+    import json as _json
+    import os
+
+    from myserver_datawarehouse_spark.operators import evolution as EV
+    from myserver_datawarehouse_spark.operators import merge as M
+    from myserver_datawarehouse_spark.operators.merge import dedup_latest
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    root = os.path.join(work_dir, "race_target")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    seed = dedup_latest(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+    )
+    M.publish_overwrite(spark, root, seed)
+    EV.evolve_partition_spec(spark, root, ["event_type"])
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition(n_input_files)
+        .write.mode("overwrite")
+        .parquet(input_dir)
+    )
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+    flags = {
+        "crash_left_version_intact": False,
+        "stream_survived_crash": False,
+        "compaction_collapsed_specs": False,
+        "plain_path_batches": 0,
+    }
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        vdir = os.path.join(root, M._published_version(root))
+        evolved = EV._specs(vdir) is not None
+        if evolved:
+            EV.evolved_merge(
+                s, root, batch,
+                keys=["user_id", "event_type"],
+                order_by=["ts", "event_id"],
+            )
+            if batch_id >= 2:
+                # A batch after the injected crash still sees the
+                # evolved table — the crash really changed nothing.
+                flags["stream_survived_crash"] = True
+        else:
+            # Post-compaction: the writer routes by table state and
+            # takes the plain partitioned fast path (manifest-root
+            # variant — touched-partition fold + hardlink carry).
+            M.merge_upsert_published(
+                s, root, batch,
+                keys=["user_id", "event_type"],
+                partition_by=["event_type"],
+                order_by=["ts", "event_id"],
+            )
+            flags["plain_path_batches"] += 1
+        if batch_id == 1:
+            # Compaction attempt whose manifest commit crashes: WAP
+            # must leave the published snapshot untouched.
+            before = M._published_version(root)
+            real = EV._commit_manifest
+
+            def _boom(*a, **k):
+                raise RuntimeError("injected compaction-commit crash")
+
+            EV._commit_manifest = _boom
+            try:
+                EV.compact_evolved(s, root)
+            except RuntimeError:
+                pass
+            finally:
+                EV._commit_manifest = real
+            flags["crash_left_version_intact"] = (
+                M._published_version(root) == before
+            )
+        elif batch_id == 2:
+            EV.compact_evolved(s, root)
+            new_vdir = os.path.join(root, M._published_version(root))
+            flags["compaction_collapsed_specs"] = (
+                EV._specs(new_vdir) is None
+            )
+        M.vacuum_versions(root)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    with open(os.path.join(work_dir, "race_flags.json"), "w") as fh:
+        _json.dump(flags, fh)
+    return root
+
+
 OUTER_ATTR_BATCHES = 3
 OUTER_ATTR_DELAY_MIN = 30
 OUTER_ATTR_RANGE_MIN = 60

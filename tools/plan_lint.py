@@ -48,7 +48,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "ann_recall_audit": {
         "RDD_SCAN": _LC + "; the exact top-k yardstick frame "
         "(N_PROBES x RECALL_K rows) shared by the hit semi-join and "
-        "the method grid"
+        "the method grid, plus the nprobe-max IVFPQ candidate frame "
+        "every sweep point and the refined leg cut from (one "
+        "training run for the whole curve)"
     },
     "bloom_pruned_join": {
         "RDD_SCAN": _LC + "; tiny rollup pinned under the runtime-"
@@ -106,6 +108,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "RDD_SCAN": _LC + "; ranking.global_rank's range-partitioned "
         "frame shared by the partition-count pass and the rank pass "
         "(the alternative recomputes the range exchange)"
+    },
+    "embedding_ivfpq_refined": {
+        "RDD_SCAN": _LC + "; the shared _ivfpq_candidates pipeline "
+        "(trained codebook + per-(probe,cell) LUTs, same shape as "
+        "embedding_ivfpq_search) feeding the ADC shortlist that the "
+        "exact re-ranker re-scores"
     },
 }
 

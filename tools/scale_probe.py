@@ -69,6 +69,12 @@ PROBE_QUERIES = [
     "partition_evolution_audit",
     "bpe_encode_corpus",
     "streaming_evolved_upsert",
+    # round-10 additions: image pHash near-dup, span excision,
+    # IVFPQ exact refine, compaction racing a live stream
+    "near_dup_image_phash",
+    "dup_span_removal",
+    "embedding_ivfpq_refined",
+    "streaming_compaction_race",
 ]
 
 
