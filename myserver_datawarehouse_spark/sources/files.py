@@ -130,6 +130,105 @@ def write_orc(
     w.orc(path)
 
 
+BLOOM_SIDECAR = "_blooms"
+
+
+def write_bloom_sidecar(
+    spark: SparkSession, table_dir: str, column: str, bits: int = 65536
+) -> str:
+    """Persist per-file point-lookup bloom filters as a WRITE-COMMIT
+    sidecar (`table_dir/_blooms/` — underscore-prefixed, so plain
+    table reads never see it), the bloom twin of `file_stats` zone
+    maps and the same amortization contract as the equality-delete
+    sidecars: the table writer pays one extra pass at commit, every
+    later point lookup prunes from the manifest-scale sidecar instead
+    of rescanning the table (or — the shape this replaces — rebuilding
+    blooms per query and collecting them to the driver).
+
+    Per file: bucket = xxhash64(key) mod `bits` (JVM codegen), then one
+    vectorized applyInPandas kernel folds the file's buckets into a
+    bits/8-byte bitset (numpy bitwise_or.at). The sidecar is
+    O(files) x bits/8 bytes, corpus-independent, written DISTRIBUTED —
+    no bloom ever crosses the driver. `_META.json` records the key
+    column and width so a prune with mismatched parameters fails loudly
+    instead of silently keeping everything."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(F.xxhash64(F.col(column)), F.lit(bits))
+
+    def build_bloom(pdf: pd.DataFrame) -> pd.DataFrame:
+        bs = np.zeros(bits // 8, dtype=np.uint8)
+        b = pdf["bucket"].to_numpy()
+        np.bitwise_or.at(bs, b // 8, (1 << (b % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {"path": [pdf["path"].iloc[0]], "bloom": [bs.tobytes()]}
+        )
+
+    sidecar = os.path.join(table_dir, BLOOM_SIDECAR)
+    (
+        spark.read.parquet(table_dir)
+        .select(F.input_file_name().alias("path"), bucket.alias("bucket"))
+        .groupBy("path")
+        .applyInPandas(build_bloom, "path string, bloom binary")
+        .write.mode("overwrite")
+        .parquet(sidecar)
+    )
+    with open(os.path.join(sidecar, "_META.json"), "w") as fh:
+        json.dump({"column": column, "bits": bits}, fh)
+    return sidecar
+
+
+def bloom_prune_files(
+    spark: SparkSession, table_dir: str, column: str, keys
+) -> tuple[list[str], int]:
+    """Prune a point lookup against the committed bloom sidecar:
+    returns (candidate file paths, total files). The bit tests run
+    EXECUTOR-side over the sidecar scan (hex-decoded byte AND — a few
+    codegen'd expressions per probe key); the driver receives only the
+    candidate path strings, manifest-scale, exactly what a table
+    format's coordinator reads. False positives only — a bloom can
+    admit a file without the key, never reject one with it."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    sidecar = os.path.join(table_dir, BLOOM_SIDECAR)
+    with open(os.path.join(sidecar, "_META.json")) as fh:
+        meta = json.load(fh)
+    if meta["column"] != column:
+        raise ValueError(
+            f"bloom sidecar covers {meta['column']!r}, probe on {column!r}"
+        )
+    bits = int(meta["bits"])
+    bucket = F.pmod(F.xxhash64(F.col(column)), F.lit(bits))
+    probe_buckets = [
+        int(r["bucket"])
+        for r in spark.createDataFrame([(k,) for k in keys], f"{column} long")
+        .select(bucket.alias("bucket"))
+        .collect()
+    ]
+
+    def bit_set(b: int):
+        byte = F.conv(
+            F.hex(F.substring(F.col("bloom"), b // 8 + 1, 1)), 16, 10
+        ).cast("int")
+        return byte.bitwiseAND(F.lit(1 << (b % 8))) != 0
+
+    admits = bit_set(probe_buckets[0])
+    for b in probe_buckets[1:]:
+        admits = admits | bit_set(b)
+    blooms = spark.read.parquet(sidecar)
+    total = blooms.count()
+    keep = [r["path"] for r in blooms.filter(admits).select("path").collect()]
+    return keep, total
+
+
 def file_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
     """Zone map for a parquet table: per-file min/max/rows for `column`,
     computed in one distributed aggregate over the table. This is the
