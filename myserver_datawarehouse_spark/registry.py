@@ -1364,33 +1364,19 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. After the round-8 fold every one of the 180
-#      registry queries had a green driver verdict at its current name;
-#      this head tier holds the round-9 additions and changes:
-#      embedding_ivfpq_search, streaming_cdc_replication,
-#      bpe_merge_training, token_triangle_count, hybrid_search_rrf
-#      (new); keyword_search_conjunctive + bm25_search (VALUES
-#      literal-frame plan change); ann_recall_audit (new ivfpq method
-#      row); embedding_ann_ivf (fixed-centroid-budget quantizer — the
-#      round-9 scale probe caught the %-mod rule going quadratic);
-#      and the round-9b/9c tier: near_dup_prefix_filter,
-#      brand_affinity_rules, cusum_changepoint, equi_depth_histogram,
-#      supplier_pareto_skyline, naive_bayes_langid,
-#      partition_evolution_audit, bpe_encode_corpus,
-#      streaming_evolved_upsert, streaming_outer_attribution,
-#      seasonal_naive_backtest.
-#   1. last adjudicated in round 4 (3 stragglers the round-8 budget
-#      couldn't reach: part_brand_margin_topk,
-#      trailing_range_window_sum, events_grouping_sets — first in
-#      line for the round-9 budget);
-#   2. last adjudicated in round 5 (41 standing — 1 verdict
-#      forfeited to the embedding_ann_ivf quantizer fix);
-#   3. last adjudicated in round 6 (44 queries);
-#   4. last adjudicated in round 7 (41 queries);
-#   5. last adjudicated in round 8 (47 standing — CORRECTNESS_r08.json
-#      was 50/50 green; 3 verdicts forfeited to round-9 changes: the
-#      VALUES literal-frame plan change in the retrieval tier and the
-#      ivfpq method row added to ann_recall_audit).
+#      are re-checked. After the round-10 fold every one of the 201
+#      registry queries has a green driver verdict at its current name;
+#      this head tier holds only round-11 additions/changes.
+#   1. last adjudicated in round 6 (14 stragglers at the staleness
+#      bound — the round-10 VERDICT ordered these to consume the FIRST
+#      14 slots of the round-11 budget; the judge pre-verified all 14
+#      green at sf0.01);
+#   2. last adjudicated in round 7 (41 standing);
+#   3. last adjudicated in round 8 (47 standing);
+#   4. last adjudicated in round 9 (49 standing);
+#   5. last adjudicated in round 10 (50 standing — CORRECTNESS_r10.json
+#      was 50/50 green: the 5 round-10 additions, the full 15-query
+#      round-5 tier, and 30 of the round-6 tier all moved here).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
@@ -1400,79 +1386,29 @@ _SPECS: list[QuerySpec] = [
 # standing verdict is ceil(N/50) rounds older than the newest folded
 # record. Keep (new/changed queries per round) + (stalest standing
 # tier) <= 50 so the budget always clears the head AND the oldest
-# tier; at N=180 that means <= ~35 new queries/round steady-state.
+# tier; at N=201 that means <= ~36 new queries/round steady-state.
 #
-# Round-11 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r10.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 10
+# Round-12 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r11.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 11
 # OUT of every set so it returns to the head.
-
-_ADJUDICATED_R5 = frozenset(
-    {
-        "below_avg_quantity_revenue",
-        "brand_revenue_concentration",
-        "brand_size_disjunctive_revenue",
-        "customer_fuzzy_match_edit2",
-        "customer_order_distribution",
-        "idle_balance_audit",
-        "late_shipment_priority",
-        "local_supplier_volume",
-        "nation_market_share",
-        "nation_trade_flows",
-        "null_key_rollup",
-        "order_priority_audit",
-        "pii_scrub_audit",
-        "promo_revenue_share",
-        "top_volume_orders",
-    }
-)
 
 _ADJUDICATED_R6 = frozenset(
     {
         "approx_quantile_audit",
-        "benchmark_contamination",
-        "context_pack_bins",
         "csv_roundtrip_pricing",
-        "decayed_user_value",
-        "dedup_exact",
-        "dim_date_flag_stats",
-        "dim_date_flags",
-        "dim_time_table",
-        "doc_fingerprint_winnow",
         "dpp_partitioned_revenue",
-        "events_daily_pivot",
-        "events_json_props",
         "heavy_hitters_cm_audit",
         "jsonl_roundtrip_pricing",
-        "lang_centroid_similarity",
-        "lang_id_confusion",
         "min_cost_supplier",
         "nation_top_customers_listagg",
-        "near_dup_simhash",
-        "ngram_jaccard_pairs",
-        "orc_roundtrip_pricing",
         "part_supplier_variety",
-        "pipeline_validation",
         "promotable_part_suppliers",
-        "referential_orphan_audit",
         "returned_item_losses",
-        "sheets_export_frame",
         "sole_returner_suppliers",
-        "sources_dim_colors",
-        "stratified_sample",
         "streaming_restart_exactly_once",
         "streaming_watermark_audit",
-        "text_quality_scores",
-        "text_repetition_stats",
-        "text_stats_by_lang",
-        "tfidf_top_terms",
-        "token_counts",
         "top_supplier_revenue",
-        "train_val_test_split",
-        "unigram_xent_quality",
-        "user_sessionization",
-        "user_snapshot_diff",
-        "user_spend_quartiles_broadcast",
     }
 )
 
@@ -1576,9 +1512,6 @@ _ADJUDICATED_R8 = frozenset(
 
 _ADJUDICATED_R9 = frozenset(
     {
-        # ann_recall_audit: REMOVED by hand round 10 — its output grew
-        # the ivfpq_np1/np4/refined method rows, so the r9 verdict no
-        # longer covers it and it must re-adjudicate from the head.
         "approx_distinct_audit",
         "big_spender_customers",
         "bm25_search",
@@ -1631,20 +1564,74 @@ _ADJUDICATED_R9 = frozenset(
     }
 )
 
+_ADJUDICATED_R10 = frozenset(
+    {
+        "ann_recall_audit",
+        "below_avg_quantity_revenue",
+        "benchmark_contamination",
+        "brand_revenue_concentration",
+        "brand_size_disjunctive_revenue",
+        "context_pack_bins",
+        "customer_fuzzy_match_edit2",
+        "customer_order_distribution",
+        "decayed_user_value",
+        "dedup_exact",
+        "dim_date_flag_stats",
+        "dim_date_flags",
+        "dim_time_table",
+        "doc_fingerprint_winnow",
+        "dup_span_removal",
+        "embedding_ivfpq_refined",
+        "events_daily_pivot",
+        "events_json_props",
+        "idle_balance_audit",
+        "lang_centroid_similarity",
+        "lang_id_confusion",
+        "late_shipment_priority",
+        "local_supplier_volume",
+        "nation_market_share",
+        "nation_trade_flows",
+        "near_dup_image_phash",
+        "near_dup_simhash",
+        "ngram_jaccard_pairs",
+        "null_key_rollup",
+        "orc_roundtrip_pricing",
+        "order_priority_audit",
+        "pii_scrub_audit",
+        "pipeline_validation",
+        "promo_revenue_share",
+        "referential_orphan_audit",
+        "sheets_export_frame",
+        "sources_dim_colors",
+        "stratified_sample",
+        "streaming_compaction_race",
+        "text_quality_scores",
+        "text_repetition_stats",
+        "text_stats_by_lang",
+        "tfidf_top_terms",
+        "token_counts",
+        "top_volume_orders",
+        "train_val_test_split",
+        "unigram_xent_quality",
+        "user_sessionization",
+        "user_snapshot_diff",
+        "user_spend_quartiles_broadcast",
+    }
+)
+
 
 def _staleness(name: str) -> int:
-    if name in _ADJUDICATED_R9:
+    if name in _ADJUDICATED_R10:
         return 5
-    if name in _ADJUDICATED_R8:
+    if name in _ADJUDICATED_R9:
         return 4
-    if name in _ADJUDICATED_R7:
+    if name in _ADJUDICATED_R8:
         return 3
-    if name in _ADJUDICATED_R6:
+    if name in _ADJUDICATED_R7:
         return 2
-    if name in _ADJUDICATED_R5:
+    if name in _ADJUDICATED_R6:
         return 1
     return 0  # never adjudicated in current form — check first
-
 
 
 _SPECS.sort(key=lambda s: _staleness(s.name))  # stable: keeps in-tier order
