@@ -129,8 +129,12 @@ def build_line(
     if noisy:
         # Queries whose central gap never closed: host-noise-bound, the
         # recorded time is the lower central rep (worst 5 by gap).
+        # Cap raised 5 → 10 after the round-10 near-miss: 6 queries
+        # exceeded the 1 s disclosure rule but the map only held 5
+        # (streaming_session_windows escaped). Line-length budget is
+        # checked by the assert below either way.
         payload["noisy"] = dict(
-            sorted(noisy.items(), key=lambda kv: kv[1][1] - kv[1][0])[-5:]
+            sorted(noisy.items(), key=lambda kv: kv[1][1] - kv[1][0])[-10:]
         )
     line = json.dumps(payload, separators=(",", ":"))
     assert len(line) < 1900, f"bench line {len(line)} chars, driver tail is 2000"

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from myserver_datawarehouse_spark.sources import files as _FILES
+
 _PRECEDENCE = "__precedence"
 _RN = "__rn"
 
@@ -847,6 +849,7 @@ def publish_overwrite(
     df: DataFrame,
     partition_by: Sequence[str] = (),
     audit: bool = True,
+    bloom_columns: Sequence[str] = (),
 ) -> str:
     """Atomically replace the published table under `table_root` with
     `df` via WRITE → AUDIT → PUBLISH (the minimal root-pointer commit
@@ -879,8 +882,18 @@ def publish_overwrite(
     conditional-put manifest swap; the data move is one distributed
     write either way. This closes the crash window of plain
     mode=overwrite, which deletes the live files before the new ones
-    are durable (tested in tests/test_merge.py)."""
+    are durable (tested in tests/test_merge.py).
+
+    `bloom_columns` registers per-file point-lookup bloom sidecars as
+    part of the commit (sources/files.write_bloom_sidecar): one extra
+    distributed pass per column over the STAGED snapshot, written
+    before the manifest swap so a published version's blooms are never
+    observable half-built. Later merges carry them incrementally
+    (merge_upsert_published → carry_bloom_sidecar)."""
     version = _stage_snapshot(spark, table_root, df, partition_by, audit)
+    staged = os.path.join(table_root, version)
+    for col in bloom_columns:
+        _FILES.write_bloom_sidecar(spark, staged, col)
     _commit_manifest(table_root, version)
     return version
 
@@ -954,6 +967,16 @@ def merge_upsert_published(
     if cur_v is None:
         raise FileNotFoundError(f"no published version under {table_root}")
     cur_dir = os.path.join(table_root, cur_v)
+    if os.path.isfile(os.path.join(cur_dir, "_SPECS.json")):
+        # An evolved (multi-layout) snapshot would READ fine via the
+        # evolution-aware _read_snapshot, but the staged plain write +
+        # _link_untouched below never carries `_layout-*` subtrees —
+        # untouched-partition rows would silently vanish from the
+        # published result. Fail loudly instead of merging wrong.
+        raise RuntimeError(
+            f"{table_root} {cur_v} is an evolved multi-layout snapshot; "
+            "compact_evolved it first or merge via evolved_merge"
+        )
     existing = _read_snapshot(spark, cur_dir)
     if partition_by:
         touched = updates.select(*partition_by).distinct()
@@ -981,8 +1004,14 @@ def merge_upsert_published(
             order_by=[_PRECEDENCE],
         ).drop(_PRECEDENCE)
     version = _stage_snapshot(spark, table_root, merged, partition_by)
+    staged_dir = os.path.join(table_root, version)
     if partition_by:
-        _link_untouched(cur_dir, os.path.join(table_root, version))
+        _link_untouched(cur_dir, staged_dir)
+    for col in _FILES.bloom_sidecar_columns(cur_dir):
+        # Standing manifest stat: bloom rows for hardlink-carried files
+        # copy verbatim (relative paths unchanged); only rewritten
+        # files get a fresh bloom pass — O(touched partitions).
+        _FILES.carry_bloom_sidecar(spark, cur_dir, staged_dir, col)
     _commit_manifest(table_root, version)
     return version
 

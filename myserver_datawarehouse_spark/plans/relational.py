@@ -5290,26 +5290,38 @@ BLOOM_PROBE_IDS = (11, 257, 761)  # exist at every SF (event_id is 0..N-1)
 
 
 def bloom_file_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-lookup file skipping via per-file bloom filters — the
-    pruning layer zone maps can't provide: `file_skipping_scan_audit`
-    prunes RANGE predicates on the clustered column, but a point lookup
-    on an UNCLUSTERED key (here event_id under hash layout) intersects
-    every file's [min,max], so min/max stats keep everything. A
-    per-file bloom (what Parquet column indexes / split-block bloom
-    filters and Delta's deletion-vector-adjacent blooms record) answers
-    'might this file contain key k' instead.
+    """Point-lookup file skipping via COMMITTED per-file bloom sidecars
+    — the pruning layer zone maps can't provide: `file_skipping_scan_
+    audit` prunes RANGE predicates on the clustered column, but a point
+    lookup on an UNCLUSTERED key (here event_id under hash layout)
+    intersects every file's [min,max], so min/max stats keep
+    everything. A per-file bloom (what Parquet column indexes /
+    split-block bloom filters and Delta's bloom-index sidecars record)
+    answers 'might this file contain key k' instead.
 
-    Build: bucket = xxhash64(event_id) mod {BLOOM_SKIP_BITS} (JVM-side,
-    codegen), then one vectorized applyInPandas kernel per file turns
-    its buckets into an 8 KiB bitset (numpy bitwise_or.at — the
-    sanctioned Arrow-batch path; per-file bloom STATE is fixed 8 KiB,
-    so the shuffle is files x row-buckets and the result is O(files) x
-    8 KiB, corpus-independent — a real split-block bloom is sized the
-    same way, ~10 bits per distinct key keeps fpp under 5% at sf0.1's
-    3125 rows/file). The driver keeps file blooms only (manifest-
-    scale), tests the probe keys' bits, and reads back only files
-    whose bloom admits ANY probe — with the row filter still applied
-    (blooms give false positives, never false negatives).
+    The blooms are registered AT WRITE COMMIT, not rebuilt per query:
+    the table is published through the manifest-root committer with
+    `bloom_columns=["event_id"]` (operators/merge.publish_overwrite →
+    sources/files.write_bloom_sidecar), which stages one distributed
+    bloom pass per column — bucket = xxhash64(event_id) mod
+    {BLOOM_SKIP_BITS} JVM-side, one vectorized applyInPandas kernel
+    folding each file's buckets into an 8 KiB bitset — into
+    `v{{N}}/_blooms/event_id/` BEFORE the manifest swap, so a published
+    version's blooms are never observable half-built. ~10 bits per
+    distinct key keeps fpp under 5% at sf0.1's 3125 rows/file; the
+    sidecar is O(files) x 8 KiB, corpus-independent, and later
+    copy-on-write merges carry it incrementally (relative-path rows +
+    hardlink carry, sources/files.carry_bloom_sidecar — rebuild cost
+    O(rewritten files), tested in tests/test_bloom_sidecar.py).
+
+    The lookup then prunes MANIFEST-side (sources/files.
+    bloom_prune_files): the bit tests run executor-side over the
+    sidecar scan and only candidate path strings reach the driver —
+    the coordinator's manifest read, not a data read. Probe keys hash
+    with the column type recorded in the sidecar's `_META.json`
+    (xxhash64 is type-sensitive; a mistyped probe would silently
+    reject files that DO contain the key, breaking the
+    false-positives-only contract).
 
     The output is the probe rollup, oracle-recomputed from the raw
     source (a wrongly-skipped file — a false NEGATIVE, which a correct
@@ -5321,54 +5333,34 @@ def bloom_file_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one file, so the audit also demonstrates the best case:
     candidates ~= true files + fp. Eager-execution, pid-keyed-dir
     convention."""
+    import os
     import shutil
 
-    from myserver_datawarehouse_spark.sources.files import file_stats  # noqa: F401  (zone-map sibling)
+    from myserver_datawarehouse_spark.operators.merge import (
+        publish_overwrite,
+        read_published,  # noqa: F401  (the full-table reader twin)
+    )
+    from myserver_datawarehouse_spark.sources.files import (
+        bloom_prune_files,
+    )
 
     root = _pid_tmpdir("msdw_bloomskip_table", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    e.repartition(BLOOM_SKIP_FILES, "event_id").write.mode(
-        "overwrite"
-    ).parquet(root)
-
-    import numpy as np
-    import pandas as pd
-
-    bucket = F.pmod(F.xxhash64(F.col("event_id")), F.lit(BLOOM_SKIP_BITS))
-
-    def build_bloom(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(BLOOM_SKIP_BITS // 8, dtype=np.uint8)
-        b = pdf["bucket"].to_numpy()
-        np.bitwise_or.at(bits, b // 8, (1 << (b % 8)).astype(np.uint8))
-        return pd.DataFrame(
-            {"path": [pdf["path"].iloc[0]], "bloom": [bits.tobytes()]}
-        )
-
-    blooms = (
-        spark.read.parquet(root)
-        .select(F.input_file_name().alias("path"), bucket.alias("bucket"))
-        .groupBy("path")
-        .applyInPandas(build_bloom, "path string, bloom binary")
-        .collect()
+    version = publish_overwrite(
+        spark,
+        root,
+        e.repartition(BLOOM_SKIP_FILES, "event_id"),
+        bloom_columns=["event_id"],
     )
-    probe_buckets = [
-        int(r["bucket"])
-        for r in spark.createDataFrame(
-            [(i,) for i in BLOOM_PROBE_IDS], "event_id long"
-        )
-        .select(bucket.alias("bucket"))
-        .collect()
-    ]
-    keep = [
-        r["path"]
-        for r in blooms
-        if any(r["bloom"][b // 8] & (1 << (b % 8)) for b in probe_buckets)
-    ]
+    snapshot = os.path.join(root, version)
+    keep, total = bloom_prune_files(
+        spark, snapshot, "event_id", BLOOM_PROBE_IDS
+    )
     if not keep:
-        raise RuntimeError(f"bloom kept 0 of {len(blooms)} files")
+        raise RuntimeError(f"bloom kept 0 of {total} files")
     pruned = spark.read.parquet(*keep).filter(
         F.col("event_id").isin(*BLOOM_PROBE_IDS)
     )
@@ -5380,7 +5372,7 @@ def bloom_file_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_value"),
         )
-        .withColumn("files_skipped", F.lit(bool(len(keep) < len(blooms))))
+        .withColumn("files_skipped", F.lit(bool(len(keep) < total)))
         .orderBy("event_id")
     )
 

@@ -1120,9 +1120,9 @@ _SPECS: list[QuerySpec] = [
         "bloom_file_skip_audit",
         R.bloom_file_skip_audit,
         R.BLOOM_FILE_SKIP_AUDIT_SQL,
-        "point-lookup file skipping via per-file bloom bitsets (the "
-        "pruning zone maps can't give an unclustered key): vectorized "
-        "bitset kernel per file, driver probes manifest-scale blooms, "
+        "point-lookup file skipping via COMMITTED per-file bloom "
+        "sidecars (registered at publish, carried incrementally across "
+        "merges): typed manifest-side probe, executor-side bit tests, "
         "pruned scan; rollup oracle-recomputed + files-skipped flag",
     ),
     QuerySpec(
@@ -1372,7 +1372,9 @@ _SPECS: list[QuerySpec] = [
 #      14 slots of the round-11 budget; the judge pre-verified all 14
 #      green at sf0.01);
 #   2. last adjudicated in round 7 (41 standing);
-#   3. last adjudicated in round 8 (47 standing);
+#   3. last adjudicated in round 8 (46 standing — 1 verdict
+#      forfeited to the round-11 bloom sidecar rework of
+#      bloom_file_skip_audit, which returns to the head);
 #   4. last adjudicated in round 9 (49 standing);
 #   5. last adjudicated in round 10 (50 standing — CORRECTNESS_r10.json
 #      was 50/50 green: the 5 round-10 additions, the full 15-query
@@ -1460,7 +1462,6 @@ _ADJUDICATED_R7 = frozenset(
 
 _ADJUDICATED_R8 = frozenset(
     {
-        "bloom_file_skip_audit",
         "column_correlation_profile",
         "day_over_day_change",
         "deletion_vector_audit",

@@ -133,28 +133,54 @@ def write_orc(
 BLOOM_SIDECAR = "_blooms"
 
 
-def write_bloom_sidecar(
-    spark: SparkSession, table_dir: str, column: str, bits: int = 65536
-) -> str:
-    """Persist per-file point-lookup bloom filters as a WRITE-COMMIT
-    sidecar (`table_dir/_blooms/` — underscore-prefixed, so plain
-    table reads never see it), the bloom twin of `file_stats` zone
-    maps and the same amortization contract as the equality-delete
-    sidecars: the table writer pays one extra pass at commit, every
-    later point lookup prunes from the manifest-scale sidecar instead
-    of rescanning the table (or — the shape this replaces — rebuilding
-    blooms per query and collecting them to the driver).
-
-    Per file: bucket = xxhash64(key) mod `bits` (JVM codegen), then one
-    vectorized applyInPandas kernel folds the file's buckets into a
-    bits/8-byte bitset (numpy bitwise_or.at). The sidecar is
-    O(files) x bits/8 bytes, corpus-independent, written DISTRIBUTED —
-    no bloom ever crosses the driver. `_META.json` records the key
-    column and width so a prune with mismatched parameters fails loudly
-    instead of silently keeping everything."""
-    import json
+def _bloom_dir(table_dir: str, column: str) -> str:
     import os
 
+    return os.path.join(table_dir, BLOOM_SIDECAR, column)
+
+
+def _data_files_relative(table_dir: str) -> list[str]:
+    """Relative paths of every data file under a snapshot dir, sidecar
+    trees (`_blooms`, `_deletes`, dot-dirs) excluded — the same walk
+    contract as operators/merge._data_file_inodes."""
+    import os
+
+    out: list[str] = []
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = [
+            d
+            for d in dirs
+            if not (d.startswith(".") or (d.startswith("_") and "=" not in d))
+        ]
+        for f in files:
+            if not f.startswith((".", "_")):
+                out.append(os.path.relpath(os.path.join(root, f), table_dir))
+    return sorted(out)
+
+
+def _relative_path_col(table_dir: str):
+    """`input_file_name()` → path relative to `table_dir`, as a column.
+    Computed by LENGTH, not regex, so no table_dir character needs
+    escaping; `input_file_name` returns `file:///abs/path` in local
+    mode and `scheme://abs/path` generally, so normalize the scheme
+    prefix first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    norm = os.path.abspath(table_dir)
+    absolute = F.regexp_replace(F.input_file_name(), r"^file:/+", "/")
+    return F.substring(absolute, len(norm) + 2, 1 << 30)
+
+
+def _bloom_frame(
+    spark: SparkSession, table_dir: str, column: str, bits: int, paths
+):
+    """(rel_path, bloom) rows for the given absolute data-file paths:
+    bucket = xxhash64(key) mod bits JVM-side, then one vectorized
+    applyInPandas kernel per file folds its buckets into a bits/8-byte
+    bitset (numpy bitwise_or.at). Distributed end to end — no bloom
+    crosses the driver."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -169,36 +195,135 @@ def write_bloom_sidecar(
             {"path": [pdf["path"].iloc[0]], "bloom": [bs.tobytes()]}
         )
 
-    sidecar = os.path.join(table_dir, BLOOM_SIDECAR)
-    (
-        spark.read.parquet(table_dir)
-        .select(F.input_file_name().alias("path"), bucket.alias("bucket"))
+    return (
+        spark.read.parquet(*paths)
+        .select(
+            _relative_path_col(table_dir).alias("path"),
+            bucket.alias("bucket"),
+        )
         .groupBy("path")
         .applyInPandas(build_bloom, "path string, bloom binary")
-        .write.mode("overwrite")
-        .parquet(sidecar)
     )
+
+
+def write_bloom_sidecar(
+    spark: SparkSession, table_dir: str, column: str, bits: int = 65536
+) -> str:
+    """Persist per-file point-lookup bloom filters as a WRITE-COMMIT
+    sidecar (`table_dir/_blooms/<column>/` — underscore-prefixed, so
+    plain table reads never see it), the bloom twin of `file_stats`
+    zone maps and the same amortization contract as the equality-delete
+    sidecars: the table writer pays one extra pass at commit, every
+    later point lookup prunes from the manifest-scale sidecar instead
+    of rescanning the table (or — the shape this replaces — rebuilding
+    blooms per query and collecting them to the driver).
+
+    The sidecar rows key on the file path RELATIVE to the snapshot dir,
+    so a copy-on-write merge that hardlink-carries untouched partitions
+    into the next version (operators/merge._link_untouched) can carry
+    their bloom rows verbatim and rebuild blooms ONLY for rewritten
+    files — O(touched partitions) per commit, not O(table); see
+    carry_bloom_sidecar. `_META.json` records the key column, width,
+    and the column's Spark type: xxhash64 is TYPE-sensitive, so the
+    probe must hash with the exact written type or bucket ids diverge
+    and the bloom silently rejects files that do contain the key."""
+    import json
+    import os
+
+    scan = spark.read.parquet(table_dir)
+    col_type = scan.schema[column].dataType.simpleString()
+    sidecar = _bloom_dir(table_dir, column)
+    _bloom_frame(spark, table_dir, column, bits, [table_dir]).write.mode(
+        "overwrite"
+    ).parquet(sidecar)
     with open(os.path.join(sidecar, "_META.json"), "w") as fh:
-        json.dump({"column": column, "bits": bits}, fh)
+        json.dump({"column": column, "bits": bits, "type": col_type}, fh)
     return sidecar
+
+
+def bloom_sidecar_columns(table_dir: str) -> list[str]:
+    """Columns with a committed bloom sidecar under this snapshot."""
+    import os
+
+    root = os.path.join(table_dir, BLOOM_SIDECAR)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.isfile(os.path.join(root, d, "_META.json"))
+    )
+
+
+def carry_bloom_sidecar(
+    spark: SparkSession, current_dir: str, staged_dir: str, column: str
+) -> str:
+    """Incremental bloom maintenance for the copy-on-write merge path:
+    bloom rows of files the merge carried by hardlink (same RELATIVE
+    path, same bytes, same inode) are copied from the current
+    snapshot's sidecar verbatim; only files NEW in the staged snapshot
+    get a fresh distributed bloom pass. Commit cost stays O(rewritten
+    partitions), matching the data move itself — the property that
+    makes per-file blooms affordable as a standing manifest stat on a
+    long-lived 100 TB table."""
+    import json
+    import os
+
+    src = _bloom_dir(current_dir, column)
+    with open(os.path.join(src, "_META.json")) as fh:
+        meta = json.load(fh)
+    bits = int(meta["bits"])
+    staged_files = _data_files_relative(staged_dir)
+    old = spark.read.parquet(src)
+    staged_set = set(staged_files)
+    carried = (
+        old.filter(F.col("path").isin(*staged_set))
+        if staged_set
+        else old.filter(F.lit(False))
+    )
+    covered = {
+        r["path"]
+        for r in old.select("path").collect()
+        if r["path"] in staged_set
+    }
+    new_files = [f for f in staged_files if f not in covered]
+    frames = [carried]
+    if new_files:
+        frames.append(
+            _bloom_frame(
+                spark,
+                staged_dir,
+                column,
+                bits,
+                [os.path.join(staged_dir, f) for f in new_files],
+            )
+        )
+    out = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+    dst = _bloom_dir(staged_dir, column)
+    out.write.mode("overwrite").parquet(dst)
+    with open(os.path.join(dst, "_META.json"), "w") as fh:
+        json.dump(meta, fh)
+    return dst
 
 
 def bloom_prune_files(
     spark: SparkSession, table_dir: str, column: str, keys
 ) -> tuple[list[str], int]:
     """Prune a point lookup against the committed bloom sidecar:
-    returns (candidate file paths, total files). The bit tests run
-    EXECUTOR-side over the sidecar scan (hex-decoded byte AND — a few
-    codegen'd expressions per probe key); the driver receives only the
+    returns (candidate ABSOLUTE file paths, total files). The bit tests
+    run EXECUTOR-side over the sidecar scan (a few codegen'd
+    byte-AND expressions per probe key); the driver receives only the
     candidate path strings, manifest-scale, exactly what a table
     format's coordinator reads. False positives only — a bloom can
-    admit a file without the key, never reject one with it."""
+    admit a file without the key, never reject one with it; to keep
+    that contract the probe hashes with the column type recorded at
+    write time (xxhash64("5") != xxhash64(5))."""
     import json
     import os
 
     from pyspark.sql import functions as F
 
-    sidecar = os.path.join(table_dir, BLOOM_SIDECAR)
+    sidecar = _bloom_dir(table_dir, column)
     with open(os.path.join(sidecar, "_META.json")) as fh:
         meta = json.load(fh)
     if meta["column"] != column:
@@ -206,10 +331,17 @@ def bloom_prune_files(
             f"bloom sidecar covers {meta['column']!r}, probe on {column!r}"
         )
     bits = int(meta["bits"])
+    blooms = spark.read.parquet(sidecar)
+    total = blooms.count()
+    keys = list(keys)
+    if not keys:
+        return [], total
     bucket = F.pmod(F.xxhash64(F.col(column)), F.lit(bits))
     probe_buckets = [
         int(r["bucket"])
-        for r in spark.createDataFrame([(k,) for k in keys], f"{column} long")
+        for r in spark.createDataFrame(
+            [(k,) for k in keys], f"{column} {meta['type']}"
+        )
         .select(bucket.alias("bucket"))
         .collect()
     ]
@@ -223,9 +355,10 @@ def bloom_prune_files(
     admits = bit_set(probe_buckets[0])
     for b in probe_buckets[1:]:
         admits = admits | bit_set(b)
-    blooms = spark.read.parquet(sidecar)
-    total = blooms.count()
-    keep = [r["path"] for r in blooms.filter(admits).select("path").collect()]
+    keep = [
+        os.path.join(table_dir, r["path"])
+        for r in blooms.filter(admits).select("path").collect()
+    ]
     return keep, total
 
 

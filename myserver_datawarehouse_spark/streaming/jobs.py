@@ -1028,13 +1028,24 @@ def compaction_race_stream(
             before = M._published_version(root)
             real = EV._commit_manifest
 
-            def _boom(*a, **k):
-                raise RuntimeError("injected compaction-commit crash")
+            class _InjectedCommitCrash(RuntimeError):
+                pass
 
+            def _boom(*a, **k):
+                raise _InjectedCommitCrash(
+                    "injected compaction-commit crash"
+                )
+
+            # Module-global patch: intentional single-writer scope —
+            # any other table committing through EV in this driver
+            # process during the window would crash too. The dedicated
+            # exception type keeps the except arm from swallowing an
+            # unrelated RuntimeError out of compact_evolved as the
+            # expected injected crash.
             EV._commit_manifest = _boom
             try:
                 EV.compact_evolved(s, root)
-            except RuntimeError:
+            except _InjectedCommitCrash:
                 pass
             finally:
                 EV._commit_manifest = real
