@@ -131,41 +131,41 @@ PHASH_WINDOW = 8
 PHASH_SCHEMA = "doc_id long, phash long"
 
 
-def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """60-bit perceptual fingerprint of each image payload, one Arrow
-    batch at a time.
-
-    Fake decode (the PIL-less stand-in for an 8x8 luma/DCT grid): every
-    sliding PHASH_WINDOW-byte block of the payload is binned by the
-    shared hash60 primitive (md5 -> 15 hex chars -> bigint, mod 60) into
-    a 60-bin block-intensity histogram; bit i of the hash is 1 iff bin i
-    is above the mean bin occupancy (the average-hash thresholding rule,
-    on exact integer cross-multiplication so both engines agree
-    bit-for-bit). Sliding blocks are content-aligned: an edit perturbs
-    only the ~PHASH_WINDOW blocks that overlap it, so near-identical
-    payloads land within a small Hamming ball while unrelated ones sit
-    ~30 bits apart. Swapping in decode_media + real pixel blocks changes
-    only this kernel's body, not the Spark plan around it.
-    """
+def _phash60(bs: bytes) -> int:
+    """60-bit block-histogram aHash of a byte buffer — the shared pHash
+    primitive (fake decode standing in for an 8x8 luma/DCT grid): every
+    sliding PHASH_WINDOW-byte block is binned by the shared hash60 rule
+    (md5 -> 15 hex chars -> bigint, mod 60) into a 60-bin
+    block-intensity histogram; bit i is 1 iff bin i is above the mean
+    bin occupancy (average-hash thresholding, on exact integer
+    cross-multiplication so the DuckDB oracle agrees bit-for-bit).
+    Sliding blocks are content-aligned: an edit perturbs only the
+    ~PHASH_WINDOW blocks that overlap it, so near-identical buffers
+    land within a small Hamming ball while unrelated ones sit ~30 bits
+    apart."""
     w = PHASH_WINDOW
+    n = len(bs) - w + 1
+    cnt = [0] * PHASH_BITS
+    for j in range(max(n, 0)):
+        b = int(hashlib.md5(bs[j : j + w]).hexdigest()[:15], 16) % PHASH_BITS
+        cnt[b] += 1
+    h = 0
+    for i in range(PHASH_BITS):
+        if PHASH_BITS * cnt[i] > n:
+            h |= 1 << i
+    return h
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """60-bit perceptual fingerprint of each image payload (_phash60
+    over the whole buffer), one Arrow batch at a time. Swapping in
+    decode_media + real pixel blocks changes only the kernel body, not
+    the Spark plan around it."""
     for pdf in batches:
         ids, hashes = [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            bs = bytes(payload)
-            n = len(bs) - w + 1
-            cnt = [0] * PHASH_BITS
-            for j in range(max(n, 0)):
-                b = (
-                    int(hashlib.md5(bs[j : j + w]).hexdigest()[:15], 16)
-                    % PHASH_BITS
-                )
-                cnt[b] += 1
-            h = 0
-            for i in range(PHASH_BITS):
-                if PHASH_BITS * cnt[i] > n:
-                    h |= 1 << i
             ids.append(doc_id)
-            hashes.append(h)
+            hashes.append(_phash60(bytes(payload)))
         yield pd.DataFrame(
             {"doc_id": ids, "phash": pd.Series(hashes, dtype="int64")}
         )
@@ -221,4 +221,53 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
     vids = media.filter(F.col("media_type") == "video")
     return vids.select("doc_id", "payload").mapInPandas(
         _frame_sample_kernel(k), schema=FRAME_SCHEMA
+    )
+
+
+FRAME_STRIDE = 64
+FRAME_PHASH_SCHEMA = "doc_id long, frame_idx int, fhash long"
+
+
+def _frame_phash_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fixed-stride frame segmentation + per-frame 60-bit pHash: frame i
+    of a video is payload bytes [i*FRAME_STRIDE, (i+1)*FRAME_STRIDE)
+    (the fake decode standing in for frames at fixed timestamps — a
+    real decoder emits a pixel buffer per sampled timestamp and feeds
+    it to the same _phash60), hashed with the image kernel's exact
+    math. Fixed-BYTE frames, not count-proportional segments: a small
+    edit shifts later content by a few bytes, and because _phash60's
+    sliding blocks are content-aligned the shifted frame keeps most of
+    its block histogram — near-identical videos get frame-wise
+    Hamming-close fingerprint sequences even across insertions."""
+    for pdf in batches:
+        rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "fhash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            bs = bytes(payload)
+            n_frames = max((len(bs) + FRAME_STRIDE - 1) // FRAME_STRIDE, 1)
+            for i in range(n_frames):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["fhash"].append(
+                    _phash60(bs[i * FRAME_STRIDE : (i + 1) * FRAME_STRIDE])
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "fhash": pd.Series(rows["fhash"], dtype="int64"),
+            }
+        )
+
+
+def frame_phash(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes over video payloads via mapInPandas:
+    one (doc_id, frame_idx, 60-bit fhash) row per fixed-stride frame,
+    ready for the SimHash chunk-banding machinery — the video arm of
+    the near-dup tier. The payload never leaves its scan; only the
+    ~16-byte fingerprint rows shuffle."""
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select("doc_id", "payload").mapInPandas(
+        _frame_phash_kernel, schema=FRAME_PHASH_SCHEMA
     )

@@ -110,6 +110,41 @@ PHASH_CHUNKS = 4
 PHASH_HAMMING_MAX = PHASH_CHUNKS - 1  # pigeonhole-complete radius
 
 
+def _image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-banded pHash candidate pairs with exact Hamming verify —
+    shared by `near_dup_image_phash` (its presentation surface) and
+    `cross_modal_curation` (the image edge set). Identical op graph to
+    the pre-round-11 inline form."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.with_fake_payload(docs)
+    ph = MM.image_phash(media)
+    chunks = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(TX.simhash_chunks("phash", PHASH_CHUNKS)).alias(
+            "c", "cv"
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            TX.hamming60(F.col("a.phash"), F.col("b.phash")).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
 def near_dup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection over image payloads —
     the image arm of the dedup tier (text has exact/MinHash/SimHash/
@@ -127,34 +162,7 @@ def near_dup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload shuffle — the payload never leaves its scan; only the
     8-byte (doc_id, phash) pairs move.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.with_fake_payload(docs)
-    ph = MM.image_phash(media)
-    chunks = ph.select(
-        "doc_id",
-        "phash",
-        F.posexplode(TX.simhash_chunks("phash", PHASH_CHUNKS)).alias(
-            "c", "cv"
-        ),
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            TX.hamming60(F.col("a.phash"), F.col("b.phash")).alias(
-                "hamming"
-            ),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-    )
+    pairs = _image_phash_pairs(spark, sf_dir)
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -208,6 +216,162 @@ ORDER BY doc_a, doc_b
 """
 
 
+VIDEO_HAMMING_MAX = PHASH_HAMMING_MAX  # per-frame radius, same pigeonhole
+
+
+def near_dup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-set near-duplicate detection over video payloads — the
+    video arm completing the dedup matrix (text: exact/MinHash/SimHash/
+    prefix-filter/spans; image: pHash; video: this).
+
+    Pipeline: video payload -> fixed-stride frame segmentation + one
+    60-bit pHash per frame in a mapInPandas kernel (operators/
+    multimodal.frame_phash — the ffmpeg decode is the stubbed seam;
+    the fingerprint math is the image kernel's, reused on frame bytes)
+    -> 4x15-bit chunk banding of EVERY frame hash (operators/text.
+    simhash_chunks, the SimHash band machinery reused verbatim) ->
+    candidate videos = pairs sharing any (chunk_idx, chunk_value)
+    bucket -> frame-set overlap verify: a frame of A matches if some
+    frame of B is within Hamming {VIDEO_HAMMING_MAX} (array-local
+    higher-order functions over the collected per-video fingerprint
+    arrays — JVM codegen, no per-frame join), keep pairs where matched
+    frames cover >= half of max(|A|,|B|) (integer cross-multiplication,
+    no float compare) -> survivor pick (min doc_id among each retired
+    video's matches).
+
+    At 100 TB of video: pixels NEVER shuffle — the network moves
+    ~16-byte (doc_id, frame_idx, fhash) rows; candidates come only
+    from shared 15-bit buckets (corpus_frames/32768 expected fan-out
+    per chunk), never all-pairs; the verify touches fingerprint arrays
+    of candidate pairs only (k frames x 8 bytes each — production caps
+    k by sampling timestamps, the sample_frames machinery). A banded
+    frame bucket with f frames emits O(f^2) candidate rows, the same
+    skew envelope as the SimHash/LSH text tiers."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.with_fake_payload(docs)
+    fp = MM.frame_phash(media)
+    chunks = fp.select(
+        "doc_id",
+        F.posexplode(TX.simhash_chunks("fhash", PHASH_CHUNKS)).alias(
+            "c", "cv"
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = fp.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("fhash")).alias("fhashes"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    ver = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.col("sa.fhashes"),
+                    lambda x: F.exists(
+                        F.col("sb.fhashes"),
+                        lambda y: TX.hamming60(x, y)
+                        <= F.lit(VIDEO_HAMMING_MAX),
+                    ),
+                )
+            ).alias("matched"),
+            F.col("sa.n_frames").alias("n_frames_a"),
+            F.col("sb.n_frames").alias("n_frames_b"),
+        )
+        .filter(
+            F.col("matched") * 2
+            >= F.greatest(F.col("n_frames_a"), F.col("n_frames_b"))
+        )
+    )
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        "matched",
+        "n_frames_a",
+        "n_frames_b",
+        F.min("doc_a").over(Window.partitionBy("doc_b")).alias("survivor"),
+    ).orderBy("doc_a", "doc_b")
+
+
+_FSTRIDE = MM.FRAME_STRIDE
+
+NEAR_DUP_VIDEO_FRAMES_SQL = f"""
+WITH vid AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id,
+         substring(text, i * {_FSTRIDE} + 1, {_FSTRIDE}) AS seg
+  FROM vid, LATERAL unnest(generate_series(
+    0, GREATEST(CAST(CEIL(n / {_FSTRIDE}.0) AS INT), 1) - 1)) AS u(i)
+),
+bins AS (
+  SELECT doc_id, seg, length(seg) - {_PHASH_W} + 1 AS n,
+         [CAST(('0x' || substring(md5(substring(seg, j, {_PHASH_W})), 1, 15))::BIGINT
+               % {MM.PHASH_BITS} AS INT)
+          FOR j IN generate_series(1, length(seg) - {_PHASH_W} + 1)] AS bs
+  FROM fr
+),
+fh AS (
+  SELECT doc_id,
+         CAST(list_sum(
+           [CASE WHEN {MM.PHASH_BITS} * len(list_filter(bs, b -> b = i)) > n
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+            FOR i IN generate_series(0, {MM.PHASH_BITS - 1})]) AS BIGINT)
+           AS fhash
+  FROM bins
+),
+chunks AS (
+  SELECT doc_id, c,
+         CAST((fhash >> (c * {_PHASH_CHUNK_W})) & {_PHASH_CHUNK_MASK} AS INT)
+           AS cv
+  FROM fh, LATERAL unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS u(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_sort(list(fhash)) AS fhs, COUNT(*) AS n_frames
+  FROM fh GROUP BY doc_id
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(sa.fhs,
+           x -> len(list_filter(sb.fhs,
+                  y -> bit_count(xor(x, y)) <= {VIDEO_HAMMING_MAX})) > 0))
+           AS INT) AS matched,
+         sa.n_frames AS n_frames_a, sb.n_frames AS n_frames_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, matched, n_frames_a, n_frames_b,
+       MIN(doc_a) OVER (PARTITION BY doc_b) AS survivor
+FROM ver
+WHERE 2 * matched >= GREATEST(n_frames_a, n_frames_b)
+ORDER BY doc_a, doc_b
+"""
+
+
 FRAME_K = 4
 
 
@@ -239,3 +403,134 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM idx
 ORDER BY doc_id, frame_idx
 """
+
+
+def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal JOINT curation — the keep/drop contract a multimodal
+    corpus build runs nightly: a document with an image payload is
+    retired if EITHER its text is a near-duplicate (MinHash-LSH pair
+    graph, plans/llm_text._minhash_pair_frame) OR its image is a
+    near-duplicate (chunk-banded pHash pair graph, _image_phash_pairs).
+    The two edge sets are UNIONED and closed transitively (min-label
+    connected components, plans/llm_text._cc_min_labels — so a
+    text-dup of an image-dup collapses into ONE surviving doc even
+    though no single modality linked the endpoints), survivor = min
+    doc_id of the union cluster, and every drop carries a provenance
+    column saying which modality's evidence retired it ('text',
+    'image', or 'both').
+
+    Scope: docs with an image payload (doc_id % 3 == 0 under the fake
+    payload assignment) — the population where both verdicts exist.
+
+    At 100 TB: both edge sets come from banded candidate joins (never
+    all-pairs, payloads never shuffle), the CC iterates over the EDGE
+    set only (docs with >= 1 dup pair — orders of magnitude smaller
+    than the corpus), and the provenance join is a broadcast of the
+    per-modality endpoint sets. The oracle recomputes BOTH pair
+    graphs, the recursive closure, and the provenance labels."""
+    from myserver_datawarehouse_spark.plans import llm_text as LTX
+
+    tpairs = (
+        LTX._minhash_pair_frame(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .filter((F.col("doc_a") % 3 == 0) & (F.col("doc_b") % 3 == 0))
+    )
+    ipairs = _image_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = tpairs.union(ipairs).distinct()
+    labels = LTX._cc_min_labels(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+    def endpoints(pairs: DataFrame, flag: str) -> DataFrame:
+        return (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+
+    tdocs = endpoints(tpairs, "in_text")
+    idocs = endpoints(ipairs, "in_image")
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .join(F.broadcast(tdocs), "doc_id", "left")
+        .join(F.broadcast(idocs), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "n_members",
+            F.when(F.col("doc_id") == F.col("label"), "keep")
+            .otherwise("drop")
+            .alias("verdict"),
+            F.when(F.col("doc_id") == F.col("label"), "none")
+            .when(
+                F.col("in_text").isNotNull() & F.col("in_image").isNotNull(),
+                "both",
+            )
+            .when(F.col("in_text").isNotNull(), "text")
+            .otherwise("image")
+            .alias("retired_by"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cross_modal_curation_sql() -> str:
+    from myserver_datawarehouse_spark.plans import llm_text as LTX
+
+    return f"""
+WITH RECURSIVE tsrc AS ({LTX.NEAR_DUP_MINHASH_LSH_SQL}),
+isrc AS ({NEAR_DUP_IMAGE_PHASH_SQL}),
+tpairs AS (
+  SELECT doc_a, doc_b FROM tsrc WHERE doc_a % 3 = 0 AND doc_b % 3 = 0
+),
+ipairs AS (SELECT doc_a, doc_b FROM isrc),
+upairs AS (
+  SELECT doc_a, doc_b FROM tpairs
+  UNION
+  SELECT doc_a, doc_b FROM ipairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM upairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM upairs
+),
+reach AS (
+  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+members AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY 1
+),
+tdocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM tpairs
+    UNION ALL SELECT doc_b FROM tpairs)
+),
+idocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM ipairs
+    UNION ALL SELECT doc_b FROM ipairs)
+)
+SELECT m.doc_id, m.cluster_id, s.n_members,
+       CASE WHEN m.doc_id = m.cluster_id THEN 'keep'
+            ELSE 'drop' END AS verdict,
+       CASE WHEN m.doc_id = m.cluster_id THEN 'none'
+            WHEN t.doc_id IS NOT NULL AND i.doc_id IS NOT NULL THEN 'both'
+            WHEN t.doc_id IS NOT NULL THEN 'text'
+            ELSE 'image' END AS retired_by
+FROM members m
+JOIN sizes s USING (cluster_id)
+LEFT JOIN tdocs t ON t.doc_id = m.doc_id
+LEFT JOIN idocs i ON i.doc_id = m.doc_id
+ORDER BY m.doc_id
+"""
+
+
+CROSS_MODAL_CURATION_SQL = _cross_modal_curation_sql()

@@ -479,6 +479,22 @@ _SPECS: list[QuerySpec] = [
         "LLM multimodal near-dup: kernel pHash + chunk-banded Hamming join",
     ),
     QuerySpec(
+        "near_dup_video_frames",
+        MMQ.near_dup_video_frames,
+        MMQ.NEAR_DUP_VIDEO_FRAMES_SQL,
+        "LLM multimodal near-dup, video arm: fixed-stride per-frame "
+        "pHash kernel, chunk-banded candidate join, array-local "
+        "frame-set Hamming overlap verify + survivor pick",
+    ),
+    QuerySpec(
+        "cross_modal_curation",
+        MMQ.cross_modal_curation,
+        MMQ.CROSS_MODAL_CURATION_SQL,
+        "cross-modal joint keep/drop: text MinHash edges + image pHash "
+        "edges unioned, min-label CC closure, survivor = min doc_id of "
+        "the union cluster, per-drop modality provenance",
+    ),
+    QuerySpec(
         "streaming_minute_agg",
         ST.streaming_minute_agg,
         ST.STREAMING_MINUTE_AGG_SQL,
