@@ -1345,6 +1345,15 @@ _SPECS: list[QuerySpec] = [
         "side, vocabulary-sized dataflow",
     ),
     QuerySpec(
+        "bpe_sampled_training",
+        LT.bpe_sampled_training,
+        LT.BPE_SAMPLED_TRAINING_SQL,
+        "BPE sampled-training contract (SCALE.md §8g executed): "
+        "full-corpus vs A-ES weighted-sample merge tables trained side "
+        "by side, per-iteration winning pairs + agree flags — the "
+        "measured convergence curve of the production mitigation",
+    ),
+    QuerySpec(
         "streaming_evolved_upsert",
         ST.streaming_evolved_upsert,
         ST.STREAMING_EVOLVED_UPSERT_SQL,
