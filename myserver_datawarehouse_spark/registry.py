@@ -1291,6 +1291,14 @@ _SPECS: list[QuerySpec] = [
         "all-pairs join",
     ),
     QuerySpec(
+        "lsh_recall_audit",
+        LT.lsh_recall_audit,
+        LT.LSH_RECALL_AUDIT_SQL,
+        "MinHash-LSH recall vs the exact prefix-filter ground truth, "
+        "banded by true Jaccard decile — the banding's candidate "
+        "S-curve adjudicated as data",
+    ),
+    QuerySpec(
         "brand_affinity_rules",
         R.brand_affinity_rules,
         R.BRAND_AFFINITY_RULES_SQL,
@@ -1361,6 +1369,14 @@ _SPECS: list[QuerySpec] = [
         "full-corpus vs A-ES weighted-sample merge tables trained side "
         "by side, per-iteration winning pairs + agree flags — the "
         "measured convergence curve of the production mitigation",
+    ),
+    QuerySpec(
+        "bpe_fertility_by_lang",
+        LT.bpe_fertility_by_lang,
+        LT.BPE_FERTILITY_BY_LANG_SQL,
+        "tokenizer fertility (tokens/word) per language under the "
+        "trained BPE merges — the train->apply contract adjudicated "
+        "from the per-language cost angle",
     ),
     QuerySpec(
         "streaming_evolved_upsert",

@@ -115,6 +115,26 @@ ALLOW: dict[str, dict[str, str]] = {
         "embedding_ivfpq_search) feeding the ADC shortlist that the "
         "exact re-ranker re-scores"
     },
+    "cross_modal_curation": {
+        "RDD_SCAN": _LC + "; the MinHash shingle frame + CC iteration "
+        "edge frames (same machinery as dedup_clusters, over the "
+        "unioned text+image edge set)"
+    },
+    "ann_nprobe_clustered": {
+        "RDD_SCAN": _LC + "; the clustered-vector frame (consumed by "
+        "the query set, the cell ranking and the distance frame) and "
+        "the one distance frame every sweep point cuts by probe_rank"
+    },
+    "lsh_recall_audit": {
+        "RDD_SCAN": _LC + "; both ingredient plans' shared frames "
+        "(prefix-filter shingle/prefix/set frames + the MinHash "
+        "shingle frame) — the audit composes the two tiers as-is"
+    },
+    "bpe_fertility_by_lang": {
+        "RDD_SCAN": _LC + "; the per-round rewritten vocabulary frame "
+        "(same _bpe_train loop as bpe_merge_training), joined onto "
+        "the per-(lang, word) counts"
+    },
 }
 
 

@@ -75,6 +75,16 @@ PROBE_QUERIES = [
     "dup_span_removal",
     "embedding_ivfpq_refined",
     "streaming_compaction_race",
+    # round-11 additions: video frame-set near-dup, cross-modal joint
+    # curation, sampled BPE training, clustered nprobe sweep, committed
+    # bloom sidecars
+    "near_dup_video_frames",
+    "cross_modal_curation",
+    "bpe_sampled_training",
+    "ann_nprobe_clustered",
+    "bloom_file_skip_audit",
+    "lsh_recall_audit",
+    "bpe_fertility_by_lang",
 ]
 
 
