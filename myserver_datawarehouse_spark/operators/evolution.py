@@ -523,6 +523,14 @@ def compact_evolved(
     version = M._stage_snapshot(
         spark, table_root, df, list(active["partition_by"])
     )
+    # Bloom sidecars survive the layout-debt paydown: rebuild each
+    # indexed column's sidecar over the collapsed snapshot before the
+    # commit (full rewrite → full rebuild, same amortization).
+    from myserver_datawarehouse_spark.sources import files as _FS
+
+    staged = os.path.join(table_root, version)
+    for col in _FS.bloom_sidecar_columns(cur_dir):
+        _FS.write_bloom_sidecar(spark, staged, col)
     _commit_manifest(table_root, version)
     return version
 

@@ -404,7 +404,17 @@ def compact_table(
         df = df.repartition(*spec) if spec else df.coalesce(
             max(1, target_files)
         )
-        publish_overwrite(spark, target_path, df, partition_by=spec)
+        # A standing manifest stat survives maintenance: columns with a
+        # committed bloom sidecar keep one across the compaction (every
+        # file is rewritten, so this is a full rebuild — amortized into
+        # the full rewrite compaction already is).
+        publish_overwrite(
+            spark,
+            target_path,
+            df,
+            partition_by=spec,
+            bloom_columns=_FILES.bloom_sidecar_columns(snap),
+        )
         return
     _repair_symlink(target_path)
     if not _table_exists(target_path):

@@ -171,3 +171,31 @@ def test_merge_upsert_published_rejects_evolved_snapshot(spark, tmp_path):
             ),
             keys=["event_id"], partition_by=["part"],
         )
+
+
+def test_bloom_survives_compaction(spark, tmp_path):
+    """Compaction (the full-rewrite maintenance op) rebuilds committed
+    bloom sidecars over the new snapshot instead of dropping the
+    index."""
+    df = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 2).cast("string").alias("part"),
+    )
+    root = str(tmp_path / "compacted")
+    M.publish_overwrite(
+        spark, root,
+        df.repartition(6, "event_id"),
+        partition_by=["part"],
+        bloom_columns=["event_id"],
+    )
+    M.compact_table(spark, root)
+    v2 = M._published_version(root)
+    snap2 = os.path.join(root, v2)
+    assert FS.bloom_sidecar_columns(snap2) == ["event_id"]
+    keep, total = FS.bloom_prune_files(spark, snap2, "event_id", [77])
+    got = (
+        spark.read.parquet(*keep)
+        .filter(F.col("event_id") == 77)
+        .count()
+    )
+    assert got == 1
