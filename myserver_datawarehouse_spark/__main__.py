@@ -57,13 +57,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "table",
         help="maintain a WAP-committed path table "
         "(versions / compact / vacuum / travel / stats / delete / "
-        "evolve)",
+        "evolve / bloom / prune)",
     )
     tb.add_argument(
         "action",
         choices=(
             "versions", "compact", "vacuum", "travel", "stats",
-            "delete", "evolve"
+            "delete", "evolve", "bloom", "prune"
         ),
     )
     tb.add_argument("path", help="table path (or versions root for WAP "
@@ -71,7 +71,11 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--version", default=None,
                     help="version name for `travel` (e.g. v1)")
     tb.add_argument("--column", default=None,
-                    help="column for `stats` (per-file zone map)")
+                    help="column for `stats` (per-file zone map) / "
+                         "`bloom` / `prune`")
+    tb.add_argument("--probe-keys", default=None,
+                    help="comma-separated keys for `prune` (bloom "
+                         "point-lookup candidates)")
     tb.add_argument("--where", default=None,
                     help="SQL predicate for `delete` (merge-on-read)")
     tb.add_argument("--keys", default=None,
@@ -135,6 +139,48 @@ def main(argv: list[str] | None = None) -> int:
             M.compact_table(spark, args.path)
             print(f"compacted: {before} -> {M.data_file_count(args.path)} "
                   "data files")
+            return 0
+        if args.action == "bloom":
+            if not args.column:
+                print("bloom needs --column", file=sys.stderr)
+                return 1
+            from myserver_datawarehouse_spark.sources.files import (
+                write_bloom_sidecar,
+            )
+
+            cur = M._published_version(root)
+            snap = os.path.join(root, cur) if cur else args.path
+            sidecar = write_bloom_sidecar(spark, snap, args.column)
+            print(f"wrote {sidecar} (per-file point-lookup blooms; "
+                  "merges carry it incrementally, compaction rebuilds "
+                  "it)")
+            return 0
+        if args.action == "prune":
+            if not args.column or not args.probe_keys:
+                print("prune needs --column and --probe-keys",
+                      file=sys.stderr)
+                return 1
+            from myserver_datawarehouse_spark.sources.files import (
+                bloom_prune_files,
+            )
+
+            cur = M._published_version(root)
+            snap = os.path.join(root, cur) if cur else args.path
+            keys = [k.strip() for k in args.probe_keys.split(",")]
+            # keys arrive as strings; retype from the sidecar meta
+            import json as _json
+
+            with open(os.path.join(
+                snap, "_blooms", args.column, "_META.json"
+            )) as fh:
+                meta = _json.load(fh)
+            if meta["type"] in ("bigint", "int", "smallint", "tinyint",
+                                "long"):
+                keys = [int(k) for k in keys]
+            keep, total = bloom_prune_files(spark, snap, args.column, keys)
+            print(f"{len(keep)}/{total} candidate files")
+            for pth in keep[: args.limit]:
+                print(f"  {pth}")
             return 0
         if args.action == "stats":
             if not args.column:

@@ -137,10 +137,13 @@ def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_for(_docs(spark, sf_dir))
 
 
-def _minhash_pairs_for(d: DataFrame) -> DataFrame:
+def _minhash_pairs_for(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
     """The LSH pair plan over any (doc_id, text) frame — the corpus for
     the standalone queries, the curation survivors for the composed
-    corpus build."""
+    corpus build. Pass `hs` (the materialized distinct (doc_id, h)
+    shingle-hash frame) to share it with another tier in the same
+    query (lsh_recall_audit shares it with the prefix filter); default
+    builds it, plan-identical to pre-round-11."""
     # Everything runs over ROW-wise hashed shingles (one codegen'd md5 per
     # position — see operators/text.shingle_rows; the array-HOF form costs
     # ~10s/pass at sf0.1 on Spark's interpreted lambda path):
@@ -151,21 +154,22 @@ def _minhash_pairs_for(d: DataFrame) -> DataFrame:
     # Docs with zero shingles drop out at the explode instead of carrying
     # all-NULL signatures; their candidate pairs were jaccard-NULL-
     # filtered anyway (identically in the oracle).
-    hs = (
-        TX.shingle_rows(d, SHINGLE_K)
-        .select("doc_id", TX.hash60("g").alias("h"))
-        .distinct()
-        # Materialized ONCE: three downstream passes read hs (the
-        # signature aggregate and both sides of the verify join), and
-        # each would otherwise re-run the posexplode+window+md5 lineage
-        # (measured 2.5x on the whole pair plan at sf0.1). This is what
-        # production LSH does at any scale — the shingle-hash table is
-        # written once and reused; at 100 TB it is a persisted
-        # intermediate (disk-backed via the materialize() profile:
-        # localCheckpoint locally, reliable checkpoint on a cluster),
-        # not a recompute-three-times lineage.
-        .transform(materialize)
-    )
+    if hs is None:
+        hs = (
+            TX.shingle_rows(d, SHINGLE_K)
+            .select("doc_id", TX.hash60("g").alias("h"))
+            .distinct()
+            # Materialized ONCE: three downstream passes read hs (the
+            # signature aggregate and both sides of the verify join), and
+            # each would otherwise re-run the posexplode+window+md5 lineage
+            # (measured 2.5x on the whole pair plan at sf0.1). This is what
+            # production LSH does at any scale — the shingle-hash table is
+            # written once and reused; at 100 TB it is a persisted
+            # intermediate (disk-backed via the materialize() profile:
+            # localCheckpoint locally, reliable checkpoint on a cluster),
+            # not a recompute-three-times lineage.
+            .transform(materialize)
+        )
     p = F.lit(TX.MINHASH_P)
     # Shingle-set size rides along as a 17th aggregate in the signature
     # pass (one groupBy over hs instead of two full recomputes of the
@@ -4724,7 +4728,15 @@ def near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsampled — the one O(n^2)-free EXACT join in the dedup tier.
     """
     d = _docs(spark, sf_dir)
-    h = materialize(
+    return _prefix_filter_pairs(d).orderBy("doc_a", "doc_b")
+
+
+def _prefix_filter_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
+    """The PPJoin pair plan over any (doc_id, text) frame; pass `hs`
+    (the materialized distinct shingle-hash frame) to share it with
+    the LSH tier inside lsh_recall_audit. Default builds it —
+    plan-identical to the pre-round-11 inline form."""
+    h = hs if hs is not None else materialize(
         TX.shingle_rows(d, SHINGLE_K)
         .select("doc_id", TX.hash60("g").alias("h"))
         .distinct()
@@ -4792,13 +4804,9 @@ def near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
-    return (
-        verified.select(
-            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= JACCARD_TAU)
-        .orderBy("doc_a", "doc_b")
-    )
+    return verified.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_TAU)
 
 
 NEAR_DUP_PREFIX_FILTER_SQL = f"""
@@ -5048,9 +5056,18 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-bounded, never all-pairs — see their docstrings); the
     comparison itself is pair-set-sized. Run it after any change to
     the shingle, signature, or banding code — it is the regression
-    gate for the tier's probabilistic contract."""
-    exact = near_dup_prefix_filter(spark, sf_dir)
-    lsh = _minhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    gate for the tier's probabilistic contract. Both tiers read ONE
+    shared materialized shingle-hash frame (the table a production
+    dedup stack persists once and feeds to every member), so the audit
+    costs the two pair plans minus the duplicated shingle pass."""
+    d = _docs(spark, sf_dir)
+    hs = materialize(
+        TX.shingle_rows(d, SHINGLE_K)
+        .select("doc_id", TX.hash60("g").alias("h"))
+        .distinct()
+    )
+    exact = _prefix_filter_pairs(d, hs=hs)
+    lsh = _minhash_pairs_for(d, hs=hs).select("doc_a", "doc_b")
     hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     band = F.floor(F.col("jaccard") * J_BAND_W).cast("int").alias("j_band")
     eb = exact.groupBy(band).agg(F.count(F.lit(1)).alias("n_exact"))

@@ -247,9 +247,14 @@ def near_dup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     k by sampling timestamps, the sample_frames machinery). A banded
     frame bucket with f frames emits O(f^2) candidate rows, the same
     skew envelope as the SimHash/LSH text tiers."""
+    from myserver_datawarehouse_spark.session import materialize
+
     docs = load_table(spark, sf_dir, "documents")
     media = MM.with_fake_payload(docs)
-    fp = MM.frame_phash(media)
+    # materialize: the fingerprint frame feeds the chunk explode AND
+    # the per-video set aggregate — without the cut the payload scan +
+    # pHash kernel execute twice.
+    fp = materialize(MM.frame_phash(media))
     chunks = fp.select(
         "doc_id",
         F.posexplode(TX.simhash_chunks("fhash", PHASH_CHUNKS)).alias(
@@ -430,11 +435,13 @@ def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs, the recursive closure, and the provenance labels."""
     from myserver_datawarehouse_spark.plans import llm_text as LTX
 
-    tpairs = (
-        LTX._minhash_pair_frame(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .filter((F.col("doc_a") % 3 == 0) & (F.col("doc_b") % 3 == 0))
-    )
+    # LSH over the IMAGE-doc sub-corpus only: a candidate pair between
+    # two image docs depends solely on their own signatures sharing a
+    # band key, so filtering the corpus BEFORE shingling produces the
+    # identical pair set at a third of the shingle/signature volume
+    # (the oracle filters after the full-corpus pair SQL — same set).
+    imgdocs = LTX._docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    tpairs = LTX._minhash_pairs_for(imgdocs).select("doc_a", "doc_b")
     ipairs = _image_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = tpairs.union(ipairs).distinct()
     labels = LTX._cc_min_labels(edges)

@@ -1425,7 +1425,9 @@ _SPECS: list[QuerySpec] = [
 #   3. last adjudicated in round 8 (46 standing — 1 verdict
 #      forfeited to the round-11 bloom sidecar rework of
 #      bloom_file_skip_audit, which returns to the head);
-#   4. last adjudicated in round 9 (49 standing);
+#   4. last adjudicated in round 9 (48 standing — 1 verdict
+#      forfeited to the round-11 shared-shingle-frame refactor of
+#      near_dup_prefix_filter, which returns to the head);
 #   5. last adjudicated in round 10 (50 standing — CORRECTNESS_r10.json
 #      was 50/50 green: the 5 round-10 additions, the full 15-query
 #      round-5 tier, and 30 of the round-6 tier all moved here).
@@ -1590,7 +1592,6 @@ _ADJUDICATED_R9 = frozenset(
         "keyword_search_conjunctive",
         "multimodal_frame_sample",
         "naive_bayes_langid",
-        "near_dup_prefix_filter",
         "normalized_quotes",
         "part_brand_margin_topk",
         "partition_evolution_audit",

@@ -199,3 +199,26 @@ def test_bloom_survives_compaction(spark, tmp_path):
         .count()
     )
     assert got == 1
+
+
+def test_cli_table_bloom_and_prune(spark, tmp_path, capsys):
+    from myserver_datawarehouse_spark.__main__ import main
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("value"),
+    ).repartition(4, "event_id")
+    root = str(tmp_path / "cli_tbl")
+    M.publish_overwrite(spark, root, df)
+    rc = main(["table", "bloom", root, "--column", "event_id"])
+    assert rc == 0
+    assert "per-file point-lookup blooms" in capsys.readouterr().out
+    rc = main(
+        ["table", "prune", root, "--column", "event_id",
+         "--probe-keys", "7,42"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    first = out.splitlines()[0]
+    kept, total = first.split()[0].split("/")
+    assert int(total) == 4 and 1 <= int(kept) <= 4

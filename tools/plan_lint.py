@@ -125,6 +125,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "the query set, the cell ranking and the distance frame) and "
         "the one distance frame every sweep point cuts by probe_rank"
     },
+    "near_dup_video_frames": {
+        "RDD_SCAN": _LC + "; the per-frame fingerprint frame feeds "
+        "the chunk explode AND the per-video set aggregate — the cut "
+        "keeps the payload scan + pHash kernel to one pass"
+    },
     "lsh_recall_audit": {
         "RDD_SCAN": _LC + "; both ingredient plans' shared frames "
         "(prefix-filter shingle/prefix/set frames + the MinHash "
