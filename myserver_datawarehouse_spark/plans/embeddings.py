@@ -2765,3 +2765,186 @@ FROM grid g
 LEFT JOIN h ON h.nprobe = g.nprobe AND h.query_id = g.query_id
 ORDER BY 1, 2
 """
+
+
+# ------------------------------------- incremental IVF index ingest
+
+INGEST_BATCH_MOD = 10  # vec_id % 10 in {8,9} = the arriving batch
+
+
+def ivf_incremental_ingest_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental IVF index INGEST — the maintenance operator a
+    production vector store runs between retrains: new vectors are
+    assigned to the EXISTING trained quantizer (one broadcast of the
+    centroid table, map-only over the batch — no retrain, no reshuffle
+    of the standing inverted lists) and appended to their cells. The
+    audit adjudicates both halves of the contract:
+
+    1. The incremental state itself: per cell, how many base vectors,
+       how many batch arrivals, the post-ingest total (assignment is a
+       pure per-vector function of (vector, centroids), so the
+       incremental union IS the rebuild under the same quantizer —
+       what the audit pins is the exact cell routing of every arrival).
+    2. The DRIFT signal that tells the operator when retraining is
+       due: a retrained quantizer (here: the deterministic stand-in —
+       the full corpus's first {cents} ids, a SUPERSET of the
+       base-trained set, so 'new centroid candidates arrived with the
+       batch') would pull `n_would_move` of each cell's members to a
+       strictly better (higher-cosine) NEW centroid. Rising move-share
+       = the standing quantizer is going stale — the monitored number
+       behind every re-index decision.
+
+    Scale: two broadcast-centroid assignment passes (map-only; the
+    argmax is a per-vector window over {cents}ish broadcast rows, no
+    corpus shuffle) + one per-cell rollup. The batch pass touches ONLY
+    batch rows — at 100 TB the standing index is never rewritten, the
+    exact property that makes nightly embedding ingest affordable."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm2("embedding").alias("nrm")
+    )
+    is_batch = (F.col("vec_id") % INGEST_BATCH_MOD) >= 8
+    # Base-trained quantizer: the first IVF_CENTS ids PRESENT IN BASE.
+    cent_a = e.filter(
+        (F.col("vec_id") < IVF_CENTS) & ~is_batch
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("nc"),
+    )
+    # 'Retrained' quantizer: the full corpus's first IVF_CENTS ids —
+    # a superset (batch ids < IVF_CENTS become new centroid candidates).
+    cent_b = e.filter(F.col("vec_id") < IVF_CENTS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("nc"),
+    )
+    cos_cent = F.when(
+        (F.col("nrm") > 0) & (F.col("nc") > 0),
+        V.dot("embedding", "c") / (F.col("nrm") * F.col("nc")),
+    )
+    w_asn = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc_nulls_last(), F.col("cid")
+    )
+
+    def assign(cent):
+        return (
+            e.join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                is_batch.alias("is_batch"),
+                "cid",
+                F.round(cos_cent, 6).alias("cent_cos"),
+            )
+            .withColumn("rn", F.row_number().over(w_asn))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "is_batch", "cid", "cent_cos")
+        )
+
+    a = assign(cent_a)
+    b = assign(cent_b).select(
+        F.col("vec_id").alias("bv"),
+        F.col("cid").alias("b_cid"),
+        F.col("cent_cos").alias("b_cos"),
+    )
+    joined = a.join(b, F.col("vec_id") == F.col("bv")).select(
+        "vec_id",
+        "is_batch",
+        F.col("cid").alias("cell"),
+        # moved = the retrained quantizer routes this vector to a NEW
+        # centroid at STRICTLY better cosine (rounded — ties stay put,
+        # matching the assignment's own cid tie-break).
+        (
+            (F.col("b_cid") != F.col("cid"))
+            & (F.col("b_cos") > F.col("cent_cos"))
+        ).alias("would_move"),
+    )
+    return (
+        joined.groupBy("cell")
+        .agg(
+            F.sum((~F.col("is_batch")).cast("long")).alias("n_base"),
+            F.sum(F.col("is_batch").cast("long")).alias("n_batch"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("would_move").cast("long")).alias("n_would_move"),
+            F.round(
+                F.sum(F.col("would_move").cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("move_share"),
+        )
+        .orderBy("cell")
+    )
+
+
+ivf_incremental_ingest_audit.__doc__ = (
+    ivf_incremental_ingest_audit.__doc__.format(cents=IVF_CENTS)
+)
+
+IVF_INCREMENTAL_INGEST_AUDIT_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm,
+         (vec_id % {INGEST_BATCH_MOD}) >= 8 AS is_batch
+  FROM embeddings
+),
+cent_a AS (
+  SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
+  WHERE vec_id < {IVF_CENTS} AND NOT is_batch
+),
+cent_b AS (
+  SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
+  WHERE vec_id < {IVF_CENTS}
+),
+asn_a AS (
+  SELECT vec_id, is_batch, cid, cent_cos FROM (
+    SELECT e.vec_id, e.is_batch, cent_a.cid,
+           ROUND(CASE WHEN e.nrm > 0 AND cent_a.nc > 0
+                 THEN list_dot_product(e.vec, cent_a.c)
+                      / (e.nrm * cent_a.nc) END, 6) AS cent_cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(CASE WHEN e.nrm > 0 AND cent_a.nc > 0
+                            THEN list_dot_product(e.vec, cent_a.c)
+                                 / (e.nrm * cent_a.nc) END, 6)
+                        DESC NULLS LAST,
+                      cent_a.cid) AS rn
+    FROM e CROSS JOIN cent_a
+  ) WHERE rn = 1
+),
+asn_b AS (
+  SELECT vec_id, cid AS b_cid, cent_cos AS b_cos FROM (
+    SELECT e.vec_id, cent_b.cid,
+           ROUND(CASE WHEN e.nrm > 0 AND cent_b.nc > 0
+                 THEN list_dot_product(e.vec, cent_b.c)
+                      / (e.nrm * cent_b.nc) END, 6) AS cent_cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(CASE WHEN e.nrm > 0 AND cent_b.nc > 0
+                            THEN list_dot_product(e.vec, cent_b.c)
+                                 / (e.nrm * cent_b.nc) END, 6)
+                        DESC NULLS LAST,
+                      cent_b.cid) AS rn
+    FROM e CROSS JOIN cent_b
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT a.vec_id, a.is_batch, a.cid AS cell,
+         (b.b_cid <> a.cid AND b.b_cos > a.cent_cos) AS would_move
+  FROM asn_a a JOIN asn_b b USING (vec_id)
+)
+SELECT cell,
+       CAST(SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base,
+       CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_batch,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN would_move THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_would_move,
+       ROUND(SUM(CASE WHEN would_move THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS move_share
+FROM j
+GROUP BY cell
+ORDER BY cell
+"""

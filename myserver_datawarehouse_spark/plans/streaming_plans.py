@@ -834,3 +834,55 @@ ORDER BY user_id, click_id, buy_id
 
 
 STREAMING_OUTER_ATTRIBUTION_SQL = _outer_attribution_sql()
+
+
+def streaming_bloom_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed table under continuous ingest (16th §2.12
+    variant): the manifest-root upsert stream writing into a table
+    whose publish registered a per-file `event_id` bloom sidecar —
+    every micro-batch merge carries the index incrementally (hardlink-
+    carried partitions keep their bloom rows verbatim, rewritten files
+    get one fresh pass) with vacuum interleaved between batches
+    (streaming/jobs.bloom_maintained_stream). Adjudicated output = the
+    final logical table (the batch latest-per-key fold — identical
+    exactly-once contract to the other upsert streams) + the bloom
+    lifecycle flags: the final version still carries a complete
+    sidecar (one row per data file), and a bloom-pruned point lookup
+    of surviving keys returns exactly the full-scan rows (the
+    zero-false-negative contract, end to end through N commits).
+
+    Same eager-at-construction bench note as streaming_upsert_merge;
+    per-(sf, pid) work dir."""
+    import json
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.operators import merge as M
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_bloom", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    root = SJ.bloom_maintained_stream(spark, sf_dir, work)
+    with open(os.path.join(work, "bloom_flags.json")) as fh:
+        flags = json.load(fh)
+    ok = F.lit(
+        bool(flags["bloom_carried"])
+        and bool(flags["zero_false_negatives"])
+    ).alias("bloom_contract_held")
+    return (
+        M.read_published(spark, root)
+        .select("user_id", "event_type", "event_id", "ts", "value", ok)
+        .orderBy("user_id", "event_type")
+    )
+
+
+STREAMING_BLOOM_MAINTAINED_SQL = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value,
+       TRUE AS bloom_contract_held
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+"""

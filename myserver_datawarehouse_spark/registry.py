@@ -266,6 +266,15 @@ _SPECS: list[QuerySpec] = [
         "measured mean recall 0.21/0.42/0.67 at nprobe 1/2/4",
     ),
     QuerySpec(
+        "ivf_incremental_ingest_audit",
+        EM.ivf_incremental_ingest_audit,
+        EM.IVF_INCREMENTAL_INGEST_AUDIT_SQL,
+        "incremental IVF index ingest: batch assigned to the standing "
+        "base-trained quantizer (broadcast, map-only, no retrain) + "
+        "the per-cell would-move drift a retrained quantizer implies "
+        "— the re-index monitoring signal",
+    ),
+    QuerySpec(
         "stratified_sample",
         LT.stratified_sample,
         LT.STRATIFIED_SAMPLE_SQL,
@@ -1237,6 +1246,15 @@ _SPECS: list[QuerySpec] = [
         "§2.12 streaming x maintenance: crash-injected + real "
         "compaction between micro-batches, state-routed writer, "
         "exactly-once adjudicated",
+    ),
+    QuerySpec(
+        "streaming_bloom_maintained",
+        ST.streaming_bloom_maintained,
+        ST.STREAMING_BLOOM_MAINTAINED_SQL,
+        "§2.12 16th variant: bloom-indexed table under continuous "
+        "ingest — sidecar carried across every micro-batch commit "
+        "with interleaved vacuum; final-table fold + zero-false-"
+        "negative probe flags adjudicated",
     ),
     QuerySpec(
         "streaming_cdc_replication",

@@ -1205,3 +1205,119 @@ def outer_attribution_stream(
 outer_attribution_stream.__doc__ = outer_attribution_stream.__doc__.format(
     range=OUTER_ATTR_RANGE_MIN, nb=OUTER_ATTR_BATCHES
 )
+
+
+def bloom_maintained_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_input_files: int = UPSERT_INPUT_FILES,
+    files_per_trigger: int = UPSERT_FILES_PER_TRIGGER,
+) -> str:
+    """Bloom-indexed table under continuous ingest (16th §2.12 shape):
+    the manifest-root upsert stream writing into a table whose publish
+    registered a per-file bloom sidecar on the UNCLUSTERED point-lookup
+    key (`event_id`) — every micro-batch merge must CARRY the index
+    forward (sources/files.carry_bloom_sidecar: hardlink-carried
+    partitions keep their rows verbatim, rewritten files get one fresh
+    bloom pass), with vacuum running between batches to prove the
+    sidecar is self-contained per version. After the stream drains, the
+    job probes the FINAL sidecar with surviving keys and records the
+    zero-false-negative contract to `bloom_flags.json`:
+
+      bloom_carried         — the final published version still has the
+                              event_id sidecar with a row per data file;
+      zero_false_negatives  — a bloom-pruned point lookup returns
+                              exactly the full-scan rows for every probe.
+
+    This is the standing-manifest-stat lifecycle end to end: commit
+    registers, merges maintain incrementally, vacuum can't orphan it,
+    lookups prune against it. Returns the manifest table root."""
+    import json as _json
+    import os
+
+    from myserver_datawarehouse_spark.operators import merge as M
+    from myserver_datawarehouse_spark.operators.merge import dedup_latest
+    from myserver_datawarehouse_spark.sources import files as FS
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    root = os.path.join(work_dir, "bloom_target")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    seed = dedup_latest(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+    )
+    M.publish_overwrite(
+        spark,
+        root,
+        seed,
+        partition_by=["event_type"],
+        bloom_columns=["event_id"],
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition(n_input_files)
+        .write.mode("overwrite")
+        .parquet(input_dir)
+    )
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        M.merge_upsert_published(
+            batch.sparkSession,
+            root,
+            batch,
+            keys=["user_id", "event_type"],
+            partition_by=["event_type"],
+            order_by=["ts", "event_id"],
+        )
+        M.vacuum_versions(root)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    final = os.path.join(root, M._published_version(root))
+    carried = FS.bloom_sidecar_columns(final) == ["event_id"]
+    if carried:
+        covered = {
+            r["path"]
+            for r in spark.read.parquet(
+                os.path.join(final, "_blooms", "event_id")
+            ).collect()
+        }
+        carried = covered == set(FS._data_files_relative(final))
+    table = M.read_published(spark, root)
+    probes = [
+        int(r["event_id"])
+        for r in table.orderBy("event_id").limit(3).collect()
+    ]
+    keep, _total = FS.bloom_prune_files(spark, final, "event_id", probes)
+    pruned_n = (
+        spark.read.parquet(*keep)
+        .filter(F.col("event_id").isin(*probes))
+        .count()
+    )
+    full_n = table.filter(F.col("event_id").isin(*probes)).count()
+    flags = {
+        "bloom_carried": bool(carried),
+        "zero_false_negatives": bool(pruned_n == full_n and full_n > 0),
+    }
+    with open(os.path.join(work_dir, "bloom_flags.json"), "w") as fh:
+        _json.dump(flags, fh)
+    return root

@@ -165,3 +165,15 @@ def test_bpe_fertility_weighted_mean(spark):
         assert r.fertility == pytest.approx(
             r.n_tokens / r.n_words, abs=1e-6
         )
+
+
+# ------------------------------------------- incremental IVF ingest
+
+
+def test_ivf_incremental_ingest_invariants(spark):
+    out = EM.ivf_incremental_ingest_audit(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r.n_total == r.n_base + r.n_batch
+        assert 0 <= r.n_would_move <= r.n_total
+        assert r.cell < EM.IVF_CENTS and r.cell % 10 < 8  # base-trained

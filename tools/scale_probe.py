@@ -85,6 +85,8 @@ PROBE_QUERIES = [
     "bloom_file_skip_audit",
     "lsh_recall_audit",
     "bpe_fertility_by_lang",
+    "ivf_incremental_ingest_audit",
+    "streaming_bloom_maintained",
 ]
 
 
