@@ -166,17 +166,10 @@ def main(argv: list[str] | None = None) -> int:
 
             cur = M._published_version(root)
             snap = os.path.join(root, cur) if cur else args.path
+            # keys pass as strings; bloom_prune_files casts them to the
+            # column type recorded in the sidecar meta (and raises on a
+            # key that does not fit — never a silent NULL hash).
             keys = [k.strip() for k in args.probe_keys.split(",")]
-            # keys arrive as strings; retype from the sidecar meta
-            import json as _json
-
-            with open(os.path.join(
-                snap, "_blooms", args.column, "_META.json"
-            )) as fh:
-                meta = _json.load(fh)
-            if meta["type"] in ("bigint", "int", "smallint", "tinyint",
-                                "long"):
-                keys = [int(k) for k in keys]
             keep, total = bloom_prune_files(spark, snap, args.column, keys)
             print(f"{len(keep)}/{total} candidate files")
             for pth in keep[: args.limit]:

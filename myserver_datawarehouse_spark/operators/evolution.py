@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from myserver_datawarehouse_spark.operators import merge as M
+from myserver_datawarehouse_spark.sources import files as _FS
 from myserver_datawarehouse_spark.operators.merge import (
     _apply_deletes,
     _claim_next_version,
@@ -193,6 +194,21 @@ def evolve_partition_spec(
         # Legacy snapshot becomes spec subtree 0 (data + deletes, all
         # hardlinks — inode refcount keeps them alive across vacuums).
         _link_all_files(cur_dir, _layout_dir(staged, 0))
+        # The blanket link also relocated any root bloom sidecar's
+        # parquet (META-less, and its row paths would be wrong under
+        # _layout-0) — drop the misplaced tree and carry the sidecar
+        # properly at the version ROOT with layout-prefixed row paths,
+        # so the index stays readable on the evolved snapshot (files
+        # in newer layouts are uncovered → always candidates) and
+        # compact_evolved knows which columns to rebuild.
+        misplaced = os.path.join(
+            _layout_dir(staged, 0), _FS.BLOOM_SIDECAR
+        )
+        shutil.rmtree(misplaced, ignore_errors=True)
+        _carry_root_blooms(
+            spark, cur_dir, staged,
+            prefix=os.path.basename(_layout_dir(staged, 0)),
+        )
         ddir = os.path.join(cur_dir, _DELETES)
         if os.path.isdir(ddir):
             meta = os.path.join(ddir, "_META.json")
@@ -209,6 +225,10 @@ def evolve_partition_spec(
             if os.path.isdir(src):
                 _link_all_files(src, _layout_dir(staged, s["id"]))
                 _carry_delete_meta(src, _layout_dir(staged, s["id"]))
+        # Root bloom sidecar (row paths already _layout-*-prefixed by
+        # the first evolution's carry): copy verbatim — layout data
+        # files keep their relative paths across spec appends.
+        _carry_root_blooms(spark, cur_dir, staged, prefix=None)
     new_id = specs[-1]["id"] + 1
     specs = specs + [{"id": new_id, "partition_by": list(new_partition_by)}]
     os.makedirs(_layout_dir(staged, new_id), exist_ok=True)
@@ -218,6 +238,34 @@ def evolve_partition_spec(
         fh.write(schema.json())
     _commit_manifest(table_root, version)
     return version
+
+
+def _carry_root_blooms(
+    spark: SparkSession, cur_dir: str, staged: str, prefix: str | None
+) -> None:
+    """Carry the version-root bloom sidecars across a partition-spec
+    evolution commit. `prefix` rebases each row's relative path (the
+    first evolution moves the flat snapshot under `_layout-0/`); later
+    evolutions carry the rows verbatim. The sidecar stays PARTIAL on an
+    evolved table (evolved merges do not maintain it) — safe by
+    bloom_prune_files' uncovered-files-are-candidates rule — and the
+    next compact_evolved rebuilds it fully."""
+    from pyspark.sql import functions as F
+
+    for col in _FS.bloom_sidecar_columns(cur_dir):
+        src = _FS._bloom_dir(cur_dir, col)
+        df = spark.read.parquet(src)
+        if prefix:
+            df = df.select(
+                F.concat(F.lit(prefix + "/"), F.col("path")).alias("path"),
+                "bloom",
+            )
+        dst = _FS._bloom_dir(staged, col)
+        df.write.mode("overwrite").parquet(dst)
+        shutil.copy(
+            os.path.join(src, "_META.json"),
+            os.path.join(dst, "_META.json"),
+        )
 
 
 def _carry_delete_meta(src_layout: str, dst_layout: str) -> None:
@@ -424,6 +472,11 @@ def evolved_merge(
             json.dump(specs, fh)
         with open(os.path.join(staged, _SCHEMA), "w") as fh:
             fh.write(schema.json())
+        # Root bloom sidecars carry verbatim: rows for files this
+        # commit rewrote or added go stale/missing, which is SAFE
+        # (bloom_prune_files treats uncovered files as candidates);
+        # the next compact_evolved rebuilds full coverage.
+        _carry_root_blooms(spark, cur_dir, staged, prefix=None)
     except Exception:
         shutil.rmtree(staged, ignore_errors=True)
         raise
@@ -526,8 +579,6 @@ def compact_evolved(
     # Bloom sidecars survive the layout-debt paydown: rebuild each
     # indexed column's sidecar over the collapsed snapshot before the
     # commit (full rewrite → full rebuild, same amortization).
-    from myserver_datawarehouse_spark.sources import files as _FS
-
     staged = os.path.join(table_root, version)
     for col in _FS.bloom_sidecar_columns(cur_dir):
         _FS.write_bloom_sidecar(spark, staged, col)
@@ -619,6 +670,11 @@ def evolved_append(
             json.dump(specs, fh)
         with open(os.path.join(staged, _SCHEMA), "w") as fh:
             fh.write(schema.json())
+        # Root bloom sidecars carry verbatim: rows for files this
+        # commit rewrote or added go stale/missing, which is SAFE
+        # (bloom_prune_files treats uncovered files as candidates);
+        # the next compact_evolved rebuilds full coverage.
+        _carry_root_blooms(spark, cur_dir, staged, prefix=None)
     except Exception:
         shutil.rmtree(staged, ignore_errors=True)
         raise

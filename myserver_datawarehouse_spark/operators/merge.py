@@ -425,7 +425,15 @@ def compact_table(
         df = df.repartition(*spec)
     else:
         df = df.coalesce(max(1, target_files))
-    _publish_path_snapshot(spark, target_path, df, spec)
+    _publish_path_snapshot(
+        spark,
+        target_path,
+        df,
+        spec,
+        bloom_columns=_FILES.bloom_sidecar_columns(
+            os.path.realpath(target_path)
+        ),
+    )
 
 
 def data_file_count(target_path: str) -> int:
@@ -722,6 +730,7 @@ def _publish_path_snapshot(
     df: DataFrame,
     partition_by: Sequence[str],
     link_untouched: bool = False,
+    bloom_columns: Sequence[str] = (),
 ) -> str:
     """Commit `df` as the new snapshot behind `target_path`:
 
@@ -746,6 +755,11 @@ def _publish_path_snapshot(
     staged = os.path.join(vroot, version)
     if link_untouched and _table_exists(target):
         _link_untouched(os.path.realpath(target), staged)
+    for col in bloom_columns:
+        # Staged before the symlink swap: a published snapshot's blooms
+        # are never observable half-built (same rule as the manifest-
+        # root committer).
+        _FILES.write_bloom_sidecar(spark, staged, col)
     with _commit_lock(vroot):
         cur = _current_path_version(target, vroot)
         if cur is not None and int(version[1:]) <= int(cur[1:]):
@@ -1228,6 +1242,18 @@ def delete_where(
         src = os.path.join(cur_dir, sidecar)
         if os.path.isfile(src):
             shutil.copy(src, os.path.join(staged, sidecar))
+    # The bloom parquet rows were hardlink-carried above (same relative
+    # paths, same files); the per-column _META.json is dot/underscore-
+    # filtered by the walk, so carry it explicitly — without it the
+    # sidecar is unreadable after a merge-on-read delete and every
+    # later maintenance pass silently stops maintaining the index.
+    # Deleted keys staying bloom-admitted is the allowed false-positive
+    # side of the contract.
+    for col in _FILES.bloom_sidecar_columns(cur_dir):
+        shutil.copy(
+            os.path.join(cur_dir, "_blooms", col, "_META.json"),
+            os.path.join(staged, "_blooms", col, "_META.json"),
+        )
     ddir = os.path.join(staged, _DELETES)
     from pyspark.sql import Observation
 

@@ -137,6 +137,20 @@ def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_for(_docs(spark, sf_dir))
 
 
+def _shingle_hash_frame(d: DataFrame) -> DataFrame:
+    """The materialized distinct (doc_id, shingle-hash) frame — the ONE
+    table a production dedup stack persists and feeds to every member
+    (LSH signatures, prefix-filter join, recall audit). Materialized
+    because every consumer reads it multiple times (see the callers'
+    comments); at 100 TB it is a persisted intermediate, not a
+    recompute-per-pass lineage."""
+    return materialize(
+        TX.shingle_rows(d, SHINGLE_K)
+        .select("doc_id", TX.hash60("g").alias("h"))
+        .distinct()
+    )
+
+
 def _minhash_pairs_for(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
     """The LSH pair plan over any (doc_id, text) frame — the corpus for
     the standalone queries, the curation survivors for the composed
@@ -155,21 +169,11 @@ def _minhash_pairs_for(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
     # all-NULL signatures; their candidate pairs were jaccard-NULL-
     # filtered anyway (identically in the oracle).
     if hs is None:
-        hs = (
-            TX.shingle_rows(d, SHINGLE_K)
-            .select("doc_id", TX.hash60("g").alias("h"))
-            .distinct()
-            # Materialized ONCE: three downstream passes read hs (the
-            # signature aggregate and both sides of the verify join), and
-            # each would otherwise re-run the posexplode+window+md5 lineage
-            # (measured 2.5x on the whole pair plan at sf0.1). This is what
-            # production LSH does at any scale — the shingle-hash table is
-            # written once and reused; at 100 TB it is a persisted
-            # intermediate (disk-backed via the materialize() profile:
-            # localCheckpoint locally, reliable checkpoint on a cluster),
-            # not a recompute-three-times lineage.
-            .transform(materialize)
-        )
+        # Three downstream passes read hs (the signature aggregate and
+        # both sides of the verify join) — the shared materialized
+        # frame keeps that to one shingle pass (measured 2.5x on the
+        # whole pair plan at sf0.1).
+        hs = _shingle_hash_frame(d)
     p = F.lit(TX.MINHASH_P)
     # Shingle-set size rides along as a 17th aggregate in the signature
     # pass (one groupBy over hs instead of two full recomputes of the
@@ -4736,11 +4740,10 @@ def _prefix_filter_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame
     (the materialized distinct shingle-hash frame) to share it with
     the LSH tier inside lsh_recall_audit. Default builds it —
     plan-identical to the pre-round-11 inline form."""
-    h = hs if hs is not None else materialize(
-        TX.shingle_rows(d, SHINGLE_K)
-        .select("doc_id", TX.hash60("g").alias("h"))
-        .distinct()
-    )
+    # The prefix frame and the per-doc hash arrays each consume h on
+    # BOTH sides of their joins — the shared materialized frame keeps
+    # the df join + ranking window to one shingle pass.
+    h = hs if hs is not None else _shingle_hash_frame(d)
     sizes = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_tok = h.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     pos = F.row_number().over(
@@ -5061,11 +5064,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup stack persists once and feeds to every member), so the audit
     costs the two pair plans minus the duplicated shingle pass."""
     d = _docs(spark, sf_dir)
-    hs = materialize(
-        TX.shingle_rows(d, SHINGLE_K)
-        .select("doc_id", TX.hash60("g").alias("h"))
-        .distinct()
-    )
+    hs = _shingle_hash_frame(d)
     exact = _prefix_filter_pairs(d, hs=hs)
     lsh = _minhash_pairs_for(d, hs=hs).select("doc_a", "doc_b")
     hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")

@@ -314,6 +314,10 @@ def near_dup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+near_dup_video_frames.__doc__ = near_dup_video_frames.__doc__.replace(
+    "{VIDEO_HAMMING_MAX}", str(VIDEO_HAMMING_MAX)
+)
+
 _FSTRIDE = MM.FRAME_STRIDE
 
 NEAR_DUP_VIDEO_FRAMES_SQL = f"""

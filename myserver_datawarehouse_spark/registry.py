@@ -1446,7 +1446,10 @@ _SPECS: list[QuerySpec] = [
 #   4. last adjudicated in round 9 (48 standing — 1 verdict
 #      forfeited to the round-11 shared-shingle-frame refactor of
 #      near_dup_prefix_filter, which returns to the head);
-#   5. last adjudicated in round 10 (50 standing — CORRECTNESS_r10.json
+#   5. last adjudicated in round 10 (49 standing — 1 verdict
+#      forfeited to the round-11 _phash60 kernel refactor of
+#      near_dup_image_phash, which returns to the head per the
+#      plan-change rule; CORRECTNESS_r10.json
 #      was 50/50 green: the 5 round-10 additions, the full 15-query
 #      round-5 tier, and 30 of the round-6 tier all moved here).
 # Within each tier, preserve the maintained _SPECS order above. Over
@@ -1661,7 +1664,6 @@ _ADJUDICATED_R10 = frozenset(
         "local_supplier_volume",
         "nation_market_share",
         "nation_trade_flows",
-        "near_dup_image_phash",
         "near_dup_simhash",
         "ngram_jaccard_pairs",
         "null_key_rollup",

@@ -142,7 +142,9 @@ def _bloom_dir(table_dir: str, column: str) -> str:
 def _data_files_relative(table_dir: str) -> list[str]:
     """Relative paths of every data file under a snapshot dir, sidecar
     trees (`_blooms`, `_deletes`, dot-dirs) excluded — the same walk
-    contract as operators/merge._data_file_inodes."""
+    contract as operators/merge._data_file_inodes, EXCEPT that
+    `_layout-*` spec subtrees (partition evolution) are data, not
+    sidecars, and are descended into."""
     import os
 
     out: list[str] = []
@@ -150,7 +152,10 @@ def _data_files_relative(table_dir: str) -> list[str]:
         dirs[:] = [
             d
             for d in dirs
-            if not (d.startswith(".") or (d.startswith("_") and "=" not in d))
+            if d.startswith("_layout-")
+            or not (
+                d.startswith(".") or (d.startswith("_") and "=" not in d)
+            )
         ]
         for f in files:
             if not f.startswith((".", "_")):
@@ -276,16 +281,16 @@ def carry_bloom_sidecar(
     staged_files = _data_files_relative(staged_dir)
     old = spark.read.parquet(src)
     staged_set = set(staged_files)
+    # One manifest-scale collect of the old PATHS drives both the
+    # carried filter and the new-file diff (the bloom bitsets
+    # themselves never reach the driver).
+    old_paths = {r["path"] for r in old.select("path").collect()}
+    covered = old_paths & staged_set
     carried = (
-        old.filter(F.col("path").isin(*staged_set))
-        if staged_set
+        old.filter(F.col("path").isin(*covered))
+        if covered
         else old.filter(F.lit(False))
     )
-    covered = {
-        r["path"]
-        for r in old.select("path").collect()
-        if r["path"] in staged_set
-    }
     new_files = [f for f in staged_files if f not in covered]
     frames = [carried]
     if new_files:
@@ -310,14 +315,23 @@ def bloom_prune_files(
     spark: SparkSession, table_dir: str, column: str, keys
 ) -> tuple[list[str], int]:
     """Prune a point lookup against the committed bloom sidecar:
-    returns (candidate ABSOLUTE file paths, total files). The bit tests
-    run EXECUTOR-side over the sidecar scan (a few codegen'd
+    returns (candidate ABSOLUTE file paths, total data files). The bit
+    tests run EXECUTOR-side over the sidecar scan (a few codegen'd
     byte-AND expressions per probe key); the driver receives only the
     candidate path strings, manifest-scale, exactly what a table
-    format's coordinator reads. False positives only — a bloom can
-    admit a file without the key, never reject one with it; to keep
-    that contract the probe hashes with the column type recorded at
-    write time (xxhash64("5") != xxhash64(5))."""
+    format's coordinator reads. Two rules keep the zero-false-negative
+    contract under EVERY lifecycle state:
+
+    - the probe hashes with the column type recorded at write time
+      (xxhash64 is type-sensitive: xxhash64("5") != xxhash64(5));
+      probe keys are accepted in any lossless textual form and CAST to
+      that type, so CLI string inputs probe correctly for int, double
+      and string columns alike (a key that fails the cast raises
+      instead of silently hashing NULL);
+    - data files WITHOUT a bloom row (written after the sidecar by a
+      maintenance path that does not carry blooms, e.g. evolved
+      merges) are ALWAYS candidates — a stale or partial sidecar
+      degrades to less pruning, never to wrong results."""
     import json
     import os
 
@@ -331,19 +345,31 @@ def bloom_prune_files(
             f"bloom sidecar covers {meta['column']!r}, probe on {column!r}"
         )
     bits = int(meta["bits"])
-    blooms = spark.read.parquet(sidecar)
-    total = blooms.count()
+    data_files = _data_files_relative(table_dir)
+    total = len(data_files)
     keys = list(keys)
     if not keys:
         return [], total
     bucket = F.pmod(F.xxhash64(F.col(column)), F.lit(bits))
+    typed = (
+        spark.createDataFrame(
+            [(str(k),) for k in keys], f"{column} string"
+        )
+        # try_cast, not cast: under ANSI mode a malformed key would
+        # throw a raw JVM NumberFormatException mid-collect; NULL +
+        # the explicit raise below is the same failure, diagnosable.
+        .select(
+            F.expr(f"try_cast(`{column}` AS {meta['type']})").alias(column)
+        )
+    )
+    if typed.filter(F.col(column).isNull()).count():
+        raise ValueError(
+            f"probe keys {keys!r} do not all cast to the sidecar's "
+            f"column type {meta['type']!r}"
+        )
     probe_buckets = [
         int(r["bucket"])
-        for r in spark.createDataFrame(
-            [(k,) for k in keys], f"{column} {meta['type']}"
-        )
-        .select(bucket.alias("bucket"))
-        .collect()
+        for r in typed.select(bucket.alias("bucket")).collect()
     ]
 
     def bit_set(b: int):
@@ -355,9 +381,16 @@ def bloom_prune_files(
     admits = bit_set(probe_buckets[0])
     for b in probe_buckets[1:]:
         admits = admits | bit_set(b)
-    keep = [
-        os.path.join(table_dir, r["path"])
+    blooms = spark.read.parquet(sidecar)
+    covered = {r["path"] for r in blooms.select("path").collect()}
+    admitted = {
+        r["path"]
         for r in blooms.filter(admits).select("path").collect()
+    }
+    keep = [
+        os.path.join(table_dir, f)
+        for f in data_files
+        if f in admitted or f not in covered
     ]
     return keep, total
 

@@ -222,3 +222,123 @@ def test_cli_table_bloom_and_prune(spark, tmp_path, capsys):
     first = out.splitlines()[0]
     kept, total = first.split()[0].split("/")
     assert int(total) == 4 and 1 <= int(kept) <= 4
+
+
+def test_bloom_survives_merge_on_read_delete(spark, tmp_path):
+    """Code-review r11 (medium): delete_where hardlink-carried the bloom
+    parquet but dropped _META.json, leaving the sidecar unreadable and
+    silently un-maintained afterwards. The META now carries; deleted
+    keys staying bloom-admitted is the allowed false-positive side."""
+    df = spark.range(120).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("value"),
+    ).repartition(4, "event_id")
+    root = str(tmp_path / "mor")
+    M.publish_overwrite(spark, root, df, bloom_columns=["event_id"])
+    M.delete_where(
+        spark, root, F.col("event_id") % 7 == 0, keys=["event_id"]
+    )
+    v2 = M._published_version(root)
+    snap2 = os.path.join(root, v2)
+    assert FS.bloom_sidecar_columns(snap2) == ["event_id"]
+    keep, total = FS.bloom_prune_files(spark, snap2, "event_id", [8])
+    got = (
+        spark.read.parquet(*keep).filter(F.col("event_id") == 8).count()
+    )
+    assert got == 1
+
+
+def test_bloom_partial_coverage_never_false_negative(spark, tmp_path):
+    """Files without a bloom row (written by a path that does not
+    maintain the sidecar) are ALWAYS candidates — a stale sidecar
+    degrades to less pruning, never wrong results."""
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("value"),
+    ).repartition(4, "event_id")
+    root = str(tmp_path / "partial")
+    v = M.publish_overwrite(spark, root, df, bloom_columns=["event_id"])
+    snap = os.path.join(root, v)
+    # Simulate an unmaintained write: drop a data file into the
+    # snapshot AFTER the sidecar was committed.
+    extra = spark.createDataFrame([(10_007, 1.0)], "event_id long, value double")
+    extra.coalesce(1).write.mode("append").parquet(snap)
+    keep, total = FS.bloom_prune_files(spark, snap, "event_id", [10_007])
+    got = (
+        spark.read.parquet(*keep)
+        .filter(F.col("event_id") == 10_007)
+        .count()
+    )
+    assert got == 1  # the uncovered file was admitted unconditionally
+    assert total == 5  # total counts DATA files, not bloom rows
+
+
+def test_bloom_survives_partition_evolution_and_compaction(spark, tmp_path):
+    """Code-review r11 (medium): the first evolution relocated the
+    sidecar META-less under _layout-0, so compact_evolved's rebuild
+    found no columns. The sidecar now carries at the version root with
+    layout-prefixed row paths, stays probe-safe while evolved, and the
+    compaction rebuild finds it."""
+    from myserver_datawarehouse_spark.operators import evolution as EV
+
+    df = spark.range(90).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.col("id").cast("double").alias("value"),
+    )
+    root = str(tmp_path / "evo")
+    M.publish_overwrite(
+        spark, root, df.repartition(3, "event_id"),
+        bloom_columns=["event_id"],
+    )
+    EV.evolve_partition_spec(spark, root, ["part"])
+    v_evolved = M._published_version(root)
+    snap_e = os.path.join(root, v_evolved)
+    assert FS.bloom_sidecar_columns(snap_e) == ["event_id"]
+    keep, _t = FS.bloom_prune_files(spark, snap_e, "event_id", [11])
+    assert any("_layout-0" in p for p in keep)
+    got = (
+        spark.read.parquet(*keep).filter(F.col("event_id") == 11).count()
+    )
+    assert got == 1
+    # Evolved merge writes new (uncovered) files, then compaction
+    # rebuilds the full index.
+    EV.evolved_merge(
+        spark, root,
+        spark.createDataFrame(
+            [(10_011, "0", 5.0)], "event_id long, part string, value double"
+        ),
+        keys=["event_id"],
+    )
+    EV.compact_evolved(spark, root)
+    snap_c = os.path.join(root, M._published_version(root))
+    assert FS.bloom_sidecar_columns(snap_c) == ["event_id"]
+    keep, total = FS.bloom_prune_files(
+        spark, snap_c, "event_id", [10_011, 11]
+    )
+    got = (
+        spark.read.parquet(*keep)
+        .filter(F.col("event_id").isin(10_011, 11))
+        .count()
+    )
+    assert got == 2
+    # full rebuild: every data file covered again
+    covered = {
+        r["path"]
+        for r in spark.read.parquet(
+            os.path.join(snap_c, "_blooms", "event_id")
+        ).select("path").collect()
+    }
+    assert covered == set(FS._data_files_relative(snap_c))
+
+
+def test_bloom_prune_casts_probe_keys_to_column_type(spark, tmp_path):
+    """Code-review r11: string probe keys (the CLI path) cast to the
+    sidecar's recorded type for ANY column type; an uncastable key
+    raises instead of silently hashing NULL."""
+    root, snap = _publish_events(spark, tmp_path, key_type="long")
+    keep_s, _ = FS.bloom_prune_files(spark, snap, "event_id", ["7", "42"])
+    keep_i, _ = FS.bloom_prune_files(spark, snap, "event_id", [7, 42])
+    assert sorted(keep_s) == sorted(keep_i)
+    with pytest.raises(ValueError, match="cast"):
+        FS.bloom_prune_files(spark, snap, "event_id", ["not-a-number"])
