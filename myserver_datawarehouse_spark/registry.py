@@ -1432,26 +1432,23 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. After the round-10 fold every one of the 201
+#      are re-checked. After the round-11 fold every one of the 209
 #      registry queries has a green driver verdict at its current name;
-#      this head tier holds only round-11 additions/changes.
-#   1. last adjudicated in round 6 (14 stragglers at the staleness
-#      bound — the round-10 VERDICT ordered these to consume the FIRST
-#      14 slots of the round-11 budget; the judge pre-verified all 14
+#      this head tier holds only round-12 additions/changes.
+#   1. last adjudicated in round 7 (16 stragglers at the staleness
+#      bound — the round-11 VERDICT ordered these to consume the FIRST
+#      16 slots of the round-12 budget; the judge pre-verified all 16
 #      green at sf0.01);
-#   2. last adjudicated in round 7 (41 standing);
-#   3. last adjudicated in round 8 (46 standing — 1 verdict
-#      forfeited to the round-11 bloom sidecar rework of
-#      bloom_file_skip_audit, which returns to the head);
-#   4. last adjudicated in round 9 (48 standing — 1 verdict
-#      forfeited to the round-11 shared-shingle-frame refactor of
-#      near_dup_prefix_filter, which returns to the head);
-#   5. last adjudicated in round 10 (49 standing — 1 verdict
-#      forfeited to the round-11 _phash60 kernel refactor of
-#      near_dup_image_phash, which returns to the head per the
-#      plan-change rule; CORRECTNESS_r10.json
-#      was 50/50 green: the 5 round-10 additions, the full 15-query
-#      round-5 tier, and 30 of the round-6 tier all moved here).
+#   2. last adjudicated in round 8 (46 standing);
+#   3. last adjudicated in round 9 (48 standing);
+#   4. last adjudicated in round 10 (49 standing);
+#   5. last adjudicated in round 11 (50 standing — CORRECTNESS_r11.json
+#      was 50/50 green: the 8 round-11 additions, the 3 refactor
+#      re-adjudications, the full 14-query round-6 tier, and 25 of the
+#      round-7 tier all moved here. Round-12 forfeits, removed from
+#      this set by hand per the plan-change rule: lsh_recall_audit
+#      (low-J fixture mass) and cross_modal_curation (video arm) —
+#      both return to the head).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
@@ -1461,74 +1458,30 @@ _SPECS: list[QuerySpec] = [
 # standing verdict is ceil(N/50) rounds older than the newest folded
 # record. Keep (new/changed queries per round) + (stalest standing
 # tier) <= 50 so the budget always clears the head AND the oldest
-# tier; at N=201 that means <= ~36 new queries/round steady-state.
+# tier; at N=209 that means <= ~34 new queries/round steady-state.
 #
-# Round-12 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r11.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 11
+# Round-13 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r12.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 12
 # OUT of every set so it returns to the head.
-
-_ADJUDICATED_R6 = frozenset(
-    {
-        "approx_quantile_audit",
-        "csv_roundtrip_pricing",
-        "dpp_partitioned_revenue",
-        "heavy_hitters_cm_audit",
-        "jsonl_roundtrip_pricing",
-        "min_cost_supplier",
-        "nation_top_customers_listagg",
-        "part_supplier_variety",
-        "promotable_part_suppliers",
-        "returned_item_losses",
-        "sole_returner_suppliers",
-        "streaming_restart_exactly_once",
-        "streaming_watermark_audit",
-        "top_supplier_revenue",
-    }
-)
 
 _ADJUDICATED_R7 = frozenset(
     {
         "bloom_pruned_join",
         "bucketed_colocated_join",
-        "corpus_build_pipeline",
-        "corpus_curation_pipeline",
         "data_mixture_rebalance",
-        "dedup_clusters",
         "dedup_incremental_new_docs",
         "dim_date_integrity",
-        "embedding_ann_bucketed",
-        "embedding_ann_multiprobe",
-        "embedding_norm_stats_by_label",
-        "embedding_topk_bruteforce",
-        "embedding_topk_bruteforce_baseline",
         "freshness_probe",
-        "gapfill_locf_windowed",
-        "gapfill_missing_minutes_windowed",
-        "interpolate_minutes_bracketing_windowed",
-        "interpolate_minutes_nearest2_windowed",
         "leakage_safe_split",
-        "multimodal_features",
-        "multimodal_type_rollup",
-        "near_dup_embedding_cosine",
-        "near_dup_embedding_cosine_baseline",
-        "near_dup_minhash_lsh",
         "quality_percentile_filter",
         "ranking_report",
         "scd2_user_history",
-        "semantic_dedup_clusters",
-        "share_of_total",
-        "share_of_total_broadcast",
         "source_vocab_overlap",
         "sources_summary",
-        "star_join_revenue",
         "streaming_band_rollup",
-        "streaming_click_attribution",
-        "streaming_dedup_counts",
-        "streaming_minute_agg",
         "streaming_session_windows",
         "timestamp_roundtrip",
-        "top_supplier_per_nation",
         "value_outliers_mad",
     }
 )
@@ -1691,17 +1644,70 @@ _ADJUDICATED_R10 = frozenset(
     }
 )
 
+_ADJUDICATED_R11 = frozenset(
+    {
+        "ann_nprobe_clustered",
+        "approx_quantile_audit",
+        "bloom_file_skip_audit",
+        "bpe_fertility_by_lang",
+        "bpe_sampled_training",
+        "corpus_build_pipeline",
+        "corpus_curation_pipeline",
+        "csv_roundtrip_pricing",
+        "dedup_clusters",
+        "dpp_partitioned_revenue",
+        "embedding_ann_bucketed",
+        "embedding_ann_multiprobe",
+        "embedding_norm_stats_by_label",
+        "embedding_topk_bruteforce",
+        "embedding_topk_bruteforce_baseline",
+        "gapfill_locf_windowed",
+        "gapfill_missing_minutes_windowed",
+        "heavy_hitters_cm_audit",
+        "interpolate_minutes_bracketing_windowed",
+        "interpolate_minutes_nearest2_windowed",
+        "ivf_incremental_ingest_audit",
+        "jsonl_roundtrip_pricing",
+        "min_cost_supplier",
+        "multimodal_features",
+        "multimodal_type_rollup",
+        "nation_top_customers_listagg",
+        "near_dup_embedding_cosine",
+        "near_dup_embedding_cosine_baseline",
+        "near_dup_image_phash",
+        "near_dup_minhash_lsh",
+        "near_dup_prefix_filter",
+        "near_dup_video_frames",
+        "part_supplier_variety",
+        "promotable_part_suppliers",
+        "returned_item_losses",
+        "semantic_dedup_clusters",
+        "share_of_total",
+        "share_of_total_broadcast",
+        "sole_returner_suppliers",
+        "star_join_revenue",
+        "streaming_bloom_maintained",
+        "streaming_click_attribution",
+        "streaming_dedup_counts",
+        "streaming_minute_agg",
+        "streaming_restart_exactly_once",
+        "streaming_watermark_audit",
+        "top_supplier_per_nation",
+        "top_supplier_revenue",
+    }
+)
+
 
 def _staleness(name: str) -> int:
-    if name in _ADJUDICATED_R10:
+    if name in _ADJUDICATED_R11:
         return 5
-    if name in _ADJUDICATED_R9:
+    if name in _ADJUDICATED_R10:
         return 4
-    if name in _ADJUDICATED_R8:
+    if name in _ADJUDICATED_R9:
         return 3
-    if name in _ADJUDICATED_R7:
+    if name in _ADJUDICATED_R8:
         return 2
-    if name in _ADJUDICATED_R6:
+    if name in _ADJUDICATED_R7:
         return 1
     return 0  # never adjudicated in current form — check first
 
