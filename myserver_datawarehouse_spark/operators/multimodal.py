@@ -271,3 +271,55 @@ def frame_phash(media: DataFrame) -> DataFrame:
     return vids.select("doc_id", "payload").mapInPandas(
         _frame_phash_kernel, schema=FRAME_PHASH_SCHEMA
     )
+
+
+AUDIO_WINDOW = 96
+AUDIO_HOP = 48  # 50% overlap: window = 2 * hop, every byte covered twice
+AUDIO_FP_SCHEMA = "doc_id long, seg_idx int, ahash long"
+
+
+def _audio_fp_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Overlapped-window audio fingerprinting: segment i of an audio
+    payload is bytes [i*AUDIO_HOP, i*AUDIO_HOP + AUDIO_WINDOW) — the
+    50%-overlap hop/window framing every spectrogram-based fingerprint
+    (Shazam/Chromaprint family) uses, with the byte buffer standing in
+    for PCM samples (a real decoder feeds librosa frames to the same
+    hash). Each window is hashed by the shared _phash60 block-histogram
+    rule, so a splice perturbs only the windows overlapping it while
+    the 50% overlap guarantees every edit region is seen by a window
+    that ALSO covers stable context on both sides — clip-in-track
+    matches survive insertions that fixed-stride (video-style) framing
+    would phase-shift away. Segment count: max(ceil(n/hop) - 1, 1)
+    (window = 2*hop makes that exact full coverage)."""
+    for pdf in batches:
+        rows: dict[str, list] = {"doc_id": [], "seg_idx": [], "ahash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            bs = bytes(payload)
+            n_segs = max(-(-len(bs) // AUDIO_HOP) - 1, 1)
+            for i in range(n_segs):
+                rows["doc_id"].append(doc_id)
+                rows["seg_idx"].append(i)
+                rows["ahash"].append(
+                    _phash60(bs[i * AUDIO_HOP : i * AUDIO_HOP + AUDIO_WINDOW])
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "seg_idx": pd.Series(rows["seg_idx"], dtype="int32"),
+                "ahash": pd.Series(rows["ahash"], dtype="int64"),
+            }
+        )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-window audio fingerprints via mapInPandas: one (doc_id,
+    seg_idx, 60-bit ahash) row per overlapped hop window — the audio
+    arm of the near-dup tier, completing the image/audio/video modality
+    matrix. The payload never leaves its scan; only ~16-byte
+    fingerprint rows shuffle."""
+    auds = media.filter(F.col("media_type") == "audio")
+    return auds.select("doc_id", "payload").mapInPandas(
+        _audio_fp_kernel, schema=AUDIO_FP_SCHEMA
+    )

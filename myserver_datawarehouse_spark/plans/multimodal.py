@@ -381,6 +381,204 @@ ORDER BY doc_a, doc_b
 """
 
 
+AUDIO_HAMMING_MAX = PHASH_HAMMING_MAX  # per-window radius, same pigeonhole
+CLIP_ID_OFFSET = 9_999_999  # ≡ 0 (mod 3): a clip keeps its track's class
+CLIP_EVERY = 30  # clip every 10th audio doc (doc_id % 30 == 1)
+CLIP_START = MM.AUDIO_HOP  # hop-aligned: clip windows == track windows
+CLIP_LEN = 4 * MM.AUDIO_HOP
+CLIP_MIN_TRACK = CLIP_START + CLIP_LEN + 1  # clip strictly interior
+
+
+def near_dup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapped-window audio fingerprint near-dup — the audio arm
+    completing the modality matrix (text: exact/MinHash/SimHash/
+    prefix-filter/spans; image: pHash; video: frame sets; audio: this).
+
+    Corpus: the audio-payload docs PLUS a deterministic in-plan clip
+    fixture (the ann_nprobe_clustered pattern — no rand()): every
+    CLIP_EVERY-th audio doc long enough to contain one contributes a
+    hop-ALIGNED interior clip (payload bytes [CLIP_START,
+    CLIP_START+CLIP_LEN), id + CLIP_ID_OFFSET), so the clip's windows
+    coincide byte-for-byte with interior track windows — guaranteed
+    true clip-in-track positives at every SF exercising exactly the
+    containment semantics (the raw fixture has zero intra-audio-class
+    near-dups below sf0.1; the oracle derives the identical clips).
+
+    Pipeline: audio payload -> 50%-overlap hop windows, one 60-bit
+    fingerprint per window in a mapInPandas kernel (operators/
+    multimodal.audio_fingerprint — the librosa/PCM decode is the
+    stubbed seam; the hash math is the shared _phash60 block-histogram
+    rule) -> 4x15-bit chunk banding of EVERY window hash (operators/
+    text.simhash_chunks, the SimHash band machinery reused verbatim)
+    -> candidate tracks = pairs sharing any (chunk_idx, chunk_value)
+    bucket -> window-set CONTAINMENT verify: window x of A matches if
+    some window of B is within Hamming {AUDIO_HAMMING_MAX} (array-local
+    higher-order functions over the collected per-track fingerprint
+    arrays — JVM codegen, no per-window join), keep pairs where matched
+    windows cover >= half of MIN(|A|,|B|) — min, not the video arm's
+    max: a short clip contained in a longer track is an audio dup even
+    though it covers little of the track (clip-detection semantics; the
+    max rule would wrongly clear clips of long tracks) — all on integer
+    cross-multiplication -> survivor pick (min doc_id among each
+    retired track's matches).
+
+    At 100 TB of audio: PCM never shuffles — the network moves ~16-byte
+    (doc_id, seg_idx, ahash) rows; candidates come only from shared
+    15-bit buckets (corpus_windows/32768 expected fan-out per chunk),
+    never all-pairs; the verify touches fingerprint arrays of candidate
+    pairs only (production caps windows/track by hop-rate choice). The
+    oracle recomputes clips, windows, hashes, banding, and the
+    containment rule relationally."""
+    from myserver_datawarehouse_spark.session import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    clips = docs.filter(
+        (F.col("doc_id") % CLIP_EVERY == 1)
+        & (F.length("text") >= CLIP_MIN_TRACK)
+    ).select(
+        (F.col("doc_id") + F.lit(CLIP_ID_OFFSET)).alias("doc_id"),
+        F.substring("text", CLIP_START + 1, CLIP_LEN).alias("text"),
+    )
+    media = MM.with_fake_payload(base.unionAll(clips))
+    # materialize: the fingerprint frame feeds the chunk explode AND
+    # the per-track set aggregate — without the cut the payload scan +
+    # fingerprint kernel execute twice.
+    fp = materialize(MM.audio_fingerprint(media))
+    chunks = fp.select(
+        "doc_id",
+        F.posexplode(TX.simhash_chunks("ahash", PHASH_CHUNKS)).alias(
+            "c", "cv"
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = fp.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("ahash")).alias("ahashes"),
+        F.count(F.lit(1)).alias("n_segs"),
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    ver = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.col("sa.ahashes"),
+                    lambda x: F.exists(
+                        F.col("sb.ahashes"),
+                        lambda y: TX.hamming60(x, y)
+                        <= F.lit(AUDIO_HAMMING_MAX),
+                    ),
+                )
+            ).alias("matched"),
+            F.col("sa.n_segs").alias("n_segs_a"),
+            F.col("sb.n_segs").alias("n_segs_b"),
+        )
+        .filter(
+            F.col("matched") * 2
+            >= F.least(F.col("n_segs_a"), F.col("n_segs_b"))
+        )
+    )
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        "matched",
+        "n_segs_a",
+        "n_segs_b",
+        F.min("doc_a").over(Window.partitionBy("doc_b")).alias("survivor"),
+    ).orderBy("doc_a", "doc_b")
+
+
+near_dup_audio_fingerprint.__doc__ = near_dup_audio_fingerprint.__doc__.replace(
+    "{AUDIO_HAMMING_MAX}", str(AUDIO_HAMMING_MAX)
+)
+
+_AHOP = MM.AUDIO_HOP
+_AWIN = MM.AUDIO_WINDOW
+
+NEAR_DUP_AUDIO_FINGERPRINT_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + {CLIP_ID_OFFSET} AS doc_id,
+         substring(text, {CLIP_START + 1}, {CLIP_LEN}) AS text
+  FROM documents
+  WHERE doc_id % {CLIP_EVERY} = 1 AND length(text) >= {CLIP_MIN_TRACK}
+),
+aud AS (
+  SELECT doc_id, text, length(text) AS n FROM raw
+),
+seg AS (
+  SELECT doc_id,
+         substring(text, i * {_AHOP} + 1, {_AWIN}) AS seg
+  FROM aud, LATERAL unnest(generate_series(
+    0, GREATEST(CAST(CEIL(n / {_AHOP}.0) AS INT) - 1, 1) - 1)) AS u(i)
+),
+bins AS (
+  SELECT doc_id, seg, length(seg) - {_PHASH_W} + 1 AS n,
+         [CAST(('0x' || substring(md5(substring(seg, j, {_PHASH_W})), 1, 15))::BIGINT
+               % {MM.PHASH_BITS} AS INT)
+          FOR j IN generate_series(1, length(seg) - {_PHASH_W} + 1)] AS bs
+  FROM seg
+),
+ah AS (
+  SELECT doc_id,
+         CAST(list_sum(
+           [CASE WHEN {MM.PHASH_BITS} * len(list_filter(bs, b -> b = i)) > n
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+            FOR i IN generate_series(0, {MM.PHASH_BITS - 1})]) AS BIGINT)
+           AS ahash
+  FROM bins
+),
+chunks AS (
+  SELECT doc_id, c,
+         CAST((ahash >> (c * {_PHASH_CHUNK_W})) & {_PHASH_CHUNK_MASK} AS INT)
+           AS cv
+  FROM ah, LATERAL unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS u(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_sort(list(ahash)) AS ahs, COUNT(*) AS n_segs
+  FROM ah GROUP BY doc_id
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(sa.ahs,
+           x -> len(list_filter(sb.ahs,
+                  y -> bit_count(xor(x, y)) <= {AUDIO_HAMMING_MAX})) > 0))
+           AS INT) AS matched,
+         sa.n_segs AS n_segs_a, sb.n_segs AS n_segs_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, matched, n_segs_a, n_segs_b,
+       MIN(doc_a) OVER (PARTITION BY doc_b) AS survivor
+FROM ver
+WHERE 2 * matched >= LEAST(n_segs_a, n_segs_b)
+ORDER BY doc_a, doc_b
+"""
+
+
 FRAME_K = 4
 
 

@@ -505,6 +505,15 @@ _SPECS: list[QuerySpec] = [
         "frame-set Hamming overlap verify + survivor pick",
     ),
     QuerySpec(
+        "near_dup_audio_fingerprint",
+        MMQ.near_dup_audio_fingerprint,
+        MMQ.NEAR_DUP_AUDIO_FINGERPRINT_SQL,
+        "LLM multimodal near-dup, audio arm: 50%-overlap hop-window "
+        "fingerprint kernel, chunk-banded candidate join, array-local "
+        "window-set Hamming CONTAINMENT verify (min-side coverage — "
+        "clip detection) + survivor pick",
+    ),
+    QuerySpec(
         "cross_modal_curation",
         MMQ.cross_modal_curation,
         MMQ.CROSS_MODAL_CURATION_SQL,

@@ -1,0 +1,94 @@
+"""Round-12 operators: audio fingerprint near-dup (the modality
+matrix's third arm), bloom sidecar carry through evolved merges, the
+low-J LSH recall deciles, the streaming IVF ingest variant, and the
+three-modality cross-modal curation."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.operators import multimodal as MM
+from myserver_datawarehouse_spark.plans import multimodal as MMQ
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------- audio fingerprint kernel
+
+
+def _ref_phash(payload: bytes) -> int:
+    w, bits = MM.PHASH_WINDOW, MM.PHASH_BITS
+    n = len(payload) - w + 1
+    cnt = [0] * bits
+    for j in range(max(n, 0)):
+        b = int(
+            hashlib.md5(payload[j : j + w]).hexdigest()[:15], 16
+        ) % bits
+        cnt[b] += 1
+    h = 0
+    for i in range(bits):
+        if bits * cnt[i] > n:
+            h |= 1 << i
+    return h
+
+
+def test_audio_fingerprint_overlapped_windows(spark):
+    payload = (
+        b"do re mi fa sol la ti do octave up and down again forever "
+        * 7
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload)), (2, "video", bytearray(payload))],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = MM.audio_fingerprint(media).collect()
+    assert {r.doc_id for r in got} == {1}  # non-audio filtered
+    hop, win = MM.AUDIO_HOP, MM.AUDIO_WINDOW
+    n_segs = max(-(-len(payload) // hop) - 1, 1)
+    assert sorted(r.seg_idx for r in got) == list(range(n_segs))
+    for r in got:
+        seg = payload[r.seg_idx * hop : r.seg_idx * hop + win]
+        assert r.ahash == _ref_phash(seg)
+
+
+def test_audio_fingerprint_short_payload_single_window(spark):
+    media = spark.createDataFrame(
+        [(9, "audio", bytearray(b"tiny"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = MM.audio_fingerprint(media).collect()
+    assert len(got) == 1 and got[0].seg_idx == 0
+    assert got[0].ahash == _ref_phash(b"tiny")
+
+
+def test_audio_clip_containment_min_rule(spark):
+    """A hop-aligned clip of a longer track must be caught by the
+    min-side containment rule even though it covers a minority of the
+    track (the video arm's max rule would clear it)."""
+    out = MMQ.near_dup_audio_fingerprint(spark, SF).collect()
+    assert out, "clip fixture must produce pairs at sf0.001"
+    planted = [
+        r for r in out if r.doc_b - r.doc_a == MMQ.CLIP_ID_OFFSET
+    ]
+    assert planted, "planted clip pairs must survive the verify"
+    for r in planted:
+        # containment: matched covers >= half the clip's windows
+        assert 2 * r.matched >= min(r.n_segs_a, r.n_segs_b)
+        # min-rule is load-bearing whenever the track outweighs 2x clip
+        assert r.survivor == min(r.doc_a, r.survivor)
+    # at least one planted pair must FAIL the video-style max rule,
+    # proving the audio semantics differ (tracks longer than 2x clip)
+    assert any(
+        2 * r.matched < max(r.n_segs_a, r.n_segs_b) for r in planted
+    )
+
+
+def test_audio_clip_ids_do_not_collide(spark):
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert (
+        docs.agg(F.max("doc_id")).first()[0] < MMQ.CLIP_ID_OFFSET
+    ), "clip id namespace must sit above every real doc_id"
+    assert MMQ.CLIP_ID_OFFSET % 3 == 0, "clip must keep audio class"

@@ -135,6 +135,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "(prefix-filter shingle/prefix/set frames + the MinHash "
         "shingle frame) — the audit composes the two tiers as-is"
     },
+    "near_dup_audio_fingerprint": {
+        "RDD_SCAN": _LC + "; the per-window fingerprint frame feeds "
+        "the chunk explode AND the per-track set aggregate — the cut "
+        "keeps the payload scan + fingerprint kernel to one pass"
+    },
     "bpe_fertility_by_lang": {
         "RDD_SCAN": _LC + "; the per-round rewritten vocabulary frame "
         "(same _bpe_train loop as bpe_merge_training), joined onto "
