@@ -150,6 +150,18 @@ def main(argv: list[str] | None = None) -> int:
 
             cur = M._published_version(root)
             snap = os.path.join(root, cur) if cur else args.path
+            if os.path.isfile(os.path.join(snap, "_SPECS.json")):
+                # write_bloom_sidecar's plain parquet scan cannot see
+                # data under the underscore-hidden _layout-* subtrees
+                # and would die with an opaque schema-inference error.
+                print(
+                    f"{snap} is an evolved multi-layout snapshot; run "
+                    "'table compact' (compact_evolved) first — evolved "
+                    "merges/appends then maintain the rebuilt sidecar "
+                    "incrementally",
+                    file=sys.stderr,
+                )
+                return 1
             sidecar = write_bloom_sidecar(spark, snap, args.column)
             print(f"wrote {sidecar} (per-file point-lookup blooms; "
                   "merges carry it incrementally, compaction rebuilds "

@@ -241,18 +241,27 @@ def evolve_partition_spec(
 
 
 def _carry_root_blooms(
-    spark: SparkSession, cur_dir: str, staged: str, prefix: str | None
+    spark: SparkSession,
+    cur_dir: str,
+    staged: str,
+    prefix: str | None,
+    columns: list[str] | None = None,
 ) -> None:
-    """Carry the version-root bloom sidecars across a partition-spec
-    evolution commit. `prefix` rebases each row's relative path (the
-    first evolution moves the flat snapshot under `_layout-0/`); later
-    evolutions carry the rows verbatim. The sidecar stays PARTIAL on an
-    evolved table (evolved merges do not maintain it) — safe by
-    bloom_prune_files' uncovered-files-are-candidates rule — and the
-    next compact_evolved rebuilds it fully."""
+    """Carry version-root bloom sidecars VERBATIM across an evolution
+    commit. `prefix` rebases each row's relative path (the first
+    evolution moves the flat snapshot under `_layout-0/`); later
+    evolutions carry the rows verbatim. Used where verbatim is exact
+    (evolve_partition_spec relinks every file, writing none) and as the
+    safe fallback where a fresh pass is impossible (see
+    _maintain_root_blooms) — partial coverage degrades to
+    bloom_prune_files' uncovered-files-are-candidates rule, never to
+    wrong results."""
     from pyspark.sql import functions as F
 
-    for col in _FS.bloom_sidecar_columns(cur_dir):
+    cols = (
+        _FS.bloom_sidecar_columns(cur_dir) if columns is None else columns
+    )
+    for col in cols:
         src = _FS._bloom_dir(cur_dir, col)
         df = spark.read.parquet(src)
         if prefix:
@@ -266,6 +275,35 @@ def _carry_root_blooms(
             os.path.join(src, "_META.json"),
             os.path.join(dst, "_META.json"),
         )
+
+
+def _maintain_root_blooms(
+    spark: SparkSession, cur_dir: str, staged: str, specs: list[dict]
+) -> None:
+    """Incremental bloom maintenance for evolution-path COMMITS that
+    write data (evolved_merge / evolved_append): rows for
+    hardlink-carried files copy verbatim, files NEW in the staged
+    snapshot (the active layout's rewritten/added part files) get a
+    fresh distributed bloom pass, and rows for files the commit
+    dropped fall away — the same O(touched files) contract as
+    merge.merge_upsert_published's carry, so full sidecar coverage
+    SURVIVES evolved writes instead of silently decaying to
+    always-candidates (the round-11 documented gap at
+    sources/files.py bloom_prune_files).
+
+    One structural exception: a bloom column that is also a PARTITION
+    column of any layout is not physically present in that layout's
+    data files (partitioned writes move it into directory names), so a
+    fresh per-file pass cannot hash it; that column falls back to the
+    verbatim carry — partial coverage, never wrong."""
+    part_cols = {c for s in specs for c in s["partition_by"]}
+    for col in _FS.bloom_sidecar_columns(cur_dir):
+        if col in part_cols:
+            _carry_root_blooms(
+                spark, cur_dir, staged, prefix=None, columns=[col]
+            )
+        else:
+            _FS.carry_bloom_sidecar(spark, cur_dir, staged, col)
 
 
 def _carry_delete_meta(src_layout: str, dst_layout: str) -> None:
@@ -472,11 +510,10 @@ def evolved_merge(
             json.dump(specs, fh)
         with open(os.path.join(staged, _SCHEMA), "w") as fh:
             fh.write(schema.json())
-        # Root bloom sidecars carry verbatim: rows for files this
-        # commit rewrote or added go stale/missing, which is SAFE
-        # (bloom_prune_files treats uncovered files as candidates);
-        # the next compact_evolved rebuilds full coverage.
-        _carry_root_blooms(spark, cur_dir, staged, prefix=None)
+        # Root bloom sidecars maintain INCREMENTALLY: carried files'
+        # rows copy verbatim, this commit's new active-layout files get
+        # a fresh pass — pruning coverage survives the evolved merge.
+        _maintain_root_blooms(spark, cur_dir, staged, specs)
     except Exception:
         shutil.rmtree(staged, ignore_errors=True)
         raise
@@ -670,11 +707,10 @@ def evolved_append(
             json.dump(specs, fh)
         with open(os.path.join(staged, _SCHEMA), "w") as fh:
             fh.write(schema.json())
-        # Root bloom sidecars carry verbatim: rows for files this
-        # commit rewrote or added go stale/missing, which is SAFE
-        # (bloom_prune_files treats uncovered files as candidates);
-        # the next compact_evolved rebuilds full coverage.
-        _carry_root_blooms(spark, cur_dir, staged, prefix=None)
+        # Root bloom sidecars maintain INCREMENTALLY: every prior file
+        # carried by hardlink keeps its row verbatim, only this batch's
+        # new part files get a fresh pass — append cost stays O(batch).
+        _maintain_root_blooms(spark, cur_dir, staged, specs)
     except Exception:
         shutil.rmtree(staged, ignore_errors=True)
         raise

@@ -5390,6 +5390,145 @@ ORDER BY event_id
 """
 
 
+BLOOM_EVOLVE_UPDATE_MOD = 5  # event_id % 5 == 0 rows get value*2
+BLOOM_EVOLVE_INSERT_MOD = 7  # event_id % 7 == 3 rows clone as inserts
+BLOOM_EVOLVE_OFFSET = 100_000_000  # past any real event_id at every SF
+# untouched key, updated key, two inserted keys (sources 10 and 31):
+BLOOM_EVOLVE_PROBES = (
+    11,
+    760,
+    BLOOM_EVOLVE_OFFSET + 10,
+    BLOOM_EVOLVE_OFFSET + 31,
+)
+
+
+def bloom_evolved_carry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar point-lookup pruning SURVIVING partition-spec
+    evolution — the round-11 documented decay (evolution-path writes
+    used to leave new files uncovered, silently degrading pruning to
+    full-candidate), retired by operators/evolution._maintain_root_
+    blooms: an evolved merge now carries bloom rows for hardlinked
+    files verbatim and runs a fresh distributed pass over ONLY the
+    files it wrote — the same O(touched files) commit contract as the
+    plain merge path.
+
+    Scenario: publish events hash-distributed over {BLOOM_SKIP_FILES}
+    files with an event_id bloom sidecar at write commit; EVOLVE the
+    partition spec to (event_type) — zero-copy relink, sidecar paths
+    rebased under _layout-0; evolved-MERGE a batch (value*2 updates
+    for the event_id % {umod} == 0 cohort, offset-id clones of the
+    event_id % {imod} == 3 cohort as inserts). Probe four keys — one
+    untouched, one updated, two that exist ONLY in the merge's new
+    active-layout files — through sources/files.bloom_prune_files,
+    then READ the candidates via sources/files.read_pruned, which
+    pairs file pruning with each layout's merge-on-read `_deletes`
+    anti-join: the updated key's legacy copy is admitted by its bloom
+    row and must die by the delete sidecar, so a pruned read that
+    bypassed deletes (the raw `spark.read.parquet(*keep)` footgun this
+    helper exists to close) would resurface the pre-update value and
+    flip the hash.
+
+    Two flags computed from the actual filesystem ride the output:
+      files_skipped — the probe pruned at least one data file;
+      bloom_covered — the post-merge sidecar covers EVERY data file of
+        the snapshot (the claim the old verbatim carry could not make:
+        new files would be uncovered).
+    The oracle recomputes the post-merge state from raw events (same
+    update/insert rules in SQL) with both flags literal TRUE.
+
+    Scale: the bloom maintenance is O(files the merge wrote) x 8 KiB;
+    probes prune manifest-side (executor-side bit tests, candidate
+    path strings only to the driver); the read touches O(probed keys
+    + fpp) files across both layouts. Eager-execution, pid-keyed-dir
+    convention."""
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.operators import evolution as EV
+    from myserver_datawarehouse_spark.operators import merge as M
+    from myserver_datawarehouse_spark.sources import files as _FS
+
+    root = _pid_tmpdir("msdw_bloomevolve_table", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    M.publish_overwrite(
+        spark,
+        root,
+        e.repartition(BLOOM_SKIP_FILES, "event_id"),
+        bloom_columns=["event_id"],
+    )
+    EV.evolve_partition_spec(spark, root, ["event_type"])
+    updates = e.filter(
+        F.pmod(F.col("event_id"), F.lit(BLOOM_EVOLVE_UPDATE_MOD)) == 0
+    ).withColumn("value", F.col("value") * 2)
+    inserts = e.filter(
+        F.pmod(F.col("event_id"), F.lit(BLOOM_EVOLVE_INSERT_MOD)) == 3
+    ).withColumn("event_id", F.col("event_id") + BLOOM_EVOLVE_OFFSET)
+    EV.evolved_merge(
+        spark, root, updates.unionByName(inserts), keys=["event_id"]
+    )
+    snapshot = os.path.join(root, M._published_version(root))
+    keep, total = _FS.bloom_prune_files(
+        spark, snapshot, "event_id", BLOOM_EVOLVE_PROBES
+    )
+    if not keep:
+        raise RuntimeError(f"bloom kept 0 of {total} files")
+    covered = {
+        r["path"]
+        for r in spark.read.parquet(_FS._bloom_dir(snapshot, "event_id"))
+        .select("path")
+        .collect()
+    }
+    bloom_covered = covered == set(_FS._data_files_relative(snapshot))
+    pruned = _FS.read_pruned(
+        spark, snapshot, "event_id", BLOOM_EVOLVE_PROBES
+    ).filter(F.col("event_id").isin(*BLOOM_EVOLVE_PROBES))
+    return (
+        pruned.groupBy("event_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("files_skipped", F.lit(bool(len(keep) < total)))
+        .withColumn("bloom_covered", F.lit(bool(bloom_covered)))
+        .orderBy("event_id")
+    )
+
+
+bloom_evolved_carry_audit.__doc__ = bloom_evolved_carry_audit.__doc__.format(
+    BLOOM_SKIP_FILES=BLOOM_SKIP_FILES,
+    umod=BLOOM_EVOLVE_UPDATE_MOD,
+    imod=BLOOM_EVOLVE_INSERT_MOD,
+)
+
+
+BLOOM_EVOLVED_CARRY_AUDIT_SQL = f"""
+WITH merged AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % {BLOOM_EVOLVE_UPDATE_MOD} = 0
+              THEN value * 2 ELSE value END AS value
+  FROM events
+  UNION ALL
+  SELECT event_id + {BLOOM_EVOLVE_OFFSET} AS event_id, event_type, value
+  FROM events WHERE event_id % {BLOOM_EVOLVE_INSERT_MOD} = 3
+)
+SELECT event_id, event_type,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value,
+       TRUE AS files_skipped,
+       TRUE AS bloom_covered
+FROM merged
+WHERE event_id IN {BLOOM_EVOLVE_PROBES}
+GROUP BY event_id, event_type
+ORDER BY event_id
+"""
+
+
 # ------------------------------------------------- change data feed
 
 CDF_INSERT_MOD = 97

@@ -1169,6 +1169,16 @@ _SPECS: list[QuerySpec] = [
         "pruned scan; rollup oracle-recomputed + files-skipped flag",
     ),
     QuerySpec(
+        "bloom_evolved_carry_audit",
+        R.bloom_evolved_carry_audit,
+        R.BLOOM_EVOLVED_CARRY_AUDIT_SQL,
+        "bloom pruning SURVIVES partition-spec evolution: evolved merge "
+        "maintains the sidecar incrementally (carry + fresh pass over "
+        "only the files it wrote), probe via read_pruned pairing file "
+        "pruning with per-layout merge-on-read deletes; coverage + "
+        "files-skipped flags computed from the filesystem",
+    ),
+    QuerySpec(
         "file_skipping_scan_audit",
         R.file_skipping_scan_audit,
         R.FILE_SKIPPING_SCAN_AUDIT_SQL,

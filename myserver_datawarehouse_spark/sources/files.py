@@ -241,9 +241,43 @@ def write_bloom_sidecar(
     _bloom_frame(spark, table_dir, column, bits, [table_dir]).write.mode(
         "overwrite"
     ).parquet(sidecar)
+    _assert_sidecar_paths(
+        spark, sidecar, set(_data_files_relative(table_dir)), exact=True
+    )
     with open(os.path.join(sidecar, "_META.json"), "w") as fh:
         json.dump({"column": column, "bits": bits, "type": col_type}, fh)
     return sidecar
+
+
+def _assert_sidecar_paths(
+    spark: SparkSession, sidecar: str, data_files: set, exact: bool
+) -> None:
+    """Write-time guard for the path-slicing contract: the sidecar's
+    row paths must be real data files of the snapshot. The relative
+    paths come from LENGTH-slicing `input_file_name()` URIs
+    (_relative_path_col), which assumes the URI's path is byte-equal to
+    `os.path.abspath(table_dir)` after scheme-stripping — a symlinked
+    table dir or characters Spark percent-encodes in file URIs (a
+    space -> %20) silently break that slice. Downstream that breakage
+    is SAFE but degenerate (files look uncovered -> always candidates;
+    incremental carry degrades to a full rebuild; coverage flags flip
+    false), so fail at WRITE time with a diagnosis instead — one
+    manifest-scale path collect per commit, blooms never move."""
+    written = {
+        r["path"]
+        for r in spark.read.parquet(sidecar).select("path").collect()
+    }
+    bad = (written != data_files) if exact else not (written <= data_files)
+    if bad:
+        sample_w = sorted(written - data_files)[:3]
+        sample_d = sorted(data_files - written)[:3]
+        raise ValueError(
+            f"bloom sidecar {sidecar} paths do not match the snapshot's "
+            f"data files (sidecar-only: {sample_w}; uncovered: "
+            f"{sample_d}). The table path likely traverses a symlink or "
+            "contains characters Spark percent-encodes in file URIs; "
+            "pass the canonical real path (os.path.realpath) instead."
+        )
 
 
 def bloom_sidecar_columns(table_dir: str) -> list[str]:
@@ -306,6 +340,11 @@ def carry_bloom_sidecar(
     out = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
     dst = _bloom_dir(staged_dir, column)
     out.write.mode("overwrite").parquet(dst)
+    # Subset, not equality: a carried sidecar may be legitimately
+    # PARTIAL (e.g. the evolved partition-column fallback), but a row
+    # whose path is NOT a staged data file means the fresh pass
+    # mis-sliced its URIs — fail loudly at write time.
+    _assert_sidecar_paths(spark, dst, staged_set, exact=False)
     with open(os.path.join(dst, "_META.json"), "w") as fh:
         json.dump(meta, fh)
     return dst
@@ -329,9 +368,22 @@ def bloom_prune_files(
       and string columns alike (a key that fails the cast raises
       instead of silently hashing NULL);
     - data files WITHOUT a bloom row (written after the sidecar by a
-      maintenance path that does not carry blooms, e.g. evolved
-      merges) are ALWAYS candidates — a stale or partial sidecar
-      degrades to less pruning, never to wrong results."""
+      path that cannot maintain it — e.g. an evolved layout whose
+      PARTITION column is the bloom column, or a sidecar written
+      before a legacy maintenance run) are ALWAYS candidates — a
+      stale or partial sidecar degrades to less pruning, never to
+      wrong results. Evolved merges/appends now maintain the sidecar
+      incrementally (operators/evolution._maintain_root_blooms), so
+      coverage survives evolution rather than decaying.
+
+    DELETE INTERACTION: the returned paths prune FILES only — they do
+    not apply the snapshot's merge-on-read `_deletes` sidecar. A
+    caller that `spark.read.parquet(*keep)`s directly bypasses delete
+    application and can resurface logically deleted rows (delete_where
+    carries the bloom sidecar verbatim — a deleted key still probes
+    positive). Pair pruning with the snapshot's anti-join (use
+    read_pruned, which does both), exactly how table-format
+    coordinators pair file pruning with delete files."""
     import json
     import os
 
@@ -393,6 +445,60 @@ def bloom_prune_files(
         if f in admitted or f not in covered
     ]
     return keep, total
+
+
+def read_pruned(
+    spark: SparkSession, table_dir: str, column: str, keys
+) -> DataFrame:
+    """Bloom-pruned point-lookup READ with merge-on-read semantics:
+    `bloom_prune_files` picks candidate files, the candidates are read
+    with `basePath` (so hive partition columns survive a leaf-file
+    read), and the snapshot's equality-delete sidecars are applied —
+    the pairing a table-format coordinator always does (file pruning
+    never bypasses delete files), packaged so callers can't get it
+    wrong by `spark.read.parquet(*keep)`-ing directly and resurfacing
+    logically deleted rows. Evolved snapshots group candidates per
+    `_layout-*` subtree (each layout carries its own `_deletes`) and
+    union under the snapshot schema. Bloom false positives mean rows
+    for OTHER keys may appear: filter to the probed keys downstream
+    (kept here so the helper composes with range probes too)."""
+    import functools
+    import os
+
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.operators import merge as _MG
+
+    keep, _total = bloom_prune_files(spark, table_dir, column, keys)
+    if not keep:
+        return _MG._read_snapshot(spark, table_dir).filter(F.lit(False))
+    if os.path.isfile(os.path.join(table_dir, "_SPECS.json")):
+        from myserver_datawarehouse_spark.operators import evolution as _EV
+
+        schema = _EV._snapshot_schema(table_dir)
+        by_layout: dict[str, list[str]] = {}
+        for p in keep:
+            rel = os.path.relpath(p, table_dir)
+            by_layout.setdefault(rel.split(os.sep)[0], []).append(p)
+        frames = []
+        for layout, paths in sorted(by_layout.items()):
+            ldir = os.path.join(table_dir, layout)
+            df = _MG._apply_deletes(
+                spark,
+                ldir,
+                spark.read.option("basePath", ldir).parquet(*paths),
+            )
+            frames.append(
+                df.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            )
+        return functools.reduce(lambda a, b: a.unionByName(b), frames)
+    df = spark.read.option("basePath", table_dir).parquet(*keep)
+    return _MG._apply_deletes(spark, table_dir, df)
 
 
 def file_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
