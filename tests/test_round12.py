@@ -92,3 +92,51 @@ def test_audio_clip_ids_do_not_collide(spark):
         docs.agg(F.max("doc_id")).first()[0] < MMQ.CLIP_ID_OFFSET
     ), "clip id namespace must sit above every real doc_id"
     assert MMQ.CLIP_ID_OFFSET % 3 == 0, "clip must keep audio class"
+
+
+# ------------------------------------------------ LSH S-curve bend
+
+
+def test_lsh_recall_audit_low_j_mass_and_theory(spark):
+    """VERDICT r11 #4: the audit corpus's truncation variants must put
+    pair mass in the 0.5-0.8 deciles, and measured candidate recall
+    there must track the banding theory 1-(1-J^r)^b (r=2, b=8) within
+    a disclosed tolerance (binomial noise at per-decile counts)."""
+    from myserver_datawarehouse_spark.plans import llm_text as LT
+
+    rows = {
+        r.j_band: r
+        for r in LT.lsh_recall_audit(spark, SF).collect()
+    }
+    low = [b for b in rows if 5 <= b <= 7]
+    assert len(low) >= 2, f"low-J deciles must carry pairs, got {rows}"
+    TOL = 0.15  # ~3 binomial sd at the fixture's per-decile counts
+    for b in low:
+        j_mid = (b + 0.5) / 10.0
+        theory = 1.0 - (1.0 - j_mid**LT.LSH_ROWS) ** LT.LSH_BANDS
+        assert abs(rows[b].recall - theory) <= TOL, (
+            f"decile {b}: measured {rows[b].recall} vs theory "
+            f"{theory:.4f} beyond tolerance {TOL}"
+        )
+    # the top deciles keep perfect recall (S-curve saturation)
+    for b in (9, 10):
+        if b in rows:
+            assert rows[b].recall == 1.0
+
+
+def test_lsh_audit_variants_are_deterministic(spark):
+    from myserver_datawarehouse_spark.plans import llm_text as LT
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    a = LT._lsh_audit_docs(d).orderBy("doc_id").collect()
+    b = LT._lsh_audit_docs(d).orderBy("doc_id").collect()
+    assert a == b
+    n_base = d.count()
+    variants = [r for r in a if r.doc_id >= LT.LSH_VARIANT_OFFSET]
+    assert variants, "eligible docs must produce variants"
+    base_text = {r.doc_id: r.text for r in a if r.doc_id < LT.LSH_VARIANT_OFFSET}
+    for v in variants:
+        src = base_text[v.doc_id - LT.LSH_VARIANT_OFFSET]
+        assert src.startswith(v.text) and 0 < len(v.text) < len(src)
+    assert len(a) == n_base + len(variants)
