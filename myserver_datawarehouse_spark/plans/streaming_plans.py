@@ -886,3 +886,127 @@ SELECT user_id, event_type, event_id, ts, value,
        TRUE AS bloom_contract_held
 FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
 """
+
+
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index ingest (17th §2.12 variant): the batch
+    `ivf_incremental_ingest_audit` contract run as a REAL micro-batch
+    stream (streaming/jobs.ivf_ingest_stream) — the index seeds from
+    the base corpus under the base-trained quantizer, arrivals stream
+    in one micro-batch per batch_no through foreachBatch (broadcast-
+    centroid map-only assignment, O(batch) ledger append — the
+    standing inverted lists are never rewritten), and each arrival
+    carries its drift bit (would a retrained superset quantizer pull
+    it to a strictly better centroid?).
+
+    Adjudicated output = the full (batch_no, cell) ingest ledger:
+    batch_no -1 rows are the seeded base census, rows 0..2 are the
+    per-micro-batch arrival census + `n_would_move` drift trajectory —
+    the monitored number behind every retrain decision, now measured
+    ACROSS a live ingest stream rather than in one batch pass.
+    Assignment is a pure per-vector function, so the ledger is
+    identical however the file source batches arrivals (batch_no is a
+    data column, not the trigger id) — what makes this adjudicable
+    against the batch oracle below. Same eager-at-construction bench
+    note as streaming_upsert_merge; per-(sf, pid) work dir."""
+    import shutil
+
+    from myserver_datawarehouse_spark.plans.embeddings import (
+        INGEST_BATCH_MOD,
+        IVF_CENTS,
+    )
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_ivf", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    cells = SJ.ivf_ingest_stream(
+        spark, sf_dir, work, cents=IVF_CENTS, batch_mod=INGEST_BATCH_MOD
+    )
+    return (
+        spark.read.parquet(cells)
+        .groupBy("batch_no", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_arrivals"),
+            F.sum(F.col("would_move").cast("long")).alias("n_would_move"),
+        )
+        .orderBy("batch_no", "cell")
+    )
+
+
+def _streaming_ivf_ingest_sql() -> str:
+    from myserver_datawarehouse_spark.plans.embeddings import (
+        INGEST_BATCH_MOD,
+        IVF_CENTS,
+    )
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        IVF_INGEST_BATCHES,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm,
+         (vec_id % {INGEST_BATCH_MOD}) >= 8 AS is_batch
+  FROM embeddings
+),
+cent_a AS (
+  SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
+  WHERE vec_id < {IVF_CENTS} AND NOT is_batch
+),
+cent_b AS (
+  SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
+  WHERE vec_id < {IVF_CENTS}
+),
+asn_a AS (
+  SELECT vec_id, is_batch, cid, cent_cos FROM (
+    SELECT e.vec_id, e.is_batch, cent_a.cid,
+           ROUND(CASE WHEN e.nrm > 0 AND cent_a.nc > 0
+                 THEN list_dot_product(e.vec, cent_a.c)
+                      / (e.nrm * cent_a.nc) END, 6) AS cent_cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(CASE WHEN e.nrm > 0 AND cent_a.nc > 0
+                            THEN list_dot_product(e.vec, cent_a.c)
+                                 / (e.nrm * cent_a.nc) END, 6)
+                        DESC NULLS LAST,
+                      cent_a.cid) AS rn
+    FROM e CROSS JOIN cent_a
+  ) WHERE rn = 1
+),
+asn_b AS (
+  SELECT vec_id, cid AS b_cid, cent_cos AS b_cos FROM (
+    SELECT e.vec_id, cent_b.cid,
+           ROUND(CASE WHEN e.nrm > 0 AND cent_b.nc > 0
+                 THEN list_dot_product(e.vec, cent_b.c)
+                      / (e.nrm * cent_b.nc) END, 6) AS cent_cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(CASE WHEN e.nrm > 0 AND cent_b.nc > 0
+                            THEN list_dot_product(e.vec, cent_b.c)
+                                 / (e.nrm * cent_b.nc) END, 6)
+                        DESC NULLS LAST,
+                      cent_b.cid) AS rn
+    FROM e CROSS JOIN cent_b
+  ) WHERE rn = 1
+),
+led AS (
+  SELECT a.vec_id,
+         CASE WHEN a.is_batch
+              THEN CAST(a.vec_id % {IVF_INGEST_BATCHES} AS INT)
+              ELSE -1 END AS batch_no,
+         a.cid AS cell,
+         (b.b_cid <> a.cid AND b.b_cos > a.cent_cos) AS would_move
+  FROM asn_a a JOIN asn_b b USING (vec_id)
+)
+SELECT batch_no, cell,
+       COUNT(*) AS n_arrivals,
+       CAST(SUM(CASE WHEN would_move THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_would_move
+FROM led
+GROUP BY batch_no, cell
+ORDER BY batch_no, cell
+"""
+
+
+STREAMING_IVF_INGEST_SQL = _streaming_ivf_ingest_sql()

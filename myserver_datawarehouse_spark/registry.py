@@ -1276,6 +1276,15 @@ _SPECS: list[QuerySpec] = [
         "negative probe flags adjudicated",
     ),
     QuerySpec(
+        "streaming_ivf_ingest",
+        ST.streaming_ivf_ingest,
+        ST.STREAMING_IVF_INGEST_SQL,
+        "§2.12 17th variant: IVF vector-index ingest as a micro-batch "
+        "stream — broadcast-centroid map-only assignment per batch, "
+        "O(batch) ledger appends, per-batch n_would_move drift "
+        "trajectory adjudicated against the batch oracle",
+    ),
+    QuerySpec(
         "streaming_cdc_replication",
         ST.streaming_cdc_replication,
         ST.STREAMING_CDC_REPLICATION_SQL,

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -1321,3 +1321,159 @@ def bloom_maintained_stream(
     with open(os.path.join(work_dir, "bloom_flags.json"), "w") as fh:
         _json.dump(flags, fh)
     return root
+
+
+# ------------------------------------------------- streaming IVF ingest
+
+IVF_INGEST_BATCHES = 3  # arrivals split by vec_id % 3 -> 3 micro-batches
+
+
+def ivf_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    cents: int = 48,
+    batch_mod: int = 10,
+) -> str:
+    """Streaming IVF index INGEST (17th §2.12 shape) — the nightly
+    maintenance loop of a production vector store, run as a real
+    micro-batch stream: the index is SEEDED from the base corpus
+    (vec_id % batch_mod < 8) under a quantizer trained on base
+    (the first `cents` base ids, the deterministic stand-in of
+    plans/embeddings.ivf_incremental_ingest_audit), then the arrival
+    cohort streams in one micro-batch per batch_no (vec_id %
+    IVF_INGEST_BATCHES) through foreachBatch:
+
+      - each arrival is assigned to the STANDING quantizer by one
+        broadcast-centroid map-only pass (argmax over `cents` rows —
+        the index's inverted lists are never rewritten or reshuffled);
+      - the per-arrival DRIFT bit rides along: would a retrained
+        quantizer (the full corpus's first `cents` ids — a superset,
+        'new centroid candidates arrived') pull this vector to a
+        strictly better centroid? Accumulated per batch, that is the
+        `n_would_move` trajectory a store monitors to schedule the
+        retrain;
+      - the (vec_id, batch_no, cell, would_move) ledger rows APPEND to
+        the cells table — O(batch) bytes per commit, the property that
+        makes continuous embedding ingest affordable at 100 TB.
+
+    Assignment is a pure per-vector function of (vector, centroids),
+    so the final ledger is identical however the file source batches
+    the arrivals — batch_no is a DATA column, not the trigger id —
+    which is what makes the census + trajectory adjudicable against a
+    batch oracle. Returns the cells ledger path."""
+    import os
+
+    from myserver_datawarehouse_spark.operators import vectors as V
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    cells_dir = os.path.join(work_dir, "cells")
+    cent_a_dir = os.path.join(work_dir, "cent_standing")
+    cent_b_dir = os.path.join(work_dir, "cent_retrained")
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm2("embedding").alias("nrm")
+    )
+    is_batch = (F.col("vec_id") % batch_mod) >= 8
+    cent_cols = (
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("nc"),
+    )
+    e.filter((F.col("vec_id") < cents) & ~is_batch).select(
+        *cent_cols
+    ).coalesce(1).write.mode("overwrite").parquet(cent_a_dir)
+    e.filter(F.col("vec_id") < cents).select(*cent_cols).coalesce(
+        1
+    ).write.mode("overwrite").parquet(cent_b_dir)
+
+    def _ledger(vecs: DataFrame) -> DataFrame:
+        """(vec_id, batch_no, cell, would_move) for any (vec_id,
+        embedding, nrm, batch_no) frame — the audit's two-quantizer
+        assignment, broadcast map-only, rounding and tie-breaks
+        identical to ivf_incremental_ingest_audit."""
+        sp = vecs.sparkSession
+        cos = F.when(
+            (F.col("nrm") > 0) & (F.col("nc") > 0),
+            V.dot("embedding", "c") / (F.col("nrm") * F.col("nc")),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cent_cos").desc_nulls_last(), F.col("cid")
+        )
+
+        def assign(cent_dir: str) -> DataFrame:
+            return (
+                vecs.join(F.broadcast(sp.read.parquet(cent_dir)))
+                .select(
+                    "vec_id",
+                    "batch_no",
+                    "cid",
+                    F.round(cos, 6).alias("cent_cos"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "batch_no", "cid", "cent_cos")
+            )
+
+        a = assign(cent_a_dir)
+        b = assign(cent_b_dir).select(
+            F.col("vec_id").alias("bv"),
+            F.col("cid").alias("b_cid"),
+            F.col("cent_cos").alias("b_cos"),
+        )
+        return a.join(b, F.col("vec_id") == F.col("bv")).select(
+            "vec_id",
+            "batch_no",
+            F.col("cid").alias("cell"),
+            (
+                (F.col("b_cid") != F.col("cid"))
+                & (F.col("b_cos") > F.col("cent_cos"))
+            ).alias("would_move"),
+        )
+
+    # Seed: the standing index = base corpus assigned to the standing
+    # quantizer, ledgered as batch_no -1 (the pre-stream census).
+    _ledger(
+        e.filter(~is_batch).withColumn("batch_no", F.lit(-1).cast("int"))
+    ).write.mode("overwrite").parquet(cells_dir)
+
+    arrivals = e.filter(is_batch).select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(IVF_INGEST_BATCHES))
+        .cast("int")
+        .alias("batch_no"),
+    )
+    arrivals.repartition(IVF_INGEST_BATCHES, "batch_no").write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        from myserver_datawarehouse_spark.operators import vectors as _V
+
+        vecs = batch.select(
+            "vec_id",
+            "embedding",
+            _V.norm2("embedding").alias("nrm"),
+            "batch_no",
+        )
+        _ledger(vecs).write.mode("append").parquet(cells_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return cells_dir

@@ -140,3 +140,37 @@ def test_lsh_audit_variants_are_deterministic(spark):
         src = base_text[v.doc_id - LT.LSH_VARIANT_OFFSET]
         assert src.startswith(v.text) and 0 < len(v.text) < len(src)
     assert len(a) == n_base + len(variants)
+
+
+# --------------------------------------------- streaming IVF ingest
+
+
+def test_streaming_ivf_ingest_matches_batch_audit(spark):
+    """The streamed ledger folded over batch_no must reproduce the
+    batch audit's per-cell census exactly (assignment is a pure
+    per-vector function — the stream changes WHEN work happens, never
+    WHAT is computed)."""
+    from myserver_datawarehouse_spark.plans import embeddings as EM
+    from myserver_datawarehouse_spark.plans import streaming_plans as SP
+
+    led = SP.streaming_ivf_ingest(spark, SF).collect()
+    audit = {
+        r.cell: r
+        for r in EM.ivf_incremental_ingest_audit(spark, SF).collect()
+    }
+    base = {}
+    batch_tot = {}
+    move_tot = {}
+    batches = set()
+    for r in led:
+        if r.batch_no == -1:
+            base[r.cell] = r.n_arrivals
+        else:
+            batches.add(r.batch_no)
+            batch_tot[r.cell] = batch_tot.get(r.cell, 0) + r.n_arrivals
+        move_tot[r.cell] = move_tot.get(r.cell, 0) + (r.n_would_move or 0)
+    assert len(batches) >= 2, "arrivals must span multiple micro-batches"
+    for cell, a in audit.items():
+        assert base.get(cell, 0) == a.n_base
+        assert batch_tot.get(cell, 0) == a.n_batch
+        assert move_tot.get(cell, 0) == a.n_would_move
