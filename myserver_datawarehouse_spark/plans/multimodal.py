@@ -247,6 +247,23 @@ def near_dup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     k by sampling timestamps, the sample_frames machinery). A banded
     frame bucket with f frames emits O(f^2) candidate rows, the same
     skew envelope as the SimHash/LSH text tiers."""
+    ver = _video_frame_pairs(spark, sf_dir)
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        "matched",
+        "n_frames_a",
+        "n_frames_b",
+        F.min("doc_a").over(Window.partitionBy("doc_b")).alias("survivor"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified frame-set near-dup pairs (doc_a, doc_b, matched,
+    n_frames_a, n_frames_b) frame — shared by `near_dup_video_frames`
+    (its presentation surface, which adds the survivor pick) and
+    `cross_modal_curation` (the video edge set). Identical op graph to
+    the pre-round-12 inline form."""
     from myserver_datawarehouse_spark.session import materialize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -304,14 +321,7 @@ def near_dup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.greatest(F.col("n_frames_a"), F.col("n_frames_b"))
         )
     )
-    return ver.select(
-        "doc_a",
-        "doc_b",
-        "matched",
-        "n_frames_a",
-        "n_frames_b",
-        F.min("doc_a").over(Window.partitionBy("doc_b")).alias("survivor"),
-    ).orderBy("doc_a", "doc_b")
+    return ver
 
 
 near_dup_video_frames.__doc__ = near_dup_video_frames.__doc__.replace(
@@ -613,39 +623,50 @@ ORDER BY doc_id, frame_idx
 
 
 def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modal JOINT curation — the keep/drop contract a multimodal
-    corpus build runs nightly: a document with an image payload is
-    retired if EITHER its text is a near-duplicate (MinHash-LSH pair
-    graph, plans/llm_text._minhash_pair_frame) OR its image is a
-    near-duplicate (chunk-banded pHash pair graph, _image_phash_pairs).
-    The two edge sets are UNIONED and closed transitively (min-label
-    connected components, plans/llm_text._cc_min_labels — so a
-    text-dup of an image-dup collapses into ONE surviving doc even
-    though no single modality linked the endpoints), survivor = min
-    doc_id of the union cluster, and every drop carries a provenance
-    column saying which modality's evidence retired it ('text',
-    'image', or 'both').
+    """Cross-modal JOINT curation over THREE modalities — the keep/drop
+    contract a multimodal corpus build runs nightly: a document with a
+    media payload is retired if its text is a near-duplicate
+    (MinHash-LSH pair graph, plans/llm_text._minhash_pair_frame), its
+    image is a near-duplicate (chunk-banded pHash pair graph,
+    _image_phash_pairs), or its video is a frame-set near-duplicate
+    (_video_frame_pairs). The three edge sets are UNIONED and closed
+    transitively (min-label connected components, plans/llm_text.
+    _cc_min_labels — so a text-dup of an image-dup of a video-dup
+    collapses into ONE surviving doc even though no single modality
+    linked the endpoints; text edges are the cross-modal bridges,
+    since every doc has text but only its own payload type), survivor
+    = min doc_id of the union cluster, and every drop carries a
+    provenance column naming the modalities whose evidence touches it
+    ('text', 'image', 'video', or '+'-joined combinations like
+    'text+image').
 
-    Scope: docs with an image payload (doc_id % 3 == 0 under the fake
-    payload assignment) — the population where both verdicts exist.
+    Scope: docs with an image or video payload (doc_id % 3 in (0, 2)
+    under the fake payload assignment) — the populations where a media
+    verdict exists alongside the text verdict. (Audio near-dup lives
+    in `near_dup_audio_fingerprint`; its clip fixture ids are outside
+    the curation corpus by construction.)
 
-    At 100 TB: both edge sets come from banded candidate joins (never
-    all-pairs, payloads never shuffle), the CC iterates over the EDGE
-    set only (docs with >= 1 dup pair — orders of magnitude smaller
-    than the corpus), and the provenance join is a broadcast of the
-    per-modality endpoint sets. The oracle recomputes BOTH pair
-    graphs, the recursive closure, and the provenance labels."""
+    At 100 TB: all three edge sets come from banded candidate joins
+    (never all-pairs, payloads never shuffle), the CC iterates over
+    the EDGE set only (docs with >= 1 dup pair — orders of magnitude
+    smaller than the corpus), and the provenance join is a broadcast
+    of the per-modality endpoint sets. The oracle recomputes all THREE
+    pair graphs, the recursive closure, and the provenance labels."""
     from myserver_datawarehouse_spark.plans import llm_text as LTX
 
-    # LSH over the IMAGE-doc sub-corpus only: a candidate pair between
-    # two image docs depends solely on their own signatures sharing a
-    # band key, so filtering the corpus BEFORE shingling produces the
-    # identical pair set at a third of the shingle/signature volume
-    # (the oracle filters after the full-corpus pair SQL — same set).
-    imgdocs = LTX._docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
-    tpairs = LTX._minhash_pairs_for(imgdocs).select("doc_a", "doc_b")
+    # LSH over the in-scope sub-corpus only: a candidate pair between
+    # two in-scope docs depends solely on their own signatures sharing
+    # a band key, so filtering the corpus BEFORE shingling produces
+    # the identical pair set at two-thirds of the shingle/signature
+    # volume (the oracle filters after the full-corpus pair SQL —
+    # same set).
+    scoped = LTX._docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 3 == 2)
+    )
+    tpairs = LTX._minhash_pairs_for(scoped).select("doc_a", "doc_b")
     ipairs = _image_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = tpairs.union(ipairs).distinct()
+    vpairs = _video_frame_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = tpairs.union(ipairs).union(vpairs).distinct()
     labels = LTX._cc_min_labels(edges)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -661,10 +682,12 @@ def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tdocs = endpoints(tpairs, "in_text")
     idocs = endpoints(ipairs, "in_image")
+    vdocs = endpoints(vpairs, "in_video")
     return (
         labels.join(F.broadcast(sizes), "label")
         .join(F.broadcast(tdocs), "doc_id", "left")
         .join(F.broadcast(idocs), "doc_id", "left")
+        .join(F.broadcast(vdocs), "doc_id", "left")
         .select(
             "doc_id",
             F.col("label").alias("cluster_id"),
@@ -673,12 +696,14 @@ def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("drop")
             .alias("verdict"),
             F.when(F.col("doc_id") == F.col("label"), "none")
-            .when(
-                F.col("in_text").isNotNull() & F.col("in_image").isNotNull(),
-                "both",
+            .otherwise(
+                F.concat_ws(
+                    "+",
+                    F.when(F.col("in_text").isNotNull(), "text"),
+                    F.when(F.col("in_image").isNotNull(), "image"),
+                    F.when(F.col("in_video").isNotNull(), "video"),
+                )
             )
-            .when(F.col("in_text").isNotNull(), "text")
-            .otherwise("image")
             .alias("retired_by"),
         )
         .orderBy("doc_id")
@@ -691,14 +716,19 @@ def _cross_modal_curation_sql() -> str:
     return f"""
 WITH RECURSIVE tsrc AS ({LTX.NEAR_DUP_MINHASH_LSH_SQL}),
 isrc AS ({NEAR_DUP_IMAGE_PHASH_SQL}),
+vsrc AS ({NEAR_DUP_VIDEO_FRAMES_SQL}),
 tpairs AS (
-  SELECT doc_a, doc_b FROM tsrc WHERE doc_a % 3 = 0 AND doc_b % 3 = 0
+  SELECT doc_a, doc_b FROM tsrc
+  WHERE doc_a % 3 IN (0, 2) AND doc_b % 3 IN (0, 2)
 ),
 ipairs AS (SELECT doc_a, doc_b FROM isrc),
+vpairs AS (SELECT doc_a, doc_b FROM vsrc),
 upairs AS (
   SELECT doc_a, doc_b FROM tpairs
   UNION
   SELECT doc_a, doc_b FROM ipairs
+  UNION
+  SELECT doc_a, doc_b FROM vpairs
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM upairs
@@ -726,18 +756,26 @@ idocs AS (
   SELECT DISTINCT doc_id FROM (
     SELECT doc_a AS doc_id FROM ipairs
     UNION ALL SELECT doc_b FROM ipairs)
+),
+vdocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM vpairs
+    UNION ALL SELECT doc_b FROM vpairs)
 )
 SELECT m.doc_id, m.cluster_id, s.n_members,
        CASE WHEN m.doc_id = m.cluster_id THEN 'keep'
             ELSE 'drop' END AS verdict,
        CASE WHEN m.doc_id = m.cluster_id THEN 'none'
-            WHEN t.doc_id IS NOT NULL AND i.doc_id IS NOT NULL THEN 'both'
-            WHEN t.doc_id IS NOT NULL THEN 'text'
-            ELSE 'image' END AS retired_by
+            ELSE concat_ws('+',
+                   CASE WHEN t.doc_id IS NOT NULL THEN 'text' END,
+                   CASE WHEN i.doc_id IS NOT NULL THEN 'image' END,
+                   CASE WHEN v.doc_id IS NOT NULL THEN 'video' END)
+       END AS retired_by
 FROM members m
 JOIN sizes s USING (cluster_id)
 LEFT JOIN tdocs t ON t.doc_id = m.doc_id
 LEFT JOIN idocs i ON i.doc_id = m.doc_id
+LEFT JOIN vdocs v ON v.doc_id = m.doc_id
 ORDER BY m.doc_id
 """
 

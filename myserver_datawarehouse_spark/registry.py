@@ -517,9 +517,10 @@ _SPECS: list[QuerySpec] = [
         "cross_modal_curation",
         MMQ.cross_modal_curation,
         MMQ.CROSS_MODAL_CURATION_SQL,
-        "cross-modal joint keep/drop: text MinHash edges + image pHash "
-        "edges unioned, min-label CC closure, survivor = min doc_id of "
-        "the union cluster, per-drop modality provenance",
+        "cross-modal joint keep/drop over THREE modalities: text "
+        "MinHash + image pHash + video frame-set edges unioned, "
+        "min-label CC closure, survivor = min doc_id of the union "
+        "cluster, per-drop '+'-joined modality provenance",
     ),
     QuerySpec(
         "streaming_minute_agg",
@@ -1475,8 +1476,9 @@ _SPECS: list[QuerySpec] = [
 #      re-adjudications, the full 14-query round-6 tier, and 25 of the
 #      round-7 tier all moved here. Round-12 forfeits, removed from
 #      this set by hand per the plan-change rule: lsh_recall_audit
-#      (low-J fixture mass) and cross_modal_curation (video arm) —
-#      both return to the head).
+#      (low-J fixture mass), cross_modal_curation (video arm) and
+#      near_dup_video_frames (pair-frame extraction for the shared
+#      video edge set) — all return to the head).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
@@ -1705,7 +1707,6 @@ _ADJUDICATED_R11 = frozenset(
         "near_dup_image_phash",
         "near_dup_minhash_lsh",
         "near_dup_prefix_filter",
-        "near_dup_video_frames",
         "part_supplier_variety",
         "promotable_part_suppliers",
         "returned_item_losses",
