@@ -136,3 +136,45 @@ def test_plan_lint_classifier():
     # verify the boundary behavior explicitly instead:
     assert set(clean) <= {"RAND"}
     assert classify("(1) Scan parquet\n(2) HashAggregate") == {}
+
+
+def test_materialize_allowlist_names_consumers():
+    """Round-11 verdict ask #7: the plan-lint materialize() allowlist
+    can only grow with a machine-checked sharing justification — every
+    ALLOW entry must either name >= 2 downstream consumers of its
+    materialized frame in CONSUMERS, or belong to the FROZEN pre-
+    round-12 LEGACY_CUTS set (which must never grow)."""
+    from plan_lint import ALLOW, CONSUMERS, LEGACY_CUTS
+
+    allow = set(ALLOW)
+    consumers = set(CONSUMERS)
+    assert consumers.isdisjoint(LEGACY_CUTS)
+    assert allow == consumers | LEGACY_CUTS, (
+        f"unjustified ALLOW entries: {sorted(allow - consumers - LEGACY_CUTS)}; "
+        f"stale justifications: {sorted((consumers | LEGACY_CUTS) - allow)}"
+    )
+    for name, cons in CONSUMERS.items():
+        assert len(cons) >= 2, (
+            f"{name}: a materialize() cut needs >= 2 named consumers "
+            f"(got {cons}) — single-consumer cuts are a lint violation"
+        )
+    assert LEGACY_CUTS == frozenset(
+        {
+            "bloom_pruned_join",
+            "bucketed_colocated_join",
+            "corpus_build_pipeline",
+            "source_vocab_overlap",
+        }
+    ), "LEGACY_CUTS is frozen: new cuts must name their consumers"
+
+
+def test_materialize_allowlist_matches_registry():
+    """Every allowlisted name is a real registry query (no dead
+    entries shielding future queries by name collision)."""
+    sys.path.insert(0, "/root/repo")
+    from plan_lint import ALLOW
+
+    from myserver_datawarehouse_spark import registry
+
+    names = {s.name for s in registry.specs()}
+    assert set(ALLOW) <= names, sorted(set(ALLOW) - names)

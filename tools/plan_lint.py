@@ -118,7 +118,7 @@ ALLOW: dict[str, dict[str, str]] = {
     "cross_modal_curation": {
         "RDD_SCAN": _LC + "; the MinHash shingle frame + CC iteration "
         "edge frames (same machinery as dedup_clusters, over the "
-        "unioned text+image edge set)"
+        "unioned text+image+video edge set)"
     },
     "ann_nprobe_clustered": {
         "RDD_SCAN": _LC + "; the clustered-vector frame (consumed by "
@@ -146,6 +146,128 @@ ALLOW: dict[str, dict[str, str]] = {
         "the per-(lang, word) counts"
     },
 }
+
+# ---------------------------------------------------------------------
+# The allowlist's honesty mechanism (round-11 verdict ask #7): every
+# ALLOW entry must either NAME >= 2 downstream consumers of the
+# materialized frame here, or sit in the FROZEN legacy-cut set below.
+# tests/test_verify_lint.py asserts the partition, so a new ALLOW
+# entry cannot land without naming its consumers — the allowlist can
+# only grow with a machine-checked sharing justification.
+CONSUMERS: dict[str, tuple[str, ...]] = {
+    "ann_recall_audit": (
+        "exact top-k yardstick: recall hit semi-join",
+        "exact top-k yardstick: method comparison grid",
+        "nprobe-max IVFPQ candidate frame: every sweep point's cut",
+        "nprobe-max IVFPQ candidate frame: the refined re-rank leg",
+    ),
+    "dedup_clusters": (
+        "CC edge frame: every min-label propagation round",
+        "CC labels: final cluster-size rollup",
+    ),
+    "leakage_safe_split": (
+        "CC edge frame: every min-label propagation round",
+        "CC labels: split assignment + leakage check",
+    ),
+    "semantic_dedup_clusters": (
+        "CC edge frame: every min-label propagation round",
+        "CC labels: final cluster rollup",
+    ),
+    "near_dup_minhash_lsh": (
+        "shingle-hash frame: the 16-slot signature aggregate",
+        "shingle-hash frame: both sides of the candidate verify join",
+    ),
+    "near_dup_incremental_lsh": (
+        "batch shingle frame: batch signatures + verify side",
+        "index shingle frame: index signatures + verify side",
+    ),
+    "theta_sketch_overlap": (
+        "distinct shingle frame: the theta sketch",
+        "distinct shingle frame: the exact yardstick",
+        "distinct shingle frame: the per-source sizes rollup",
+    ),
+    "embedding_pq_adc_audit": (
+        "trained codebook: vector encoding",
+        "trained codebook: dense renumber",
+        "trained codebook: per-probe LUT build",
+        "per-probe LUT array: the ADC scan broadcast",
+    ),
+    "token_pagerank": (
+        "transition table: every rank iteration's join",
+        "transition table: the dangling-mass correction",
+    ),
+    "embedding_ivfpq_search": (
+        "residual codebook: encoding",
+        "residual codebook: dense renumber",
+        "residual codebook: per-(probe,cell) LUT build",
+        "LUT arrays: the code-scan broadcast",
+    ),
+    "token_triangle_count": (
+        "canonical edge list: degree ranking + orientation",
+        "oriented edge list: both sides of the wedge join",
+        "oriented edge list: the closing-edge semi-join",
+    ),
+    "near_dup_prefix_filter": (
+        "distinct shingle-hash frame: the df ranking window",
+        "prefix frame: both sides of the prefix self-join",
+        "per-doc sorted hash arrays: the candidate verification",
+    ),
+    "bpe_encode_corpus": (
+        "per-round vocabulary frame: next merge round's pair count",
+        "per-round vocabulary frame: next round's greedy rewrite",
+    ),
+    "equi_depth_histogram": (
+        "range-partitioned frame: the partition-count pass",
+        "range-partitioned frame: the global-rank pass",
+    ),
+    "embedding_ivfpq_refined": (
+        "_ivfpq_candidates pipeline: the ADC shortlist",
+        "_ivfpq_candidates pipeline: the exact re-ranker's re-score",
+    ),
+    "cross_modal_curation": (
+        "MinHash shingle frame: signatures + verify join",
+        "union edge frame: every CC propagation round",
+        "CC labels: size rollup + provenance joins",
+    ),
+    "ann_nprobe_clustered": (
+        "clustered-vector frame: the query set",
+        "clustered-vector frame: the cell ranking",
+        "clustered-vector frame: the distance frame",
+        "distance frame: every sweep point's probe_rank cut",
+    ),
+    "near_dup_video_frames": (
+        "per-frame fingerprint frame: the chunk-band explode",
+        "per-frame fingerprint frame: the per-video set aggregate",
+    ),
+    "lsh_recall_audit": (
+        "shared shingle-hash frame: the prefix-filter tier",
+        "shared shingle-hash frame: the MinHash-LSH tier",
+        "prefix/set frames: both sides of their joins (as in "
+        "near_dup_prefix_filter)",
+    ),
+    "near_dup_audio_fingerprint": (
+        "per-window fingerprint frame: the chunk-band explode",
+        "per-window fingerprint frame: the per-track set aggregate",
+    ),
+    "bpe_fertility_by_lang": (
+        "per-round vocabulary frame: every merge round (as in "
+        "bpe_encode_corpus)",
+        "final segmentations: the per-(lang, word) fertility join",
+    ),
+}
+
+# FROZEN: pre-round-12 lineage cuts whose justification is the cut
+# itself (conf pinning under eager execution / composed-machinery
+# checkpoints), not a >= 2-consumer shared frame. This set must never
+# grow — new single-consumer cuts are a lint violation by policy.
+LEGACY_CUTS = frozenset(
+    {
+        "bloom_pruned_join",  # runtime-bloom-filter conf pin
+        "bucketed_colocated_join",  # bucket-join conf pin
+        "corpus_build_pipeline",  # composed curation->LSH machinery
+        "source_vocab_overlap",  # composed vocab machinery
+    }
+)
 
 
 def classify(plan: str) -> dict[str, str]:
