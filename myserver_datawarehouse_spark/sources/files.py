@@ -242,7 +242,7 @@ def write_bloom_sidecar(
         "overwrite"
     ).parquet(sidecar)
     _assert_sidecar_paths(
-        spark, sidecar, set(_data_files_relative(table_dir)), exact=True
+        spark, sidecar, set(_data_files_relative(table_dir))
     )
     with open(os.path.join(sidecar, "_META.json"), "w") as fh:
         json.dump({"column": column, "bits": bits, "type": col_type}, fh)
@@ -250,10 +250,10 @@ def write_bloom_sidecar(
 
 
 def _assert_sidecar_paths(
-    spark: SparkSession, sidecar: str, data_files: set, exact: bool
+    spark: SparkSession, sidecar: str, data_files: set
 ) -> None:
-    """Write-time guard for the path-slicing contract: the sidecar's
-    row paths must be real data files of the snapshot. The relative
+    """Write-time guard for the path-slicing contract: every sidecar
+    row path must be a real data file of the snapshot. The relative
     paths come from LENGTH-slicing `input_file_name()` URIs
     (_relative_path_col), which assumes the URI's path is byte-equal to
     `os.path.abspath(table_dir)` after scheme-stripping — a symlinked
@@ -262,21 +262,27 @@ def _assert_sidecar_paths(
     is SAFE but degenerate (files look uncovered -> always candidates;
     incremental carry degrades to a full rebuild; coverage flags flip
     false), so fail at WRITE time with a diagnosis instead — one
-    manifest-scale path collect per commit, blooms never move."""
+    manifest-scale path collect per commit, blooms never move.
+
+    The check is SUBSET, not equality: every mis-slicing failure mode
+    produces sidecar paths that are NOT data files (garbage suffixes /
+    percent-encoded variants), while the reverse gap — a data file
+    with no bloom row — is legitimately possible (a zero-row part
+    file never reaches the per-file fold; an evolved partition-column
+    bloom carries partially) and already degrades safely to
+    always-candidate under bloom_prune_files."""
     written = {
         r["path"]
         for r in spark.read.parquet(sidecar).select("path").collect()
     }
-    bad = (written != data_files) if exact else not (written <= data_files)
-    if bad:
+    if not written <= data_files:
         sample_w = sorted(written - data_files)[:3]
-        sample_d = sorted(data_files - written)[:3]
         raise ValueError(
-            f"bloom sidecar {sidecar} paths do not match the snapshot's "
-            f"data files (sidecar-only: {sample_w}; uncovered: "
-            f"{sample_d}). The table path likely traverses a symlink or "
-            "contains characters Spark percent-encodes in file URIs; "
-            "pass the canonical real path (os.path.realpath) instead."
+            f"bloom sidecar {sidecar} contains paths that are not data "
+            f"files of the snapshot (e.g. {sample_w}). The table path "
+            "likely traverses a symlink or contains characters Spark "
+            "percent-encodes in file URIs; pass the canonical real "
+            "path (os.path.realpath) instead."
         )
 
 
@@ -340,11 +346,9 @@ def carry_bloom_sidecar(
     out = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
     dst = _bloom_dir(staged_dir, column)
     out.write.mode("overwrite").parquet(dst)
-    # Subset, not equality: a carried sidecar may be legitimately
-    # PARTIAL (e.g. the evolved partition-column fallback), but a row
-    # whose path is NOT a staged data file means the fresh pass
+    # A row whose path is NOT a staged data file means the fresh pass
     # mis-sliced its URIs — fail loudly at write time.
-    _assert_sidecar_paths(spark, dst, staged_set, exact=False)
+    _assert_sidecar_paths(spark, dst, staged_set)
     with open(os.path.join(dst, "_META.json"), "w") as fh:
         json.dump(meta, fh)
     return dst

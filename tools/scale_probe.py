@@ -87,6 +87,11 @@ PROBE_QUERIES = [
     "bpe_fertility_by_lang",
     "ivf_incremental_ingest_audit",
     "streaming_bloom_maintained",
+    # round-12 additions: audio fingerprint near-dup, bloom carry
+    # through evolved merges, streaming IVF ingest
+    "near_dup_audio_fingerprint",
+    "bloom_evolved_carry_audit",
+    "streaming_ivf_ingest",
 ]
 
 
