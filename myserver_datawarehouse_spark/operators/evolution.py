@@ -246,6 +246,7 @@ def _carry_root_blooms(
     staged: str,
     prefix: str | None,
     columns: list[str] | None = None,
+    prune_to: set | None = None,
 ) -> None:
     """Carry version-root bloom sidecars VERBATIM across an evolution
     commit. `prefix` rebases each row's relative path (the first
@@ -255,7 +256,13 @@ def _carry_root_blooms(
     safe fallback where a fresh pass is impossible (see
     _maintain_root_blooms) — partial coverage degrades to
     bloom_prune_files' uncovered-files-are-candidates rule, never to
-    wrong results."""
+    wrong results. `prune_to` (the staged snapshot's data-file set)
+    drops rows for files the commit REMOVED: without it a
+    partition-column bloom would re-copy dead rows forever across
+    evolved merges, growing the manifest-scale path collects
+    monotonically with commit count and permanently violating the
+    paths-subset invariant _assert_sidecar_paths enforces on every
+    other write path."""
     from pyspark.sql import functions as F
 
     cols = (
@@ -269,6 +276,11 @@ def _carry_root_blooms(
                 F.concat(F.lit(prefix + "/"), F.col("path")).alias("path"),
                 "bloom",
             )
+        if prune_to is not None:
+            live = spark.createDataFrame(
+                [(p,) for p in sorted(prune_to)], "path string"
+            )
+            df = df.join(F.broadcast(live), "path", "left_semi")
         dst = _FS._bloom_dir(staged, col)
         df.write.mode("overwrite").parquet(dst)
         shutil.copy(
@@ -296,11 +308,25 @@ def _maintain_root_blooms(
     data files (partitioned writes move it into directory names), so a
     fresh per-file pass cannot hash it; that column falls back to the
     verbatim carry — partial coverage, never wrong."""
+    cols = _FS.bloom_sidecar_columns(cur_dir)
+    if not cols:
+        return
     part_cols = {c for s in specs for c in s["partition_by"]}
-    for col in _FS.bloom_sidecar_columns(cur_dir):
+    staged_files: set | None = None
+    for col in cols:
         if col in part_cols:
+            if staged_files is None:
+                staged_files = set(_FS._data_files_relative(staged))
+            # prune_to drops rows for files this commit removed — the
+            # fallback stays partial (new files uncovered) but never
+            # accumulates dead rows across commits.
             _carry_root_blooms(
-                spark, cur_dir, staged, prefix=None, columns=[col]
+                spark,
+                cur_dir,
+                staged,
+                prefix=None,
+                columns=[col],
+                prune_to=staged_files,
             )
         else:
             _FS.carry_bloom_sidecar(spark, cur_dir, staged, col)

@@ -2881,8 +2881,12 @@ ivf_incremental_ingest_audit.__doc__ = (
     ivf_incremental_ingest_audit.__doc__.format(cents=IVF_CENTS)
 )
 
-IVF_INCREMENTAL_INGEST_AUDIT_SQL = f"""
-WITH e AS (
+# Shared IVF assignment CTE fragment (e / cent_a / cent_b / asn_a /
+# asn_b): the two-quantizer broadcast assignment with its exact
+# rounding and tie-break rules, single-sourced so the batch audit's
+# oracle and the streaming ingest's oracle
+# (plans/streaming_plans.STREAMING_IVF_INGEST_SQL) can never drift.
+IVF_ASSIGN_CTES_SQL = f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm,
@@ -2928,7 +2932,10 @@ asn_b AS (
                       cent_b.cid) AS rn
     FROM e CROSS JOIN cent_b
   ) WHERE rn = 1
-),
+)"""
+
+IVF_INCREMENTAL_INGEST_AUDIT_SQL = f"""
+WITH {IVF_ASSIGN_CTES_SQL},
 j AS (
   SELECT a.vec_id, a.is_batch, a.cid AS cell,
          (b.b_cid <> a.cid AND b.b_cos > a.cent_cos) AS would_move

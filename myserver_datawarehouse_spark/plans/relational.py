@@ -5475,6 +5475,10 @@ def bloom_evolved_carry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not keep:
         raise RuntimeError(f"bloom kept 0 of {total} files")
+    # Deliberately an INDEPENDENT read of the committed sidecar (not a
+    # value surfaced by bloom_prune_files): the audit's coverage claim
+    # must come from the on-disk artifact, so a prune-path bookkeeping
+    # bug cannot vouch for itself. Manifest-scale paths only.
     covered = {
         r["path"]
         for r in spark.read.parquet(_FS._bloom_dir(snapshot, "event_id"))

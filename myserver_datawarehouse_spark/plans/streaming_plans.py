@@ -934,62 +934,19 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_ivf_ingest_sql() -> str:
+    # The assignment CTEs (e / cent_a / cent_b / asn_a / asn_b) are the
+    # SHARED fragment from plans/embeddings — one source for the exact
+    # rounding and tie-break rules, so this oracle and the batch
+    # audit's can never drift (review finding, round 12).
     from myserver_datawarehouse_spark.plans.embeddings import (
-        INGEST_BATCH_MOD,
-        IVF_CENTS,
+        IVF_ASSIGN_CTES_SQL,
     )
     from myserver_datawarehouse_spark.streaming.jobs import (
         IVF_INGEST_BATCHES,
     )
 
     return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm,
-         (vec_id % {INGEST_BATCH_MOD}) >= 8 AS is_batch
-  FROM embeddings
-),
-cent_a AS (
-  SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
-  WHERE vec_id < {IVF_CENTS} AND NOT is_batch
-),
-cent_b AS (
-  SELECT vec_id AS cid, vec AS c, nrm AS nc FROM e
-  WHERE vec_id < {IVF_CENTS}
-),
-asn_a AS (
-  SELECT vec_id, is_batch, cid, cent_cos FROM (
-    SELECT e.vec_id, e.is_batch, cent_a.cid,
-           ROUND(CASE WHEN e.nrm > 0 AND cent_a.nc > 0
-                 THEN list_dot_product(e.vec, cent_a.c)
-                      / (e.nrm * cent_a.nc) END, 6) AS cent_cos,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY ROUND(CASE WHEN e.nrm > 0 AND cent_a.nc > 0
-                            THEN list_dot_product(e.vec, cent_a.c)
-                                 / (e.nrm * cent_a.nc) END, 6)
-                        DESC NULLS LAST,
-                      cent_a.cid) AS rn
-    FROM e CROSS JOIN cent_a
-  ) WHERE rn = 1
-),
-asn_b AS (
-  SELECT vec_id, cid AS b_cid, cent_cos AS b_cos FROM (
-    SELECT e.vec_id, cent_b.cid,
-           ROUND(CASE WHEN e.nrm > 0 AND cent_b.nc > 0
-                 THEN list_dot_product(e.vec, cent_b.c)
-                      / (e.nrm * cent_b.nc) END, 6) AS cent_cos,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY ROUND(CASE WHEN e.nrm > 0 AND cent_b.nc > 0
-                            THEN list_dot_product(e.vec, cent_b.c)
-                                 / (e.nrm * cent_b.nc) END, 6)
-                        DESC NULLS LAST,
-                      cent_b.cid) AS rn
-    FROM e CROSS JOIN cent_b
-  ) WHERE rn = 1
-),
+WITH {IVF_ASSIGN_CTES_SQL},
 led AS (
   SELECT a.vec_id,
          CASE WHEN a.is_batch

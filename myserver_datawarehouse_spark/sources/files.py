@@ -235,6 +235,18 @@ def write_bloom_sidecar(
     import json
     import os
 
+    if os.path.isfile(os.path.join(table_dir, "_SPECS.json")):
+        # The plain parquet scan below cannot see data under the
+        # underscore-hidden _layout-* subtrees of an evolved snapshot
+        # and would die with an opaque schema-inference error. Guard
+        # HERE so every caller (CLI, publish path, user code) gets the
+        # actionable message.
+        raise ValueError(
+            f"{table_dir} is an evolved multi-layout snapshot; run "
+            "compact_evolved (CLI: 'table compact') first — evolved "
+            "merges/appends then maintain the rebuilt sidecar "
+            "incrementally"
+        )
     scan = spark.read.parquet(table_dir)
     col_type = scan.schema[column].dataType.simpleString()
     sidecar = _bloom_dir(table_dir, column)

@@ -449,6 +449,16 @@ def test_bloom_partition_column_falls_back_to_verbatim_carry(spark, tmp_path):
     keep, _total = FS.bloom_prune_files(spark, snap, "grp", ["9"])
     hits = [p for p in keep if "_layout-1" in p]
     assert hits, "uncovered new file must remain a candidate"
+    # review finding (r12): the fallback carry prunes rows for files
+    # the commit dropped, so the sidecar keeps the paths-subset
+    # invariant instead of accumulating dead rows across merges.
+    covered = {
+        r["path"]
+        for r in spark.read.parquet(
+            os.path.join(snap, "_blooms", "grp")
+        ).select("path").collect()
+    }
+    assert covered <= set(FS._data_files_relative(snap))
 
 
 def test_read_pruned_applies_deletes(spark, tmp_path):

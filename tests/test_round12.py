@@ -72,11 +72,18 @@ def test_audio_clip_containment_min_rule(spark):
         r for r in out if r.doc_b - r.doc_a == MMQ.CLIP_ID_OFFSET
     ]
     assert planted, "planted clip pairs must survive the verify"
+    # survivor must be the RECOMPUTED min doc_a among each doc_b's
+    # matches (not merely <= doc_a, which the window guarantees)
+    min_partner = {}
+    for r in out:
+        min_partner[r.doc_b] = min(
+            min_partner.get(r.doc_b, r.doc_a), r.doc_a
+        )
+    for r in out:
+        assert r.survivor == min_partner[r.doc_b]
     for r in planted:
         # containment: matched covers >= half the clip's windows
         assert 2 * r.matched >= min(r.n_segs_a, r.n_segs_b)
-        # min-rule is load-bearing whenever the track outweighs 2x clip
-        assert r.survivor == min(r.doc_a, r.survivor)
     # at least one planted pair must FAIL the video-style max rule,
     # proving the audio semantics differ (tracks longer than 2x clip)
     assert any(
