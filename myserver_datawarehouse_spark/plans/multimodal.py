@@ -439,8 +439,6 @@ def near_dup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only (production caps windows/track by hop-rate choice). The
     oracle recomputes clips, windows, hashes, banding, and the
     containment rule relationally."""
-    from myserver_datawarehouse_spark.session import materialize
-
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
     clips = docs.filter(
@@ -451,6 +449,25 @@ def near_dup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", CLIP_START + 1, CLIP_LEN).alias("text"),
     )
     media = MM.with_fake_payload(base.unionAll(clips))
+    ver = _audio_fingerprint_pairs(media)
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        "matched",
+        "n_segs_a",
+        "n_segs_b",
+        F.min("doc_a").over(Window.partitionBy("doc_b")).alias("survivor"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _audio_fingerprint_pairs(media) -> DataFrame:
+    """Verified window-set CONTAINMENT pairs (doc_a, doc_b, matched,
+    n_segs_a, n_segs_b) over any media frame — shared by
+    `near_dup_audio_fingerprint` (its presentation surface, over the
+    clip-augmented corpus) and `cross_modal_curation` (the audio edge
+    set over the raw corpus). Identical op graph to the inline form."""
+    from myserver_datawarehouse_spark.session import materialize
+
     # materialize: the fingerprint frame feeds the chunk explode AND
     # the per-track set aggregate — without the cut the payload scan +
     # fingerprint kernel execute twice.
@@ -504,14 +521,7 @@ def near_dup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.least(F.col("n_segs_a"), F.col("n_segs_b"))
         )
     )
-    return ver.select(
-        "doc_a",
-        "doc_b",
-        "matched",
-        "n_segs_a",
-        "n_segs_b",
-        F.min("doc_a").over(Window.partitionBy("doc_b")).alias("survivor"),
-    ).orderBy("doc_a", "doc_b")
+    return ver
 
 
 near_dup_audio_fingerprint.__doc__ = near_dup_audio_fingerprint.__doc__.replace(
@@ -521,15 +531,13 @@ near_dup_audio_fingerprint.__doc__ = near_dup_audio_fingerprint.__doc__.replace(
 _AHOP = MM.AUDIO_HOP
 _AWIN = MM.AUDIO_WINDOW
 
-NEAR_DUP_AUDIO_FINGERPRINT_SQL = f"""
-WITH raw AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
-  UNION ALL
-  SELECT doc_id + {CLIP_ID_OFFSET} AS doc_id,
-         substring(text, {CLIP_START + 1}, {CLIP_LEN}) AS text
-  FROM documents
-  WHERE doc_id % {CLIP_EVERY} = 1 AND length(text) >= {CLIP_MIN_TRACK}
-),
+def _audio_pair_sql(raw_sql: str) -> str:
+    """The audio pair-pipeline oracle parameterized over its raw
+    (doc_id, text) corpus - one source for the window/hash/banding/
+    containment SQL, rendered for the clip-augmented near-dup query
+    and for cross_modal_curation's clip-free audio edge set."""
+    return f"""
+WITH raw AS ({raw_sql}),
 aud AS (
   SELECT doc_id, text, length(text) AS n FROM raw
 ),
@@ -589,6 +597,18 @@ ORDER BY doc_a, doc_b
 """
 
 
+_AUDIO_RAW_CLIPPED_SQL = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + {CLIP_ID_OFFSET} AS doc_id,
+         substring(text, {CLIP_START + 1}, {CLIP_LEN}) AS text
+  FROM documents
+  WHERE doc_id % {CLIP_EVERY} = 1 AND length(text) >= {CLIP_MIN_TRACK}
+"""
+
+NEAR_DUP_AUDIO_FINGERPRINT_SQL = _audio_pair_sql(_AUDIO_RAW_CLIPPED_SQL)
+
+
 FRAME_K = 4
 
 
@@ -623,50 +643,49 @@ ORDER BY doc_id, frame_idx
 
 
 def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modal JOINT curation over THREE modalities — the keep/drop
-    contract a multimodal corpus build runs nightly: a document with a
-    media payload is retired if its text is a near-duplicate
-    (MinHash-LSH pair graph, plans/llm_text._minhash_pair_frame), its
-    image is a near-duplicate (chunk-banded pHash pair graph,
-    _image_phash_pairs), or its video is a frame-set near-duplicate
-    (_video_frame_pairs). The three edge sets are UNIONED and closed
-    transitively (min-label connected components, plans/llm_text.
-    _cc_min_labels — so a text-dup of an image-dup of a video-dup
-    collapses into ONE surviving doc even though no single modality
-    linked the endpoints; text edges are the cross-modal bridges,
-    since every doc has text but only its own payload type), survivor
-    = min doc_id of the union cluster, and every drop carries a
-    provenance column naming the modalities whose evidence touches it
-    ('text', 'image', 'video', or '+'-joined combinations like
-    'text+image').
+    """Cross-modal JOINT curation over the FULL corpus — the keep/drop
+    contract a multimodal corpus build runs nightly, now spanning text
+    plus ALL THREE media arms: a document is retired if its text is a
+    near-duplicate (MinHash-LSH pair graph, plans/llm_text.
+    _minhash_pair_frame), its image is a near-duplicate (chunk-banded
+    pHash pair graph, _image_phash_pairs), its audio is a
+    clip/track near-duplicate (window-set containment pairs,
+    _audio_fingerprint_pairs — over the RAW audio corpus, no clip
+    fixture: the curation judges real documents only), or its video is
+    a frame-set near-duplicate (_video_frame_pairs). The four edge
+    sets are UNIONED and closed transitively (min-label connected
+    components, plans/llm_text._cc_min_labels — so a text-dup of an
+    image-dup of a video-dup collapses into ONE surviving doc even
+    though no single modality linked the endpoints; text edges are the
+    cross-modal bridges, since every doc has text but only its own
+    payload type), survivor = min doc_id of the union cluster, and
+    every drop carries a provenance column naming the modalities whose
+    evidence touches it ('text', 'image', 'audio', 'video', or
+    '+'-joined combinations like 'text+image').
 
-    Scope: docs with an image or video payload (doc_id % 3 in (0, 2)
-    under the fake payload assignment) — the populations where a media
-    verdict exists alongside the text verdict. (Audio near-dup lives
-    in `near_dup_audio_fingerprint`; its clip fixture ids are outside
-    the curation corpus by construction.)
+    Scope: the whole documents table — every doc carries exactly one
+    media payload type (doc_id % 3: image/audio/video), so the media
+    verdict always exists alongside the text verdict. (At small SFs
+    the raw fixture has no intra-audio near-dups, so the 'audio'
+    provenance appears from sf0.1 up — deterministically identical in
+    the oracle either way.)
 
-    At 100 TB: all three edge sets come from banded candidate joins
+    At 100 TB: all four edge sets come from banded candidate joins
     (never all-pairs, payloads never shuffle), the CC iterates over
     the EDGE set only (docs with >= 1 dup pair — orders of magnitude
     smaller than the corpus), and the provenance join is a broadcast
-    of the per-modality endpoint sets. The oracle recomputes all THREE
+    of the per-modality endpoint sets. The oracle recomputes all FOUR
     pair graphs, the recursive closure, and the provenance labels."""
     from myserver_datawarehouse_spark.plans import llm_text as LTX
 
-    # LSH over the in-scope sub-corpus only: a candidate pair between
-    # two in-scope docs depends solely on their own signatures sharing
-    # a band key, so filtering the corpus BEFORE shingling produces
-    # the identical pair set at two-thirds of the shingle/signature
-    # volume (the oracle filters after the full-corpus pair SQL —
-    # same set).
-    scoped = LTX._docs(spark, sf_dir).filter(
-        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 3 == 2)
-    )
-    tpairs = LTX._minhash_pairs_for(scoped).select("doc_a", "doc_b")
+    docs = LTX._docs(spark, sf_dir)
+    tpairs = LTX._minhash_pairs_for(docs).select("doc_a", "doc_b")
     ipairs = _image_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    apairs = _audio_fingerprint_pairs(
+        MM.with_fake_payload(docs.select("doc_id", "text"))
+    ).select("doc_a", "doc_b")
     vpairs = _video_frame_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = tpairs.union(ipairs).union(vpairs).distinct()
+    edges = tpairs.union(ipairs).union(apairs).union(vpairs).distinct()
     labels = LTX._cc_min_labels(edges)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -682,11 +701,13 @@ def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tdocs = endpoints(tpairs, "in_text")
     idocs = endpoints(ipairs, "in_image")
+    adocs = endpoints(apairs, "in_audio")
     vdocs = endpoints(vpairs, "in_video")
     return (
         labels.join(F.broadcast(sizes), "label")
         .join(F.broadcast(tdocs), "doc_id", "left")
         .join(F.broadcast(idocs), "doc_id", "left")
+        .join(F.broadcast(adocs), "doc_id", "left")
         .join(F.broadcast(vdocs), "doc_id", "left")
         .select(
             "doc_id",
@@ -701,6 +722,7 @@ def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "+",
                     F.when(F.col("in_text").isNotNull(), "text"),
                     F.when(F.col("in_image").isNotNull(), "image"),
+                    F.when(F.col("in_audio").isNotNull(), "audio"),
                     F.when(F.col("in_video").isNotNull(), "video"),
                 )
             )
@@ -713,20 +735,24 @@ def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cross_modal_curation_sql() -> str:
     from myserver_datawarehouse_spark.plans import llm_text as LTX
 
+    audio_src = _audio_pair_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1"
+    )
     return f"""
 WITH RECURSIVE tsrc AS ({LTX.NEAR_DUP_MINHASH_LSH_SQL}),
 isrc AS ({NEAR_DUP_IMAGE_PHASH_SQL}),
+asrc AS ({audio_src}),
 vsrc AS ({NEAR_DUP_VIDEO_FRAMES_SQL}),
-tpairs AS (
-  SELECT doc_a, doc_b FROM tsrc
-  WHERE doc_a % 3 IN (0, 2) AND doc_b % 3 IN (0, 2)
-),
+tpairs AS (SELECT doc_a, doc_b FROM tsrc),
 ipairs AS (SELECT doc_a, doc_b FROM isrc),
+apairs AS (SELECT doc_a, doc_b FROM asrc),
 vpairs AS (SELECT doc_a, doc_b FROM vsrc),
 upairs AS (
   SELECT doc_a, doc_b FROM tpairs
   UNION
   SELECT doc_a, doc_b FROM ipairs
+  UNION
+  SELECT doc_a, doc_b FROM apairs
   UNION
   SELECT doc_a, doc_b FROM vpairs
 ),
@@ -757,6 +783,11 @@ idocs AS (
     SELECT doc_a AS doc_id FROM ipairs
     UNION ALL SELECT doc_b FROM ipairs)
 ),
+adocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM apairs
+    UNION ALL SELECT doc_b FROM apairs)
+),
 vdocs AS (
   SELECT DISTINCT doc_id FROM (
     SELECT doc_a AS doc_id FROM vpairs
@@ -769,12 +800,14 @@ SELECT m.doc_id, m.cluster_id, s.n_members,
             ELSE concat_ws('+',
                    CASE WHEN t.doc_id IS NOT NULL THEN 'text' END,
                    CASE WHEN i.doc_id IS NOT NULL THEN 'image' END,
+                   CASE WHEN a.doc_id IS NOT NULL THEN 'audio' END,
                    CASE WHEN v.doc_id IS NOT NULL THEN 'video' END)
        END AS retired_by
 FROM members m
 JOIN sizes s USING (cluster_id)
 LEFT JOIN tdocs t ON t.doc_id = m.doc_id
 LEFT JOIN idocs i ON i.doc_id = m.doc_id
+LEFT JOIN adocs a ON a.doc_id = m.doc_id
 LEFT JOIN vdocs v ON v.doc_id = m.doc_id
 ORDER BY m.doc_id
 """

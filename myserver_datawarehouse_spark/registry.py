@@ -517,10 +517,11 @@ _SPECS: list[QuerySpec] = [
         "cross_modal_curation",
         MMQ.cross_modal_curation,
         MMQ.CROSS_MODAL_CURATION_SQL,
-        "cross-modal joint keep/drop over THREE modalities: text "
-        "MinHash + image pHash + video frame-set edges unioned, "
-        "min-label CC closure, survivor = min doc_id of the union "
-        "cluster, per-drop '+'-joined modality provenance",
+        "cross-modal joint keep/drop over the FULL corpus: text "
+        "MinHash + image pHash + audio containment + video frame-set "
+        "edges unioned, min-label CC closure, survivor = min doc_id "
+        "of the union cluster, per-drop '+'-joined modality "
+        "provenance",
     ),
     QuerySpec(
         "streaming_minute_agg",

@@ -90,17 +90,13 @@ def test_near_dup_video_frames_pairs_and_survivors(spark):
 def test_cross_modal_curation_contract(spark):
     rows = MMQ.cross_modal_curation(spark, SF).collect()
     assert rows, "fixture has image near-dups; the cluster set is nonempty"
-    legal = {
-        "text", "image", "video",
-        "text+image", "text+video", "image+video", "text+image+video",
-    }
+    modalities = ("text", "image", "audio", "video")
     by_cluster = {}
     kinds = set()
     for r in rows:
         by_cluster.setdefault(r.cluster_id, []).append(r)
-        assert r.doc_id % 3 in (0, 2)  # image- or video-payload docs
         kinds.add(r.doc_id % 3)
-    assert kinds == {0, 2}, "both media populations must appear"
+    assert kinds == {0, 1, 2}, "all three media populations must appear"
     for cid, members in by_cluster.items():
         ids = sorted(m.doc_id for m in members)
         assert cid == ids[0]  # survivor is the min doc_id
@@ -110,7 +106,10 @@ def test_cross_modal_curation_contract(spark):
                 assert m.verdict == "keep" and m.retired_by == "none"
             else:
                 assert m.verdict == "drop"
-                assert m.retired_by in legal
+                parts = m.retired_by.split("+")
+                assert parts and all(p in modalities for p in parts)
+                # '+'-join preserves the canonical modality order
+                assert parts == [p for p in modalities if p in parts]
     # the video arm contributes evidence somewhere in the graph
     assert any(
         "video" in m.retired_by for ms in by_cluster.values() for m in ms

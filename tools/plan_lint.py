@@ -116,9 +116,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "exact re-ranker re-scores"
     },
     "cross_modal_curation": {
-        "RDD_SCAN": _LC + "; the MinHash shingle frame + CC iteration "
-        "edge frames (same machinery as dedup_clusters, over the "
-        "unioned text+image+video edge set)"
+        "RDD_SCAN": _LC + "; the MinHash shingle frame, the audio "
+        "fingerprint frame + CC iteration edge frames (same machinery "
+        "as dedup_clusters, over the unioned text+image+audio+video "
+        "edge set)"
     },
     "ann_nprobe_clustered": {
         "RDD_SCAN": _LC + "; the clustered-vector frame (consumed by "
@@ -226,6 +227,7 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "cross_modal_curation": (
         "MinHash shingle frame: signatures + verify join",
+        "audio fingerprint frame: chunk explode + per-track aggregate",
         "union edge frame: every CC propagation round",
         "CC labels: size rollup + provenance joins",
     ),
