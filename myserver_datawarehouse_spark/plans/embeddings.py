@@ -2955,3 +2955,336 @@ FROM j
 GROUP BY cell
 ORDER BY cell
 """
+
+
+# ------------------------------------------- Matryoshka prefix-dim audit
+
+# Matryoshka representation learning (Kusupati et al., NeurIPS 2022) trains
+# embeddings whose PREFIXES are themselves usable embeddings; serving
+# stacks exploit that by retrieving on a cheap prefix and reranking on the
+# full vector.  This audit measures, per prefix width, how much of the
+# full-dimension top-k the prefix retrieval preserves — the number a
+# vector-store operator reads before choosing the serving width.
+MRL_PREFIX_DIMS = [8, 16, 32, 64]  # 64 = full width, recall-1.0 self-check
+
+
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval audit: cosine top-{TOP_K}
+    for {N_PROBES} probes at prefix widths {MRL_PREFIX_DIMS} vs the
+    full-width ground truth, one row per width with recall@k and the
+    mean FULL-width cosine of what the prefix actually retrieved (the
+    quality actually served, not the truncated score that selected it).
+
+    Plan shape (100 TB): the probe matrix is broadcast and the corpus is
+    scanned ONCE — all four prefix cosines come out of the same pass via
+    `slice` on the in-flight array (prefix dot products are strict
+    prefixes of the full fold, so the marginal cost is one extra
+    multiply-add per dim, not one extra scan per width).  The only
+    shuffles are the per-(query, width) top-k windows over
+    N_PROBES x corpus candidate rows and the |widths|-row rollup.
+    Determinism: scores ROUND(6) before ranking, ties on vec_id, means
+    accumulate in DECIMAL over 12-dp-rounded values (partition-order
+    independent).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("prefix_dim"),
+                F.round(
+                    V.cosine(F.slice("q", 1, d), F.slice("embedding", 1, d)), 6
+                ).alias("cos_prefix"),
+            )
+            for d in MRL_PREFIX_DIMS
+        ]
+    )
+    scored = (
+        e.join(F.broadcast(probes), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.explode(legs).alias("leg"),
+            F.round(V.cosine("q", "embedding"), 6).alias("cos_full"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("leg.prefix_dim").alias("prefix_dim"),
+            F.col("leg.cos_prefix").alias("cos_prefix"),
+            "cos_full",
+        )
+        .filter(F.col("cos_prefix").isNotNull())
+    )
+    w = Window.partitionBy("query_id", "prefix_dim").orderBy(
+        F.col("cos_prefix").desc(), F.col("vec_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    gt = topk.filter(F.col("prefix_dim") == 64).select(
+        F.col("query_id").alias("gt_query_id"),
+        F.col("vec_id").alias("gt_vec_id"),
+    )
+    hit = topk.join(
+        gt,
+        (F.col("query_id") == F.col("gt_query_id"))
+        & (F.col("vec_id") == F.col("gt_vec_id")),
+        "left_semi",
+    )
+    dec = "decimal(28,14)"
+    n_gt = TOP_K * N_PROBES
+    hits_per_dim = hit.groupBy("prefix_dim").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        topk.groupBy("prefix_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.round(
+                F.sum(F.round(F.col("cos_full"), 12).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_served_cosine"),
+        )
+        .join(hits_per_dim, "prefix_dim")
+        .select(
+            "prefix_dim",
+            "n_retrieved",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(n_gt)), 6).alias("recall_at_k"),
+            "avg_served_cosine",
+        )
+        .orderBy("prefix_dim")
+    )
+
+
+_MRL_LEG_SQL = ",\n  ".join(
+    f"""leg_{d} AS (
+    SELECT query_id, vec_id,
+           ROUND(CASE WHEN sqrt(list_dot_product(q[1:{d}], q[1:{d}])) > 0
+                       AND sqrt(list_dot_product(v[1:{d}], v[1:{d}])) > 0
+                 THEN list_dot_product(q[1:{d}], v[1:{d}])
+                      / (sqrt(list_dot_product(q[1:{d}], q[1:{d}]))
+                         * sqrt(list_dot_product(v[1:{d}], v[1:{d}])))
+                 END, 6) AS cos_prefix,
+           ROUND(CASE WHEN sqrt(list_dot_product(q, q)) > 0
+                       AND sqrt(list_dot_product(v, v)) > 0
+                 THEN list_dot_product(q, v)
+                      / (sqrt(list_dot_product(q, q))
+                         * sqrt(list_dot_product(v, v)))
+                 END, 6) AS cos_full,
+           {d} AS prefix_dim
+    FROM pairs
+  )"""
+    for d in MRL_PREFIX_DIMS
+)
+
+EMBEDDING_MATRYOSHKA_AUDIT_SQL = f"""
+WITH p AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT query_id, vec_id, q, v FROM p CROSS JOIN e
+  WHERE vec_id != query_id
+),
+  {_MRL_LEG_SQL},
+legs AS (
+  {" UNION ALL ".join(f"SELECT * FROM leg_{d}" for d in MRL_PREFIX_DIMS)}
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id, prefix_dim
+      ORDER BY cos_prefix DESC, vec_id
+    ) AS rn
+    FROM legs WHERE cos_prefix IS NOT NULL
+  ) WHERE rn <= {TOP_K}
+),
+gt AS (
+  SELECT query_id, vec_id FROM topk WHERE prefix_dim = 64
+),
+hits AS (
+  SELECT t.prefix_dim, COUNT(*) AS n_hits
+  FROM topk t SEMI JOIN gt g
+    ON t.query_id = g.query_id AND t.vec_id = g.vec_id
+  GROUP BY 1
+)
+SELECT t.prefix_dim,
+       COUNT(*) AS n_retrieved,
+       h.n_hits,
+       ROUND(h.n_hits / {float(TOP_K * N_PROBES)}, 6) AS recall_at_k,
+       ROUND(CAST(SUM(CAST(ROUND(t.cos_full, 12) AS DECIMAL(28,14)))
+                  AS DOUBLE) / COUNT(*), 6) AS avg_served_cosine
+FROM topk t JOIN hits h ON t.prefix_dim = h.prefix_dim
+GROUP BY t.prefix_dim, h.n_hits
+ORDER BY t.prefix_dim
+"""
+
+
+# --------------------------------------- 1-bit binary quantization rerank
+
+# Binary quantization (sign bit per dimension, Hamming-distance scan,
+# exact rerank of the shortlist) is the 32x-compression end of the
+# quantization spectrum this tier already covers at int8 (4x) and PQ
+# (~16x).  The serving pattern is the one popularized by the
+# RaBitQ/BQ literature and every vector store's "binary index" mode:
+# popcount(XOR) over packed words is the fastest scan a CPU can do, and
+# a full-precision rerank of the top candidates recovers most of the
+# recall the 1-bit scores lose.
+BQ_CAND = 32  # Hamming shortlist width reranked at full precision
+
+
+def _packed_bits_sql_spark(col: str, lo: bool) -> str:
+    """Spark-SQL expression packing 32 sign bits of `col` (0-based array)
+    into one BIGINT — dims [0,32) when lo else [32,64)."""
+    base = 0 if lo else 32
+    return " + ".join(
+        f"(CASE WHEN {col}[{base + i}] > 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+
+
+def _packed_bits_sql_duck(col: str, lo: bool) -> str:
+    """DuckDB expression packing 32 sign bits of `col` (1-based list)."""
+    base = 1 if lo else 33
+    return " + ".join(
+        f"(CASE WHEN {col}[{base + i}] > 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+
+
+def embedding_binary_hamming_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-bit binary-quantization search audit: per probe, scan by Hamming
+    distance over sign-bit-packed BIGINT words (popcount(XOR) — the 32x
+    compression index), shortlist the top {BQ_CAND}, rerank the shortlist
+    by exact cosine, and flag each served row against the exact
+    full-corpus top-{TOP_K} ground truth.
+
+    Plan shape (100 TB): ONE corpus pass computes the packed words and
+    the exact cosine for the broadcast probe set together; the Hamming
+    shortlist, the rerank, and the ground-truth top-k are three windows
+    over that same N_PROBES x corpus frame (no second scan — in
+    production the packed words are a stored 16-byte column and the
+    full-precision leg reads only the shortlist).  Hamming is INTEGER
+    arithmetic end-to-end — bit-for-bit deterministic across engines —
+    and only the rerank cosine carries the usual ROUND(6) + vec_id
+    tie-break discipline.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_packed_bits_sql_spark("embedding", lo=True)).alias("b_lo"),
+        F.expr(_packed_bits_sql_spark("embedding", lo=False)).alias("b_hi"),
+    )
+    probes = packed.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+    )
+    pairs = (
+        packed.join(F.broadcast(probes), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("b_hi").bitwiseXOR(F.col("q_hi")))
+            ).cast("int").alias("hamming"),
+            F.round(V.cosine("q", "embedding"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    served = (
+        pairs.withColumn("rn_h", F.row_number().over(w_ham))
+        .filter(F.col("rn_h") <= BQ_CAND)
+        .withColumn("rn_c", F.row_number().over(w_cos))
+        .filter(F.col("rn_c") <= TOP_K)
+    )
+    gt = (
+        pairs.withColumn("rn_g", F.row_number().over(w_cos))
+        .filter(F.col("rn_g") <= TOP_K)
+        .select(
+            F.col("query_id").alias("gt_query_id"),
+            F.col("vec_id").alias("gt_vec_id"),
+        )
+    )
+    return (
+        served.join(
+            gt,
+            (F.col("query_id") == F.col("gt_query_id"))
+            & (F.col("vec_id") == F.col("gt_vec_id")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            "cosine",
+            F.col("gt_vec_id").isNotNull().alias("in_exact_topk"),
+        )
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
+EMBEDDING_BINARY_HAMMING_RERANK_SQL = f"""
+WITH packed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_packed_bits_sql_duck("embedding", lo=True)} AS b_lo,
+         {_packed_bits_sql_duck("embedding", lo=False)} AS b_hi
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id AS query_id, v AS q, b_lo AS q_lo, b_hi AS q_hi
+  FROM packed WHERE vec_id < {N_PROBES}
+),
+pairs AS (
+  SELECT query_id, e.vec_id,
+         CAST(bit_count(xor(e.b_lo, p.q_lo))
+              + bit_count(xor(e.b_hi, p.q_hi)) AS INTEGER) AS hamming,
+         ROUND({_COS_SQL}, 6) AS cosine
+  FROM packed e CROSS JOIN p
+  WHERE e.vec_id != p.query_id
+),
+nn AS (SELECT * FROM pairs WHERE cosine IS NOT NULL),
+served AS (
+  SELECT query_id, vec_id, hamming, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS rn_c
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY hamming, vec_id
+      ) AS rn_h
+      FROM nn
+    ) WHERE rn_h <= {BQ_CAND}
+  ) WHERE rn_c <= {TOP_K}
+),
+gt AS (
+  SELECT query_id AS gt_query_id, vec_id AS gt_vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS rn_g
+    FROM nn
+  ) WHERE rn_g <= {TOP_K}
+)
+SELECT s.query_id, s.vec_id, s.hamming, s.cosine,
+       (g.gt_vec_id IS NOT NULL) AS in_exact_topk
+FROM served s LEFT JOIN gt g
+  ON s.query_id = g.gt_query_id AND s.vec_id = g.gt_vec_id
+ORDER BY s.query_id, s.cosine DESC, s.vec_id
+"""

@@ -5239,3 +5239,111 @@ ORDER BY lang
 
 
 BPE_FERTILITY_BY_LANG_SQL = _bpe_fertility_sql()
+
+
+# ------------------------------------- temperature-resampled language mix
+
+# Alpha-temperature sampling (Lample & Conneau 2019; XLM-R; every
+# multilingual LLM data recipe since): sample language l with probability
+# proportional to (its token share)^alpha, alpha < 1, so low-resource
+# languages are upsampled relative to their raw share without flattening
+# the mixture entirely.  `data_mixture_rebalance` is the alpha=0
+# (equal-mixture) endpoint of this dial; this query is the tunable
+# middle.  alpha = 0.5 here, computed as sqrt() — IEEE-exact in both
+# engines, so the contract stays hash-tight without a float-pow epsilon.
+MIX_TEMPERATURE_ALPHA = 0.5  # via sqrt(); the knob the recipe tunes
+
+
+def temperature_resampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language temperature-resampled mixture table: raw token share
+    p_raw, temperature share p_temp ∝ lang_tokens^{MIX_TEMPERATURE_ALPHA},
+    the resulting upsample factor (p_temp / p_raw — >1 means the language
+    is repeated, the low-resource boost), and the expected token budget
+    per language under the resampled mix.
+
+    Plan shape (100 TB): one corpus pass for per-language token totals
+    (map-side partial agg to a |langs|-row frame), then a broadcast of
+    the 1-row global sums — no global window, no second corpus pass (the
+    totals can ride a standing stats table).  Determinism: the cross-lang
+    sums accumulate in DECIMAL over 9-dp-rounded sqrt weights
+    (partition-order independent); shares divide those exact decimals as
+    doubles.
+    """
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,12)"
+    totals = (
+        d.select(
+            "lang",
+            F.size(TX.tokenize("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tokens"))
+        .select(
+            "lang",
+            "lang_tokens",
+            F.round(F.sqrt(F.col("lang_tokens").cast("double")), 9)
+            .cast(dec)
+            .alias("w"),
+        )
+    )
+    g = totals.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.sum("w").alias("sum_w"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(g))
+        .select(
+            "lang",
+            "lang_tokens",
+            F.round(
+                F.col("lang_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("p_raw"),
+            F.round(
+                F.col("w").cast("double") / F.col("sum_w").cast("double"), 6
+            ).alias("p_temp"),
+            F.round(
+                (F.col("w").cast("double") / F.col("sum_w").cast("double"))
+                / (F.col("lang_tokens") / F.col("total_tokens").cast("double")),
+                6,
+            ).alias("upsample_factor"),
+            F.round(
+                F.col("total_tokens").cast("double")
+                * (F.col("w").cast("double") / F.col("sum_w").cast("double")),
+                0,
+            )
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_RESAMPLED_MIX_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens,
+         CAST(ROUND(sqrt(CAST(SUM(n_tok) AS DOUBLE)), 9)
+              AS DECIMAL(38,12)) AS w
+  FROM per_doc GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+         SUM(w) AS sum_w
+  FROM tot
+)
+SELECT lang, lang_tokens,
+       ROUND(lang_tokens / CAST(total_tokens AS DOUBLE), 6) AS p_raw,
+       ROUND(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS p_temp,
+       ROUND((CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE))
+             / (lang_tokens / CAST(total_tokens AS DOUBLE)), 6)
+         AS upsample_factor,
+       CAST(ROUND(CAST(total_tokens AS DOUBLE)
+                  * (CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE)), 0)
+            AS BIGINT) AS expected_tokens
+FROM tot, g
+ORDER BY lang
+"""

@@ -967,3 +967,95 @@ ORDER BY batch_no, cell
 
 
 STREAMING_IVF_INGEST_SQL = _streaming_ivf_ingest_sql()
+
+
+def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest (18th §2.12 variant): the crawl-ingest
+    MinHash-LSH dedup service run as a REAL micro-batch stream
+    (streaming/jobs.near_dup_ingest_stream) — the banded signature
+    index seeds from the standing corpus, arrival documents stream in
+    one micro-batch per batch_no, each batch appends O(batch)
+    signatures to the index, probes the band buckets, exact-Jaccard
+    verifies its candidates against the stored shingle-hash sets, and
+    appends the surviving dup edges to a ledger.
+
+    Adjudicated output = the full dup-edge ledger (batch_no, doc_new,
+    doc_partner, jaccard): partner precedence (base < earlier batch <
+    same batch with smaller doc_id) makes every edge a pure function
+    of the data, not of trigger boundaries — what makes a LIVE ingest
+    stream adjudicable against the batch oracle below. Same
+    eager-at-construction bench note as streaming_upsert_merge;
+    per-(sf, pid) work dir."""
+    import shutil
+
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_neardup", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    ledger = SJ.near_dup_ingest_stream(spark, sf_dir, work)
+    return (
+        spark.read.parquet(ledger)
+        .select("batch_no", "doc_new", "doc_partner", "jaccard")
+        .orderBy("batch_no", "doc_new", "doc_partner")
+    )
+
+
+def _streaming_near_dup_ingest_sql() -> str:
+    # Signature CTEs (toks / sh / mhd / mhb / sig / bands) are the
+    # SHARED fragments from plans/llm_text — one source for shingle,
+    # minhash, and band-key rules, so this oracle can never drift from
+    # the batch near-dup family's.
+    from myserver_datawarehouse_spark.plans.llm_text import (
+        _BAND_KEYS_SQL,
+        _MH_BASE_SQL,
+        _MINHASH_SQL,
+        _SH_SQL,
+        _TOKS_SQL,
+        _d_hash60,
+        INCR_MOD,
+        JACCARD_TAU,
+    )
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        NEAR_DUP_INGEST_BATCHES,
+    )
+
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS ({_SH_SQL}),
+mhd AS (SELECT doc_id, list_distinct([{_d_hash60('x')} FOR x IN sh]) AS mh
+        FROM sh),
+mhb AS (SELECT doc_id, {_MH_BASE_SQL} AS mh FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_SQL} AS sig FROM mhb),
+bands AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {INCR_MOD} = 0
+              THEN CAST((doc_id // {INCR_MOD})
+                        % {NEAR_DUP_INGEST_BATCHES} AS INT)
+              ELSE -1 END AS batch_no,
+         unnest({_BAND_KEYS_SQL}) AS bk
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.batch_no, a.doc_id AS doc_new, b.doc_id AS doc_partner
+  FROM bands a JOIN bands b ON a.bk = b.bk
+  WHERE a.batch_no >= 0
+    AND (b.batch_no < a.batch_no
+         OR (b.batch_no = a.batch_no AND b.doc_id < a.doc_id))
+),
+pairs AS (
+  SELECT c.batch_no, c.doc_new, c.doc_partner,
+         ROUND(CAST(len(list_intersect(sa.mh, sb.mh)) AS DOUBLE)
+               / CAST(len(sa.mh) + len(sb.mh)
+                      - len(list_intersect(sa.mh, sb.mh)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN mhd sa ON sa.doc_id = c.doc_new
+  JOIN mhd sb ON sb.doc_id = c.doc_partner
+)
+SELECT batch_no, doc_new, doc_partner, jaccard FROM pairs
+WHERE jaccard >= {JACCARD_TAU}
+ORDER BY batch_no, doc_new, doc_partner
+"""
+
+
+STREAMING_NEAR_DUP_INGEST_SQL = _streaming_near_dup_ingest_sql()

@@ -275,6 +275,26 @@ _SPECS: list[QuerySpec] = [
         "— the re-index monitoring signal",
     ),
     QuerySpec(
+        "embedding_matryoshka_audit",
+        EM.embedding_matryoshka_audit,
+        EM.EMBEDDING_MATRYOSHKA_AUDIT_SQL,
+        "Matryoshka prefix-dimension retrieval audit: recall@k and "
+        "served full-width cosine per prefix width (8/16/32/64) from "
+        "ONE corpus pass (all prefix dots sliced out of the same "
+        "in-flight array) — the serving-width tuning table for "
+        "MRL-trained embedding stores",
+    ),
+    QuerySpec(
+        "embedding_binary_hamming_rerank",
+        EM.embedding_binary_hamming_rerank,
+        EM.EMBEDDING_BINARY_HAMMING_RERANK_SQL,
+        "1-bit binary quantization search: sign bits packed into two "
+        "BIGINT words, popcount(XOR) Hamming shortlist, exact-cosine "
+        "rerank, per-row ground-truth flag — the 32x-compression end "
+        "of the quantization tier (int8 4x, PQ ~16x), integer-exact "
+        "candidate selection",
+    ),
+    QuerySpec(
         "stratified_sample",
         LT.stratified_sample,
         LT.STRATIFIED_SAMPLE_SQL,
@@ -582,6 +602,16 @@ _SPECS: list[QuerySpec] = [
         LT.data_mixture_rebalance,
         LT.DATA_MIXTURE_REBALANCE_SQL,
         "corpus assembly: target-mixture downsampling, integer-exact gate",
+    ),
+    QuerySpec(
+        "temperature_resampled_mix",
+        LT.temperature_resampled_mix,
+        LT.TEMPERATURE_RESAMPLED_MIX_SQL,
+        "corpus assembly: alpha-temperature language resampling "
+        "(p_temp ∝ tokens^0.5 via engine-exact sqrt) — upsample "
+        "factors + expected token budget per language; the tunable "
+        "middle of the dial whose alpha=0 endpoint is "
+        "data_mixture_rebalance",
     ),
     QuerySpec(
         "quality_percentile_filter",
@@ -1285,6 +1315,18 @@ _SPECS: list[QuerySpec] = [
         "stream — broadcast-centroid map-only assignment per batch, "
         "O(batch) ledger appends, per-batch n_would_move drift "
         "trajectory adjudicated against the batch oracle",
+    ),
+    QuerySpec(
+        "streaming_near_dup_ingest",
+        ST.streaming_near_dup_ingest,
+        ST.STREAMING_NEAR_DUP_INGEST_SQL,
+        "§2.12 18th variant: crawl-ingest MinHash-LSH dedup as a "
+        "micro-batch stream — the banded index seeds from the "
+        "standing corpus, each batch appends O(batch) signatures, "
+        "probes the buckets, exact-Jaccard verifies, and ledgers its "
+        "dup edges; partner precedence (base < earlier batch < "
+        "smaller same-batch id) makes the ledger trigger-independent "
+        "and batch-oracle adjudicable",
     ),
     QuerySpec(
         "streaming_cdc_replication",

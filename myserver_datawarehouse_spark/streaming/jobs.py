@@ -1477,3 +1477,235 @@ def ivf_ingest_stream(
     finally:
         q.stop()
     return cells_dir
+
+
+NEAR_DUP_INGEST_BATCHES = 3  # arrivals split by (doc_id div 5) % 3
+
+
+def near_dup_ingest_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> str:
+    """Streaming near-dup ingest (18th §2.12 shape) — the crawl-ingest
+    dedup service every corpus pipeline runs continuously, as a real
+    micro-batch stream: the MinHash-LSH index (band buckets + shingle
+    hash sets + set sizes) is SEEDED from the standing corpus
+    (doc_id % INCR_MOD != 0 — the same split as the batch
+    `near_dup_incremental_lsh`), then arrival documents stream in one
+    micro-batch per batch_no through foreachBatch:
+
+      - each batch's signatures/bands are computed ONCE (O(batch
+        shingles)) and APPENDED to the standing index first — O(batch)
+        bytes per commit, the standing corpus is never re-shingled;
+      - the batch's bands then probe the (now self-inclusive) index;
+        a candidate pair survives when the partner precedes the
+        arrival in ingest order: partner.batch_no < arrival.batch_no
+        (base rows carry batch_no -1), or same batch with a smaller
+        doc_id — ONE rule covering base, earlier-batch, and
+        intra-batch partners, which makes the ledger independent of
+        trigger boundaries and therefore batch-oracle adjudicable;
+      - candidates verify by exact Jaccard over the stored shingle
+        hash sets (tau = plans/llm_text.JACCARD_TAU) and the
+        surviving edges append to the dup ledger with their batch_no.
+
+    ALL arrivals index — including flagged dups (keep-first-with-full-
+    index: a later re-crawl of the dup still flags against it). Scale:
+    per-batch cost is O(batch shingles) + band-bucket collisions;
+    ledger and index writes are O(batch). Returns the ledger path."""
+    import os
+
+    from myserver_datawarehouse_spark.operators import text as TX
+    from myserver_datawarehouse_spark.plans.llm_text import (
+        INCR_MOD,
+        JACCARD_TAU,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_N,
+        SHINGLE_K,
+    )
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    bands_dir = os.path.join(work_dir, "index_bands")
+    hashes_dir = os.path.join(work_dir, "index_hashes")
+    sizes_dir = os.path.join(work_dir, "index_sizes")
+    ledger_dir = os.path.join(work_dir, "ledger")
+
+    p = F.lit(TX.MINHASH_P)
+
+    def _index_frames(frame: DataFrame, batch_no):
+        """(hashes, sizes, bands) for any (doc_id, text) frame — the
+        signature scheme of near_dup_incremental_lsh, verbatim."""
+        hs = (
+            TX.shingle_rows(frame, SHINGLE_K)
+            .select("doc_id", TX.hash60("g").alias("h"))
+            .distinct()
+        )
+        hs.persist()
+        sig = (
+            hs.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(
+                        f"s{i}"
+                    )
+                    for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
+                ],
+            )
+            .select(
+                "doc_id",
+                "n",
+                F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
+            )
+        )
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                TX.lsh_band_keys("sig", LSH_BANDS, LSH_ROWS)
+            ).alias("bk"),
+            F.lit(batch_no).cast("int").alias("batch_no"),
+        )
+        return hs, sig.select("doc_id", "n"), bands
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_arrival = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
+
+    # Seed the standing index (batch_no -1, the pre-stream corpus).
+    hs0, sz0, bd0 = _index_frames(docs.filter(~is_arrival), -1)
+    bd0.write.mode("overwrite").parquet(bands_dir)
+    hs0.write.mode("overwrite").parquet(hashes_dir)
+    sz0.write.mode("overwrite").parquet(sizes_dir)
+    hs0.unpersist()
+
+    arrivals = docs.filter(is_arrival).select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"CAST((doc_id DIV {INCR_MOD}) % {NEAR_DUP_INGEST_BATCHES}"
+            " AS INT)"
+        ).alias("batch_no"),
+    )
+    # One file per batch_no with strictly-increasing mtimes (the repo's
+    # ordered-file-source pattern, cf. watermark_audit_stream): the
+    # precedence rule needs batch k indexed before batch k+1 probes.
+    import shutil
+
+    os.makedirs(input_dir, exist_ok=True)
+    mtime = 1_700_000_000
+    for k in range(NEAR_DUP_INGEST_BATCHES):
+        part = arrivals.filter(F.col("batch_no") == k)
+        stage = os.path.join(work_dir, f"stage_{k}")
+        shutil.rmtree(stage, ignore_errors=True)
+        part.coalesce(1).write.parquet(stage)
+        (name,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dest = os.path.join(input_dir, f"batch_{k}.parquet")
+        os.replace(os.path.join(stage, name), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        mtime += 10
+        os.utime(dest, (mtime, mtime))
+    # typed empty ledger so a pair-free run still reads back cleanly
+    spark.createDataFrame(
+        [],
+        "batch_no int, doc_new long, doc_partner long, jaccard double",
+    ).write.mode("overwrite").parquet(ledger_dir)
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        # batch_no is a DATA column; a trigger may carry several input
+        # files, so process per distinct batch_no in ingest order to
+        # keep the ledger's precedence rule exact.
+        for (bno,) in sorted(
+            batch.select("batch_no").distinct().collect()
+        ):
+            one = batch.filter(F.col("batch_no") == bno).select(
+                "doc_id", "text"
+            )
+            hs, sz, bd = _index_frames(one, bno)
+            # index first (self-inclusive probe), O(batch) appends
+            bd.write.mode("append").parquet(bands_dir)
+            hs.write.mode("append").parquet(hashes_dir)
+            sz.write.mode("append").parquet(sizes_dir)
+            idx_bands = sp.read.parquet(bands_dir)
+            cand = (
+                bd.select(
+                    F.col("doc_id").alias("doc_new"),
+                    "bk",
+                    F.col("batch_no").alias("bno_new"),
+                )
+                .join(idx_bands.alias("ix"), "bk")
+                .filter(
+                    (F.col("ix.batch_no") < F.col("bno_new"))
+                    | (
+                        (F.col("ix.batch_no") == F.col("bno_new"))
+                        & (F.col("ix.doc_id") < F.col("doc_new"))
+                    )
+                )
+                .select(
+                    "doc_new", F.col("ix.doc_id").alias("doc_partner")
+                )
+                .distinct()
+            )
+            idx_h = sp.read.parquet(hashes_dir)
+            idx_n = sp.read.parquet(sizes_dir)
+            inter = (
+                F.broadcast(cand)
+                .join(hs.alias("ha"), F.col("doc_new") == F.col("ha.doc_id"))
+                .join(
+                    idx_h.alias("hb"),
+                    (F.col("doc_partner") == F.col("hb.doc_id"))
+                    & (F.col("ha.h") == F.col("hb.h")),
+                )
+                .groupBy("doc_new", "doc_partner")
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
+            jac = F.col("inter").cast("double") / (
+                F.col("na") + F.col("nb") - F.col("inter")
+            ).cast("double")
+            (
+                inter.join(
+                    F.broadcast(
+                        sz.select(
+                            F.col("doc_id").alias("doc_new"),
+                            F.col("n").alias("na"),
+                        )
+                    ),
+                    "doc_new",
+                )
+                .join(
+                    idx_n.select(
+                        F.col("doc_id").alias("doc_partner"),
+                        F.col("n").alias("nb"),
+                    ),
+                    "doc_partner",
+                )
+                .select(
+                    F.lit(bno).cast("int").alias("batch_no"),
+                    "doc_new",
+                    "doc_partner",
+                    F.round(jac, 6).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= JACCARD_TAU)
+                .write.mode("append")
+                .parquet(ledger_dir)
+            )
+            hs.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return ledger_dir

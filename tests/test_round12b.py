@@ -1,0 +1,201 @@
+"""Round-12 second wave: Matryoshka prefix-dim retrieval audit, 1-bit
+binary-quantization Hamming rerank, and alpha-temperature language
+resampling — semantics asserted against pure-Python recomputations on
+the sf0.001 fixture, not just oracle hashes."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from myserver_datawarehouse_spark.plans import embeddings as EM
+from myserver_datawarehouse_spark.plans import llm_text as LT
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(limit=None):
+    con = duckdb.connect()
+    q = f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    rows = con.execute(q).fetchall()
+    return {vid: list(v) for vid, v in rows}
+
+
+def _cos(a, b):
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na <= 0 or nb <= 0:
+        return None
+    return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+
+# ------------------------------------------------- matryoshka audit
+
+
+def test_matryoshka_full_width_recall_is_one(spark):
+    df = EM.embedding_matryoshka_audit(spark, SF).toPandas()
+    assert list(df.prefix_dim) == EM.MRL_PREFIX_DIMS
+    full = df[df.prefix_dim == 64].iloc[0]
+    assert full.recall_at_k == 1.0  # ground truth recalls itself
+    assert (df.n_retrieved == EM.TOP_K * EM.N_PROBES).all()
+    # served quality can only degrade (weakly) as the prefix shrinks:
+    # the full-width row must serve the best mean cosine of the table.
+    assert full.avg_served_cosine == df.avg_served_cosine.max()
+
+
+def test_matryoshka_prefix_ranking_matches_python(spark):
+    vecs = _vecs()
+    df = EM.embedding_matryoshka_audit(spark, SF).toPandas()
+    d = 16
+    hits = 0
+    for qid in range(EM.N_PROBES):
+        q = vecs[qid]
+
+        def topk(width):
+            scored = []
+            for vid, v in vecs.items():
+                if vid == qid:
+                    continue
+                c = _cos(q[:width], v[:width])
+                if c is None:
+                    continue
+                scored.append((-round(c, 6), vid))
+            scored.sort()
+            return {vid for _, vid in scored[: EM.TOP_K]}
+
+        hits += len(topk(d) & topk(64))
+    want = round(hits / float(EM.TOP_K * EM.N_PROBES), 6)
+    got = df[df.prefix_dim == d].iloc[0].recall_at_k
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+# -------------------------------------------- binary hamming rerank
+
+
+def test_binary_hamming_matches_python_bits(spark):
+    vecs = _vecs()
+
+    def ham(a, b):
+        return sum((x > 0) != (y > 0) for x, y in zip(a, b))
+
+    got = {
+        (r.query_id, r.vec_id): r.hamming
+        for r in EM.embedding_binary_hamming_rerank(spark, SF).collect()
+    }
+    assert got  # non-empty
+    for (qid, vid), h in got.items():
+        assert h == ham(vecs[qid], vecs[vid])
+
+
+def test_binary_hamming_shortlist_respects_cand_width(spark):
+    vecs = _vecs()
+    rows = EM.embedding_binary_hamming_rerank(spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(EM.N_PROBES))
+    for qid, rs in per_q.items():
+        assert len(rs) == EM.TOP_K
+        # every served row must be inside the integer-exact Hamming
+        # shortlist of width BQ_CAND for that query
+        q = vecs[qid]
+        hams = sorted(
+            (
+                sum((x > 0) != (y > 0) for x, y in zip(q, v)),
+                vid,
+            )
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        shortlist = {vid for _, vid in hams[: EM.BQ_CAND]}
+        assert all(r.vec_id in shortlist for r in rs)
+
+
+def test_binary_hamming_gt_flags_match_bruteforce(spark):
+    gt = {
+        (r.query_id, r.vec_id)
+        for r in EM.embedding_topk_bruteforce(spark, SF).collect()
+    }
+    for r in EM.embedding_binary_hamming_rerank(spark, SF).collect():
+        assert r.in_exact_topk == ((r.query_id, r.vec_id) in gt)
+
+
+# --------------------------------------- temperature-resampled mix
+
+
+def test_temperature_mix_invariants(spark):
+    df = LT.temperature_resampled_mix(spark, SF).toPandas()
+    assert len(df) >= 2
+    # shares each sum to ~1
+    assert df.p_raw.sum() == pytest.approx(1.0, abs=1e-4)
+    assert df.p_temp.sum() == pytest.approx(1.0, abs=1e-4)
+    # temperature compresses the mixture: the largest language is
+    # downsampled, the smallest upsampled, and ordering by tokens is
+    # preserved in p_temp (sqrt is monotone)
+    big = df.loc[df.lang_tokens.idxmax()]
+    small = df.loc[df.lang_tokens.idxmin()]
+    assert big.upsample_factor < 1.0 < small.upsample_factor
+    by_tok = df.sort_values("lang_tokens").p_temp.tolist()
+    assert by_tok == sorted(by_tok)
+    # expected budget redistributes, not grows: totals match within
+    # per-lang rounding (±0.5 token each)
+    assert abs(df.expected_tokens.sum() - df.lang_tokens.sum()) <= len(df)
+
+
+def test_temperature_mix_alpha_formula(spark):
+    df = LT.temperature_resampled_mix(spark, SF).toPandas()
+    sw = sum(round(math.sqrt(t), 9) for t in df.lang_tokens)
+    for _, r in df.iterrows():
+        want = round(round(math.sqrt(r.lang_tokens), 9) / sw, 6)
+        assert r.p_temp == pytest.approx(want, abs=2e-6)
+
+
+# ------------------------------------- streaming near-dup ingest
+
+
+def test_streaming_near_dup_cross_edges_match_batch_operator(spark):
+    """Ledger edges whose partner is a BASE doc must be exactly the
+    batch near_dup_incremental_lsh output — same signature scheme,
+    same tau, so the stream adds intra-arrival edges and changes
+    nothing else."""
+    from myserver_datawarehouse_spark.plans import streaming_plans as ST
+    from myserver_datawarehouse_spark.plans.llm_text import (
+        INCR_MOD,
+        near_dup_incremental_lsh,
+    )
+
+    led = ST.streaming_near_dup_ingest(spark, SF).collect()
+    assert led  # fixture carries near-dups
+    cross = {
+        (r.doc_new, r.doc_partner, r.jaccard)
+        for r in led
+        if r.doc_partner % INCR_MOD != 0
+    }
+    want = {
+        (r.doc_new, r.doc_indexed, r.jaccard)
+        for r in near_dup_incremental_lsh(spark, SF).collect()
+    }
+    assert cross == want
+
+
+def test_streaming_near_dup_precedence_invariant(spark):
+    from myserver_datawarehouse_spark.plans import streaming_plans as ST
+    from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        NEAR_DUP_INGEST_BATCHES,
+    )
+
+    def bno(doc_id):
+        if doc_id % INCR_MOD != 0:
+            return -1
+        return (doc_id // INCR_MOD) % NEAR_DUP_INGEST_BATCHES
+
+    for r in ST.streaming_near_dup_ingest(spark, SF).collect():
+        assert 0 <= r.batch_no < NEAR_DUP_INGEST_BATCHES
+        assert bno(r.doc_new) == r.batch_no
+        pb = bno(r.doc_partner)
+        assert pb < r.batch_no or (
+            pb == r.batch_no and r.doc_partner < r.doc_new
+        )
+        assert r.jaccard >= 0.5

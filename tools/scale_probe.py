@@ -92,6 +92,12 @@ PROBE_QUERIES = [
     "near_dup_audio_fingerprint",
     "bloom_evolved_carry_audit",
     "streaming_ivf_ingest",
+    # round-12b additions: matryoshka prefix audit, binary hamming
+    # rerank, temperature mix, streaming near-dup ingest
+    "embedding_matryoshka_audit",
+    "embedding_binary_hamming_rerank",
+    "temperature_resampled_mix",
+    "streaming_near_dup_ingest",
 ]
 
 
