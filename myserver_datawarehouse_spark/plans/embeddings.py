@@ -3049,12 +3049,16 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_served_cosine"),
         )
-        .join(hits_per_dim, "prefix_dim")
+        .join(hits_per_dim, "prefix_dim", "left")
         .select(
             "prefix_dim",
             "n_retrieved",
-            "n_hits",
-            F.round(F.col("n_hits") / F.lit(float(n_gt)), 6).alias("recall_at_k"),
+            # a width can legitimately recall NOTHING (tiny prefix on
+            # untrained vectors) — report 0, don't drop the row
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(n_gt)), 6
+            ).alias("recall_at_k"),
             "avg_served_cosine",
         )
         .orderBy("prefix_dim")
@@ -3116,11 +3120,12 @@ hits AS (
 )
 SELECT t.prefix_dim,
        COUNT(*) AS n_retrieved,
-       h.n_hits,
-       ROUND(h.n_hits / {float(TOP_K * N_PROBES)}, 6) AS recall_at_k,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / {float(TOP_K * N_PROBES)}, 6)
+         AS recall_at_k,
        ROUND(CAST(SUM(CAST(ROUND(t.cos_full, 12) AS DECIMAL(28,14)))
                   AS DOUBLE) / COUNT(*), 6) AS avg_served_cosine
-FROM topk t JOIN hits h ON t.prefix_dim = h.prefix_dim
+FROM topk t LEFT JOIN hits h ON t.prefix_dim = h.prefix_dim
 GROUP BY t.prefix_dim, h.n_hits
 ORDER BY t.prefix_dim
 """

@@ -5347,3 +5347,258 @@ SELECT lang, lang_tokens,
 FROM tot, g
 ORDER BY lang
 """
+
+
+# ------------------------------------------- BPE held-out coverage
+
+# Train/serve discipline for the tokenizer tier: merges trained on a
+# TRAIN split, applied to a held-out split the trainer never saw.
+# Fertility (tokens per word occurrence) and merged-token share on the
+# holdout measure how well the learned merges GENERALIZE — the number a
+# tokenizer team reads before freezing a vocab (a merge table that only
+# compresses its own training text is overfit).
+BPE_HOLDOUT_MOD = 10  # train = doc_id % 10 < 8 (~80%), holdout = rest
+BPE_HOLDOUT_CUT = 8
+
+
+def bpe_holdout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train/holdout generalization audit: merges trained on the
+    train split (doc_id % {BPE_HOLDOUT_MOD} < {BPE_HOLDOUT_CUT}) are
+    applied verbatim to the held-out vocabulary, and both splits report
+    occurrence-weighted fertility (tokens per word) and merged-token
+    share (the fraction of emitted tokens that are multi-character —
+    the compression the merges actually deliver).
+
+    Scale: training is the standing {BPE_ITERS}-round loop on the
+    train split's vocabulary-sized frame; the holdout APPLY is one
+    pass over the holdout vocabulary per merge — a fixed 4-step
+    array-local rewrite, no training, exactly what the production
+    encode path does with a frozen merge table. Both metric legs are
+    integer arithmetic (token counts x word counts) until one final
+    ROUND(6) division."""
+    d = _docs(spark, sf_dir)
+    is_train = (
+        F.pmod(F.col("doc_id"), F.lit(BPE_HOLDOUT_MOD)) < BPE_HOLDOUT_CUT
+    )
+    _, merges = _bpe_train(spark, sf_dir, docs=d.filter(is_train))
+
+    def char_words(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.explode(TX.tokenize("text")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "w",
+                "cnt",
+                F.expr(
+                    "transform(sequence(1, length(w)), "
+                    "i -> substring(w, i, 1))"
+                ).alias("s"),
+            )
+        )
+
+    def apply_merges(words: DataFrame) -> DataFrame:
+        # the frozen-merge-table encode path: the same greedy rewrite
+        # _bpe_train runs per round, replayed from the trained list
+        for _, a, b, _f in merges:
+            ae = a.replace("'", "''")
+            be = b.replace("'", "''")
+            me = (a + b).replace("'", "''")
+            words = words.select(
+                "w",
+                "cnt",
+                F.expr(
+                    f"aggregate(slice(s, 2, size(s)-1), "
+                    f"array(element_at(s, 1)), "
+                    f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{ae}' "
+                    f"AND x = '{be}' "
+                    f"THEN concat(slice(acc, 1, size(acc)-1), "
+                    f"array('{me}')) "
+                    f"ELSE concat(acc, array(x)) END)"
+                ).alias("s"),
+            )
+        return words
+
+    def metrics(words: DataFrame, split: str) -> DataFrame:
+        return (
+            words.select(
+                "cnt",
+                F.size("s").alias("n_tok"),
+                F.size(
+                    F.filter("s", lambda t: F.length(t) > 1)
+                ).alias("n_merged"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("cnt").alias("occurrences"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_tok"))
+                    / F.sum("cnt").cast("double"),
+                    6,
+                ).alias("fertility"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_merged"))
+                    / F.sum(F.col("cnt") * F.col("n_tok")).cast("double"),
+                    6,
+                ).alias("merged_share"),
+            )
+            .select(F.lit(split).alias("split"), "*")
+        )
+
+    train_words = apply_merges(char_words(d.filter(is_train)))
+    hold_words = apply_merges(char_words(d.filter(~is_train)))
+    return (
+        metrics(train_words, "train")
+        .unionByName(metrics(hold_words, "holdout"))
+        .orderBy("split")
+    )
+
+
+bpe_holdout_coverage.__doc__ = bpe_holdout_coverage.__doc__.format(
+    BPE_HOLDOUT_MOD=BPE_HOLDOUT_MOD,
+    BPE_HOLDOUT_CUT=BPE_HOLDOUT_CUT,
+    BPE_ITERS=BPE_ITERS,
+)
+
+
+def _bpe_holdout_sql() -> str:
+    train_toks = (
+        f"SELECT * FROM ({_TOKS_SQL}) t"
+        f" WHERE doc_id % {BPE_HOLDOUT_MOD} < {BPE_HOLDOUT_CUT}"
+    )
+    hold_toks = (
+        f"SELECT * FROM ({_TOKS_SQL}) t"
+        f" WHERE doc_id % {BPE_HOLDOUT_MOD} >= {BPE_HOLDOUT_CUT}"
+    )
+    parts = _bpe_cte_parts("t", toks_sql=train_toks)
+    # holdout words (char-split base), then the SAME rewrite CTE shape
+    # as the training chain but CROSS JOINing the TRAIN merges tb{i}
+    parts.append(
+        f"""h_tk0 AS ({hold_toks}),
+h_words AS (
+  SELECT t AS w, COUNT(*) AS cnt
+  FROM (SELECT unnest(tks) AS t FROM h_tk0)
+  WHERE t <> '' GROUP BY 1
+),
+h0 AS (
+  SELECT w, cnt,
+         [substr(w, i, 1) FOR i IN generate_series(1, length(w))] AS s
+  FROM h_words
+)"""
+    )
+    for i in range(1, BPE_ITERS + 1):
+        parts.append(
+            f"""h{i} AS (
+  SELECT w.w, w.cnt,
+         string_split(list_reduce(w.s,
+           (acc, x) -> CASE
+             WHEN (acc = b.a OR ends_with(acc, chr(31) || b.a))
+                  AND x = b.b
+             THEN substr(acc, 1, length(acc) - length(b.a)) || b.m
+             ELSE acc || chr(31) || x END), chr(31)) AS s
+  FROM h{i - 1} w CROSS JOIN tb{i} b
+)"""
+        )
+    metric = """
+  SELECT '{split}' AS split,
+         COUNT(*) AS n_words,
+         CAST(SUM(cnt) AS BIGINT) AS occurrences,
+         ROUND(SUM(cnt * len(s)) / CAST(SUM(cnt) AS DOUBLE), 6)
+           AS fertility,
+         ROUND(SUM(cnt * len([x FOR x IN s IF length(x) > 1]))
+               / CAST(SUM(cnt * len(s)) AS DOUBLE), 6) AS merged_share
+  FROM {frame}"""
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + metric.format(split="train", frame=f"tw{BPE_ITERS}")
+        + "\nUNION ALL\n"
+        + metric.format(split="holdout", frame=f"h{BPE_ITERS}")
+        + "\n) ORDER BY split\n"
+    )
+
+
+BPE_HOLDOUT_COVERAGE_SQL = _bpe_holdout_sql()
+
+
+# --------------------------------------------- training shard planner
+
+# The last mile of corpus assembly: deterministic assignment of
+# documents to training shards (the WebDataset/TFRecord layout every
+# data loader reads), with the balance audit that tells you whether
+# hash sharding left any shard token-starved.
+N_TRAINING_SHARDS = 8
+
+
+def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard plan: every document hash-assigned
+    to one of {N_TRAINING_SHARDS} shards (seeded 60-bit content-id
+    hash — reproducible under retries, stable as the corpus grows),
+    with per-shard doc/token counts, token share, and the balance
+    ratio vs the ideal uniform shard (the loader-starvation audit).
+
+    Scale: one corpus pass (map-side token count + shard key), an
+    {N_TRAINING_SHARDS}-row rollup, and a broadcast 1-row total —
+    no global window, no second pass. The same pass in production
+    also WRITES the shards (partitionBy(shard)); the plan here is the
+    audit surface."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        F.pmod(
+            TX.hash60(F.col("doc_id").cast("string"), seed=7),
+            F.lit(N_TRAINING_SHARDS),
+        )
+        .cast("int")
+        .alias("shard"),
+        F.size(TX.tokenize("text")).cast("long").alias("n_tok"),
+    )
+    shards = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("shard_tokens"),
+    )
+    total = shards.agg(F.sum("shard_tokens").alias("total_tokens"))
+    return (
+        shards.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            F.round(
+                F.col("shard_tokens") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("token_share"),
+            F.round(
+                F.col("shard_tokens")
+                * F.lit(float(N_TRAINING_SHARDS))
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("balance_ratio"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAINING_SHARD_PLAN_SQL = f"""
+WITH per_doc AS (
+  SELECT CAST(({_d_hash60("doc_id::VARCHAR", seed=7)})
+              % {N_TRAINING_SHARDS} AS INT) AS shard,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+shards AS (
+  SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+  FROM per_doc GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS total_tokens
+        FROM shards)
+SELECT shard, n_docs, shard_tokens,
+       ROUND(shard_tokens / CAST(total_tokens AS DOUBLE), 6)
+         AS token_share,
+       ROUND(shard_tokens * {float(N_TRAINING_SHARDS)}
+             / CAST(total_tokens AS DOUBLE), 6) AS balance_ratio
+FROM shards, tot
+ORDER BY shard
+"""

@@ -1469,6 +1469,25 @@ _SPECS: list[QuerySpec] = [
         "from the per-language cost angle",
     ),
     QuerySpec(
+        "bpe_holdout_coverage",
+        LT.bpe_holdout_coverage,
+        LT.BPE_HOLDOUT_COVERAGE_SQL,
+        "BPE train/holdout generalization audit: merges trained on "
+        "an 80% split, applied verbatim (frozen-merge-table encode "
+        "path) to the held-out vocabulary; occurrence-weighted "
+        "fertility + merged-token share per split — the overfit "
+        "check before freezing a vocab",
+    ),
+    QuerySpec(
+        "training_shard_plan",
+        LT.training_shard_plan,
+        LT.TRAINING_SHARD_PLAN_SQL,
+        "corpus assembly last mile: deterministic hash assignment of "
+        "docs to training shards + per-shard token balance audit "
+        "(token share, balance ratio vs uniform) — one corpus pass, "
+        "8-row rollup, broadcast total",
+    ),
+    QuerySpec(
         "streaming_evolved_upsert",
         ST.streaming_evolved_upsert,
         ST.STREAMING_EVOLVED_UPSERT_SQL,

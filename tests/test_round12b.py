@@ -199,3 +199,85 @@ def test_streaming_near_dup_precedence_invariant(spark):
             pb == r.batch_no and r.doc_partner < r.doc_new
         )
         assert r.jaccard >= 0.5
+
+
+# ------------------------------ BPE holdout + training shard plan
+
+
+def test_bpe_holdout_metrics_shape_and_bounds(spark):
+    df = LT.bpe_holdout_coverage(spark, SF).toPandas()
+    assert list(df.split) == ["holdout", "train"]
+    # fertility is tokens-per-word after 4 merges: strictly between 1
+    # (everything fused) and the raw char count upper bound; merges
+    # fire on both splits
+    assert (df.fertility > 1.0).all()
+    assert (df.merged_share > 0.0).all() and (df.merged_share < 1.0).all()
+    # disjoint 80/20 split covers the corpus
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df.occurrences.sum() > 0 and n_docs > 0
+
+
+def test_bpe_holdout_train_leg_matches_full_train_pipeline(spark):
+    """The train leg's fertility must equal recomputing it from the
+    shared _bpe_train on the same split — the apply path and the
+    training path are the same rewrite."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    is_train = F.pmod(F.col("doc_id"), F.lit(LT.BPE_HOLDOUT_MOD)) < (
+        LT.BPE_HOLDOUT_CUT
+    )
+    words, _ = LT._bpe_train(spark, SF, docs=d.filter(is_train))
+    row = (
+        words.select("cnt", F.size("s").alias("n_tok"))
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_tok"))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("fertility")
+        )
+        .collect()[0]
+    )
+    df = LT.bpe_holdout_coverage(spark, SF).toPandas()
+    assert df[df.split == "train"].iloc[0].fertility == row.fertility
+
+
+def test_training_shard_plan_partitions_corpus(spark):
+    df = LT.training_shard_plan(spark, SF).toPandas()
+    assert sorted(df.shard) == list(range(LT.N_TRAINING_SHARDS))
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df.n_docs.sum() == n_docs  # every doc lands exactly once
+    assert df.token_share.sum() == pytest.approx(1.0, abs=1e-4)
+    # balance_ratio is share * N by construction
+    for _, r in df.iterrows():
+        # both columns round to 6 dp independently, so the product
+        # check carries up to N_SHARDS * 0.5e-6 rounding slack
+        assert r.balance_ratio == pytest.approx(
+            r.token_share * LT.N_TRAINING_SHARDS, abs=5e-6
+        )
+
+
+def test_training_shard_plan_is_stable_under_corpus_growth(spark):
+    """Hash sharding must not move existing docs when new ones arrive:
+    the shard of every doc in the half-corpus equals its shard in the
+    full corpus."""
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    shard = F.pmod(
+        TX.hash60(F.col("doc_id").cast("string"), seed=7),
+        F.lit(LT.N_TRAINING_SHARDS),
+    ).cast("int")
+    full = {
+        r.doc_id: r.s for r in d.select("doc_id", shard.alias("s")).collect()
+    }
+    half = {
+        r.doc_id: r.s
+        for r in d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", shard.alias("s"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())

@@ -98,6 +98,8 @@ PROBE_QUERIES = [
     "embedding_binary_hamming_rerank",
     "temperature_resampled_mix",
     "streaming_near_dup_ingest",
+    "bpe_holdout_coverage",
+    "training_shard_plan",
 ]
 
 
