@@ -2976,10 +2976,10 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality actually served, not the truncated score that selected it).
 
     Plan shape (100 TB): the probe matrix is broadcast and the corpus is
-    scanned ONCE — all four prefix cosines come out of the same pass via
-    `slice` on the in-flight array (prefix dot products are strict
-    prefixes of the full fold, so the marginal cost is one extra
-    multiply-add per dim, not one extra scan per width).  The only
+    scanned ONCE — every width's cosine comes out of the same pass via
+    `slice` on the in-flight array (extra widths cost arithmetic on the
+    in-flight row, never a second scan), and the 64-width leg reuses
+    the full-cosine column rather than re-folding it.  The only
     shuffles are the per-(query, width) top-k windows over
     N_PROBES x corpus candidate rows and the |widths|-row rollup.
     Determinism: scores ROUND(6) before ranking, ties on vec_id, means
@@ -2990,6 +2990,9 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
+    # the 64-width leg IS the full cosine (slice(q, 1, 64) == q), so it
+    # reuses cos_full instead of paying a second independent 64-dim fold
+    # on the hottest frame of the query
     legs = F.array(
         *[
             F.struct(
@@ -2999,15 +3002,21 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cos_prefix"),
             )
             for d in MRL_PREFIX_DIMS
-        ]
+            if d < 64
+        ],
+        F.struct(
+            F.lit(64).alias("prefix_dim"),
+            F.col("cos_full").alias("cos_prefix"),
+        ),
     )
     scored = (
         e.join(F.broadcast(probes), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_full", F.round(V.cosine("q", "embedding"), 6))
         .select(
             "query_id",
             "vec_id",
             F.explode(legs).alias("leg"),
-            F.round(V.cosine("q", "embedding"), 6).alias("cos_full"),
+            "cos_full",
         )
         .select(
             "query_id",
@@ -3065,8 +3074,18 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_FULL_COS_SQL = """ROUND(CASE WHEN sqrt(list_dot_product(q, q)) > 0
+                       AND sqrt(list_dot_product(v, v)) > 0
+                 THEN list_dot_product(q, v)
+                      / (sqrt(list_dot_product(q, q))
+                         * sqrt(list_dot_product(v, v)))
+                 END, 6)"""
+
+# the 64-width leg reuses the full cosine (q[1:64] == q), mirroring the
+# Spark plan's single full-width fold
 _MRL_LEG_SQL = ",\n  ".join(
-    f"""leg_{d} AS (
+    [
+        f"""leg_{d} AS (
     SELECT query_id, vec_id,
            ROUND(CASE WHEN sqrt(list_dot_product(q[1:{d}], q[1:{d}])) > 0
                        AND sqrt(list_dot_product(v[1:{d}], v[1:{d}])) > 0
@@ -3074,16 +3093,21 @@ _MRL_LEG_SQL = ",\n  ".join(
                       / (sqrt(list_dot_product(q[1:{d}], q[1:{d}]))
                          * sqrt(list_dot_product(v[1:{d}], v[1:{d}])))
                  END, 6) AS cos_prefix,
-           ROUND(CASE WHEN sqrt(list_dot_product(q, q)) > 0
-                       AND sqrt(list_dot_product(v, v)) > 0
-                 THEN list_dot_product(q, v)
-                      / (sqrt(list_dot_product(q, q))
-                         * sqrt(list_dot_product(v, v)))
-                 END, 6) AS cos_full,
+           {_MRL_FULL_COS_SQL} AS cos_full,
            {d} AS prefix_dim
     FROM pairs
   )"""
-    for d in MRL_PREFIX_DIMS
+        for d in MRL_PREFIX_DIMS
+        if d < 64
+    ]
+    + [
+        f"""leg_64 AS (
+    SELECT query_id, vec_id, cos_full AS cos_prefix, cos_full,
+           64 AS prefix_dim
+    FROM (SELECT query_id, vec_id, {_MRL_FULL_COS_SQL} AS cos_full
+          FROM pairs)
+  )"""
+    ]
 )
 
 EMBEDDING_MATRYOSHKA_AUDIT_SQL = f"""

@@ -994,7 +994,7 @@ def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(work, ignore_errors=True)
     ledger = SJ.near_dup_ingest_stream(spark, sf_dir, work)
     return (
-        spark.read.parquet(ledger)
+        SJ._read_tree(spark, ledger)
         .select("batch_no", "doc_new", "doc_partner", "jaccard")
         .orderBy("batch_no", "doc_new", "doc_partner")
     )

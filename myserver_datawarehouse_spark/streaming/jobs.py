@@ -1482,6 +1482,149 @@ def ivf_ingest_stream(
 NEAR_DUP_INGEST_BATCHES = 3  # arrivals split by (doc_id div 5) % 3
 
 
+def _near_dup_index_frames(frame: DataFrame, batch_no: int):
+    """(hashes, sizes, bands) for any (doc_id, text) frame — the
+    signature scheme of plans/llm_text.near_dup_incremental_lsh,
+    DELIBERATELY duplicated rather than extracted from it (that helper
+    family backs standing driver verdicts; the set-equality test in
+    tests/test_round12b.py pins this copy to the original, so drift
+    fails the suite, not the user)."""
+    from myserver_datawarehouse_spark.operators import text as TX
+    from myserver_datawarehouse_spark.plans.llm_text import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_N,
+        SHINGLE_K,
+    )
+
+    p = F.lit(TX.MINHASH_P)
+    hs = (
+        TX.shingle_rows(frame, SHINGLE_K)
+        .select("doc_id", TX.hash60("g").alias("h"))
+        .distinct()
+    )
+    hs.persist()
+    sig = (
+        hs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(f"s{i}")
+                for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
+            ],
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(TX.lsh_band_keys("sig", LSH_BANDS, LSH_ROWS)).alias("bk"),
+        F.lit(batch_no).cast("int").alias("batch_no"),
+    )
+    return hs, sig.select("doc_id", "n"), bands
+
+
+def _near_dup_ingest_one(
+    sp: SparkSession,
+    bands_dir: str,
+    hashes_dir: str,
+    sizes_dir: str,
+    ledger_dir: str,
+    one: DataFrame,
+    bno: int,
+) -> None:
+    """Process ONE arrival batch: index its signatures, probe the
+    (self-inclusive) band index, exact-Jaccard verify, ledger the
+    surviving dup edges. Every write lands in a batch-keyed subdir
+    with mode=overwrite, so a micro-batch REPLAY (checkpoint restart
+    after a partial commit) rewrites the same subdirs byte-for-byte
+    instead of double-appending — the index the later batches probe
+    can never accumulate duplicate signature rows (replay-idempotency;
+    regression-pinned in tests/test_round12b.py)."""
+    import os
+
+    from myserver_datawarehouse_spark.plans.llm_text import JACCARD_TAU
+
+    sub = f"b{bno}"
+    hs, sz, bd = _near_dup_index_frames(one, bno)
+    # index first (self-inclusive probe); idempotent per-batch overwrite
+    bd.write.mode("overwrite").parquet(os.path.join(bands_dir, sub))
+    hs.write.mode("overwrite").parquet(os.path.join(hashes_dir, sub))
+    sz.write.mode("overwrite").parquet(os.path.join(sizes_dir, sub))
+    idx_bands = _read_tree(sp, bands_dir)
+    cand = (
+        bd.select(
+            F.col("doc_id").alias("doc_new"),
+            "bk",
+            F.col("batch_no").alias("bno_new"),
+        )
+        .join(idx_bands.alias("ix"), "bk")
+        .filter(
+            (F.col("ix.batch_no") < F.col("bno_new"))
+            | (
+                (F.col("ix.batch_no") == F.col("bno_new"))
+                & (F.col("ix.doc_id") < F.col("doc_new"))
+            )
+        )
+        .select("doc_new", F.col("ix.doc_id").alias("doc_partner"))
+        .distinct()
+    )
+    idx_h = _read_tree(sp, hashes_dir)
+    idx_n = _read_tree(sp, sizes_dir)
+    inter = (
+        F.broadcast(cand)
+        .join(hs.alias("ha"), F.col("doc_new") == F.col("ha.doc_id"))
+        .join(
+            idx_h.alias("hb"),
+            (F.col("doc_partner") == F.col("hb.doc_id"))
+            & (F.col("ha.h") == F.col("hb.h")),
+        )
+        .groupBy("doc_new", "doc_partner")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    (
+        inter.join(
+            F.broadcast(
+                sz.select(
+                    F.col("doc_id").alias("doc_new"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "doc_new",
+        )
+        .join(
+            idx_n.select(
+                F.col("doc_id").alias("doc_partner"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_partner",
+        )
+        .select(
+            F.lit(bno).cast("int").alias("batch_no"),
+            "doc_new",
+            "doc_partner",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .write.mode("overwrite")
+        .parquet(os.path.join(ledger_dir, sub))
+    )
+    hs.unpersist()
+
+
+def _read_tree(sp: SparkSession, root: str) -> DataFrame:
+    """Read a dir of per-batch parquet subdirs as one frame."""
+    return (
+        sp.read.option("recursiveFileLookup", "true").parquet(root)
+    )
+
+
 def near_dup_ingest_stream(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> str:
@@ -1494,8 +1637,10 @@ def near_dup_ingest_stream(
     micro-batch per batch_no through foreachBatch:
 
       - each batch's signatures/bands are computed ONCE (O(batch
-        shingles)) and APPENDED to the standing index first — O(batch)
-        bytes per commit, the standing corpus is never re-shingled;
+        shingles)) and written to the standing index FIRST — O(batch)
+        bytes per commit into a batch-keyed subdir with
+        mode=overwrite, so replays rewrite rather than double-append
+        (the standing corpus is never re-shingled);
       - the batch's bands then probe the (now self-inclusive) index;
         a candidate pair survives when the partner precedes the
         arrival in ingest order: partner.batch_no < arrival.batch_no
@@ -1505,23 +1650,16 @@ def near_dup_ingest_stream(
         trigger boundaries and therefore batch-oracle adjudicable;
       - candidates verify by exact Jaccard over the stored shingle
         hash sets (tau = plans/llm_text.JACCARD_TAU) and the
-        surviving edges append to the dup ledger with their batch_no.
+        surviving edges land in the dup ledger with their batch_no.
 
     ALL arrivals index — including flagged dups (keep-first-with-full-
     index: a later re-crawl of the dup still flags against it). Scale:
     per-batch cost is O(batch shingles) + band-bucket collisions;
     ledger and index writes are O(batch). Returns the ledger path."""
     import os
+    import shutil
 
-    from myserver_datawarehouse_spark.operators import text as TX
-    from myserver_datawarehouse_spark.plans.llm_text import (
-        INCR_MOD,
-        JACCARD_TAU,
-        LSH_BANDS,
-        LSH_ROWS,
-        MINHASH_N,
-        SHINGLE_K,
-    )
+    from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
     from myserver_datawarehouse_spark.sources.tables import load_table
 
     input_dir = os.path.join(work_dir, "input")
@@ -1530,51 +1668,14 @@ def near_dup_ingest_stream(
     sizes_dir = os.path.join(work_dir, "index_sizes")
     ledger_dir = os.path.join(work_dir, "ledger")
 
-    p = F.lit(TX.MINHASH_P)
-
-    def _index_frames(frame: DataFrame, batch_no):
-        """(hashes, sizes, bands) for any (doc_id, text) frame — the
-        signature scheme of near_dup_incremental_lsh, verbatim."""
-        hs = (
-            TX.shingle_rows(frame, SHINGLE_K)
-            .select("doc_id", TX.hash60("g").alias("h"))
-            .distinct()
-        )
-        hs.persist()
-        sig = (
-            hs.groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(
-                        f"s{i}"
-                    )
-                    for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
-                ],
-            )
-            .select(
-                "doc_id",
-                "n",
-                F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
-            )
-        )
-        bands = sig.select(
-            "doc_id",
-            F.explode(
-                TX.lsh_band_keys("sig", LSH_BANDS, LSH_ROWS)
-            ).alias("bk"),
-            F.lit(batch_no).cast("int").alias("batch_no"),
-        )
-        return hs, sig.select("doc_id", "n"), bands
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     is_arrival = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
 
     # Seed the standing index (batch_no -1, the pre-stream corpus).
-    hs0, sz0, bd0 = _index_frames(docs.filter(~is_arrival), -1)
-    bd0.write.mode("overwrite").parquet(bands_dir)
-    hs0.write.mode("overwrite").parquet(hashes_dir)
-    sz0.write.mode("overwrite").parquet(sizes_dir)
+    hs0, sz0, bd0 = _near_dup_index_frames(docs.filter(~is_arrival), -1)
+    bd0.write.mode("overwrite").parquet(os.path.join(bands_dir, "b_base"))
+    hs0.write.mode("overwrite").parquet(os.path.join(hashes_dir, "b_base"))
+    sz0.write.mode("overwrite").parquet(os.path.join(sizes_dir, "b_base"))
     hs0.unpersist()
 
     arrivals = docs.filter(is_arrival).select(
@@ -1588,8 +1689,6 @@ def near_dup_ingest_stream(
     # One file per batch_no with strictly-increasing mtimes (the repo's
     # ordered-file-source pattern, cf. watermark_audit_stream): the
     # precedence rule needs batch k indexed before batch k+1 probes.
-    import shutil
-
     os.makedirs(input_dir, exist_ok=True)
     mtime = 1_700_000_000
     for k in range(NEAR_DUP_INGEST_BATCHES):
@@ -1603,11 +1702,12 @@ def near_dup_ingest_stream(
         shutil.rmtree(stage, ignore_errors=True)
         mtime += 10
         os.utime(dest, (mtime, mtime))
-    # typed empty ledger so a pair-free run still reads back cleanly
+
+    # typed empty ledger leaf so a pair-free run still reads back cleanly
     spark.createDataFrame(
         [],
         "batch_no int, doc_new long, doc_partner long, jaccard double",
-    ).write.mode("overwrite").parquet(ledger_dir)
+    ).write.mode("overwrite").parquet(os.path.join(ledger_dir, "b_init"))
     schema = spark.read.parquet(input_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1628,75 +1728,9 @@ def near_dup_ingest_stream(
             one = batch.filter(F.col("batch_no") == bno).select(
                 "doc_id", "text"
             )
-            hs, sz, bd = _index_frames(one, bno)
-            # index first (self-inclusive probe), O(batch) appends
-            bd.write.mode("append").parquet(bands_dir)
-            hs.write.mode("append").parquet(hashes_dir)
-            sz.write.mode("append").parquet(sizes_dir)
-            idx_bands = sp.read.parquet(bands_dir)
-            cand = (
-                bd.select(
-                    F.col("doc_id").alias("doc_new"),
-                    "bk",
-                    F.col("batch_no").alias("bno_new"),
-                )
-                .join(idx_bands.alias("ix"), "bk")
-                .filter(
-                    (F.col("ix.batch_no") < F.col("bno_new"))
-                    | (
-                        (F.col("ix.batch_no") == F.col("bno_new"))
-                        & (F.col("ix.doc_id") < F.col("doc_new"))
-                    )
-                )
-                .select(
-                    "doc_new", F.col("ix.doc_id").alias("doc_partner")
-                )
-                .distinct()
+            _near_dup_ingest_one(
+                sp, bands_dir, hashes_dir, sizes_dir, ledger_dir, one, bno
             )
-            idx_h = sp.read.parquet(hashes_dir)
-            idx_n = sp.read.parquet(sizes_dir)
-            inter = (
-                F.broadcast(cand)
-                .join(hs.alias("ha"), F.col("doc_new") == F.col("ha.doc_id"))
-                .join(
-                    idx_h.alias("hb"),
-                    (F.col("doc_partner") == F.col("hb.doc_id"))
-                    & (F.col("ha.h") == F.col("hb.h")),
-                )
-                .groupBy("doc_new", "doc_partner")
-                .agg(F.count(F.lit(1)).alias("inter"))
-            )
-            jac = F.col("inter").cast("double") / (
-                F.col("na") + F.col("nb") - F.col("inter")
-            ).cast("double")
-            (
-                inter.join(
-                    F.broadcast(
-                        sz.select(
-                            F.col("doc_id").alias("doc_new"),
-                            F.col("n").alias("na"),
-                        )
-                    ),
-                    "doc_new",
-                )
-                .join(
-                    idx_n.select(
-                        F.col("doc_id").alias("doc_partner"),
-                        F.col("n").alias("nb"),
-                    ),
-                    "doc_partner",
-                )
-                .select(
-                    F.lit(bno).cast("int").alias("batch_no"),
-                    "doc_new",
-                    "doc_partner",
-                    F.round(jac, 6).alias("jaccard"),
-                )
-                .filter(F.col("jaccard") >= JACCARD_TAU)
-                .write.mode("append")
-                .parquet(ledger_dir)
-            )
-            hs.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_ingest)

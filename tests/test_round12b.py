@@ -15,7 +15,7 @@ from myserver_datawarehouse_spark.plans import llm_text as LT
 SF = "/root/testdata/sf0.001"
 
 
-def _vecs(limit=None):
+def _vecs():
     con = duckdb.connect()
     q = f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
     rows = con.execute(q).fetchall()
@@ -281,3 +281,60 @@ def test_training_shard_plan_is_stable_under_corpus_growth(spark):
         .collect()
     }
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_streaming_near_dup_replay_is_idempotent(spark):
+    """A replayed micro-batch (checkpoint restart after a partial
+    commit) must leave the index and ledger byte-identical: per-batch
+    writes are keyed overwrites, not appends, so re-processing batch k
+    cannot double its signature rows or corrupt later batches'
+    jaccard denominators."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+    from myserver_datawarehouse_spark.streaming import jobs as SJ
+    import shutil
+
+    work = _pid_tmpdir("msdw_test_neardup_replay", SF)
+    shutil.rmtree(work, ignore_errors=True)
+    ledger_dir = SJ.near_dup_ingest_stream(spark, SF, work)
+
+    def snapshot():
+        led = {
+            tuple(r)
+            for r in SJ._read_tree(spark, ledger_dir).collect()
+        }
+        idx = {
+            tuple(r)
+            for r in SJ._read_tree(
+                spark, os.path.join(work, "index_hashes")
+            ).collect()
+        }
+        return led, idx
+
+    before = snapshot()
+    # replay batch 1 directly through the per-batch seam — exactly what
+    # a foreachBatch retry does after a crash between commit and ack
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    replay = docs.filter(
+        (F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0)
+        & (
+            F.expr(f"CAST((doc_id DIV {INCR_MOD}) % 3 AS INT)") == 1
+        )
+    )
+    SJ._near_dup_ingest_one(
+        spark,
+        os.path.join(work, "index_bands"),
+        os.path.join(work, "index_hashes"),
+        os.path.join(work, "index_sizes"),
+        ledger_dir,
+        replay,
+        1,
+    )
+    assert snapshot() == before
+    shutil.rmtree(work, ignore_errors=True)
