@@ -5361,6 +5361,51 @@ BPE_HOLDOUT_MOD = 10  # train = doc_id % 10 < 8 (~80%), holdout = rest
 BPE_HOLDOUT_CUT = 8
 
 
+def _bpe_char_words(frame: DataFrame) -> DataFrame:
+    """(w, cnt, char-split s) vocabulary frame for any (doc_id, text)
+    frame — the encode path's base, expression-identical to
+    _bpe_train's (the sync test pins the two)."""
+    return (
+        frame.select(F.explode(TX.tokenize("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1))"
+            ).alias("s"),
+        )
+    )
+
+
+def _bpe_apply_merges(words: DataFrame, merges) -> DataFrame:
+    """The frozen-merge-table ENCODE path: replay a trained merge list
+    through the same greedy rewrite _bpe_train runs per round —
+    expression-identical (tests/test_round12b.py asserts the replayed
+    segmentations equal the trainer's, word for word)."""
+    for _, a, b, _f in merges:
+        ae = a.replace("'", "''")
+        be = b.replace("'", "''")
+        me = (a + b).replace("'", "''")
+        words = words.select(
+            "w",
+            "cnt",
+            F.expr(
+                f"aggregate(slice(s, 2, size(s)-1), "
+                f"array(element_at(s, 1)), "
+                f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{ae}' "
+                f"AND x = '{be}' "
+                f"THEN concat(slice(acc, 1, size(acc)-1), "
+                f"array('{me}')) "
+                f"ELSE concat(acc, array(x)) END)"
+            ).alias("s"),
+        )
+    return words
+
+
 def bpe_holdout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train/holdout generalization audit: merges trained on the
     train split (doc_id % {BPE_HOLDOUT_MOD} < {BPE_HOLDOUT_CUT}) are
@@ -5381,44 +5426,6 @@ def bpe_holdout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(BPE_HOLDOUT_MOD)) < BPE_HOLDOUT_CUT
     )
     _, merges = _bpe_train(spark, sf_dir, docs=d.filter(is_train))
-
-    def char_words(frame: DataFrame) -> DataFrame:
-        return (
-            frame.select(F.explode(TX.tokenize("text")).alias("w"))
-            .filter(F.col("w") != "")
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(
-                "w",
-                "cnt",
-                F.expr(
-                    "transform(sequence(1, length(w)), "
-                    "i -> substring(w, i, 1))"
-                ).alias("s"),
-            )
-        )
-
-    def apply_merges(words: DataFrame) -> DataFrame:
-        # the frozen-merge-table encode path: the same greedy rewrite
-        # _bpe_train runs per round, replayed from the trained list
-        for _, a, b, _f in merges:
-            ae = a.replace("'", "''")
-            be = b.replace("'", "''")
-            me = (a + b).replace("'", "''")
-            words = words.select(
-                "w",
-                "cnt",
-                F.expr(
-                    f"aggregate(slice(s, 2, size(s)-1), "
-                    f"array(element_at(s, 1)), "
-                    f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{ae}' "
-                    f"AND x = '{be}' "
-                    f"THEN concat(slice(acc, 1, size(acc)-1), "
-                    f"array('{me}')) "
-                    f"ELSE concat(acc, array(x)) END)"
-                ).alias("s"),
-            )
-        return words
 
     def metrics(words: DataFrame, split: str) -> DataFrame:
         return (
@@ -5446,8 +5453,8 @@ def bpe_holdout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(split).alias("split"), "*")
         )
 
-    train_words = apply_merges(char_words(d.filter(is_train)))
-    hold_words = apply_merges(char_words(d.filter(~is_train)))
+    train_words = _bpe_apply_merges(_bpe_char_words(d.filter(is_train)), merges)
+    hold_words = _bpe_apply_merges(_bpe_char_words(d.filter(~is_train)), merges)
     return (
         metrics(train_words, "train")
         .unionByName(metrics(hold_words, "holdout"))

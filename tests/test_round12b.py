@@ -218,16 +218,34 @@ def test_bpe_holdout_metrics_shape_and_bounds(spark):
 
 
 def test_bpe_holdout_train_leg_matches_full_train_pipeline(spark):
-    """The train leg's fertility must equal recomputing it from the
-    shared _bpe_train on the same split — the apply path and the
-    training path are the same rewrite."""
+    """SYNC PIN for the deliberate rewrite-expression duplication:
+    bpe_holdout_coverage's frozen-merge apply path must produce the
+    EXACT per-word segmentations _bpe_train's training path does on
+    the same split — if either copy of the greedy-rewrite expression
+    drifts, some word's final token list differs and this fails
+    naming the word."""
     from pyspark.sql import functions as F
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     is_train = F.pmod(F.col("doc_id"), F.lit(LT.BPE_HOLDOUT_MOD)) < (
         LT.BPE_HOLDOUT_CUT
     )
-    words, _ = LT._bpe_train(spark, SF, docs=d.filter(is_train))
+    train = d.filter(is_train)
+    words, merges = LT._bpe_train(spark, SF, docs=train)
+    trained = {r.w: list(r.s) for r in words.collect()}
+
+    # replay the frozen merge table through the holdout module's OWN
+    # apply path over the same split — this is the copy the query
+    # actually runs, so drift in either expression fails here
+    applied = {
+        r.w: list(r.s)
+        for r in LT._bpe_apply_merges(
+            LT._bpe_char_words(train), merges
+        ).collect()
+    }
+    assert applied == trained
+
+    # and the reported train-leg fertility is that segmentation's
     row = (
         words.select("cnt", F.size("s").alias("n_tok"))
         .agg(
