@@ -5609,3 +5609,115 @@ SELECT shard, n_docs, shard_tokens,
 FROM shards, tot
 ORDER BY shard
 """
+
+
+# ------------------------------------- quality-aware canonicalization
+
+# dedup_clusters keeps the MIN doc_id per near-dup cluster — the
+# arbitrary-but-stable rule. Production curation pipelines usually keep
+# the BEST member instead (the cleanest crawl of a boilerplate-wrapped
+# article, the longest of two truncated copies); this query is that
+# arbitration: survivor = argmax by (distinct-token count, token count,
+# then min doc_id) — integer columns only, so the choice is
+# bit-identical across engines.
+
+
+def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization: connected components
+    over the MinHash-LSH pair graph (the dedup_clusters closure), but
+    the survivor of each cluster is its HIGHEST-QUALITY member —
+    richest distinct-token vocabulary, then token count, then min
+    doc_id — rather than the smallest id. One row per clustered doc
+    with its cluster, quality features, survivor flag and the
+    survivor's id (what a suppression list actually stores).
+
+    Scale: the CC runs on the edge set only (orders smaller than the
+    corpus); the quality features join touches ONLY clustered docs
+    (labels semi-join the corpus before the token math), and the
+    argmax is a per-cluster window over cluster-sized groups. The
+    feature columns are integers end-to-end — no float enters the
+    survivor decision."""
+    pairs = _minhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_labels(pairs)
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+    feats = d.join(labels, "doc_id").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.size(F.array_distinct(tks)).alias("n_uniq_tokens"),
+        F.size(tks).alias("n_tokens"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_uniq_tokens").desc(),
+        F.col("n_tokens").desc(),
+        F.col("doc_id"),
+    )
+    ranked = feats.withColumn("rn", F.row_number().over(w))
+    survivors = ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").alias("s_cluster"),
+        F.col("doc_id").alias("survivor_id"),
+    )
+    sizes = feats.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        ranked.join(
+            F.broadcast(survivors),
+            F.col("cluster_id") == F.col("s_cluster"),
+        )
+        .join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_members",
+            "n_uniq_tokens",
+            "n_tokens",
+            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+            "survivor_id",
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+DEDUP_QUALITY_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS ({NEAR_DUP_MINHASH_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+members AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+toks AS ({_TOKS_SQL}),
+feats AS (
+  SELECT m.doc_id, m.cluster_id,
+         CAST(len(list_distinct(t.tks)) AS INT) AS n_uniq_tokens,
+         CAST(len(t.tks) AS INT) AS n_tokens
+  FROM members m JOIN toks t USING (doc_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id
+    ORDER BY n_uniq_tokens DESC, n_tokens DESC, doc_id
+  ) AS rn
+  FROM feats
+),
+surv AS (
+  SELECT cluster_id, doc_id AS survivor_id FROM ranked WHERE rn = 1
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM feats GROUP BY 1
+)
+SELECT f.doc_id, f.cluster_id, z.n_members, f.n_uniq_tokens, f.n_tokens,
+       (f.doc_id = s.survivor_id) AS is_survivor,
+       s.survivor_id
+FROM feats f
+JOIN surv s USING (cluster_id)
+JOIN sizes z USING (cluster_id)
+ORDER BY f.cluster_id, f.doc_id
+"""

@@ -390,6 +390,15 @@ _SPECS: list[QuerySpec] = [
         "LLM dedup: connected components over LSH pairs (iterative)",
     ),
     QuerySpec(
+        "dedup_quality_canonical",
+        LT.dedup_quality_canonical,
+        LT.DEDUP_QUALITY_CANONICAL_SQL,
+        "LLM dedup arbitration: survivor of each near-dup cluster is "
+        "the HIGHEST-QUALITY member (distinct-token count, token "
+        "count, min doc_id — integer-exact argmax), not the smallest "
+        "id; per-doc survivor flags + the suppression-list mapping",
+    ),
+    QuerySpec(
         "text_repetition_stats",
         LT.text_repetition_stats,
         LT.TEXT_REPETITION_STATS_SQL,

@@ -356,3 +356,38 @@ def test_streaming_near_dup_replay_is_idempotent(spark):
     )
     assert snapshot() == before
     shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------ quality-aware dedup canonicalization
+
+
+def test_quality_canonical_cluster_structure_matches_dedup_clusters(spark):
+    """Same CC closure as dedup_clusters: identical (doc -> cluster)
+    mapping and sizes; only the survivor rule differs."""
+    base = {
+        (r.doc_id, r.cluster_id, r.n_members)
+        for r in LT.dedup_clusters(spark, SF).collect()
+    }
+    qual = {
+        (r.doc_id, r.cluster_id, r.n_members)
+        for r in LT.dedup_quality_canonical(spark, SF).collect()
+    }
+    assert qual == base
+
+
+def test_quality_canonical_survivor_is_argmax(spark):
+    rows = LT.dedup_quality_canonical(spark, SF).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        best = sorted(
+            members,
+            key=lambda r: (-r.n_uniq_tokens, -r.n_tokens, r.doc_id),
+        )[0]
+        for r in members:
+            assert r.survivor_id == best.doc_id
+            assert r.is_survivor == (r.doc_id == best.doc_id)
+        # exactly one survivor per cluster
+        assert sum(r.is_survivor for r in members) == 1

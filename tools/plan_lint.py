@@ -146,6 +146,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "(same _bpe_train loop as bpe_merge_training), joined onto "
         "the per-(lang, word) counts"
     },
+    "dedup_quality_canonical": {
+        "RDD_SCAN": _LC + "; the shared _cc_min_labels machinery "
+        "(edge frame + per-round label frames, as in dedup_clusters), "
+        "whose final labels feed both the quality-feature join and "
+        "the cluster-size rollup"
+    },
 }
 
 # ---------------------------------------------------------------------
@@ -255,6 +261,12 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "per-round vocabulary frame: every merge round (as in "
         "bpe_encode_corpus)",
         "final segmentations: the per-(lang, word) fertility join",
+    ),
+    "dedup_quality_canonical": (
+        "CC edge frame: every label-propagation round (as in "
+        "dedup_clusters)",
+        "final CC labels: the quality-feature join",
+        "final CC labels: the cluster-size rollup",
     ),
 }
 

@@ -100,6 +100,7 @@ PROBE_QUERIES = [
     "streaming_near_dup_ingest",
     "bpe_holdout_coverage",
     "training_shard_plan",
+    "dedup_quality_canonical",
 ]
 
 
