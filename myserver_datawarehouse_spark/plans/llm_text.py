@@ -5721,3 +5721,207 @@ JOIN surv s USING (cluster_id)
 JOIN sizes z USING (cluster_id)
 ORDER BY f.cluster_id, f.doc_id
 """
+
+
+# ----------------------------------------------- LSH band-config tuning
+
+# The (bands, rows) factorization of the 16 minhashes is the knob every
+# LSH deployment tunes: more bands with fewer rows each recalls lower-J
+# pairs (and pays more candidates); fewer, longer bands sharpen the
+# S-curve toward high J. lsh_recall_audit adjudicates the SHIPPED
+# config (8x2); this query adjudicates the whole dial — measured
+# P(candidate | J) per decile for each factorization, next to the
+# theoretical 1-(1-J^r)^b at the decile midpoint, so the operator
+# reads the tradeoff from data before re-banding an index.
+LSH_TUNE_CONFIGS = [(16, 1), (8, 2), (4, 4)]  # (bands, rows), b*r = 16
+
+
+def _lsh_theory_rows() -> list[tuple[str, int, float]]:
+    """(config, j_band, theory) for every decile — computed ONCE in
+    Python and fed to BOTH engines as literal constants, so the
+    float-pow chain can never diverge between them."""
+    out = []
+    for bands_n, rows_n in LSH_TUNE_CONFIGS:
+        for jb in range(J_BAND_W):
+            j_mid = (jb + 0.5) / J_BAND_W
+            out.append(
+                (
+                    f"{bands_n}x{rows_n}",
+                    jb,
+                    round(1.0 - (1.0 - j_mid**rows_n) ** bands_n, 4),
+                )
+            )
+    return out
+
+
+def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-config sweep over the LSH audit corpus: for each
+    (bands x rows) factorization of the {MINHASH_N} minhashes, the
+    measured candidate recall P(candidate | J) per true-Jaccard decile
+    against the exact prefix-filter yardstick, next to the theoretical
+    S-curve value at the decile midpoint — the tuning table a dedup
+    operator reads before re-banding a production index (16x1 recalls
+    the 0.5 decile at ~0.98 where 4x4 drops to ~0.23; the shipped 8x2
+    sits between).
+
+    Scale: ONE shingle pass (the shared materialized hash frame), ONE
+    signature pass, ONE exact-yardstick pair plan — per config only
+    the band-key explode + bucket self-join re-runs (band keys are
+    arithmetic over the in-flight signature array). Candidate sets are
+    banded, never all-pairs; the comparison is pair-set-sized. Theory
+    values are Python-computed literals joined in (identically in the
+    oracle), so no cross-engine float-pow enters the hash."""
+    d = _lsh_audit_docs(_docs(spark, sf_dir))
+    hs = _shingle_hash_frame(d)
+    # consumed by: per-config hit semi-joins (x3) + the decile rollup
+    exact = materialize(
+        _prefix_filter_pairs(d, hs=hs).select("doc_a", "doc_b", "jaccard")
+    )
+    p = F.lit(TX.MINHASH_P)
+    # consumed by: every config's band-key explode (x3)
+    sig = materialize(
+        hs.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(f"s{i}")
+                for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
+            ],
+        )
+        .select(
+            "doc_id",
+            F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
+        )
+    )
+    band_col = F.floor(F.col("jaccard") * J_BAND_W).cast("int").alias("j_band")
+    eb = exact.groupBy(band_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    legs = []
+    for bands_n, rows_n in LSH_TUNE_CONFIGS:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                TX.lsh_band_keys("sig", bands_n, rows_n)
+            ).alias("bk"),
+        )
+        a, b2 = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b2,
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+        hb = hit.groupBy(band_col).agg(F.count(F.lit(1)).alias("n_cand"))
+        legs.append(
+            eb.join(hb, "j_band", "left").select(
+                F.lit(f"{bands_n}x{rows_n}").alias("config"),
+                "j_band",
+                "n_exact",
+                F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+                F.round(
+                    F.coalesce(F.col("n_cand"), F.lit(0)).cast("double")
+                    / F.col("n_exact"),
+                    4,
+                ).alias("recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    theory = spark.createDataFrame(
+        _lsh_theory_rows(), "config string, j_band int, theory double"
+    )
+    return (
+        out.join(F.broadcast(theory), ["config", "j_band"])
+        .select(
+            "config", "j_band", "n_exact", "n_cand", "recall", "theory"
+        )
+        .orderBy("config", "j_band")
+    )
+
+
+def _band_key_sql_cfg(b: int, rows: int) -> str:
+    slots = " || ',' || ".join(
+        f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
+    )
+    return f"'{b}:' || ({_d_hash60(slots, seed=b)})::VARCHAR"
+
+
+def _lsh_band_tuning_sql() -> str:
+    theory_values = ",\n         ".join(
+        f"('{c}', {jb}, {t})" for c, jb, t in _lsh_theory_rows()
+    )
+    cfg_parts, cfg_selects = [], []
+    for bands_n, rows_n in LSH_TUNE_CONFIGS:
+        tag = f"{bands_n}x{rows_n}"
+        keys = ", ".join(
+            _band_key_sql_cfg(b, rows_n) for b in range(bands_n)
+        )
+        cfg_parts.append(
+            f"""bands_{tag} AS (
+  SELECT doc_id, unnest([{keys}]) AS bk FROM sig
+),
+cand_{tag} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_{tag} a JOIN bands_{tag} b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+hb_{tag} AS (
+  SELECT CAST(FLOOR(e.jaccard * {J_BAND_W}) AS INT) AS j_band,
+         COUNT(*) AS n_cand
+  FROM exact e SEMI JOIN cand_{tag} c
+    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+  GROUP BY 1
+)"""
+        )
+        cfg_selects.append(
+            f"""SELECT '{tag}' AS config, eb.j_band, eb.n_exact,
+       COALESCE(hb_{tag}.n_cand, 0) AS n_cand,
+       ROUND(CAST(COALESCE(hb_{tag}.n_cand, 0) AS DOUBLE)
+             / eb.n_exact, 4) AS recall
+FROM eb LEFT JOIN hb_{tag} ON eb.j_band = hb_{tag}.j_band"""
+        )
+    # the signature CTEs reuse the SHARED fragments (_TOKS_SQL /
+    # _SH_SQL / _MH_BASE_SQL / _MINHASH_SQL) — the same single source
+    # NEAR_DUP_MINHASH_LSH_SQL is built from, retargeted at docs_aug
+    toks_aug = _TOKS_SQL.replace("FROM documents", "FROM docs_aug")
+    return (
+        f"""WITH docs_aug AS ({_LSH_AUDIT_DOCS_SQL}),
+toks AS ({toks_aug}),
+sh AS ({_SH_SQL}),
+mhb AS (SELECT doc_id, {_MH_BASE_SQL} AS mh FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_SQL} AS sig FROM mhb),
+exact AS (
+  SELECT doc_a, doc_b, jaccard
+  FROM ({NEAR_DUP_PREFIX_FILTER_SQL.replace("FROM documents", "FROM docs_aug")})
+),
+eb AS (
+  SELECT CAST(FLOOR(jaccard * {J_BAND_W}) AS INT) AS j_band,
+         COUNT(*) AS n_exact
+  FROM exact GROUP BY 1
+),
+"""
+        + ",\n".join(cfg_parts)
+        + f""",
+theory(config, j_band, theory) AS (
+  VALUES {theory_values}
+),
+legs AS (
+  """
+        + "\n  UNION ALL\n  ".join(cfg_selects)
+        + """
+)
+SELECT l.config, l.j_band, l.n_exact, l.n_cand, l.recall, t.theory
+FROM legs l JOIN theory t
+  ON l.config = t.config AND l.j_band = t.j_band
+ORDER BY l.config, l.j_band
+"""
+    )
+
+
+LSH_BAND_TUNING_SQL = _lsh_band_tuning_sql()

@@ -390,6 +390,17 @@ _SPECS: list[QuerySpec] = [
         "LLM dedup: connected components over LSH pairs (iterative)",
     ),
     QuerySpec(
+        "lsh_band_tuning",
+        LT.lsh_band_tuning,
+        LT.LSH_BAND_TUNING_SQL,
+        "LSH banding-config sweep: measured P(candidate|J) per "
+        "Jaccard decile for every (bands x rows) factorization of the "
+        "16 minhashes (16x1 / 8x2 / 4x4) vs the exact prefix-filter "
+        "yardstick, with the theoretical 1-(1-J^r)^b at each decile "
+        "midpoint joined in as engine-shared literals — the dial an "
+        "operator reads before re-banding a production dedup index",
+    ),
+    QuerySpec(
         "dedup_quality_canonical",
         LT.dedup_quality_canonical,
         LT.DEDUP_QUALITY_CANONICAL_SQL,

@@ -391,3 +391,57 @@ def test_quality_canonical_survivor_is_argmax(spark):
             assert r.is_survivor == (r.doc_id == best.doc_id)
         # exactly one survivor per cluster
         assert sum(r.is_survivor for r in members) == 1
+
+
+# ----------------------------------------------- LSH band tuning
+
+
+def test_band_tuning_shipped_config_matches_recall_audit(spark):
+    """The 8x2 leg's measured counts must equal lsh_recall_audit's
+    candidate-level recall... but the audit measures VERIFIED pairs
+    (a subset filtered at tau after the same banding), so assert the
+    weaker, always-true direction: per decile, the 8x2 candidate hit
+    count is >= the audit's verified hit count, and n_exact matches
+    exactly (same yardstick frame)."""
+    from myserver_datawarehouse_spark.plans.llm_text import (
+        lsh_band_tuning,
+        lsh_recall_audit,
+    )
+
+    tune = {
+        r.j_band: r
+        for r in lsh_band_tuning(spark, SF).collect()
+        if r.config == "8x2"
+    }
+    audit = {r.j_band: r for r in lsh_recall_audit(spark, SF).collect()}
+    assert set(tune) == set(audit)
+    for jb, a in audit.items():
+        t = tune[jb]
+        assert t.n_exact == a.n_exact
+        assert t.n_cand >= a.n_lsh
+
+
+def test_band_tuning_monotone_in_bands(spark):
+    """More, shorter bands can only recall more: per decile,
+    candidate hits are monotone 4x4 <= 8x2 <= 16x1 (superset band
+    keys at equal signature), and theory agrees."""
+    from myserver_datawarehouse_spark.plans.llm_text import lsh_band_tuning
+
+    rows = lsh_band_tuning(spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.j_band, {})[r.config] = r
+    assert by
+    for jb, cfgs in by.items():
+        assert set(cfgs) == {"16x1", "8x2", "4x4"}
+        assert (
+            cfgs["4x4"].n_cand <= cfgs["8x2"].n_cand <= cfgs["16x1"].n_cand
+        )
+        assert (
+            cfgs["4x4"].theory <= cfgs["8x2"].theory <= cfgs["16x1"].theory
+        )
+        # theory literals really are 1-(1-j^r)^b at the midpoint
+        j = (jb + 0.5) / 10.0
+        assert cfgs["8x2"].theory == pytest.approx(
+            round(1 - (1 - j**2) ** 8, 4), abs=1e-9
+        )

@@ -152,6 +152,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "whose final labels feed both the quality-feature join and "
         "the cluster-size rollup"
     },
+    "lsh_band_tuning": {
+        "RDD_SCAN": _LC + "; the shared shingle-hash frame (as in "
+        "lsh_recall_audit), the exact prefix-filter yardstick frame "
+        "consumed by every config's hit semi-join + the decile "
+        "rollup, and the signature frame every config's band-key "
+        "explode re-reads"
+    },
 }
 
 # ---------------------------------------------------------------------
@@ -267,6 +274,13 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_clusters)",
         "final CC labels: the quality-feature join",
         "final CC labels: the cluster-size rollup",
+    ),
+    "lsh_band_tuning": (
+        "shingle-hash frame: the prefix-filter yardstick + the "
+        "signature aggregate (as in lsh_recall_audit)",
+        "exact yardstick frame: per-config hit semi-joins (x3) + "
+        "the decile rollup",
+        "signature frame: every config's band-key explode (x3)",
     ),
 }
 

@@ -101,6 +101,7 @@ PROBE_QUERIES = [
     "bpe_holdout_coverage",
     "training_shard_plan",
     "dedup_quality_canonical",
+    "lsh_band_tuning",
 ]
 
 
