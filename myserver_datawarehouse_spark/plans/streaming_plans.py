@@ -1059,3 +1059,97 @@ ORDER BY batch_no, doc_new, doc_partner
 
 
 STREAMING_NEAR_DUP_INGEST_SQL = _streaming_near_dup_ingest_sql()
+
+
+def streaming_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming language-mix drift monitor (19th §2.12 variant): the
+    ingest-health chart run as a REAL micro-batch stream
+    (streaming/jobs.mix_drift_stream) — seed shares from the standing
+    corpus, one micro-batch per arrival cohort, each reporting its
+    Laplace-smoothed per-language token share and PSI contribution
+    against the seed. Batches depend only on the seed (never on each
+    other), so the ledger is a pure function of the data and
+    adjudicates against the batch oracle below. Same
+    eager-at-construction bench note as streaming_upsert_merge;
+    per-(sf, pid) work dir."""
+    import shutil
+
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_mixdrift", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    ledger = SJ.mix_drift_stream(spark, sf_dir, work)
+    return (
+        SJ._read_tree(spark, ledger)
+        .select(
+            "batch_no",
+            "lang",
+            "batch_tokens",
+            "p_batch",
+            "p_seed",
+            "psi_term",
+        )
+        .orderBy("batch_no", "lang")
+    )
+
+
+def _streaming_mix_drift_sql() -> str:
+    from myserver_datawarehouse_spark.plans.llm_text import (
+        _NORM_SQL,
+        INCR_MOD,
+    )
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        MIX_DRIFT_BATCHES,
+    )
+
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+seed_counts AS (
+  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS seed_tokens
+  FROM per_doc WHERE doc_id % {INCR_MOD} != 0 GROUP BY 1
+),
+seed AS (
+  SELECT lang, seed_tokens, n_langs,
+         (seed_tokens + 1) / CAST(seed_total + n_langs AS DOUBLE)
+           AS p_seed
+  FROM seed_counts,
+       (SELECT CAST(SUM(seed_tokens) AS BIGINT) AS seed_total,
+               COUNT(*) AS n_langs
+        FROM seed_counts)
+),
+batch_counts AS (
+  SELECT CAST((doc_id // {INCR_MOD}) % {MIX_DRIFT_BATCHES} AS INT)
+           AS batch_no,
+         lang, CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
+  FROM per_doc WHERE doc_id % {INCR_MOD} = 0 GROUP BY 1, 2
+),
+batch_tot AS (
+  SELECT batch_no, CAST(SUM(batch_tokens) AS BIGINT) AS batch_total
+  FROM batch_counts GROUP BY 1
+),
+grid AS (
+  SELECT t.batch_no, s.lang, s.p_seed, s.n_langs, t.batch_total,
+         COALESCE(c.batch_tokens, 0) AS batch_tokens
+  FROM batch_tot t CROSS JOIN seed s
+  LEFT JOIN batch_counts c
+    ON c.batch_no = t.batch_no AND c.lang = s.lang
+)
+SELECT batch_no, lang, batch_tokens,
+       ROUND((batch_tokens + 1)
+             / CAST(batch_total + n_langs AS DOUBLE), 6) AS p_batch,
+       ROUND(p_seed, 6) AS p_seed,
+       ROUND(ROUND(((batch_tokens + 1)
+                    / CAST(batch_total + n_langs AS DOUBLE) - p_seed)
+             * ln(((batch_tokens + 1)
+                   / CAST(batch_total + n_langs AS DOUBLE)) / p_seed),
+             12), 6) AS psi_term
+FROM grid
+ORDER BY batch_no, lang
+"""
+
+
+STREAMING_MIX_DRIFT_SQL = _streaming_mix_drift_sql()

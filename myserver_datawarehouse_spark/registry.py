@@ -1349,6 +1349,17 @@ _SPECS: list[QuerySpec] = [
         "and batch-oracle adjudicable",
     ),
     QuerySpec(
+        "streaming_mix_drift",
+        ST.streaming_mix_drift,
+        ST.STREAMING_MIX_DRIFT_SQL,
+        "§2.12 19th variant: language-mix drift monitor as a "
+        "micro-batch stream — seed shares from the standing corpus, "
+        "per-batch Laplace-smoothed shares + PSI contribution per "
+        "language (12-dp-rounded terms, the entropy-tier float "
+        "policy); batches depend only on the seed, so the ledger is "
+        "trigger-order-free and batch-oracle adjudicable",
+    ),
+    QuerySpec(
         "streaming_cdc_replication",
         ST.streaming_cdc_replication,
         ST.STREAMING_CDC_REPLICATION_SQL,

@@ -1743,3 +1743,154 @@ def near_dup_ingest_stream(
     finally:
         q.stop()
     return ledger_dir
+
+
+MIX_DRIFT_BATCHES = 3  # arrivals split by (doc_id div 5) % 3, as near-dup
+
+
+def mix_drift_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> str:
+    """Streaming language-mix drift monitor (19th §2.12 shape) — the
+    ingest-health check every corpus pipeline charts: the SEED
+    language token shares are computed once from the standing corpus
+    (doc_id % INCR_MOD != 0), then each arrival micro-batch reports
+    its own shares and the per-language PSI contribution
+    (p_b - p_s) * ln(p_b / p_s) against the seed — the population-
+    stability index, the standard drift alarm.
+
+    Determinism contract: shares are Laplace-smoothed over the SEED
+    language universe (p = (tokens + 1) / (total + |langs|)), so a
+    language missing from a batch still has a defined, positive share
+    and the ln never sees zero; each PSI term is rounded at 12 dp
+    before the final 6-dp presentation (the source_mix_entropy float
+    policy). Each batch's ledger rows land in a batch-keyed subdir
+    with mode=overwrite (replay-idempotent, the near-dup-ingest
+    pattern); batches are independent of each other — only of the
+    seed — so trigger order cannot matter. Returns the ledger path."""
+    import os
+
+    from myserver_datawarehouse_spark.operators import text as TX
+    from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    input_dir = os.path.join(work_dir, "input")
+    seed_dir = os.path.join(work_dir, "seed_shares")
+    ledger_dir = os.path.join(work_dir, "ledger")
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    is_arrival = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
+
+    per_doc = lambda fr: fr.select(  # noqa: E731
+        "lang", F.size(TX.tokenize("text")).cast("long").alias("n_tok")
+    )
+    seed_counts = (
+        per_doc(docs.filter(~is_arrival))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("seed_tokens"))
+    )
+    # the seed language UNIVERSE fixes |langs| for every smoothing
+    seed = seed_counts.crossJoin(
+        F.broadcast(
+            seed_counts.agg(
+                F.sum("seed_tokens").alias("seed_total"),
+                F.count(F.lit(1)).alias("n_langs"),
+            )
+        )
+    ).select(
+        "lang",
+        "seed_tokens",
+        "n_langs",
+        (
+            (F.col("seed_tokens") + 1).cast("double")
+            / (F.col("seed_total") + F.col("n_langs")).cast("double")
+        ).alias("p_seed"),
+    )
+    seed.coalesce(1).write.mode("overwrite").parquet(seed_dir)
+
+    arrivals = docs.filter(is_arrival).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(
+            f"CAST((doc_id DIV {INCR_MOD}) % {MIX_DRIFT_BATCHES} AS INT)"
+        ).alias("batch_no"),
+    )
+    arrivals.repartition(MIX_DRIFT_BATCHES, "batch_no").write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    spark.createDataFrame(
+        [],
+        "batch_no int, lang string, batch_tokens long,"
+        " p_batch double, p_seed double, psi_term double",
+    ).write.mode("overwrite").parquet(os.path.join(ledger_dir, "b_init"))
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _monitor(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        seed_t = sp.read.parquet(seed_dir)
+        for (bno,) in sorted(
+            batch.select("batch_no").distinct().collect()
+        ):
+            one = per_doc(batch.filter(F.col("batch_no") == bno))
+            counts = one.groupBy("lang").agg(
+                F.sum("n_tok").alias("batch_tokens")
+            )
+            # seed universe LEFT side: absent languages report 0 tokens
+            joined = (
+                seed_t.join(counts, "lang", "left")
+                .withColumn(
+                    "batch_tokens",
+                    F.coalesce(F.col("batch_tokens"), F.lit(0)),
+                )
+                .crossJoin(
+                    F.broadcast(
+                        counts.agg(
+                            F.coalesce(
+                                F.sum("batch_tokens"), F.lit(0)
+                            ).alias("batch_total")
+                        )
+                    )
+                )
+            )
+            p_b = (F.col("batch_tokens") + 1).cast("double") / (
+                F.col("batch_total") + F.col("n_langs")
+            ).cast("double")
+            term = F.round(
+                (p_b - F.col("p_seed"))
+                * F.log(p_b / F.col("p_seed")),
+                12,
+            )
+            (
+                joined.select(
+                    F.lit(bno).cast("int").alias("batch_no"),
+                    "lang",
+                    "batch_tokens",
+                    F.round(p_b, 6).alias("p_batch"),
+                    F.round(F.col("p_seed"), 6).alias("p_seed"),
+                    F.round(term, 6).alias("psi_term"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(ledger_dir, f"b{bno}"))
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_monitor)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return ledger_dir

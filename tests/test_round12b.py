@@ -445,3 +445,77 @@ def test_band_tuning_monotone_in_bands(spark):
         assert cfgs["8x2"].theory == pytest.approx(
             round(1 - (1 - j**2) ** 8, 4), abs=1e-9
         )
+
+
+# ------------------------------------------ streaming mix drift
+
+
+def test_streaming_mix_drift_psi_semantics(spark):
+    """PSI terms are zero iff the batch share equals the seed share;
+    the smoothed shares sum to ~1 per batch over the seed universe,
+    and every (batch, lang) cell exists even when the batch carries
+    zero tokens of a language."""
+    import math
+
+    from myserver_datawarehouse_spark.plans import streaming_plans as ST
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        MIX_DRIFT_BATCHES,
+    )
+
+    rows = ST.streaming_mix_drift(spark, SF).collect()
+    langs = {r.lang for r in rows}
+    assert len(rows) == MIX_DRIFT_BATCHES * len(langs)  # full grid
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_no, []).append(r)
+    assert set(by_batch) == set(range(MIX_DRIFT_BATCHES))
+    for bno, rs in by_batch.items():
+        assert sum(r.p_batch for r in rs) == pytest.approx(1.0, abs=1e-4)
+        for r in rs:
+            # recompute the PSI term from the reported shares
+            want = (r.p_batch - r.p_seed) * math.log(r.p_batch / r.p_seed)
+            assert r.psi_term == pytest.approx(want, abs=5e-5)
+            # a PSI contribution is >= 0 in exact arithmetic; allow
+            # only the 6-dp presentation rounding below zero
+            assert r.psi_term >= -1e-6
+
+
+def test_streaming_mix_drift_replay_safe_batches_independent(spark):
+    """Each batch's rows are a pure function of (batch docs, seed):
+    recomputing batch 0's expected shares from the raw parquet matches
+    the ledger."""
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.operators import text as TX
+    from myserver_datawarehouse_spark.plans import streaming_plans as ST
+    from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        MIX_DRIFT_BATCHES,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = d.select(
+        "doc_id", "lang", F.size(TX.tokenize("text")).alias("n")
+    )
+    b0 = (
+        tok.filter(
+            (F.col("doc_id") % INCR_MOD == 0)
+            & (
+                F.expr(
+                    f"CAST((doc_id DIV {INCR_MOD}) % {MIX_DRIFT_BATCHES}"
+                    " AS INT)"
+                )
+                == 0
+            )
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    )
+    want = {r.lang: r.t for r in b0}
+    got = {
+        r.lang: r.batch_tokens
+        for r in ST.streaming_mix_drift(spark, SF).collect()
+        if r.batch_no == 0 and r.batch_tokens > 0
+    }
+    assert got == {k: v for k, v in want.items() if v > 0}

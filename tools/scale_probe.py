@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     "training_shard_plan",
     "dedup_quality_canonical",
     "lsh_band_tuning",
+    "streaming_mix_drift",
 ]
 
 
