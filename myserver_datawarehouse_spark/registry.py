@@ -1554,24 +1554,19 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. After the round-11 fold every one of the 209
+#      are re-checked. After the round-12 fold every one of the 221
 #      registry queries has a green driver verdict at its current name;
-#      this head tier holds only round-12 additions/changes.
-#   1. last adjudicated in round 7 (16 stragglers at the staleness
-#      bound — the round-11 VERDICT ordered these to consume the FIRST
-#      16 slots of the round-12 budget; the judge pre-verified all 16
-#      green at sf0.01);
-#   2. last adjudicated in round 8 (46 standing);
-#   3. last adjudicated in round 9 (48 standing);
-#   4. last adjudicated in round 10 (49 standing);
-#   5. last adjudicated in round 11 (50 standing — CORRECTNESS_r11.json
-#      was 50/50 green: the 8 round-11 additions, the 3 refactor
-#      re-adjudications, the full 14-query round-6 tier, and 25 of the
-#      round-7 tier all moved here. Round-12 forfeits, removed from
-#      this set by hand per the plan-change rule: lsh_recall_audit
-#      (low-J fixture mass), cross_modal_curation (video arm) and
-#      near_dup_video_frames (pair-frame extraction for the shared
-#      video edge set) — all return to the head).
+#      this head tier holds only round-13 additions/changes.
+#   1. last adjudicated in round 8 (27 stragglers at the staleness
+#      bound — the round-12 VERDICT ordered these to consume the FIRST
+#      27 slots of the round-13 budget; the judge pre-verified 7 of
+#      them green at sf0.01);
+#   2. last adjudicated in round 9 (48 standing);
+#   3. last adjudicated in round 10 (49 standing);
+#   4. last adjudicated in round 11 (47 standing);
+#   5. last adjudicated in round 12 (50 standing — CORRECTNESS_r12.json
+#      was 50/50 green: the 16 round-7 stragglers, the round-12
+#      additions, and the round-8-era rotation all moved here).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
@@ -1583,70 +1578,32 @@ _SPECS: list[QuerySpec] = [
 # tier) <= 50 so the budget always clears the head AND the oldest
 # tier; at N=209 that means <= ~34 new queries/round steady-state.
 #
-# Round-13 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r12.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 12
+# Round-14 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r13.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 13
 # OUT of every set so it returns to the head.
-
-_ADJUDICATED_R7 = frozenset(
-    {
-        "bloom_pruned_join",
-        "bucketed_colocated_join",
-        "data_mixture_rebalance",
-        "dedup_incremental_new_docs",
-        "dim_date_integrity",
-        "freshness_probe",
-        "leakage_safe_split",
-        "quality_percentile_filter",
-        "ranking_report",
-        "scd2_user_history",
-        "source_vocab_overlap",
-        "sources_summary",
-        "streaming_band_rollup",
-        "streaming_session_windows",
-        "timestamp_roundtrip",
-        "value_outliers_mad",
-    }
-)
 
 _ADJUDICATED_R8 = frozenset(
     {
         "column_correlation_profile",
-        "day_over_day_change",
         "deletion_vector_audit",
         "dup_ngram_coverage",
-        "embedding_ann_bucketed_baseline",
         "embedding_covariance_probe",
-        "embedding_int8_quantization",
         "embedding_pca_audit",
-        "embedding_pq_adc_audit",
         "event_dow_chisquare",
-        "events_cube_rollup",
         "events_daily_unpivot",
-        "events_funnel_conversion",
         "file_skipping_scan_audit",
-        "flagship_hourly_pipeline",
-        "full_history_rebuild",
         "gopher_quality_flags",
-        "grouped_topk_dense",
         "incremental_agg_maintenance",
         "incremental_join_maintenance",
-        "kmeans_ivf_clusters",
-        "latest_event_per_user_type",
-        "layout_zorder_stats",
         "merge_writer_lifecycle",
         "minute_anomaly_zscore",
-        "near_dup_incremental_lsh",
         "phrase_search_positional",
         "quality_weighted_sample",
         "scd2_point_in_time_join",
-        "shipping_priority_topk",
         "source_mix_entropy",
-        "source_numeric_ids",
-        "sources_lifecycle",
         "streaming_cdc_apply",
         "streaming_dedup_within_watermark",
-        "streaming_upsert_merge",
         "table_changes_feed",
         "table_compaction_audit",
         "table_time_travel_audit",
@@ -1654,8 +1611,6 @@ _ADJUDICATED_R8 = frozenset(
         "token_pagerank",
         "token_zipf_fit",
         "user_erasure_audit",
-        "user_retention_cohorts",
-        "value_histogram",
         "word_cooccurrence_pmi",
     }
 )
@@ -1819,19 +1774,74 @@ _ADJUDICATED_R11 = frozenset(
     }
 )
 
+_ADJUDICATED_R12 = frozenset(
+    {
+        "bloom_evolved_carry_audit",
+        "bloom_pruned_join",
+        "bpe_holdout_coverage",
+        "bucketed_colocated_join",
+        "cross_modal_curation",
+        "data_mixture_rebalance",
+        "day_over_day_change",
+        "dedup_incremental_new_docs",
+        "dedup_quality_canonical",
+        "dim_date_integrity",
+        "embedding_ann_bucketed_baseline",
+        "embedding_binary_hamming_rerank",
+        "embedding_int8_quantization",
+        "embedding_matryoshka_audit",
+        "embedding_pq_adc_audit",
+        "events_cube_rollup",
+        "events_funnel_conversion",
+        "flagship_hourly_pipeline",
+        "freshness_probe",
+        "full_history_rebuild",
+        "grouped_topk_dense",
+        "kmeans_ivf_clusters",
+        "latest_event_per_user_type",
+        "layout_zorder_stats",
+        "leakage_safe_split",
+        "lsh_band_tuning",
+        "lsh_recall_audit",
+        "near_dup_audio_fingerprint",
+        "near_dup_incremental_lsh",
+        "near_dup_video_frames",
+        "quality_percentile_filter",
+        "ranking_report",
+        "scd2_user_history",
+        "shipping_priority_topk",
+        "source_numeric_ids",
+        "source_vocab_overlap",
+        "sources_lifecycle",
+        "sources_summary",
+        "streaming_band_rollup",
+        "streaming_ivf_ingest",
+        "streaming_mix_drift",
+        "streaming_near_dup_ingest",
+        "streaming_session_windows",
+        "streaming_upsert_merge",
+        "temperature_resampled_mix",
+        "timestamp_roundtrip",
+        "training_shard_plan",
+        "user_retention_cohorts",
+        "value_histogram",
+        "value_outliers_mad",
+    }
+)
 
 def _staleness(name: str) -> int:
-    if name in _ADJUDICATED_R11:
+    if name in _ADJUDICATED_R12:
         return 5
-    if name in _ADJUDICATED_R10:
+    if name in _ADJUDICATED_R11:
         return 4
-    if name in _ADJUDICATED_R9:
+    if name in _ADJUDICATED_R10:
         return 3
-    if name in _ADJUDICATED_R8:
+    if name in _ADJUDICATED_R9:
         return 2
-    if name in _ADJUDICATED_R7:
+    if name in _ADJUDICATED_R8:
         return 1
     return 0  # never adjudicated in current form — check first
+
 
 
 _SPECS.sort(key=lambda s: _staleness(s.name))  # stable: keeps in-tier order
