@@ -60,6 +60,17 @@ families (the plan module basename, as recorded in the `families`
 rollup) — so a slow family can be re-measured alone as the registry
 grows, without paying a full-registry run.
 
+Pinned execution order (round 13, per the round-12 verdict #2): the
+registry's public order is staleness-sorted for the external
+adjudication gate and therefore ROTATES every round — and twice in
+round 12 that rotation alone produced multi-second phantom swings on
+unchanged queries (JIT/codegen warmth follows run position; see
+PARITY.md round-12 §order-artifacts). Bench now runs queries in
+NAME-SORTED order, which is invariant under any registry re-sort, so
+a per-query diff across rounds compares like-warmth positions.
+`bench_order()` is the single source of that order and is pinned by
+tests/test_plan_shapes.py (stable under a simulated registry re-sort).
+
 Spread disclosure: in a full-registry run, the EAGERLY-executing
 queries (the streaming drains, the round-trip writers, the composed
 pipelines) occasionally absorb a neighbor's async cleanup (state-store
@@ -82,6 +93,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from myserver_datawarehouse_spark import registry
 from myserver_datawarehouse_spark.session import get_spark
+
+
+def bench_order(specs) -> list:
+    """The pinned bench execution order: name-sorted, independent of
+    the registry's staleness rotation. Every query name is unique
+    (asserted by the registry tests), so this order is a pure function
+    of the registry's MEMBERSHIP — adding/removing a query shifts only
+    its alphabetic neighbors' positions, and an adjudication-fold
+    re-sort shifts nothing."""
+    return sorted(specs, key=lambda s: s.name)
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -212,7 +233,7 @@ def main() -> None:
     noisy: dict[str, list[float]] = {}
     all_reps: dict[str, list[float]] = {}
     families: dict[str, float] = {}
-    specs = registry.specs()
+    specs = bench_order(registry.specs())
     if wanted:
         specs = [
             s for s in specs

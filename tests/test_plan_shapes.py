@@ -450,6 +450,29 @@ def test_bench_line_contract_at_registry_scale():
     assert len(parsed["noisy"]) == 10
 
 
+def test_bench_order_pinned_name_sorted():
+    """Round-12 verdict #2: the bench execution order must be a pure
+    function of registry MEMBERSHIP, invariant under the staleness
+    re-sort the adjudication fold applies every round (twice in r12 a
+    fold-driven order rotation produced multi-second phantom swings on
+    unchanged queries — JIT/codegen warmth follows run position)."""
+    import random as _random
+
+    from bench import bench_order
+    from myserver_datawarehouse_spark import registry
+
+    specs = registry.specs()
+    pinned = [s.name for s in bench_order(specs)]
+    assert pinned == sorted(pinned), "bench order must be name-sorted"
+    # Simulate an adjudication-fold re-sort: any permutation of the
+    # registry must produce the identical bench order.
+    shuffled = list(specs)
+    _random.Random(13).shuffle(shuffled)
+    assert [s.name for s in bench_order(shuffled)] == pinned
+    reversed_order = list(reversed(specs))
+    assert [s.name for s in bench_order(reversed_order)] == pinned
+
+
 def test_registry_integrity():
     from myserver_datawarehouse_spark import registry
 
