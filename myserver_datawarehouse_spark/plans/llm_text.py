@@ -5739,11 +5739,19 @@ LSH_TUNE_CONFIGS = [(16, 1), (8, 2), (4, 4)]  # (bands, rows), b*r = 16
 def _lsh_theory_rows() -> list[tuple[str, int, float]]:
     """(config, j_band, theory) for every decile — computed ONCE in
     Python and fed to BOTH engines as literal constants, so the
-    float-pow chain can never diverge between them."""
+    float-pow chain can never diverge between them.
+
+    Includes j_band = J_BAND_W (the FLOOR(1.0 * W) band that only
+    exact-duplicate pairs land in, theory exactly 1.0 for every
+    config): the measured side inner-joins to these rows, so without
+    it a corpus containing jaccard == 1.0 pairs would silently drop
+    its exact-dup decile from the tuning table — while the recall
+    audit (a LEFT join with no theory side) keeps that band, breaking
+    the two queries' band-set equality (round-12 advice)."""
     out = []
     for bands_n, rows_n in LSH_TUNE_CONFIGS:
-        for jb in range(J_BAND_W):
-            j_mid = (jb + 0.5) / J_BAND_W
+        for jb in range(J_BAND_W + 1):
+            j_mid = min((jb + 0.5) / J_BAND_W, 1.0)
             out.append(
                 (
                     f"{bands_n}x{rows_n}",

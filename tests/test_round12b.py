@@ -441,10 +441,35 @@ def test_band_tuning_monotone_in_bands(spark):
             cfgs["4x4"].theory <= cfgs["8x2"].theory <= cfgs["16x1"].theory
         )
         # theory literals really are 1-(1-j^r)^b at the midpoint
-        j = (jb + 0.5) / 10.0
+        # (clamped at 1.0 for the exact-dup band, j_band = 10)
+        j = min((jb + 0.5) / 10.0, 1.0)
         assert cfgs["8x2"].theory == pytest.approx(
             round(1 - (1 - j**2) ** 8, 4), abs=1e-9
         )
+
+
+def test_band_tuning_theory_covers_exact_dup_band():
+    """Round-12 advice: exact-duplicate pairs (J == 1.0) land in
+    j_band FLOOR(1.0*10) = 10; the measured side INNER-joins to the
+    theory rows, so theory must cover that band (at exactly 1.0 for
+    every config) or exact dups silently vanish from the tuning table
+    while lsh_recall_audit keeps them."""
+    from myserver_datawarehouse_spark.plans.llm_text import (
+        LSH_TUNE_CONFIGS,
+        _lsh_theory_rows,
+    )
+
+    rows = _lsh_theory_rows()
+    band10 = {(c, t) for c, jb, t in rows if jb == 10}
+    assert band10 == {
+        (f"{b}x{r}", 1.0) for b, r in LSH_TUNE_CONFIGS
+    }
+    # every config covers bands 0..10 exactly once
+    per_cfg = {}
+    for c, jb, _ in rows:
+        per_cfg.setdefault(c, []).append(jb)
+    for c, bands in per_cfg.items():
+        assert sorted(bands) == list(range(11)), c
 
 
 # ------------------------------------------ streaming mix drift
