@@ -278,11 +278,14 @@ _SPECS: list[QuerySpec] = [
         "embedding_matryoshka_audit",
         EM.embedding_matryoshka_audit,
         EM.EMBEDDING_MATRYOSHKA_AUDIT_SQL,
-        "Matryoshka prefix-dimension retrieval audit: recall@k and "
-        "served full-width cosine per prefix width (8/16/32/64) from "
-        "ONE corpus pass (all prefix dots sliced out of the same "
-        "in-flight array) — the serving-width tuning table for "
-        "MRL-trained embedding stores",
+        "Matryoshka prefix-dimension retrieval audit on the "
+        "MRL-structured fixture (deterministic per-dimension geometric "
+        "energy decay, no rand()): recall@k and served full-width "
+        "cosine per prefix width (8/16/32/64) from ONE corpus pass "
+        "(all prefix dots sliced out of the same in-flight array; "
+        "per-width top-k materialized once for its four consumers) — "
+        "the serving-width tuning table now shows the real monotone "
+        "width/recall tradeoff",
     ),
     QuerySpec(
         "embedding_binary_hamming_rerank",
@@ -1789,7 +1792,6 @@ _ADJUDICATED_R12 = frozenset(
         "embedding_ann_bucketed_baseline",
         "embedding_binary_hamming_rerank",
         "embedding_int8_quantization",
-        "embedding_matryoshka_audit",
         "embedding_pq_adc_audit",
         "events_cube_rollup",
         "events_funnel_conversion",

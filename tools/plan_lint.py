@@ -78,6 +78,20 @@ ALLOW: dict[str, dict[str, str]] = {
         "encoding, dense renumber and the per-probe LUT; per-probe "
         "LUT array (N_PROBES rows) broadcast into the ADC scan"
     },
+    "embedding_matryoshka_audit": {
+        "RDD_SCAN": _LC + "; the per-width top-k frame (N_PROBES x "
+        "|widths| x TOP_K rows) shared by the 64-width ground-truth "
+        "extract, the recall hit semi-join, the hits-per-width "
+        "rollup and the served-quality rollup — without it each "
+        "consumer re-derives the N_PROBES x corpus scored frame "
+        "(round-12 advice #3)"
+    },
+    "embedding_binary_hamming_rerank": {
+        "RDD_SCAN": _LC + "; the scored N_PROBES x corpus frame "
+        "(hamming + exact cosine from ONE scan) shared by the "
+        "Hamming-shortlist/rerank windows and the exact ground-truth "
+        "top-k window (round-12 advice #3)"
+    },
     "token_pagerank": {
         "RDD_SCAN": _LC + "; materialized transition table shared by "
         "every rank iteration (without it each iteration re-derives "
@@ -205,6 +219,16 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "trained codebook: dense renumber",
         "trained codebook: per-probe LUT build",
         "per-probe LUT array: the ADC scan broadcast",
+    ),
+    "embedding_matryoshka_audit": (
+        "per-width top-k frame: the 64-width ground-truth extract",
+        "per-width top-k frame: the recall hit semi-join",
+        "per-width top-k frame: the hits-per-width rollup",
+        "per-width top-k frame: the served-quality rollup",
+    ),
+    "embedding_binary_hamming_rerank": (
+        "scored pair frame: the Hamming shortlist + rerank windows",
+        "scored pair frame: the exact ground-truth top-k window",
     ),
     "token_pagerank": (
         "transition table: every rank iteration's join",
