@@ -5349,6 +5349,218 @@ ORDER BY lang
 """
 
 
+# --------------------------------- DSIR hashed n-gram importance weights
+
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# the data-driven middle of the mixture dial this tier already has the
+# endpoints of (data_mixture_rebalance = alpha-0 proportional,
+# temperature_resampled_mix = alpha-temperature).  Hash unigrams+bigrams
+# into K buckets, estimate the TARGET bucket distribution p (here: the
+# 'en' slice — the Wikipedia-like domain the pretrain recipe
+# upweights) and the RAW-corpus distribution q, weight every doc
+# by its hashed-feature log-likelihood ratio sum_b n_b(x)(ln p_b - ln
+# q_b), and take the top fraction as the resampled set.
+DSIR_BUCKETS = 256
+DSIR_ALPHA = 0.5  # Laplace smoothing (target buckets may be empty)
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_DENOM = 5  # resample budget = top 1/5 of docs by weight
+_DSIR_SMOOTH_DENOM = DSIR_ALPHA * DSIR_BUCKETS  # 128.0, exact in double
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling audit: per-source resampling
+    budget under hashed n-gram (unigram+bigram, {DSIR_BUCKETS}-bucket)
+    importance weights toward the '{DSIR_TARGET_LANG}' target
+    distribution — n_docs, mean log importance weight, docs selected
+    into the global top-1/{DSIR_SELECT_DENOM} resample, and each
+    source's share of that budget.
+
+    Plan shape (100 TB): ONE corpus pass explodes n-grams into the
+    per-(doc, bucket) count frame, which is `materialize()`d and shared
+    by its four consumers (raw bucket rollup, target bucket rollup,
+    the two global totals, and the per-doc weighted sum) — per-doc
+    state is bounded by K={DSIR_BUCKETS} buckets, the distribution
+    frames are K rows, and lambda rides a broadcast join back onto the
+    count frame.  The global top-N window is the exact-spec selection;
+    at production scale the same decision is a threshold scan (compute
+    the cut weight from the sorted tail, as quality_percentile_filter
+    documents).  Determinism: ln smoothed ratios ROUND(12) per bucket,
+    per-doc terms ROUND(12) then DECIMAL-accumulated (partition-order
+    independent), selection ties broken on doc_id, outputs ROUND(6).
+
+    Reference basis: public DSIR paper; composes the feature-hash +
+    rollup + broadcast machinery already in this tier.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", "source", TX.tokenize("text").alias("tks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.concat(
+                F.col("tks"), TX.shingles("tks", k=2, distinct=False)
+            )
+        ).alias("g"),
+    ).filter(F.col("g") != "")
+    dbc = materialize(
+        grams.select(
+            "doc_id",
+            "lang",
+            "source",
+            (TX.hash60("g") % F.lit(DSIR_BUCKETS)).cast("int").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    raw = dbc.groupBy("bucket").agg(F.sum("n").alias("c_raw"))
+    tgt = (
+        dbc.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_tgt"))
+    )
+    tot = dbc.agg(
+        F.sum("n").alias("tot_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tot_tgt"),
+    )
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(DSIR_ALPHA))
+                    / (F.col("tot_tgt") + F.lit(_DSIR_SMOOTH_DENOM))
+                )
+                - F.log(
+                    (F.col("c_raw") + F.lit(DSIR_ALPHA))
+                    / (F.col("tot_raw") + F.lit(_DSIR_SMOOTH_DENOM))
+                ),
+                12,
+            ).alias("lam"),
+        )
+    )
+    dec = "decimal(28,14)"
+    docw = (
+        dbc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.round(F.col("n") * F.col("lam"), 12).cast(dec)).alias(
+                "logw"
+            )
+        )
+    )
+    n_sel = docw.agg(
+        F.floor(F.count(F.lit(1)) / DSIR_SELECT_DENOM)
+        .cast("long")
+        .alias("n_sel")
+    )
+    ranked = docw.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("logw").desc(), "doc_id")),
+    ).crossJoin(F.broadcast(n_sel))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("logw").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logw"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("n_sel"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_selected"),
+            F.max("n_sel").alias("_n_sel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "mean_logw",
+            "n_selected",
+            F.round(
+                F.col("n_selected") / F.col("_n_sel").cast("double"), 6
+            ).alias("budget_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split({_NORM_SQL}, ' ') AS tks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, source, g
+  FROM toks, UNNEST(list_concat(tks,
+    [array_to_string(tks[i:i+1], ' ')
+     FOR i IN generate_series(1, len(tks) - 1)])) AS t(g)
+  WHERE g <> ''
+),
+dbc AS (
+  SELECT doc_id, lang, source,
+         CAST({_d_hash60("g")} % {DSIR_BUCKETS} AS INTEGER) AS bucket,
+         COUNT(*) AS n
+  FROM grams GROUP BY ALL
+),
+raw AS (SELECT bucket, SUM(n) AS c_raw FROM dbc GROUP BY 1),
+tgt AS (
+  SELECT bucket, SUM(n) AS c_tgt FROM dbc
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS tot_raw,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN n ELSE 0 END)
+           AS tot_tgt
+  FROM dbc
+),
+lam AS (
+  SELECT r.bucket,
+         ROUND(ln((COALESCE(t.c_tgt, 0) + {DSIR_ALPHA!r})
+                  / (tot_tgt + {_DSIR_SMOOTH_DENOM!r}))
+             - ln((r.c_raw + {DSIR_ALPHA!r})
+                  / (tot_raw + {_DSIR_SMOOTH_DENOM!r})), 12) AS lam
+  FROM raw r LEFT JOIN tgt t USING (bucket), tot
+),
+docw AS (
+  SELECT doc_id, source,
+         SUM(CAST(ROUND(n * lam, 12) AS DECIMAL(28,14))) AS logw
+  FROM dbc JOIN lam USING (bucket) GROUP BY 1, 2
+),
+nsel AS (
+  SELECT CAST(FLOOR(COUNT(*) / {DSIR_SELECT_DENOM}) AS BIGINT) AS n_sel
+  FROM docw
+),
+ranked AS (
+  SELECT docw.*, n_sel,
+         ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rn
+  FROM docw, nsel
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(logw) AS DOUBLE) / COUNT(*), 6) AS mean_logw,
+       CAST(SUM(CASE WHEN rn <= n_sel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       ROUND(SUM(CASE WHEN rn <= n_sel THEN 1 ELSE 0 END)
+             / CAST(MAX(n_sel) AS DOUBLE), 6) AS budget_share
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 # ------------------------------------------- BPE held-out coverage
 
 # Train/serve discipline for the tokenizer tier: merges trained on a

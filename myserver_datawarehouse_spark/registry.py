@@ -637,6 +637,17 @@ _SPECS: list[QuerySpec] = [
         "data_mixture_rebalance",
     ),
     QuerySpec(
+        "dsir_importance_weights",
+        LT.dsir_importance_weights,
+        LT.DSIR_IMPORTANCE_WEIGHTS_SQL,
+        "corpus assembly: DSIR hashed n-gram importance resampling "
+        "(unigram+bigram 256-bucket features, Laplace-smoothed "
+        "log-likelihood ratio toward the 'en' target) — per-source "
+        "resampling budget; the data-driven middle of the mixture "
+        "dial between data_mixture_rebalance and "
+        "temperature_resampled_mix",
+    ),
+    QuerySpec(
         "quality_percentile_filter",
         LT.quality_percentile_filter,
         LT.QUALITY_PERCENTILE_FILTER_SQL,

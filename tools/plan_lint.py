@@ -78,6 +78,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "encoding, dense renumber and the per-probe LUT; per-probe "
         "LUT array (N_PROBES rows) broadcast into the ADC scan"
     },
+    "dsir_importance_weights": {
+        "RDD_SCAN": _LC + "; the per-(doc, bucket) hashed n-gram "
+        "count frame (ONE corpus explode) shared by the raw bucket "
+        "rollup, the target bucket rollup, the global totals and the "
+        "per-doc weighted sum — without it each distribution estimate "
+        "re-explodes the corpus"
+    },
     "embedding_matryoshka_audit": {
         "RDD_SCAN": _LC + "; the per-width top-k frame (N_PROBES x "
         "|widths| x TOP_K rows) shared by the 64-width ground-truth "
@@ -219,6 +226,12 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "trained codebook: dense renumber",
         "trained codebook: per-probe LUT build",
         "per-probe LUT array: the ADC scan broadcast",
+    ),
+    "dsir_importance_weights": (
+        "per-(doc,bucket) count frame: the raw bucket rollup",
+        "per-(doc,bucket) count frame: the target bucket rollup",
+        "per-(doc,bucket) count frame: the global totals",
+        "per-(doc,bucket) count frame: the per-doc weighted sum",
     ),
     "embedding_matryoshka_audit": (
         "per-width top-k frame: the 64-width ground-truth extract",
