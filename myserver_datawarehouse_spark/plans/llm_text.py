@@ -5561,6 +5561,229 @@ ORDER BY source
 """
 
 
+# --------------------------- interpolated n-gram LM perplexity gate
+
+# The CCNet-standard corpus quality filter (Wenzek et al., LREC 2020):
+# score every document by the per-token cross-entropy of an n-gram LM
+# trained on a reference split, then bucket into head/middle/tail by
+# per-language score terciles.  unigram_xent_quality is the 1-gram
+# floor of this; here the model is a bigram LM with Jelinek-Mercer
+# interpolation (lambda*p_ML(w|v) + (1-lambda)*p_add-alpha(w)), trained
+# on the deterministic train split and applied to the whole corpus —
+# the train/apply discipline of bpe_holdout_coverage, the counting
+# machinery of dup_ngram_coverage/word_cooccurrence_pmi.
+NGRAM_LM_MOD = 10
+NGRAM_LM_CUT = 8  # train = doc_id % 10 < 8 (~80%)
+NGRAM_LM_L2 = 0.7  # bigram ML weight
+NGRAM_LM_L1 = 0.3  # unigram backoff weight (literal, not 1-L2: exact)
+NGRAM_LM_ALPHA = 0.5  # add-alpha unigram smoothing (+1 OOV class)
+NGRAM_LM_BANDS = 3  # CCNet head / middle / tail
+
+
+def ngram_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity gate: per (lang, band) counts
+    and mean per-token cross-entropy, where band is the per-language
+    NTILE({NGRAM_LM_BANDS}) of doc cross-entropy (band 1 = head =
+    most-fluent third under the train-split LM) — plus how many train
+    -split docs land in each band (the self-fit sanity column).
+
+    Model: p(w|v) = {NGRAM_LM_L2}*c2(v,w)/c1ctx(v) +
+    {NGRAM_LM_L1}*(c1(w)+{NGRAM_LM_ALPHA})/(N1+{NGRAM_LM_ALPHA}*(V+1)),
+    trained on doc_id % {NGRAM_LM_MOD} < {NGRAM_LM_CUT}; OOV contexts
+    back off to the smoothed unigram (the +1 in the denominator is the
+    UNK class).  Cross-entropy is the mean -ln p over a doc's
+    transitions; perplexity = exp(xent) is monotone in it, so the gate
+    ranks on xent and never computes exp (no cross-engine exp).
+
+    Plan shape (100 TB): the trained model is two vocabulary-bounded
+    frames — the bigram count table (materialize()d: consumed by its
+    context-total rollup AND the scoring join) and the unigram table
+    (materialize()d: consumed by the N1/V totals AND the scoring
+    join).  Scoring is one corpus transition pass: a shuffle join to
+    the bigram table on (v, w) plus broadcast unigram/context/totals
+    joins; per-doc rollup, then a per-lang NTILE window.  Determinism:
+    per-transition ln terms ROUND(12) + DECIMAL accumulation, xent
+    ROUND(6), NTILE ties broken on doc_id.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", TX.tokenize("text").alias("tks")
+    )
+    train = toks.filter(
+        F.col("doc_id") % NGRAM_LM_MOD < NGRAM_LM_CUT
+    )
+    uni = materialize(
+        train.select(F.explode("tks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    trans_expr = F.expr(
+        "transform(sequence(1, size(tks) - 1), "
+        "i -> struct(element_at(tks, i) AS v, "
+        "element_at(tks, i + 1) AS w))"
+    )
+
+    def _transitions(frame: DataFrame) -> DataFrame:
+        return (
+            frame.filter(F.size("tks") >= 2)
+            .select(
+                "doc_id", "lang", F.explode(trans_expr).alias("t")
+            )
+            .select(
+                "doc_id", "lang", F.col("t.v").alias("v"),
+                F.col("t.w").alias("w"),
+            )
+        )
+
+    c2 = materialize(
+        _transitions(train)
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = c2.groupBy("v").agg(F.sum("c2").alias("cctx"))
+    scal = uni.agg(
+        F.sum("c1").alias("n1"), F.count(F.lit(1)).alias("v_size")
+    )
+    p2 = F.when(
+        F.col("cctx") > 0,
+        F.coalesce(F.col("c2"), F.lit(0)) / F.col("cctx").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p1 = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(NGRAM_LM_ALPHA)) / (
+        F.col("n1") + F.lit(NGRAM_LM_ALPHA) * (F.col("v_size") + 1)
+    )
+    dec = "decimal(28,14)"
+    docx = (
+        _transitions(toks)
+        .join(c2, ["v", "w"], "left")
+        .join(F.broadcast(ctx), "v", "left")
+        .join(
+            F.broadcast(uni.select(F.col("w"), "c1")), "w", "left"
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(
+                    F.lit(NGRAM_LM_L2) * p2 + F.lit(NGRAM_LM_L1) * p1
+                ),
+                12,
+            )
+            .cast(dec)
+            .alias("term"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("term").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.col("s").cast("double") / F.col("n_trans"), 6
+            ).alias("xent"),
+            (F.col("doc_id") % NGRAM_LM_MOD < NGRAM_LM_CUT).alias(
+                "is_train"
+            ),
+        )
+    )
+    banded = docx.withColumn(
+        "band",
+        F.ntile(NGRAM_LM_BANDS).over(
+            Window.partitionBy("lang").orderBy("xent", "doc_id")
+        ),
+    )
+    return (
+        banded.groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("xent").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_xent"),
+            F.sum(
+                F.when(F.col("is_train"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_train_docs"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+NGRAM_LM_QUALITY_GATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS tks
+  FROM documents
+),
+train AS (
+  SELECT * FROM toks WHERE doc_id % {NGRAM_LM_MOD} < {NGRAM_LM_CUT}
+),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM train, UNNEST(tks) AS u(w)
+  WHERE w <> '' GROUP BY 1
+),
+bi_train AS (
+  SELECT tks[i] AS v, tks[i + 1] AS w
+  FROM train, UNNEST(generate_series(1, len(tks) - 1)) AS g(i)
+  WHERE len(tks) >= 2
+),
+c2 AS (SELECT v, w, COUNT(*) AS c2 FROM bi_train GROUP BY 1, 2),
+ctx AS (SELECT v, SUM(c2) AS cctx FROM c2 GROUP BY 1),
+scal AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(COUNT(*) AS BIGINT) AS v_size
+  FROM uni
+),
+t_all AS (
+  SELECT doc_id, lang, tks[i] AS v, tks[i + 1] AS w
+  FROM toks, UNNEST(generate_series(1, len(tks) - 1)) AS g(i)
+  WHERE len(tks) >= 2
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         ROUND(ln(
+           {NGRAM_LM_L2!r} * (CASE WHEN COALESCE(x.cctx, 0) > 0
+              THEN COALESCE(b.c2, 0) / CAST(x.cctx AS DOUBLE)
+              ELSE 0.0 END)
+           + {NGRAM_LM_L1!r} * ((COALESCE(u.c1, 0) + {NGRAM_LM_ALPHA!r})
+              / (n1 + {NGRAM_LM_ALPHA!r} * (v_size + 1)))
+         ), 12) AS term
+  FROM t_all t
+  LEFT JOIN c2 b ON t.v = b.v AND t.w = b.w
+  LEFT JOIN ctx x ON t.v = x.v
+  LEFT JOIN uni u ON t.w = u.w
+  CROSS JOIN scal
+),
+docx AS (
+  SELECT doc_id, lang,
+         ROUND(-CAST(SUM(CAST(term AS DECIMAL(28,14))) AS DOUBLE)
+               / COUNT(*), 6) AS xent,
+         (doc_id % {NGRAM_LM_MOD} < {NGRAM_LM_CUT}) AS is_train
+  FROM scored GROUP BY doc_id, lang
+),
+banded AS (
+  SELECT *, NTILE({NGRAM_LM_BANDS}) OVER (
+    PARTITION BY lang ORDER BY xent, doc_id
+  ) AS band
+  FROM docx
+)
+SELECT lang, band,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(xent AS DECIMAL(28,14))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_xent,
+       CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train_docs
+FROM banded
+GROUP BY lang, band
+ORDER BY lang, band
+"""
+
+
 # ------------------------------------------- BPE held-out coverage
 
 # Train/serve discipline for the tokenizer tier: merges trained on a

@@ -648,6 +648,16 @@ _SPECS: list[QuerySpec] = [
         "temperature_resampled_mix",
     ),
     QuerySpec(
+        "ngram_lm_quality_gate",
+        LT.ngram_lm_quality_gate,
+        LT.NGRAM_LM_QUALITY_GATE_SQL,
+        "corpus curation: CCNet-style interpolated bigram-LM "
+        "perplexity gate — train-split Jelinek-Mercer LM, per-doc "
+        "cross-entropy, per-lang head/middle/tail terciles with "
+        "train-doc placement sanity; the higher-order extension of "
+        "unigram_xent_quality",
+    ),
+    QuerySpec(
         "quality_percentile_filter",
         LT.quality_percentile_filter,
         LT.QUALITY_PERCENTILE_FILTER_SQL,

@@ -131,3 +131,94 @@ def test_dsir_budget_sums_to_selection(spark):
     n_docs = int(df.n_docs.sum())
     assert int(df.n_selected.sum()) == n_docs // LT.DSIR_SELECT_DENOM
     assert df.budget_share.sum() == pytest.approx(1.0, abs=1e-4)
+
+
+# ------------------------------------------ n-gram LM quality gate
+
+
+def _py_lm_xent():
+    """Pure-Python Jelinek-Mercer bigram LM with the plan's exact
+    smoothing and rounding discipline; returns doc_id -> xent."""
+    docs = _fixture_docs()
+    uni = {}
+    c2 = {}
+    for did, tks, _lang, _src in docs:
+        is_train = did % LT.NGRAM_LM_MOD < LT.NGRAM_LM_CUT
+        if not is_train:
+            continue
+        for w in tks:
+            if w != "":
+                uni[w] = uni.get(w, 0) + 1
+        for i in range(len(tks) - 1):
+            c2[(tks[i], tks[i + 1])] = c2.get((tks[i], tks[i + 1]), 0) + 1
+    ctx = {}
+    for (v, _w), n in c2.items():
+        ctx[v] = ctx.get(v, 0) + n
+    n1 = sum(uni.values())
+    vsz = len(uni)
+    out = {}
+    for did, tks, _lang, _src in docs:
+        if len(tks) < 2:
+            continue
+        terms = []
+        for i in range(len(tks) - 1):
+            v, w = tks[i], tks[i + 1]
+            p2 = c2.get((v, w), 0) / ctx[v] if ctx.get(v, 0) > 0 else 0.0
+            p1 = (uni.get(w, 0) + LT.NGRAM_LM_ALPHA) / (
+                n1 + LT.NGRAM_LM_ALPHA * (vsz + 1)
+            )
+            terms.append(
+                round(
+                    math.log(LT.NGRAM_LM_L2 * p2 + LT.NGRAM_LM_L1 * p1),
+                    12,
+                )
+            )
+        out[did] = round(-sum(terms) / len(terms), 6)
+    return out
+
+
+def test_lm_gate_band_rollup_matches_python(spark):
+    xent = _py_lm_xent()
+    meta = {d: (lang, d % LT.NGRAM_LM_MOD < LT.NGRAM_LM_CUT)
+            for d, _t, lang, _s in _fixture_docs()}
+    # per-lang NTILE(3) on (xent, doc_id)
+    by_lang = {}
+    for did, x in xent.items():
+        by_lang.setdefault(meta[did][0], []).append((x, did))
+    want = {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        base, extra = divmod(n, LT.NGRAM_LM_BANDS)
+        pos = 0
+        for b in range(1, LT.NGRAM_LM_BANDS + 1):
+            size = base + (1 if b <= extra else 0)
+            chunk = rows[pos:pos + size]
+            pos += size
+            want[(lang, b)] = (
+                len(chunk),
+                round(sum(x for x, _ in chunk) / len(chunk), 6),
+                sum(1 for _, d in chunk if meta[d][1]),
+            )
+    got = {
+        (r.lang, r.band): r
+        for r in LT.ngram_lm_quality_gate(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, mx, ntr) in want.items():
+        assert got[k].n_docs == n
+        assert got[k].mean_xent == pytest.approx(mx, abs=2e-6)
+        assert got[k].n_train_docs == ntr
+
+
+def test_lm_gate_train_docs_fit_better(spark):
+    """Self-fit sanity: the train split must score lower (more fluent)
+    cross-entropy on average than the held-out split — the LM has seen
+    its own bigrams."""
+    xent = _py_lm_xent()
+    tr = [x for d, x in xent.items()
+          if d % LT.NGRAM_LM_MOD < LT.NGRAM_LM_CUT]
+    ho = [x for d, x in xent.items()
+          if d % LT.NGRAM_LM_MOD >= LT.NGRAM_LM_CUT]
+    assert tr and ho
+    assert sum(tr) / len(tr) < sum(ho) / len(ho)

@@ -85,6 +85,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "per-doc weighted sum — without it each distribution estimate "
         "re-explodes the corpus"
     },
+    "ngram_lm_quality_gate": {
+        "RDD_SCAN": _LC + "; the trained LM's two vocabulary-bounded "
+        "frames: the bigram count table (consumed by the context-"
+        "total rollup and the corpus scoring join) and the unigram "
+        "table (consumed by the N1/V totals and the scoring join)"
+    },
     "embedding_matryoshka_audit": {
         "RDD_SCAN": _LC + "; the per-width top-k frame (N_PROBES x "
         "|widths| x TOP_K rows) shared by the 64-width ground-truth "
@@ -232,6 +238,12 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "per-(doc,bucket) count frame: the target bucket rollup",
         "per-(doc,bucket) count frame: the global totals",
         "per-(doc,bucket) count frame: the per-doc weighted sum",
+    ),
+    "ngram_lm_quality_gate": (
+        "bigram count table: the context-total rollup",
+        "bigram count table: the corpus scoring join",
+        "unigram table: the N1/V totals",
+        "unigram table: the corpus scoring join",
     ),
     "embedding_matryoshka_audit": (
         "per-width top-k frame: the 64-width ground-truth extract",
