@@ -1153,3 +1153,119 @@ ORDER BY batch_no, lang
 
 
 STREAMING_MIX_DRIFT_SQL = _streaming_mix_drift_sql()
+
+
+def streaming_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-modal curation ledger (20th §2.12 variant): the
+    cross_modal_curation keep/drop contract run as a LIVE ingest
+    service (streaming/jobs.curation_ledger_stream) — all four
+    modality indexes (text MinHash-LSH, image pHash, audio window
+    fingerprints, video frame fingerprints) seed from the standing
+    corpus, arrival documents stream in one micro-batch per batch_no,
+    and every arrival gets a keep/drop verdict with '+'-joined
+    modality provenance and its distinct dup-partner count.
+
+    Adjudicated output = the full arrival ledger (batch_no, doc_id,
+    verdict, retired_by, n_partners): the partner-precedence rule
+    (base < earlier batch < same batch with smaller doc_id — the
+    near-dup ingest rule generalized to modality edges) makes every
+    verdict a pure function of the data, not of trigger boundaries —
+    what makes a live curation stream adjudicable against the batch
+    oracle below, which recomputes all FOUR batch pair graphs and
+    re-orients each edge at its later endpoint. Keep-first semantics:
+    an arrival drops iff it duplicates ANY predecessor in any
+    modality (the streaming analog of the batch query's transitive
+    min-label collapse — the survivor is always the earliest-indexed
+    member). Same eager-at-construction bench note as
+    streaming_upsert_merge; per-(sf, pid) work dir."""
+    import shutil
+
+    from myserver_datawarehouse_spark.plans.relational import _pid_tmpdir
+
+    work = _pid_tmpdir("msdw_stream_curation", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    ledger = SJ.curation_ledger_stream(spark, sf_dir, work)
+    return (
+        SJ._read_tree(spark, ledger)
+        .select("batch_no", "doc_id", "verdict", "retired_by", "n_partners")
+        .orderBy("batch_no", "doc_id")
+    )
+
+
+def _streaming_curation_ledger_sql() -> str:
+    # The four modality pair graphs are the SHARED oracle fragments
+    # from plans/llm_text + plans/multimodal — single-sourced with the
+    # batch near-dup family and cross_modal_curation, so this oracle
+    # can never drift from theirs. Precedence: every edge is oriented
+    # at its LATER endpoint (the arrival whose probe found it).
+    from myserver_datawarehouse_spark.plans import llm_text as LTX
+    from myserver_datawarehouse_spark.plans.multimodal import (
+        NEAR_DUP_IMAGE_PHASH_SQL,
+        NEAR_DUP_VIDEO_FRAMES_SQL,
+        _audio_pair_sql,
+    )
+    from myserver_datawarehouse_spark.streaming.jobs import (
+        CURATION_BATCHES,
+    )
+
+    audio_src = _audio_pair_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1"
+    )
+    later_a = "(ba.b > bb.b) OR (ba.b = bb.b AND u.doc_a > u.doc_b)"
+    return f"""
+WITH tsrc AS ({LTX.NEAR_DUP_MINHASH_LSH_SQL}),
+isrc AS ({NEAR_DUP_IMAGE_PHASH_SQL}),
+asrc AS ({audio_src}),
+vsrc AS ({NEAR_DUP_VIDEO_FRAMES_SQL}),
+upairs AS (
+  SELECT doc_a, doc_b, 'text' AS modality FROM tsrc
+  UNION
+  SELECT doc_a, doc_b, 'image' AS modality FROM isrc
+  UNION
+  SELECT doc_a, doc_b, 'audio' AS modality FROM asrc
+  UNION
+  SELECT doc_a, doc_b, 'video' AS modality FROM vsrc
+),
+bno AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {LTX.INCR_MOD} = 0
+              THEN CAST((doc_id // {LTX.INCR_MOD})
+                        % {CURATION_BATCHES} AS INT)
+              ELSE -1 END AS b
+  FROM documents
+),
+evid AS (
+  SELECT CASE WHEN {later_a} THEN u.doc_a ELSE u.doc_b END AS doc_id,
+         CASE WHEN {later_a} THEN u.doc_b ELSE u.doc_a END AS partner,
+         u.modality
+  FROM upairs u
+  JOIN bno ba ON ba.doc_id = u.doc_a
+  JOIN bno bb ON bb.doc_id = u.doc_b
+),
+arr AS (SELECT doc_id, b AS batch_no FROM bno WHERE b >= 0),
+agg AS (
+  SELECT e.doc_id,
+         COUNT(DISTINCT e.partner) AS n_partners,
+         MAX(CASE WHEN e.modality = 'text' THEN 1 ELSE 0 END) AS ht,
+         MAX(CASE WHEN e.modality = 'image' THEN 1 ELSE 0 END) AS hi,
+         MAX(CASE WHEN e.modality = 'audio' THEN 1 ELSE 0 END) AS ha,
+         MAX(CASE WHEN e.modality = 'video' THEN 1 ELSE 0 END) AS hv
+  FROM evid e SEMI JOIN arr a ON a.doc_id = e.doc_id
+  GROUP BY e.doc_id
+)
+SELECT a.batch_no, a.doc_id,
+       CASE WHEN g.doc_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+       CASE WHEN g.doc_id IS NULL THEN 'none'
+            ELSE concat_ws('+',
+                   CASE WHEN g.ht = 1 THEN 'text' END,
+                   CASE WHEN g.hi = 1 THEN 'image' END,
+                   CASE WHEN g.ha = 1 THEN 'audio' END,
+                   CASE WHEN g.hv = 1 THEN 'video' END)
+       END AS retired_by,
+       COALESCE(g.n_partners, 0) AS n_partners
+FROM arr a LEFT JOIN agg g ON g.doc_id = a.doc_id
+ORDER BY a.batch_no, a.doc_id
+"""
+
+
+STREAMING_CURATION_LEDGER_SQL = _streaming_curation_ledger_sql()

@@ -1384,6 +1384,18 @@ _SPECS: list[QuerySpec] = [
         "trigger-order-free and batch-oracle adjudicable",
     ),
     QuerySpec(
+        "streaming_curation_ledger",
+        ST.streaming_curation_ledger,
+        ST.STREAMING_CURATION_LEDGER_SQL,
+        "§2.12 20th variant: cross-modal curation as a LIVE ingest "
+        "service — all four modality indexes (text LSH, image pHash, "
+        "audio window sets, video frame sets) seed from the standing "
+        "corpus, arrivals stream per batch, each gets a keep/drop "
+        "verdict with '+'-joined modality provenance; the partner-"
+        "precedence rule generalized to modality edges makes the "
+        "ledger trigger-independent and batch-oracle adjudicable",
+    ),
+    QuerySpec(
         "streaming_cdc_replication",
         ST.streaming_cdc_replication,
         ST.STREAMING_CDC_REPLICATION_SQL,

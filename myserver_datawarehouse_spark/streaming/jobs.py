@@ -1554,6 +1554,29 @@ def _near_dup_ingest_one(
     bd.write.mode("overwrite").parquet(os.path.join(bands_dir, sub))
     hs.write.mode("overwrite").parquet(os.path.join(hashes_dir, sub))
     sz.write.mode("overwrite").parquet(os.path.join(sizes_dir, sub))
+    _near_dup_verified_pairs(
+        sp, bands_dir, hashes_dir, sizes_dir, hs, sz, bd, bno
+    ).write.mode("overwrite").parquet(os.path.join(ledger_dir, sub))
+    hs.unpersist()
+
+
+def _near_dup_verified_pairs(
+    sp: SparkSession,
+    bands_dir: str,
+    hashes_dir: str,
+    sizes_dir: str,
+    hs: DataFrame,
+    sz: DataFrame,
+    bd: DataFrame,
+    bno: int,
+) -> DataFrame:
+    """Probe ONE (already-indexed) arrival batch against the standing
+    band index and return its verified dup edges (batch_no, doc_new,
+    doc_partner, jaccard) — the probe half of `_near_dup_ingest_one`,
+    factored out so the streaming curation ledger's text arm runs the
+    IDENTICAL candidate + verify path."""
+    from myserver_datawarehouse_spark.plans.llm_text import JACCARD_TAU
+
     idx_bands = _read_tree(sp, bands_dir)
     cand = (
         bd.select(
@@ -1588,7 +1611,7 @@ def _near_dup_ingest_one(
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
-    (
+    return (
         inter.join(
             F.broadcast(
                 sz.select(
@@ -1612,10 +1635,7 @@ def _near_dup_ingest_one(
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_TAU)
-        .write.mode("overwrite")
-        .parquet(os.path.join(ledger_dir, sub))
     )
-    hs.unpersist()
 
 
 def _read_tree(sp: SparkSession, root: str) -> DataFrame:
@@ -1894,3 +1914,393 @@ def mix_drift_stream(
     finally:
         q.stop()
     return ledger_dir
+
+
+# ---------------------------------------------------------------------
+# Streaming cross-modal curation ledger (20th §2.12 shape)
+
+CURATION_BATCHES = NEAR_DUP_INGEST_BATCHES  # same arrival batching
+
+
+def _media_signature_frames(one: DataFrame, bno: int) -> dict:
+    """Per-modality fingerprint + distinct chunk frames for ONE
+    (doc_id, text) frame: image pHash (1 row/doc), audio hop windows,
+    video frames — the signature schemes of plans/multimodal's pair
+    builders (shared kernels from operators/multimodal, chunk banding
+    via operators/text.simhash_chunks, exactly as there; the
+    stream-vs-batch set-equality test in tests/test_round13.py pins
+    the edge sets to the batch builders')."""
+    from myserver_datawarehouse_spark.operators import multimodal as MM
+    from myserver_datawarehouse_spark.operators import text as TX
+    from myserver_datawarehouse_spark.plans.multimodal import PHASH_CHUNKS
+
+    media = MM.with_fake_payload(one)
+    b = F.lit(bno).cast("int").alias("batch_no")
+
+    def chunks(fp: DataFrame, hcol: str) -> DataFrame:
+        # distinct per (doc, chunk, value): candidate pairs are
+        # de-duplicated after the bucket join anyway, so the index
+        # stores each doc's bucket memberships once.
+        return (
+            fp.select(
+                "doc_id",
+                F.posexplode(
+                    TX.simhash_chunks(hcol, PHASH_CHUNKS)
+                ).alias("c", "cv"),
+            )
+            .distinct()
+            .select("doc_id", "c", "cv", b)
+        )
+
+    img = MM.image_phash(media).select("doc_id", "phash")
+    aud = MM.audio_fingerprint(media).select("doc_id", "ahash")
+    vid = MM.frame_phash(media).select("doc_id", "fhash")
+    return {
+        "image": (img.select("doc_id", "phash", b), chunks(img, "phash")),
+        "audio": (aud.select("doc_id", "ahash", b), chunks(aud, "ahash")),
+        "video": (vid.select("doc_id", "fhash", b), chunks(vid, "fhash")),
+    }
+
+
+def _precedence_candidates(
+    bd_chunks: DataFrame, idx_chunks: DataFrame
+) -> DataFrame:
+    """(doc_new, doc_partner) distinct candidates: the batch's chunk
+    rows probing the (self-inclusive) index under the shared partner-
+    precedence rule — base (-1) < earlier batch < same batch with a
+    smaller doc_id — the near-dup ingest rule generalized to the
+    media chunk indexes, which is what makes the ledger independent
+    of trigger boundaries."""
+    return (
+        bd_chunks.select(
+            F.col("doc_id").alias("doc_new"),
+            "c",
+            "cv",
+            F.col("batch_no").alias("bno_new"),
+        )
+        .join(idx_chunks.alias("ix"), ["c", "cv"])
+        .filter(
+            (F.col("ix.batch_no") < F.col("bno_new"))
+            | (
+                (F.col("ix.batch_no") == F.col("bno_new"))
+                & (F.col("ix.doc_id") < F.col("doc_new"))
+            )
+        )
+        .select("doc_new", F.col("ix.doc_id").alias("doc_partner"))
+        .distinct()
+    )
+
+
+def _phash_verified_pairs(cand: DataFrame, idx_img: DataFrame) -> DataFrame:
+    """Image verify: exact Hamming over the stored per-doc pHashes —
+    the _image_phash_pairs rule (symmetric, so orientation-free)."""
+    from myserver_datawarehouse_spark.operators import text as TX
+    from myserver_datawarehouse_spark.plans.multimodal import (
+        PHASH_HAMMING_MAX,
+    )
+
+    pa = idx_img.select(
+        F.col("doc_id").alias("doc_new"), F.col("phash").alias("ph_new")
+    )
+    pb = idx_img.select(
+        F.col("doc_id").alias("doc_partner"),
+        F.col("phash").alias("ph_old"),
+    )
+    return (
+        F.broadcast(cand)
+        .join(pa, "doc_new")
+        .join(pb, "doc_partner")
+        .filter(
+            TX.hamming60(F.col("ph_new"), F.col("ph_old"))
+            <= F.lit(PHASH_HAMMING_MAX)
+        )
+        .select("doc_new", "doc_partner")
+    )
+
+
+def _set_coverage_pairs(
+    cand: DataFrame, idx_rows: DataFrame, hcol: str, rule: str
+) -> DataFrame:
+    """Audio/video verify: exact set-coverage over the stored
+    fingerprint rows, with the BATCH builders' doc_id orientation —
+    `matched` counts the SMALLER doc_id side's hashes matched in the
+    larger's, bounded by least (audio containment) or greatest (video
+    coverage) of the two set sizes, exactly as
+    _audio_fingerprint_pairs/_video_frame_pairs — so the streaming
+    edge set equals the batch edge set re-oriented at the arrival.
+    The per-doc set aggregate runs over candidate docs ONLY (semi-join
+    before collect_list): O(batch + collisions), never O(corpus)."""
+    from myserver_datawarehouse_spark.operators import text as TX
+    from myserver_datawarehouse_spark.plans.multimodal import (
+        PHASH_HAMMING_MAX,  # == AUDIO_HAMMING_MAX == VIDEO_HAMMING_MAX
+    )
+
+    oriented = cand.select(
+        "doc_new",
+        "doc_partner",
+        F.least("doc_new", "doc_partner").alias("doc_lo"),
+        F.greatest("doc_new", "doc_partner").alias("doc_hi"),
+    )
+    cd = (
+        oriented.select(F.col("doc_lo").alias("doc_id"))
+        .union(oriented.select(F.col("doc_hi").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        idx_rows.join(F.broadcast(cd), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(hcol)).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    matched = F.size(
+        F.filter(
+            F.col("sa.hs"),
+            lambda x: F.exists(
+                F.col("sb.hs"),
+                lambda y: TX.hamming60(x, y)
+                <= F.lit(PHASH_HAMMING_MAX),
+            ),
+        )
+    )
+    bound = (F.least if rule == "min" else F.greatest)(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        oriented.join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
+        .filter(matched * 2 >= bound)
+        .select("doc_new", "doc_partner")
+    )
+
+
+def _curation_one(sp: SparkSession, d: dict, one: DataFrame, bno: int) -> None:
+    """Process ONE arrival batch of the curation stream: index every
+    modality's signatures FIRST (batch-keyed overwrite subdirs — the
+    replay-idempotency pattern), probe all four arms under the shared
+    precedence rule, verify with each arm's exact batch rule, and
+    ledger one keep/drop row per arrival with '+'-joined modality
+    provenance."""
+    import os
+
+    sub = f"b{bno}"
+    # text arm: the near-dup ingest machinery verbatim
+    hs, sz, bd = _near_dup_index_frames(one, bno)
+    bd.write.mode("overwrite").parquet(os.path.join(d["tbands"], sub))
+    hs.write.mode("overwrite").parquet(os.path.join(d["thashes"], sub))
+    sz.write.mode("overwrite").parquet(os.path.join(d["tsizes"], sub))
+    tpairs = _near_dup_verified_pairs(
+        sp, d["tbands"], d["thashes"], d["tsizes"], hs, sz, bd, bno
+    ).select("doc_new", "doc_partner")
+    # media arms: index-first, then probe
+    sig = _media_signature_frames(one, bno)
+    for m, (fp, ch) in sig.items():
+        fp.write.mode("overwrite").parquet(
+            os.path.join(d[m + "_rows"], sub)
+        )
+        ch.write.mode("overwrite").parquet(
+            os.path.join(d[m + "_chunks"], sub)
+        )
+
+    def arm(m: str, hcol: str, rule: str) -> DataFrame:
+        cand = _precedence_candidates(
+            sig[m][1], _read_tree(sp, d[m + "_chunks"])
+        )
+        idx_rows = _read_tree(sp, d[m + "_rows"]).select("doc_id", hcol)
+        if m == "image":
+            v = _phash_verified_pairs(cand, idx_rows)
+        else:
+            v = _set_coverage_pairs(cand, idx_rows, hcol, rule)
+        return v.select(
+            "doc_new", "doc_partner", F.lit(m).alias("modality")
+        )
+
+    evid = (
+        tpairs.select(
+            "doc_new", "doc_partner", F.lit("text").alias("modality")
+        )
+        .unionByName(arm("image", "phash", "sym"))
+        .unionByName(arm("audio", "ahash", "min"))
+        .unionByName(arm("video", "fhash", "max"))
+    )
+    agg = evid.groupBy("doc_new").agg(
+        F.countDistinct("doc_partner").alias("n_partners"),
+        F.max(F.when(F.col("modality") == "text", 1).otherwise(0)).alias(
+            "ht"
+        ),
+        F.max(F.when(F.col("modality") == "image", 1).otherwise(0)).alias(
+            "hi"
+        ),
+        F.max(F.when(F.col("modality") == "audio", 1).otherwise(0)).alias(
+            "ha"
+        ),
+        F.max(F.when(F.col("modality") == "video", 1).otherwise(0)).alias(
+            "hv"
+        ),
+    )
+    (
+        one.select("doc_id")
+        .join(agg, F.col("doc_id") == F.col("doc_new"), "left")
+        .select(
+            F.lit(bno).cast("int").alias("batch_no"),
+            "doc_id",
+            F.when(F.col("n_partners").isNull(), "keep")
+            .otherwise("drop")
+            .alias("verdict"),
+            F.when(F.col("n_partners").isNull(), "none")
+            .otherwise(
+                F.concat_ws(
+                    "+",
+                    F.when(F.col("ht") == 1, "text"),
+                    F.when(F.col("hi") == 1, "image"),
+                    F.when(F.col("ha") == 1, "audio"),
+                    F.when(F.col("hv") == 1, "video"),
+                )
+            )
+            .alias("retired_by"),
+            F.coalesce(F.col("n_partners"), F.lit(0))
+            .cast("long")
+            .alias("n_partners"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d["ledger"], sub))
+    )
+    hs.unpersist()
+
+
+def curation_ledger_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> str:
+    """Streaming cross-modal curation ledger (20th §2.12 shape) — the
+    cross_modal_curation keep/drop contract run as a LIVE ingest
+    service: all four modality indexes (text MinHash-LSH bands +
+    shingle sets; image pHashes; audio window fingerprints; video
+    frame fingerprints — each with its chunk-band index) SEED from the
+    standing corpus (doc_id % INCR_MOD != 0), then arrival documents
+    stream in one micro-batch per batch_no through foreachBatch:
+
+      - each batch indexes its own signatures FIRST (batch-keyed
+        overwrite subdirs — replays rewrite, never double-append);
+      - each arm probes its chunk-band index under ONE shared
+        precedence rule (base -1 < earlier batch < same batch with a
+        smaller doc_id — the near-dup ingest rule generalized to
+        modality edges), then verifies with its exact batch-rule:
+        text exact-Jaccard >= tau, image Hamming <= 3, audio min-side
+        window containment, video max-side frame coverage (set
+        coverage computed at the batch builders' doc_id orientation,
+        so the streaming edge set IS the batch edge set re-oriented);
+      - the ledger gets one row per ARRIVAL: keep/drop verdict,
+        '+'-joined modality provenance, distinct partner count —
+        keep-first curation (a dup of ANY predecessor drops), which
+        is a pure function of the data, not of trigger boundaries,
+        hence batch-oracle adjudicable.
+
+    Scale: per-trigger cost is O(batch signatures) + chunk-bucket
+    collisions; payloads never shuffle (only ~16-byte fingerprint
+    rows); the audio/video verify aggregates fingerprint sets for
+    CANDIDATE docs only (semi-join before collect_list). Returns the
+    ledger path."""
+    import os
+    import shutil
+
+    from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
+    from myserver_datawarehouse_spark.sources.tables import load_table
+
+    d = {
+        k: os.path.join(work_dir, k)
+        for k in (
+            "tbands",
+            "thashes",
+            "tsizes",
+            "image_rows",
+            "image_chunks",
+            "audio_rows",
+            "audio_chunks",
+            "video_rows",
+            "video_chunks",
+            "ledger",
+        )
+    }
+    input_dir = os.path.join(work_dir, "input")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_arrival = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
+
+    # Seed every index from the standing corpus (batch_no -1).
+    standing = docs.filter(~is_arrival)
+    hs0, sz0, bd0 = _near_dup_index_frames(standing, -1)
+    bd0.write.mode("overwrite").parquet(os.path.join(d["tbands"], "b_base"))
+    hs0.write.mode("overwrite").parquet(
+        os.path.join(d["thashes"], "b_base")
+    )
+    sz0.write.mode("overwrite").parquet(os.path.join(d["tsizes"], "b_base"))
+    hs0.unpersist()
+    for m, (fp, ch) in _media_signature_frames(standing, -1).items():
+        fp.write.mode("overwrite").parquet(
+            os.path.join(d[m + "_rows"], "b_base")
+        )
+        ch.write.mode("overwrite").parquet(
+            os.path.join(d[m + "_chunks"], "b_base")
+        )
+
+    arrivals = docs.filter(is_arrival).select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"CAST((doc_id DIV {INCR_MOD}) % {CURATION_BATCHES} AS INT)"
+        ).alias("batch_no"),
+    )
+    # One file per batch_no with strictly-increasing mtimes (the repo's
+    # ordered-file-source pattern): batch k indexes before k+1 probes.
+    os.makedirs(input_dir, exist_ok=True)
+    mtime = 1_700_000_000
+    for k in range(CURATION_BATCHES):
+        part = arrivals.filter(F.col("batch_no") == k)
+        stage = os.path.join(work_dir, f"stage_{k}")
+        shutil.rmtree(stage, ignore_errors=True)
+        part.coalesce(1).write.parquet(stage)
+        (name,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dest = os.path.join(input_dir, f"batch_{k}.parquet")
+        os.replace(os.path.join(stage, name), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        mtime += 10
+        os.utime(dest, (mtime, mtime))
+
+    # typed empty ledger leaf so an arrival-free run still reads back
+    spark.createDataFrame(
+        [],
+        "batch_no int, doc_id long, verdict string, retired_by string, "
+        "n_partners long",
+    ).write.mode("overwrite").parquet(os.path.join(d["ledger"], "b_init"))
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        for (bno,) in sorted(
+            batch.select("batch_no").distinct().collect()
+        ):
+            one = batch.filter(F.col("batch_no") == bno).select(
+                "doc_id", "text"
+            )
+            _curation_one(sp, d, one, bno)
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return d["ledger"]

@@ -17,14 +17,14 @@ def test_every_spec_has_an_oracle():
 def test_registry_size_matches_docs():
     # PARITY.md / SURVEY.md cite this total; bump it deliberately when
     # adding queries, never let prose drift from the registry.
-    assert len(registry.specs()) == 223
+    assert len(registry.specs()) == 224
 
 
 def test_streaming_variant_count_matches_docs():
     variants = [
         n for n in dir(streaming_plans) if n.startswith("streaming_")
     ]
-    assert len(variants) == 19  # PARITY.md §2.12 streaming variant count
+    assert len(variants) == 20  # PARITY.md §2.12 streaming variant count
     registered = {s.name for s in registry.specs()}
     assert set(variants) <= registered
 
