@@ -5784,6 +5784,484 @@ ORDER BY lang, band
 """
 
 
+# ------------------------------------------ dedup threshold sweep
+
+# The dedup aggressiveness dial: how many pairs/docs does each Jaccard
+# threshold retire?  The pair frame is computed ONCE at the banding's
+# tau floor; the sweep is an explode over literals — the marginal cost
+# of 4 more sweep points is a 5-row groupBy, never a second corpus pass.
+DEDUP_SWEEP_TAUS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI curve: for each candidate Jaccard threshold in
+    {DEDUP_SWEEP_TAUS}, the verified pair count, the documents retired
+    under keep-first (any partner with a smaller doc_id), and the
+    corpus share retired — the table an operator reads before picking
+    the dedup dial (every threshold's cost/benefit from ONE pass).
+
+    Plan shape (100 TB): one shingle pass + one signature pass + one
+    banded verify (the standing `_minhash_pairs_for` frame at the tau
+    floor {JACCARD_TAU}); the sweep explodes 5 literal thresholds over
+    the PAIR set (orders of magnitude smaller than the corpus) and
+    left-joins back to the literal threshold frame so a pair-free
+    threshold still reports a zero row.  All counts integer-exact;
+    the only float is the final ROUND(6) share."""
+    d = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_for(d).select("doc_b", "jaccard")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    taus = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_TAUS], "tau double"
+    )
+    sw = (
+        pairs.select(
+            "doc_b",
+            "jaccard",
+            F.explode(
+                F.array(*[F.lit(t) for t in DEDUP_SWEEP_TAUS])
+            ).alias("tau"),
+        )
+        .filter(F.col("jaccard") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+    )
+    return (
+        taus.join(sw, "tau", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0)).alias(
+                "n_docs_dropped"
+            ),
+            F.round(
+                F.coalesce("n_docs_dropped", F.lit(0))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("drop_share"),
+        )
+        .orderBy("tau")
+    )
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH src AS ({NEAR_DUP_MINHASH_LSH_SQL}),
+taus(tau) AS (VALUES {", ".join(f"({t!r})" for t in DEDUP_SWEEP_TAUS)}),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+sw AS (
+  SELECT t.tau,
+         COUNT(*) AS n_pairs,
+         COUNT(DISTINCT s.doc_b) AS n_docs_dropped
+  FROM taus t JOIN src s ON s.jaccard >= t.tau
+  GROUP BY 1
+)
+SELECT t.tau,
+       COALESCE(sw.n_pairs, 0) AS n_pairs,
+       COALESCE(sw.n_docs_dropped, 0) AS n_docs_dropped,
+       ROUND(COALESCE(sw.n_docs_dropped, 0)
+             / CAST(tot.n_docs AS DOUBLE), 6) AS drop_share
+FROM taus t LEFT JOIN sw ON sw.tau = t.tau, tot
+ORDER BY t.tau
+"""
+
+
+# ------------------------------------------- training epoch plan
+
+# The repetition planner every pretrain data card documents: a token
+# budget (a multiple of the corpus), temperature-weighted per-source
+# targets, and an epoch cap — "repeat small high-value sources, never
+# more than EPOCH_CAP times".
+EPOCH_BUDGET_MULT = 2  # budget = 2x corpus tokens (integer-exact)
+EPOCH_CAP = 4  # max repetitions of any source
+
+
+def training_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repetition plan under a {EPOCH_BUDGET_MULT}x
+    corpus-token budget: temperature share (w = sqrt(tokens), the
+    temperature_resampled_mix rule at source granularity), target
+    tokens, raw epochs target/tokens, epochs capped at {EPOCH_CAP},
+    the allocation actually served, and the capped surplus the planner
+    must redistribute or return — the table a pretrain run plans its
+    sampling weights from.
+
+    Plan shape (100 TB): one corpus pass to per-source token totals
+    (map-side partials into a |sources|-row frame) + a broadcast 1-row
+    global sum — flat, exactly temperature_resampled_mix's envelope.
+    Determinism: sqrt weights ROUND(9) into DECIMAL (the temperature-
+    mix rule), targets ROUND(0) to BIGINT, epoch ratios ROUND(6), the
+    cap compared on integer token counts."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,12)"
+    totals = (
+        d.select(
+            "source",
+            F.size(TX.tokenize("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("src_tokens"))
+        .select(
+            "source",
+            "src_tokens",
+            F.round(F.sqrt(F.col("src_tokens").cast("double")), 9)
+            .cast(dec)
+            .alias("w"),
+        )
+    )
+    g = totals.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum("w").alias("sum_w"),
+    )
+    p_temp = F.col("w").cast("double") / F.col("sum_w").cast("double")
+    budget = (F.col("total_tokens") * EPOCH_BUDGET_MULT).cast("double")
+    target = F.round(budget * p_temp, 0).cast("long")
+    return (
+        totals.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "src_tokens",
+            F.round(p_temp, 6).alias("p_temp"),
+            target.alias("target_tokens"),
+            F.round(
+                target.cast("double") / F.col("src_tokens"), 6
+            ).alias("epochs_raw"),
+            F.round(
+                F.least(
+                    target.cast("double") / F.col("src_tokens"),
+                    F.lit(float(EPOCH_CAP)),
+                ),
+                6,
+            ).alias("epochs_capped"),
+            F.least(target, F.col("src_tokens") * EPOCH_CAP).alias(
+                "alloc_tokens"
+            ),
+            (
+                target - F.least(target, F.col("src_tokens") * EPOCH_CAP)
+            ).alias("surplus_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TRAINING_EPOCH_PLAN_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+         CAST(ROUND(sqrt(CAST(SUM(n_tok) AS DOUBLE)), 9)
+              AS DECIMAL(38,12)) AS w
+  FROM per_doc GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         SUM(w) AS sum_w
+  FROM tot
+),
+plan AS (
+  SELECT source, src_tokens,
+         CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE) AS pt,
+         CAST(ROUND(CAST(total_tokens * {EPOCH_BUDGET_MULT} AS DOUBLE)
+                    * (CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE)), 0)
+              AS BIGINT) AS target_tokens
+  FROM tot, g
+)
+SELECT source, src_tokens,
+       ROUND(pt, 6) AS p_temp,
+       target_tokens,
+       ROUND(CAST(target_tokens AS DOUBLE) / src_tokens, 6)
+         AS epochs_raw,
+       ROUND(LEAST(CAST(target_tokens AS DOUBLE) / src_tokens,
+                   {float(EPOCH_CAP)!r}), 6) AS epochs_capped,
+       LEAST(target_tokens, src_tokens * {EPOCH_CAP}) AS alloc_tokens,
+       target_tokens - LEAST(target_tokens, src_tokens * {EPOCH_CAP})
+         AS surplus_tokens
+FROM plan
+ORDER BY source
+"""
+
+
+# -------------------------------------- quality filter agreement
+
+# Do the corpus-quality gates agree on WHICH docs to keep?  The
+# calibration table a curation team reads before stacking filters:
+# pairwise observed agreement + Cohen's kappa between the three
+# per-doc pass/fail rules this tier already ships (the Gopher
+# heuristic gate, the unigram cross-entropy flag, the repetition
+# flag).  Low kappa = the filters retire DIFFERENT docs (stacking
+# multiplies loss); high kappa = redundant gates.
+
+
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement matrix of the three quality gates: one row
+    per filter pair with doc counts, both-pass counts, observed
+    agreement, and Cohen's kappa (chance-corrected on the two filters'
+    marginal pass rates; NULL when a degenerate marginal makes the
+    correction undefined).
+
+    The per-doc rules are expression-identical to their source
+    queries' (gopher_quality_flags' three-way pass, unigram_xent
+    _quality's decimal low-prob flag, text_repetition_stats' integer
+    cross-multiplied repetition flag) — tests/test_round13.py pins the
+    implied per-filter pass counts to the source queries' own rollups
+    so the copies cannot drift.
+
+    Plan shape (100 TB): the token explode + two hash-aggregates +
+    vocabulary-bounded lnp join are shared passes into ONE per-doc
+    flag frame; the matrix is one global aggregate (9 integer sums)
+    expanded to 3 literal rows.  Kappa's float path: marginals divide
+    integer counts, pe/po are single IEEE expressions, ROUND(6)."""
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+    n_tok_c = F.size(tks)
+    n_chars_c = F.length(TX.normalize_text("text")) - (n_tok_c - F.lit(1))
+    n_stop_c = F.size(
+        F.array_intersect(tks, F.array(*[F.lit(s) for s in TX.STOPWORDS]))
+    )
+    gopher = d.select(
+        "doc_id",
+        (
+            (n_tok_c >= GOPHER_MIN_TOKENS)
+            & (n_tok_c <= GOPHER_MAX_TOKENS)
+            & (n_chars_c >= n_tok_c * GOPHER_MWL_MIN)
+            & (n_chars_c <= n_tok_c * GOPHER_MWL_MAX)
+            & (n_stop_c >= GOPHER_MIN_STOPWORD_HITS)
+        )
+        .cast("long")
+        .alias("f_gopher"),
+    )
+    tok = d.select("doc_id", F.explode(tks).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    lnp = freq.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("cnt") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lnp"),
+    )
+    xent = (
+        tok.join(lnp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lnp").alias("sum_lnp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            (
+                ~(
+                    F.col("sum_lnp")
+                    < F.lit(XENT_FLAG_THRESHOLD) * F.col("n_tokens")
+                )
+            )
+            .cast("long")
+            .alias("f_xent"),
+        )
+    )
+    tok_doc = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_token_n"),
+        )
+    )
+    bg_doc = (
+        TX.shingle_rows(d, 2)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
+    )
+    rep = (
+        tok_doc.join(bg_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_token_n",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        )
+        .select(
+            "doc_id",
+            (
+                ~(
+                    (F.col("top_token_n") * 5 > F.col("n_tokens"))
+                    | (
+                        F.col("top_bigram_n") * 50
+                        > F.col("n_bigrams") * 9
+                    )
+                    | (F.col("n_distinct") * 2 < F.col("n_tokens"))
+                )
+            )
+            .cast("long")
+            .alias("f_rep"),
+        )
+    )
+    flags = gopher.join(xent, "doc_id").join(rep, "doc_id")
+    m = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f_gopher").alias("pg"),
+        F.sum("f_xent").alias("px"),
+        F.sum("f_rep").alias("pr"),
+        F.sum(
+            (F.col("f_gopher") == F.col("f_xent")).cast("long")
+        ).alias("agree_gx"),
+        F.sum(
+            (F.col("f_gopher") == F.col("f_rep")).cast("long")
+        ).alias("agree_gr"),
+        F.sum((F.col("f_xent") == F.col("f_rep")).cast("long")).alias(
+            "agree_xr"
+        ),
+        F.sum(F.col("f_gopher") * F.col("f_xent")).alias("both_gx"),
+        F.sum(F.col("f_gopher") * F.col("f_rep")).alias("both_gr"),
+        F.sum(F.col("f_xent") * F.col("f_rep")).alias("both_xr"),
+    )
+
+    def row(fa, fb, pa, pb, agree, both):
+        po = F.col(agree) / F.col("n").cast("double")
+        ra = F.col(pa) / F.col("n").cast("double")
+        rb = F.col(pb) / F.col("n").cast("double")
+        pe = ra * rb + (F.lit(1.0) - ra) * (F.lit(1.0) - rb)
+        return m.select(
+            F.lit(fa).alias("filter_a"),
+            F.lit(fb).alias("filter_b"),
+            F.col("n").alias("n_docs"),
+            F.col(agree).alias("n_agree"),
+            F.col(both).alias("n_both_pass"),
+            F.round(po, 6).alias("agree_rate"),
+            F.when(
+                F.lit(1.0) - pe != 0.0,
+                F.round((po - pe) / (F.lit(1.0) - pe), 6),
+            ).alias("kappa"),
+        )
+
+    return (
+        row("gopher", "repetition", "pg", "pr", "agree_gr", "both_gr")
+        .unionByName(
+            row("gopher", "unigram_xent", "pg", "px", "agree_gx", "both_gx")
+        )
+        .unionByName(
+            row(
+                "repetition", "unigram_xent", "pr", "px", "agree_xr",
+                "both_xr",
+            )
+        )
+        .orderBy("filter_a", "filter_b")
+    )
+
+
+QUALITY_FILTER_AGREEMENT_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+gopher AS (
+  SELECT doc_id,
+         CASE WHEN len(tks) >= {GOPHER_MIN_TOKENS}
+               AND len(tks) <= {GOPHER_MAX_TOKENS}
+               AND length(norm) - (len(tks) - 1)
+                   >= len(tks) * {GOPHER_MWL_MIN}
+               AND length(norm) - (len(tks) - 1)
+                   <= len(tks) * {GOPHER_MWL_MAX}
+               AND len(list_intersect(tks, {_STOP_LIST_SQL}))
+                   >= {GOPHER_MIN_STOPWORD_HITS}
+              THEN 1 ELSE 0 END AS f_gopher
+  FROM toks
+),
+tok AS (SELECT doc_id, unnest(tks) AS t FROM toks),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
+total AS (SELECT SUM(cnt) AS n_total FROM freq),
+lnp AS (
+  SELECT t,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+              AS DECIMAL(18,6)) AS lnp
+  FROM freq CROSS JOIN total
+),
+xent AS (
+  SELECT doc_id,
+         CASE WHEN SUM(lnp) < {XENT_FLAG_THRESHOLD} * COUNT(*)
+              THEN 0 ELSE 1 END AS f_xent
+  FROM tok JOIN lnp USING (t)
+  GROUP BY 1
+),
+tok_doc AS (
+  SELECT doc_id, SUM(n) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(n) AS top_token_n
+  FROM (SELECT doc_id, t, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+  GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, unnest({_BG_POS_SQL}) AS g FROM toks
+),
+bg_doc AS (
+  SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bigram_n
+  FROM (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+),
+rep AS (
+  SELECT t.doc_id,
+         CASE WHEN (t.top_token_n * 5 > t.n_tokens)
+               OR (COALESCE(b.top_bigram_n, 0) * 50
+                   > COALESCE(b.n_bigrams, 0) * 9)
+               OR (t.n_distinct * 2 < t.n_tokens)
+              THEN 0 ELSE 1 END AS f_rep
+  FROM tok_doc t LEFT JOIN bg_doc b USING (doc_id)
+),
+flags AS (
+  SELECT g.doc_id, g.f_gopher, x.f_xent, r.f_rep
+  FROM gopher g JOIN xent x USING (doc_id) JOIN rep r USING (doc_id)
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(f_gopher) AS pg, SUM(f_xent) AS px, SUM(f_rep) AS pr,
+         SUM(CASE WHEN f_gopher = f_xent THEN 1 ELSE 0 END) AS agree_gx,
+         SUM(CASE WHEN f_gopher = f_rep THEN 1 ELSE 0 END) AS agree_gr,
+         SUM(CASE WHEN f_xent = f_rep THEN 1 ELSE 0 END) AS agree_xr,
+         SUM(f_gopher * f_xent) AS both_gx,
+         SUM(f_gopher * f_rep) AS both_gr,
+         SUM(f_xent * f_rep) AS both_xr
+  FROM flags
+),
+rows_out AS (
+  SELECT 'gopher' AS filter_a, 'repetition' AS filter_b,
+         n AS n_docs, agree_gr AS n_agree, both_gr AS n_both_pass,
+         pg AS p_a, pr AS p_b FROM m
+  UNION ALL
+  SELECT 'gopher', 'unigram_xent', n, agree_gx, both_gx, pg, px FROM m
+  UNION ALL
+  SELECT 'repetition', 'unigram_xent', n, agree_xr, both_xr, pr, px
+  FROM m
+)
+SELECT filter_a, filter_b,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_both_pass AS BIGINT) AS n_both_pass,
+       ROUND(n_agree / CAST(n_docs AS DOUBLE), 6) AS agree_rate,
+       CASE WHEN 1.0 - ((p_a / CAST(n_docs AS DOUBLE))
+                        * (p_b / CAST(n_docs AS DOUBLE))
+                        + (1.0 - p_a / CAST(n_docs AS DOUBLE))
+                        * (1.0 - p_b / CAST(n_docs AS DOUBLE))) <> 0.0
+            THEN ROUND(
+              (n_agree / CAST(n_docs AS DOUBLE)
+               - ((p_a / CAST(n_docs AS DOUBLE))
+                  * (p_b / CAST(n_docs AS DOUBLE))
+                  + (1.0 - p_a / CAST(n_docs AS DOUBLE))
+                  * (1.0 - p_b / CAST(n_docs AS DOUBLE))))
+              / (1.0 - ((p_a / CAST(n_docs AS DOUBLE))
+                        * (p_b / CAST(n_docs AS DOUBLE))
+                        + (1.0 - p_a / CAST(n_docs AS DOUBLE))
+                        * (1.0 - p_b / CAST(n_docs AS DOUBLE)))), 6)
+       END AS kappa
+FROM rows_out
+ORDER BY filter_a, filter_b
+"""
+
+
 # ------------------------------------------- BPE held-out coverage
 
 # Train/serve discipline for the tokenizer tier: merges trained on a

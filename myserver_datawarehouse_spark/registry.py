@@ -658,6 +658,34 @@ _SPECS: list[QuerySpec] = [
         "unigram_xent_quality",
     ),
     QuerySpec(
+        "dedup_threshold_sweep",
+        LT.dedup_threshold_sweep,
+        LT.DEDUP_THRESHOLD_SWEEP_SQL,
+        "dedup ROI curve: per Jaccard threshold (0.5-0.9), verified "
+        "pairs, keep-first docs retired, corpus drop share — the "
+        "aggressiveness dial from ONE pair pass (sweep explodes "
+        "literals over the pair set, never re-scans the corpus)",
+    ),
+    QuerySpec(
+        "training_epoch_plan",
+        LT.training_epoch_plan,
+        LT.TRAINING_EPOCH_PLAN_SQL,
+        "corpus assembly: per-source epoch/repetition plan under a 2x "
+        "token budget — temperature-weighted targets, epoch cap 4, "
+        "allocation + capped surplus; the repetition table every "
+        "pretrain data card documents",
+    ),
+    QuerySpec(
+        "quality_filter_agreement",
+        LT.quality_filter_agreement,
+        LT.QUALITY_FILTER_AGREEMENT_SQL,
+        "corpus curation: pairwise agreement + Cohen's kappa between "
+        "the three per-doc quality gates (Gopher heuristics, unigram "
+        "xent flag, repetition flag) — the filter-stack calibration "
+        "table; per-doc rules expression-identical to the source "
+        "queries (pinned by test)",
+    ),
+    QuerySpec(
         "quality_percentile_filter",
         LT.quality_percentile_filter,
         LT.QUALITY_PERCENTILE_FILTER_SQL,

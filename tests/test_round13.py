@@ -366,3 +366,79 @@ def test_streaming_curation_replay_is_idempotent(spark):
     }
     SJ._curation_one(spark, d, replay, 1)
     assert snapshot() == before
+
+
+# ---------------------------------- round-13 second wave additions
+
+
+def test_dedup_sweep_monotone_and_floor_matches_pair_query(spark):
+    """More aggressive thresholds can only retire fewer docs/pairs;
+    the 0.5 floor row must equal the standing near_dup_minhash_lsh
+    pair query's totals (same pair frame, same tau floor)."""
+    rows = {r.tau: r for r in LT.dedup_threshold_sweep(spark, SF).collect()}
+    assert sorted(rows) == LT.DEDUP_SWEEP_TAUS
+    taus = sorted(rows)
+    for lo, hi in zip(taus, taus[1:]):
+        assert rows[hi].n_pairs <= rows[lo].n_pairs
+        assert rows[hi].n_docs_dropped <= rows[lo].n_docs_dropped
+    pairs = LT.near_dup_minhash_lsh(spark, SF).collect()
+    assert rows[0.5].n_pairs == len(pairs)
+    assert rows[0.5].n_docs_dropped == len({p.doc_b for p in pairs})
+    assert rows[0.5].n_pairs > 0  # fixture exercises the curve
+
+
+def test_epoch_plan_budget_and_cap_invariants(spark):
+    import pandas as pd  # noqa: F401
+
+    df = LT.training_epoch_plan(spark, SF).toPandas()
+    total = int(df.src_tokens.sum())
+    # targets re-distribute the full budget (rounding slack <= 1/src)
+    assert abs(int(df.target_tokens.sum()) - LT.EPOCH_BUDGET_MULT * total) \
+        <= len(df)
+    assert (df.alloc_tokens <= df.src_tokens * LT.EPOCH_CAP).all()
+    assert (df.surplus_tokens == df.target_tokens - df.alloc_tokens).all()
+    assert (df.surplus_tokens >= 0).all()
+    assert (df.epochs_capped <= LT.EPOCH_CAP).all()
+    # sqrt weighting upsamples small sources: smallest source's epochs
+    # must be >= largest source's
+    small = df.loc[df.src_tokens.idxmin()]
+    large = df.loc[df.src_tokens.idxmax()]
+    assert small.epochs_raw >= large.epochs_raw
+
+
+def test_filter_agreement_marginals_match_source_queries(spark):
+    """The agreement table's implied per-filter pass counts must equal
+    the source queries' own rollups — pins the inlined per-doc rules
+    to gopher_quality_flags / unigram_xent_quality /
+    text_repetition_stats so the copies cannot drift."""
+    rows = LT.quality_filter_agreement(spark, SF).collect()
+    assert len(rows) == 3
+    n = rows[0].n_docs
+    # recover marginals: for the (a, b) row, n_both_pass and n_agree
+    # pin the joint; source rollups give the marginals directly
+    gop = LT.gopher_quality_flags(spark, SF).toPandas()
+    n_gopher_pass = int(gop.n_pass_all.sum())
+    xq = LT.unigram_xent_quality(spark, SF).toPandas()
+    n_xent_pass = n - int(xq.n_low_prob.sum())
+    rep = LT.text_repetition_stats(spark, SF).toPandas()
+    n_rep_pass = n - int(rep.n_flagged.sum())
+    by = {(r.filter_a, r.filter_b): r for r in rows}
+    gx = by[("gopher", "unigram_xent")]
+    gr = by[("gopher", "repetition")]
+    xr = by[("repetition", "unigram_xent")]
+    # inclusion-exclusion over the 2x2 table recovers each marginal:
+    # n_agree = n_both + n_neither; pa + pb = 2*both + (n - agree)
+    assert gx.n_docs == gr.n_docs == xr.n_docs
+    assert n_gopher_pass + n_xent_pass == 2 * gx.n_both_pass + (
+        n - gx.n_agree
+    )
+    assert n_gopher_pass + n_rep_pass == 2 * gr.n_both_pass + (
+        n - gr.n_agree
+    )
+    assert n_rep_pass + n_xent_pass == 2 * xr.n_both_pass + (
+        n - xr.n_agree
+    )
+    for r in rows:
+        assert 0.0 <= r.agree_rate <= 1.0
+        if r.kappa is not None:
+            assert -1.0 <= r.kappa <= 1.0

@@ -61,6 +61,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "dedup_clusters": {"RDD_SCAN": _LC + "; CC iteration edge frames"},
     "leakage_safe_split": {"RDD_SCAN": _LC + "; CC iteration edge frames"},
     "near_dup_minhash_lsh": {"RDD_SCAN": _LC + "; shingle frame"},
+    "dedup_threshold_sweep": {
+        "RDD_SCAN": _LC + "; the shared shingle-hash frame "
+        "(_shingle_hash_frame, as near_dup_minhash_lsh) feeding the "
+        "signature aggregate and both sides of the verify join"
+    },
     "near_dup_incremental_lsh": {
         "RDD_SCAN": _LC + "; batch + index shingle frames (the two "
         "tables a production incremental-ingest job persists)"
@@ -215,6 +220,10 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "CC labels: final cluster rollup",
     ),
     "near_dup_minhash_lsh": (
+        "shingle-hash frame: the 16-slot signature aggregate",
+        "shingle-hash frame: both sides of the candidate verify join",
+    ),
+    "dedup_threshold_sweep": (
         "shingle-hash frame: the 16-slot signature aggregate",
         "shingle-hash frame: both sides of the candidate verify join",
     ),
