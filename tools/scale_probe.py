@@ -103,6 +103,15 @@ PROBE_QUERIES = [
     "dedup_quality_canonical",
     "lsh_band_tuning",
     "streaming_mix_drift",
+    # round-13 additions: DSIR importance resampling, bigram-LM
+    # perplexity gate, streaming cross-modal curation ledger, dedup
+    # threshold sweep, epoch planner, filter-agreement matrix
+    "dsir_importance_weights",
+    "ngram_lm_quality_gate",
+    "streaming_curation_ledger",
+    "dedup_threshold_sweep",
+    "training_epoch_plan",
+    "quality_filter_agreement",
 ]
 
 
