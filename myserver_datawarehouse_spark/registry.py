@@ -1864,7 +1864,6 @@ _ADJUDICATED_R12 = frozenset(
         "latest_event_per_user_type",
         "layout_zorder_stats",
         "leakage_safe_split",
-        "lsh_band_tuning",
         "lsh_recall_audit",
         "near_dup_audio_fingerprint",
         "near_dup_incremental_lsh",
