@@ -1640,7 +1640,7 @@ _SPECS: list[QuerySpec] = [
 # standing verdict is ceil(N/50) rounds older than the newest folded
 # record. Keep (new/changed queries per round) + (stalest standing
 # tier) <= 50 so the budget always clears the head AND the oldest
-# tier; at N=209 that means <= ~34 new queries/round steady-state.
+# tier; at N=227 that means <= ~23 new queries/round steady-state.
 #
 # Round-14 maintenance: run tools/refresh_adjudication.py once
 # CORRECTNESS_r13.json lands, paste its sets here (latest green verdict
