@@ -5349,6 +5349,177 @@ ORDER BY lang
 """
 
 
+# ------------------------------------ MinHash estimator-error audit
+
+
+def _minhash_se_theory_rows() -> list[tuple[int, float]]:
+    """(j_band, binomial stderr of the {MINHASH_N}-slot estimator at the
+    decile midpoint) — computed ONCE in Python, fed to BOTH engines as
+    literals (the band-tuning rule).  Covers j_band 0..J_BAND_W
+    INCLUSIVE: exact-duplicate pairs land in FLOOR(1.0*W) = W, where
+    the estimator is deterministic (se exactly 0) — the round-12
+    advice lesson applied at authoring time, not after."""
+    out = []
+    for jb in range(J_BAND_W + 1):
+        j = min((jb + 0.5) / J_BAND_W, 1.0)
+        out.append((jb, round((j * (1.0 - j) / MINHASH_N) ** 0.5, 6)))
+    return out
+
+
+def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation-error audit of the {MINHASH_N}-slot MinHash sketch:
+    per true-Jaccard decile, the mean signature-agreement estimate
+    (matching slots / {MINHASH_N}), the mean exact Jaccard, the mean
+    absolute estimation error, and the binomial theory stderr
+    sqrt(J(1-J)/{MINHASH_N}) at the decile midpoint — the sketch-tier
+    audit pattern (adjudicate the ACCURACY CLAIM, cf.
+    approx_distinct_audit / lsh_recall_audit) applied to the
+    estimator the whole LSH tier is built on.  Each signature slot
+    matches with probability exactly J, so the mean estimate must
+    track mean exact Jaccard within ~the theory stderr; a hash-family
+    or permutation-parameter bug biases the estimate and flips the
+    hash.
+
+    Corpus: the lsh_recall_audit truncation-variant corpus (pair mass
+    across the 0.5-1.0 deciles); ground truth: the exact prefix-filter
+    pair set with its exact Jaccard.  ONE shared shingle-hash frame
+    feeds the exact tier AND the signature aggregate.  Exactness: the
+    per-pair estimate k/{MINHASH_N} is a dyadic rational (exact in
+    double), error terms ROUND(12) into DECIMAL accumulation, means
+    ROUND(6); the theory column is a Python-computed literal in both
+    engines."""
+    d = _lsh_audit_docs(_docs(spark, sf_dir))
+    hs = _shingle_hash_frame(d)
+    exact = _prefix_filter_pairs(d, hs=hs)
+    p = F.lit(TX.MINHASH_P)
+    sig = (
+        hs.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * (F.col("h") % p) + b) % p).alias(f"s{i}")
+                for i, (a, b) in enumerate(TX.minhash_params(MINHASH_N))
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[f"s{i}" for i in range(MINHASH_N)]).alias("sig"),
+        )
+    )
+    pairs = (
+        exact.join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: x == y
+                        ),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(MINHASH_N))
+            ).alias("est"),
+        )
+    )
+    dec = "decimal(28,14)"
+    band = F.floor(F.col("jaccard") * J_BAND_W).cast("int").alias("j_band")
+    theory = spark.createDataFrame(
+        _minhash_se_theory_rows(), "j_band int, theory_se double"
+    )
+    return (
+        pairs.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("est"), 12).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_est"),
+            F.round(
+                F.sum(F.col("jaccard").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_exact"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.abs(F.col("est") - F.col("jaccard")), 12
+                    ).cast(dec)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .join(F.broadcast(theory), "j_band")
+        .select(
+            "j_band", "n_pairs", "mean_est", "mean_exact",
+            "mean_abs_err", "theory_se",
+        )
+        .orderBy("j_band")
+    )
+
+
+def _minhash_estimator_audit_sql() -> str:
+    theory_values = ", ".join(
+        f"({jb}, {se!r})" for jb, se in _minhash_se_theory_rows()
+    )
+    match_sum = (
+        "list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END "
+        f"FOR i IN generate_series(1, {MINHASH_N})])"
+    )
+    return f"""
+WITH docs_aug AS ({_LSH_AUDIT_DOCS_SQL}),
+exact AS (
+  {NEAR_DUP_PREFIX_FILTER_SQL.replace("FROM documents", "FROM docs_aug")}
+),
+toks AS ({_TOKS_SQL.replace("FROM documents", "FROM docs_aug")}),
+sh AS ({_SH_SQL}),
+mhb AS (SELECT doc_id, {_MH_BASE_SQL} AS mh FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_SQL} AS sig FROM mhb),
+pairs AS (
+  SELECT e.jaccard,
+         {match_sum} / {float(MINHASH_N)!r} AS est
+  FROM exact e
+  JOIN sig sa ON sa.doc_id = e.doc_a
+  JOIN sig sb ON sb.doc_id = e.doc_b
+),
+theory(j_band, theory_se) AS (VALUES {theory_values}),
+banded AS (
+  SELECT CAST(FLOOR(jaccard * {J_BAND_W}) AS INT) AS j_band,
+         jaccard, est
+  FROM pairs
+)
+SELECT b.j_band,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(est, 12) AS DECIMAL(28,14)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_est,
+       ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(28,14)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_exact,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est - jaccard), 12)
+                           AS DECIMAL(28,14)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+       t.theory_se
+FROM banded b JOIN theory t USING (j_band)
+GROUP BY b.j_band, t.theory_se
+ORDER BY b.j_band
+"""
+
+
+MINHASH_ESTIMATOR_AUDIT_SQL = _minhash_estimator_audit_sql()
+
+
 # --------------------------------- DSIR hashed n-gram importance weights
 
 # Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):

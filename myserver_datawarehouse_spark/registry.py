@@ -637,6 +637,16 @@ _SPECS: list[QuerySpec] = [
         "data_mixture_rebalance",
     ),
     QuerySpec(
+        "minhash_estimator_audit",
+        LT.minhash_estimator_audit,
+        LT.MINHASH_ESTIMATOR_AUDIT_SQL,
+        "sketch-tier accuracy audit for the MinHash estimator itself: "
+        "per true-Jaccard decile, mean signature-agreement estimate vs "
+        "mean exact Jaccard, mean absolute error, and the binomial "
+        "theory stderr sqrt(J(1-J)/16) as Python literals in both "
+        "engines (covering the exact-dup band, se=0)",
+    ),
+    QuerySpec(
         "dsir_importance_weights",
         LT.dsir_importance_weights,
         LT.DSIR_IMPORTANCE_WEIGHTS_SQL,

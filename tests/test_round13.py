@@ -442,3 +442,33 @@ def test_filter_agreement_marginals_match_source_queries(spark):
         assert 0.0 <= r.agree_rate <= 1.0
         if r.kappa is not None:
             assert -1.0 <= r.kappa <= 1.0
+
+
+# ------------------------------------- MinHash estimator audit
+
+
+def test_minhash_se_theory_covers_all_bands_including_exact_dup():
+    rows = dict(LT._minhash_se_theory_rows())
+    assert sorted(rows) == list(range(11))
+    assert rows[10] == 0.0  # J=1: estimator deterministic
+    import math
+
+    j = 0.55
+    assert rows[5] == round(math.sqrt(j * (1 - j) / LT.MINHASH_N), 6)
+
+
+def test_minhash_estimator_tracks_exact_within_theory(spark):
+    """The estimator audit's core claim: per decile, the mean
+    signature-agreement estimate tracks mean exact Jaccard within a
+    few theory standard errors (binomial noise shrinks with n_pairs,
+    so the band tolerance is se * 4 / sqrt(n) + rounding slack)."""
+    import math
+
+    rows = LT.minhash_estimator_audit(spark, SF).collect()
+    assert rows, "audit corpus must produce exact pairs"
+    for r in rows:
+        tol = 4.0 * r.theory_se / math.sqrt(r.n_pairs) + 0.02
+        assert abs(r.mean_est - r.mean_exact) <= tol, (
+            r.j_band, r.mean_est, r.mean_exact, tol
+        )
+        assert 0.0 <= r.mean_abs_err <= 0.25

@@ -66,6 +66,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "(_shingle_hash_frame, as near_dup_minhash_lsh) feeding the "
         "signature aggregate and both sides of the verify join"
     },
+    "minhash_estimator_audit": {
+        "RDD_SCAN": _LC + "; the shared shingle-hash frame feeding "
+        "the exact prefix-filter tier (df ranking + prefix join + "
+        "verify) AND the 16-slot signature aggregate (the "
+        "lsh_recall_audit sharing pattern)"
+    },
     "near_dup_incremental_lsh": {
         "RDD_SCAN": _LC + "; batch + index shingle frames (the two "
         "tables a production incremental-ingest job persists)"
@@ -226,6 +232,10 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
     "dedup_threshold_sweep": (
         "shingle-hash frame: the 16-slot signature aggregate",
         "shingle-hash frame: both sides of the candidate verify join",
+    ),
+    "minhash_estimator_audit": (
+        "shingle-hash frame: the exact prefix-filter tier",
+        "shingle-hash frame: the 16-slot signature aggregate",
     ),
     "near_dup_incremental_lsh": (
         "batch shingle frame: batch signatures + verify side",

@@ -112,6 +112,7 @@ PROBE_QUERIES = [
     "dedup_threshold_sweep",
     "training_epoch_plan",
     "quality_filter_agreement",
+    "minhash_estimator_audit",
 ]
 
 
