@@ -5621,13 +5621,28 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec = "decimal(28,14)"
+    # LEFT join from the full docs table: a doc whose text normalizes
+    # to zero n-grams has no dbc rows but is still a corpus member —
+    # it carries logw exactly 0 and counts in n_docs and the selection
+    # denominator (round-13 review finding; latent, no such doc in the
+    # shipped fixtures).
     docw = (
-        dbc.join(F.broadcast(lam), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum(F.round(F.col("n") * F.col("lam"), 12).cast(dec)).alias(
-                "logw"
-            )
+        d.select("doc_id", "source")
+        .join(
+            dbc.join(F.broadcast(lam), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.round(F.col("n") * F.col("lam"), 12).cast(dec)
+                ).alias("logw")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("logw"), F.lit(0).cast(dec)).alias("logw"),
         )
     )
     n_sel = docw.agg(
@@ -5706,9 +5721,16 @@ lam AS (
   FROM raw r LEFT JOIN tgt t USING (bucket), tot
 ),
 docw AS (
-  SELECT doc_id, source,
-         SUM(CAST(ROUND(n * lam, 12) AS DECIMAL(28,14))) AS logw
-  FROM dbc JOIN lam USING (bucket) GROUP BY 1, 2
+  -- LEFT join from documents: a doc with zero non-empty n-grams is
+  -- still a corpus member with logw exactly 0 (matches the Spark leg)
+  SELECT d.doc_id, d.source,
+         COALESCE(w.logw, CAST(0 AS DECIMAL(28,14))) AS logw
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id,
+           SUM(CAST(ROUND(n * lam, 12) AS DECIMAL(28,14))) AS logw
+    FROM dbc JOIN lam USING (bucket) GROUP BY 1
+  ) w ON w.doc_id = d.doc_id
 ),
 nsel AS (
   SELECT CAST(FLOOR(COUNT(*) / {DSIR_SELECT_DENOM}) AS BIGINT) AS n_sel

@@ -1861,7 +1861,6 @@ _ADJUDICATED_R12 = frozenset(
         "dedup_quality_canonical",
         "dim_date_integrity",
         "embedding_ann_bucketed_baseline",
-        "embedding_binary_hamming_rerank",
         "embedding_int8_quantization",
         "embedding_pq_adc_audit",
         "events_cube_rollup",
@@ -1889,7 +1888,6 @@ _ADJUDICATED_R12 = frozenset(
         "streaming_band_rollup",
         "streaming_ivf_ingest",
         "streaming_mix_drift",
-        "streaming_near_dup_ingest",
         "streaming_session_windows",
         "streaming_upsert_merge",
         "temperature_resampled_mix",

@@ -1546,8 +1546,6 @@ def _near_dup_ingest_one(
     regression-pinned in tests/test_round12b.py)."""
     import os
 
-    from myserver_datawarehouse_spark.plans.llm_text import JACCARD_TAU
-
     sub = f"b{bno}"
     hs, sz, bd = _near_dup_index_frames(one, bno)
     # index first (self-inclusive probe); idempotent per-batch overwrite
@@ -1933,6 +1931,7 @@ def _media_signature_frames(one: DataFrame, bno: int) -> dict:
     from myserver_datawarehouse_spark.operators import multimodal as MM
     from myserver_datawarehouse_spark.operators import text as TX
     from myserver_datawarehouse_spark.plans.multimodal import PHASH_CHUNKS
+    from myserver_datawarehouse_spark.session import materialize
 
     media = MM.with_fake_payload(one)
     b = F.lit(bno).cast("int").alias("batch_no")
@@ -1952,9 +1951,16 @@ def _media_signature_frames(one: DataFrame, bno: int) -> dict:
             .select("doc_id", "c", "cv", b)
         )
 
-    img = MM.image_phash(media).select("doc_id", "phash")
-    aud = MM.audio_fingerprint(media).select("doc_id", "ahash")
-    vid = MM.frame_phash(media).select("doc_id", "fhash")
+    # materialize: each fingerprint frame feeds its index write, the
+    # chunk derivation AND the probe — without the cut the mapInPandas
+    # kernel re-executes three times per modality per micro-batch
+    # (round-13 review finding; the batch pair builders cut the same
+    # lineage for the same reason).
+    img = materialize(MM.image_phash(media).select("doc_id", "phash"))
+    aud = materialize(
+        MM.audio_fingerprint(media).select("doc_id", "ahash")
+    )
+    vid = materialize(MM.frame_phash(media).select("doc_id", "fhash"))
     return {
         "image": (img.select("doc_id", "phash", b), chunks(img, "phash")),
         "audio": (aud.select("doc_id", "ahash", b), chunks(aud, "ahash")),
