@@ -1628,19 +1628,19 @@ _SPECS: list[QuerySpec] = [
 # (~50 queries/round), so the ordering rule is simply staleness:
 #   0. never adjudicated in its CURRENT form — a rename, semantics or
 #      plan change, or new query always returns here so changed outputs
-#      are re-checked. After the round-12 fold every one of the 221
+#      are re-checked. After the round-13 fold every one of the 228
 #      registry queries has a green driver verdict at its current name;
-#      this head tier holds only round-13 additions/changes.
-#   1. last adjudicated in round 8 (27 stragglers at the staleness
-#      bound — the round-12 VERDICT ordered these to consume the FIRST
-#      27 slots of the round-13 budget; the judge pre-verified 7 of
-#      them green at sf0.01);
-#   2. last adjudicated in round 9 (48 standing);
-#   3. last adjudicated in round 10 (49 standing);
-#   4. last adjudicated in round 11 (47 standing);
-#   5. last adjudicated in round 12 (50 standing — CORRECTNESS_r12.json
-#      was 50/50 green: the 16 round-7 stragglers, the round-12
-#      additions, and the round-8-era rotation all moved here).
+#      this head tier holds only round-14 additions/changes.
+#   1. last adjudicated in round 9 (36 standing at the staleness
+#      bound — the round-13 VERDICT ordered these to head the
+#      round-14 budget; the judge pre-verified 8 of them green at
+#      sf0.01);
+#   2. last adjudicated in round 10 (49 standing);
+#   3. last adjudicated in round 11 (47 standing);
+#   4. last adjudicated in round 12 (46 standing);
+#   5. last adjudicated in round 13 (50 standing — CORRECTNESS_r13.json
+#      was 50/50 green: the 27 round-8 stragglers, the round-13
+#      additions, and the two plan-changed re-heads all moved here).
 # Within each tier, preserve the maintained _SPECS order above. Over
 # successive rounds every query converges to a recent driver verdict.
 #
@@ -1650,68 +1650,31 @@ _SPECS: list[QuerySpec] = [
 # standing verdict is ceil(N/50) rounds older than the newest folded
 # record. Keep (new/changed queries per round) + (stalest standing
 # tier) <= 50 so the budget always clears the head AND the oldest
-# tier; at N=227 that means <= ~23 new queries/round steady-state.
+# tier; at N=228 that means <= ~14 new queries/round steady-state
+# (the round-13 VERDICT capped round 14 explicitly at ~14).
 #
-# Round-14 maintenance: run tools/refresh_adjudication.py once
-# CORRECTNESS_r13.json lands, paste its sets here (latest green verdict
-# wins; later FAIL invalidates), and keep any query changed in round 13
+# Round-15 maintenance: run tools/refresh_adjudication.py once
+# CORRECTNESS_r14.json lands, paste its sets here (latest green verdict
+# wins; later FAIL invalidates), and keep any query changed in round 14
 # OUT of every set so it returns to the head.
-
-_ADJUDICATED_R8 = frozenset(
-    {
-        "column_correlation_profile",
-        "deletion_vector_audit",
-        "dup_ngram_coverage",
-        "embedding_covariance_probe",
-        "embedding_pca_audit",
-        "event_dow_chisquare",
-        "events_daily_unpivot",
-        "file_skipping_scan_audit",
-        "gopher_quality_flags",
-        "incremental_agg_maintenance",
-        "incremental_join_maintenance",
-        "merge_writer_lifecycle",
-        "minute_anomaly_zscore",
-        "phrase_search_positional",
-        "quality_weighted_sample",
-        "scd2_point_in_time_join",
-        "source_mix_entropy",
-        "streaming_cdc_apply",
-        "streaming_dedup_within_watermark",
-        "table_changes_feed",
-        "table_compaction_audit",
-        "table_time_travel_audit",
-        "theta_sketch_overlap",
-        "token_pagerank",
-        "token_zipf_fit",
-        "user_erasure_audit",
-        "word_cooccurrence_pmi",
-    }
-)
 
 _ADJUDICATED_R9 = frozenset(
     {
         "approx_distinct_audit",
-        "big_spender_customers",
         "bm25_search",
         "bpe_encode_corpus",
         "bpe_merge_training",
         "brand_affinity_rules",
         "customer_fuzzy_match",
-        "customers_without_orders",
         "cusum_changepoint",
-        "distinct_scan",
         "document_chunks",
         "embedding_ann_ivf",
         "embedding_ivfpq_search",
         "equi_depth_histogram",
         "event_transition_matrix",
-        "events_asof_enrichment",
-        "events_asof_forward",
         "events_grouping_sets",
         "events_multires_rollup",
         "events_value_band_join",
-        "first_appearance_order",
         "first_last_event_probe",
         "hybrid_search_rrf",
         "interpolate_cross_midnight",
@@ -1721,14 +1684,9 @@ _ADJUDICATED_R9 = frozenset(
         "normalized_quotes",
         "part_brand_margin_topk",
         "partition_evolution_audit",
-        "pricing_summary",
-        "revenue_rollup",
         "rolling_minute_avg",
         "salted_user_counts",
         "seasonal_naive_backtest",
-        "set_except",
-        "set_intersect",
-        "stats_profile",
         "streaming_cdc_replication",
         "streaming_evolved_upsert",
         "streaming_gap_state",
@@ -1738,7 +1696,6 @@ _ADJUDICATED_R9 = frozenset(
         "trailing_range_window_sum",
         "user_spend_quartiles",
         "value_drift_psi",
-        "value_percentiles",
     }
 )
 
@@ -1899,19 +1856,74 @@ _ADJUDICATED_R12 = frozenset(
     }
 )
 
+_ADJUDICATED_R13 = frozenset(
+    {
+        "big_spender_customers",
+        "column_correlation_profile",
+        "customers_without_orders",
+        "dedup_threshold_sweep",
+        "deletion_vector_audit",
+        "distinct_scan",
+        "dsir_importance_weights",
+        "dup_ngram_coverage",
+        "embedding_binary_hamming_rerank",
+        "embedding_covariance_probe",
+        "embedding_matryoshka_audit",
+        "embedding_pca_audit",
+        "event_dow_chisquare",
+        "events_asof_enrichment",
+        "events_asof_forward",
+        "events_daily_unpivot",
+        "file_skipping_scan_audit",
+        "first_appearance_order",
+        "gopher_quality_flags",
+        "incremental_agg_maintenance",
+        "incremental_join_maintenance",
+        "lsh_band_tuning",
+        "merge_writer_lifecycle",
+        "minhash_estimator_audit",
+        "minute_anomaly_zscore",
+        "ngram_lm_quality_gate",
+        "phrase_search_positional",
+        "pricing_summary",
+        "quality_filter_agreement",
+        "quality_weighted_sample",
+        "revenue_rollup",
+        "scd2_point_in_time_join",
+        "set_except",
+        "set_intersect",
+        "source_mix_entropy",
+        "stats_profile",
+        "streaming_cdc_apply",
+        "streaming_curation_ledger",
+        "streaming_dedup_within_watermark",
+        "streaming_near_dup_ingest",
+        "table_changes_feed",
+        "table_compaction_audit",
+        "table_time_travel_audit",
+        "theta_sketch_overlap",
+        "token_pagerank",
+        "token_zipf_fit",
+        "training_epoch_plan",
+        "user_erasure_audit",
+        "value_percentiles",
+        "word_cooccurrence_pmi",
+    }
+)
+
+
 def _staleness(name: str) -> int:
-    if name in _ADJUDICATED_R12:
+    if name in _ADJUDICATED_R13:
         return 5
-    if name in _ADJUDICATED_R11:
+    if name in _ADJUDICATED_R12:
         return 4
-    if name in _ADJUDICATED_R10:
+    if name in _ADJUDICATED_R11:
         return 3
-    if name in _ADJUDICATED_R9:
+    if name in _ADJUDICATED_R10:
         return 2
-    if name in _ADJUDICATED_R8:
+    if name in _ADJUDICATED_R9:
         return 1
     return 0  # never adjudicated in current form — check first
-
 
 
 _SPECS.sort(key=lambda s: _staleness(s.name))  # stable: keeps in-tier order
