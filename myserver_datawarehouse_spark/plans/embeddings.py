@@ -667,6 +667,44 @@ KMEANS_ITERS = 2
 KMEANS_DP = 9  # centroid / distance rounding: kills cross-engine ulp drift
 
 
+def _kmeans_assign(vx: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass: each vx row (vec_id, x, xx, ...) gets
+    its nearest centroid by the dot-product identity d2 = xx − 2·x·c +
+    cc, rounded to {KMEANS_DP} dp, ties broken on cid. Shared by
+    `kmeans_ivf_clusters` and `ivf_recluster_audit` — one source for
+    the assignment rounding/tie-break rules."""
+    cc = cents.select("cid", "c", V.dot("c", "c").alias("cc"))
+    d2 = F.round(
+        F.col("xx") - 2 * V.dot("x", "c") + F.col("cc"), KMEANS_DP
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        vx.crossJoin(F.broadcast(cc))
+        .select("vec_id", "x", "xx", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd update pass: per-(cid, pos) decimal means, rounded to
+    {KMEANS_DP} dp, re-assembled into centroid vectors."""
+    el = assigned.select("cid", F.posexplode("x").alias("pos", "val"))
+    means = el.groupBy("cid", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            KMEANS_DP,
+        ).alias("m")
+    )
+    return (
+        means.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
+        .select("cid", F.expr("transform(sm, s -> s.m)").alias("c"))
+    )
+
+
 def kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF coarse quantizer: {KMEANS_ITERS} Lloyd iterations of
     k-means (k={KMEANS_K}, init = the k lowest vec_ids) expressed as pure
@@ -696,39 +734,9 @@ def kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = v.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("x").alias("c")
     )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        cc = cents.select("cid", "c", V.dot("c", "c").alias("cc"))
-        d2 = F.round(
-            F.col("xx") - 2 * V.dot("x", "c") + F.col("cc"), KMEANS_DP
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        return (
-            vx.crossJoin(F.broadcast(cc))
-            .select("vec_id", "x", "xx", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        el = assigned.select("cid", F.posexplode("x").alias("pos", "val"))
-        means = el.groupBy("cid", "pos").agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                KMEANS_DP,
-            ).alias("m")
-        )
-        return (
-            means.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
-            .select("cid", F.expr("transform(sm, s -> s.m)").alias("c"))
-        )
-
     for _ in range(KMEANS_ITERS):
-        cents = update(assign(cents))
-    final = assign(cents)
+        cents = _kmeans_update(_kmeans_assign(vx, cents))
+    final = _kmeans_assign(vx, cents)
     return (
         final.groupBy("cid")
         .agg(
@@ -2955,6 +2963,308 @@ FROM j
 GROUP BY cell
 ORDER BY cell
 """
+
+
+# -------------------------------------------- IVF batch re-cluster audit
+
+# The batch complement of streaming_ivf_ingest's `n_would_move` drift
+# monitor (round-13 verdict ask #4): when the drift number says
+# "retrain", a production ANN service runs exactly this job — retrain
+# the coarse quantizer on seed+ingested corpus, then quantify what the
+# retrain bought (reassignment volume, cell balance, quantization
+# error, recall against the exact yardstick) before swapping indexes.
+RECLUSTER_TOP_K = IVF_TOP_K  # recall@3, the ANN-tier yardstick depth
+RECLUSTER_NPROBE = IVF_NPROBE
+
+
+def ivf_recluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance audit: BEFORE = Lloyd quantizer trained on
+    the seed corpus only (vec_id % {INGEST_BATCH_MOD} < 8, the
+    streaming_ivf_ingest seed), AFTER = retrained on seed+ingested.
+    Both index the FULL corpus; the output is one row per phase with
+    n_vecs, cells used, max cell size, mean assignment d2 (quantization
+    error) and recall@{RECLUSTER_TOP_K} of an nprobe={RECLUSTER_NPROBE}
+    IVF search against the exact L2 top-k — plus how many vectors the
+    retrain reassigns.
+
+    Plan shape (100 TB): training reuses the `kmeans_ivf_clusters`
+    Lloyd machinery (broadcast k-row centroid join per assignment, k x
+    dim decimal-mean update — shuffle volume k·dim partials, never
+    corpus²); the full-corpus (vec_id, x, xx) frame, both trained
+    centroid sets, both final assignment frames and the exact top-k
+    yardstick are `materialize()`d because each feeds 2+ downstream
+    consumers (cell stats, reassignment join, the recall probe arms) —
+    without the cuts every consumer re-runs the Lloyd chain. Probe and
+    centroid frames ride broadcasts; the per-vec top-1 windows are
+    bounded by k (assignment) or nprobe·cell (search). Determinism:
+    the `kmeans` dot-identity d2 ROUND({KMEANS_DP}), decimal centroid
+    means, ties on (d2, cid) / (d2, vec_id) everywhere.
+    """
+    from myserver_datawarehouse_spark.session import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vx = materialize(
+        e.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias(
+                "x"
+            ),
+            ((F.col("vec_id") % INGEST_BATCH_MOD) >= 8).alias("is_batch"),
+        ).withColumn("xx", V.dot("x", "x"))
+    )
+    cents0 = vx.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    vx_seed = vx.filter(~F.col("is_batch"))
+    cb, ca = cents0, cents0
+    for _ in range(KMEANS_ITERS):
+        cb = _kmeans_update(_kmeans_assign(vx_seed, cb))
+        ca = _kmeans_update(_kmeans_assign(vx, ca))
+    cb, ca = materialize(cb), materialize(ca)
+    asnb = materialize(_kmeans_assign(vx, cb))
+    asna = materialize(_kmeans_assign(vx, ca))
+
+    probes = vx.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("q"),
+        F.col("xx").alias("qxx"),
+    )
+    pair_d2 = F.round(
+        F.col("qxx") - 2 * V.dot("q", "x") + F.col("xx"), KMEANS_DP
+    )
+    exact_topk = materialize(
+        vx.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", pair_d2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= RECLUSTER_TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    def phase_stats(asn: DataFrame) -> DataFrame:
+        cells = asn.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("d2").cast("decimal(28,14)")).alias("sd"),
+        )
+        return cells.agg(
+            F.sum("n").alias("n_vecs"),
+            F.count(F.lit(1)).alias("n_cells_used"),
+            F.max("n").alias("max_cell"),
+            F.round(
+                F.sum("sd").cast("double") / F.sum("n"), 6
+            ).alias("avg_d2"),
+        )
+
+    def phase_recall(asn: DataFrame, cents: DataFrame) -> DataFrame:
+        cc = cents.select("cid", "c", V.dot("c", "c").alias("cc"))
+        q_d2 = F.round(
+            F.col("qxx") - 2 * V.dot("q", "c") + F.col("cc"), KMEANS_DP
+        )
+        pcells = (
+            probes.crossJoin(F.broadcast(cc))
+            .select("query_id", "q", "qxx", "cid", q_d2.alias("qd2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("qd2", "cid")
+                ),
+            )
+            .filter(F.col("rn") <= RECLUSTER_NPROBE)
+            .select("query_id", "q", "qxx", "cid")
+        )
+        topk = (
+            asn.select("cid", "vec_id", "x", "xx")
+            .join(F.broadcast(pcells), "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", pair_d2.alias("d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("d2", "vec_id")
+                ),
+            )
+            .filter(F.col("rn") <= RECLUSTER_TOP_K)
+            .select("query_id", "vec_id")
+        )
+        return (
+            topk.join(exact_topk, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.round(
+                    F.col("n_hits")
+                    / F.lit(float(N_PROBES * RECLUSTER_TOP_K)),
+                    6,
+                ).alias("recall_at_k")
+            )
+        )
+
+    moved = (
+        asnb.select("vec_id", F.col("cid").alias("cid_b"))
+        .join(asna.select("vec_id", F.col("cid").alias("cid_a")), "vec_id")
+        .agg(
+            F.sum((F.col("cid_b") != F.col("cid_a")).cast("long")).alias(
+                "n_reassigned"
+            )
+        )
+    )
+    row_b = (
+        phase_stats(asnb)
+        .crossJoin(F.broadcast(phase_recall(asnb, cb)))
+        .select(
+            F.lit("before").alias("phase"),
+            "n_vecs",
+            "n_cells_used",
+            "max_cell",
+            "avg_d2",
+            "recall_at_k",
+            F.lit(0).cast("long").alias("n_reassigned"),
+        )
+    )
+    row_a = (
+        phase_stats(asna)
+        .crossJoin(F.broadcast(phase_recall(asna, ca)))
+        .crossJoin(F.broadcast(moved))
+        .select(
+            F.lit("after").alias("phase"),
+            "n_vecs",
+            "n_cells_used",
+            "max_cell",
+            "avg_d2",
+            "recall_at_k",
+            "n_reassigned",
+        )
+    )
+    return row_b.unionByName(row_a).orderBy("phase")
+
+
+def _recluster_sql() -> str:
+    """Oracle twin of `ivf_recluster_audit`: the `_kmeans_sql` Lloyd
+    CTE pattern instantiated twice (seed-trained / full-retrained),
+    then the same full-corpus assignments, stats, recall arms and
+    reassignment join."""
+    parts = [
+        f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+             (vec_id % {INGEST_BATCH_MOD}) >= 8 AS is_batch
+      FROM embeddings),
+vx AS (SELECT vec_id, x, list_dot_product(x, x) AS xx, is_batch FROM v),
+cb0 AS (SELECT vec_id AS cid, x AS c FROM vx WHERE vec_id < {KMEANS_K}),
+ca0 AS (SELECT vec_id AS cid, x AS c FROM vx WHERE vec_id < {KMEANS_K})"""
+    ]
+    for tag, flt in (("b", " WHERE NOT vx.is_batch"), ("a", "")):
+        for i in range(1, KMEANS_ITERS + 1):
+            parts.append(
+                f"""s{tag}{i} AS (
+  SELECT vec_id, x, cid FROM (
+    SELECT vx.vec_id, vx.x, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY vx.vec_id ORDER BY
+             ROUND(vx.xx - 2 * list_dot_product(vx.x, c.c)
+                   + list_dot_product(c.c, c.c), {KMEANS_DP}), c.cid) AS rn
+    FROM vx CROSS JOIN c{tag}{i - 1} c{flt})
+  WHERE rn = 1
+),
+m{tag}{i} AS (
+  SELECT cid, generate_subscripts(x, 1) - 1 AS pos, unnest(x) AS val
+  FROM s{tag}{i}
+),
+c{tag}{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), {KMEANS_DP}) AS m
+    FROM m{tag}{i} GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+            )
+    last = KMEANS_ITERS
+    for tag in ("b", "a"):
+        parts.append(
+            f"""f{tag} AS (
+  SELECT vec_id, x, xx, cid, d2 FROM (
+    SELECT vx.vec_id, vx.x, vx.xx, c.cid,
+           ROUND(vx.xx - 2 * list_dot_product(vx.x, c.c)
+                 + list_dot_product(c.c, c.c), {KMEANS_DP}) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY vx.vec_id ORDER BY
+             ROUND(vx.xx - 2 * list_dot_product(vx.x, c.c)
+                   + list_dot_product(c.c, c.c), {KMEANS_DP}), c.cid) AS rn
+    FROM vx CROSS JOIN c{tag}{last} c)
+  WHERE rn = 1
+),
+stat{tag} AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_vecs,
+         COUNT(*) AS n_cells_used,
+         CAST(MAX(n) AS BIGINT) AS max_cell,
+         ROUND(CAST(SUM(sd) AS DOUBLE) / SUM(n), 6) AS avg_d2
+  FROM (SELECT cid, COUNT(*) AS n,
+               SUM(CAST(d2 AS DECIMAL(28,14))) AS sd
+        FROM f{tag} GROUP BY 1)
+),
+pc{tag} AS (
+  SELECT query_id, q, qxx, cid FROM (
+    SELECT p.query_id, p.q, p.qxx, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+             ROUND(p.qxx - 2 * list_dot_product(p.q, c.c)
+                   + list_dot_product(c.c, c.c), {KMEANS_DP}), c.cid) AS rn
+    FROM probes p CROSS JOIN c{tag}{last} c)
+  WHERE rn <= {RECLUSTER_NPROBE}
+),
+top{tag} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT pc.query_id, f.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY pc.query_id ORDER BY
+             ROUND(pc.qxx - 2 * list_dot_product(pc.q, f.x) + f.xx,
+                   {KMEANS_DP}), f.vec_id) AS rn
+    FROM f{tag} f JOIN pc{tag} pc USING (cid)
+    WHERE f.vec_id <> pc.query_id)
+  WHERE rn <= {RECLUSTER_TOP_K}
+),
+rec{tag} AS (
+  SELECT ROUND(COUNT(*) / {float(N_PROBES * RECLUSTER_TOP_K)!r}, 6)
+           AS recall_at_k
+  FROM top{tag} JOIN ex USING (query_id, vec_id)
+)"""
+        )
+    probes_ex = f"""probes AS (
+  SELECT vec_id AS query_id, x AS q, xx AS qxx FROM vx
+  WHERE vec_id < {N_PROBES}
+),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, vx.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+             ROUND(p.qxx - 2 * list_dot_product(p.q, vx.x) + vx.xx,
+                   {KMEANS_DP}), vx.vec_id) AS rn
+    FROM vx CROSS JOIN probes p WHERE vx.vec_id <> p.query_id)
+  WHERE rn <= {RECLUSTER_TOP_K}
+)"""
+    parts.insert(1 + 2 * KMEANS_ITERS, probes_ex)
+    mv = """mv AS (
+  SELECT CAST(SUM(CASE WHEN b.cid <> a.cid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reassigned
+  FROM fb b JOIN fa a USING (vec_id)
+)"""
+    parts.append(mv)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT 'before' AS phase, n_vecs, n_cells_used, max_cell, avg_d2,
+       recall_at_k, CAST(0 AS BIGINT) AS n_reassigned
+FROM statb, recb
+UNION ALL
+SELECT 'after' AS phase, n_vecs, n_cells_used, max_cell, avg_d2,
+       recall_at_k, n_reassigned
+FROM stata, reca, mv
+ORDER BY phase
+"""
+    )
+
+
+IVF_RECLUSTER_AUDIT_SQL = _recluster_sql()
 
 
 # ------------------------------------------- Matryoshka prefix-dim audit

@@ -1897,19 +1897,15 @@ ORDER BY lang
 QUALITY_KEEP_QUARTER = 4  # keep the top 1/4 per language
 
 
-def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentile-based curation: keep each language's top quartile by
-    lexical-diversity score (unique-token ratio, doc_id tie-break so the
-    cut is total-ordered and engine-independent).
-
-    The ranking window runs per lang — at 100 TB a single per-lang sort
-    serializes a hot language, so the production form pre-bins scores
-    (e.g. 6-dp buckets) and takes the quantile from the bucket histogram
-    instead of a full sort; kept exact here for oracle parity.
-    """
+def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lexical-diversity scoring pass: one row per document with
+    (doc_id, lang, n_tok, score) where score is the unique-token ratio
+    ROUND(6). Consumed by `quality_percentile_filter` (exact-spec
+    per-lang ranking) and `quality_percentile_filter_threshold` (the
+    scale-safe histogram-cut twin)."""
     d = _docs(spark, sf_dir)
     tks = TX.tokenize("text")
-    scored = d.select(
+    return d.select(
         "doc_id",
         "lang",
         F.size(tks).cast("long").alias("n_tok"),
@@ -1919,6 +1915,21 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("score"),
     )
+
+
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based curation: keep each language's top quartile by
+    lexical-diversity score (unique-token ratio, doc_id tie-break so the
+    cut is total-ordered and engine-independent).
+
+    The ranking window here is the EXACT-SPEC form and runs per lang —
+    at 100 TB a single per-lang sort serializes a hot language;
+    `quality_percentile_filter_threshold` is the adjudicated scale-safe
+    twin (per-lang score-histogram cut + boundary-score doc_id
+    tie-scan, identical output) — the `share_of_total` /
+    `share_of_total_broadcast` twin convention.
+    """
+    scored = _quality_scored(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
     ranked = scored.select(
         "lang",
@@ -1968,6 +1979,93 @@ WHERE rn <= (n_lang + {QUALITY_KEEP_QUARTER - 1}) // {QUALITY_KEEP_QUARTER}
 GROUP BY 1
 ORDER BY lang
 """
+
+
+def quality_percentile_filter_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`quality_percentile_filter`'s 100 TB form: each language's
+    top-quartile cut comes from a per-lang SCORE HISTOGRAM instead of a
+    full per-lang sort that serializes a hot language. Identical output
+    and oracle — the `share_of_total` / `share_of_total_broadcast` twin
+    convention (same pattern as `dsir_importance_weights_threshold`).
+
+    Selection plan: (1) roll the corpus up into a per-(lang, score)
+    histogram — the score is ALREADY 6-dp (ROUND(6) unique-token
+    ratio), so the histogram key space is bounded by the score grid,
+    not the corpus, and the rollup map-side combines; (2) per-lang
+    cumulative counts over the BOUNDED histogram find the boundary
+    score where the running count first reaches
+    n_keep = ceil(n_lang/{QUALITY_KEEP_QUARTER}); (3) docs strictly
+    above the boundary are kept via a broadcast filter; (4) remaining
+    slots come from a doc_id tie-scan of the boundary-score group ALONE
+    (the original's tie-break is doc_id within equal score, and score
+    IS the histogram key, so the selection set is exactly the
+    original's). The scored frame is `materialize()`d — the histogram
+    and both keep branches would each re-run the tokenize pass
+    otherwise.
+    """
+    scored = materialize(_quality_scored(spark, sf_dir))
+    wlang = Window.partitionBy("lang")
+    hist = (
+        scored.groupBy("lang", "score")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_lang", F.sum("n").over(wlang))
+        .withColumn(
+            "cum",
+            F.sum("n").over(wlang.orderBy(F.col("score").desc())),
+        )
+        .withColumn(
+            "n_keep",
+            F.expr(
+                f"(n_lang + {QUALITY_KEEP_QUARTER - 1}) "
+                f"div {QUALITY_KEEP_QUARTER}"
+            ),
+        )
+    )
+    cutinfo = (
+        hist.filter(F.col("cum") >= F.col("n_keep"))
+        .withColumn(
+            "rk",
+            F.row_number().over(wlang.orderBy(F.col("score").desc())),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "lang",
+            F.col("score").alias("s_cut"),
+            (F.col("n_keep") - (F.col("cum") - F.col("n"))).alias(
+                "r_slots"
+            ),
+            "n_lang",
+        )
+    )
+    joined = scored.join(F.broadcast(cutinfo), "lang")
+    upper = joined.filter(F.col("score") > F.col("s_cut")).select(
+        "lang", "n_tok", "score", "n_lang"
+    )
+    boundary = (
+        joined.filter(F.col("score") == F.col("s_cut"))
+        .withColumn("rn", F.row_number().over(wlang.orderBy("doc_id")))
+        .filter(F.col("rn") <= F.col("r_slots"))
+        .select("lang", "n_tok", "score", "n_lang")
+    )
+    return (
+        upper.unionByName(boundary)
+        .groupBy("lang")
+        .agg(
+            F.max("n_lang").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("score").alias("cutoff_score"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Intentionally the exact-spec per-lang-rank SQL: a green differential
+# verdict on the threshold twin PROVES the histogram-cut keep set
+# equals the (score desc, doc_id) per-lang ranking's.
+QUALITY_PERCENTILE_FILTER_THRESHOLD_SQL = QUALITY_PERCENTILE_FILTER_SQL
 
 
 # ------------------------------------------------------ incremental dedup
@@ -5520,6 +5618,245 @@ ORDER BY b.j_band
 MINHASH_ESTIMATOR_AUDIT_SQL = _minhash_estimator_audit_sql()
 
 
+# ------------------------------------ SimHash estimator-error audit
+
+SIMHASH_AUDIT_MOD = 10  # deterministic 1/10 doc_id sample
+C_BAND_W = 10  # cosine decile bands 0..10 (10 = exact-duplicate band)
+
+
+def _simhash_agree_theory_rows() -> list[tuple[int, float, float]]:
+    """(c_band, SRP theory bit-agreement 1 − arccos(c)/π at the decile
+    midpoint, binomial stderr sqrt(p(1−p)/{TX.SIMHASH_BITS})) — computed
+    ONCE in Python, fed to BOTH engines as literals so no transcendental
+    (arccos) ever crosses engines. Covers c_band 0..{C_BAND_W}
+    INCLUSIVE: exact-duplicate pairs land in FLOOR(1.0*W) = W, where
+    agreement is deterministic (p=1, se=0) — the authoring-time
+    exact-dup-band rule from the MinHash audit."""
+    import math
+
+    out = []
+    for cb in range(C_BAND_W + 1):
+        c = min((cb + 0.5) / C_BAND_W, 1.0)
+        p = 1.0 - math.acos(c) / math.pi
+        out.append(
+            (
+                cb,
+                round(p, 6),
+                round((p * (1.0 - p) / TX.SIMHASH_BITS) ** 0.5, 6),
+            )
+        )
+    return out
+
+
+def simhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation-error audit of the {TX.SIMHASH_BITS}-bit SimHash
+    sketch — the calibration proof `minhash_estimator_audit` gave the
+    MinHash tier, applied to the OTHER sketch family the dedup tier is
+    built on: per true-cosine decile (cosine between token-COUNT
+    vectors, the exact vector space SimHash's ±1 votes project), the
+    measured mean bit-agreement (1 − hamming/{TX.SIMHASH_BITS}) against
+    the sign-random-projection theory rate 1 − θ/π (Charikar 2002, the
+    rule `near_dup_simhash`'s chunk banding presumes), with the
+    binomial theory stderr — both theory columns Python literals in
+    both engines.
+
+    Pair universe: all pairs of the deterministic doc_id %
+    {SIMHASH_AUDIT_MOD} sample that share ≥1 token (a zero-overlap pair
+    has cosine exactly 0 and agreement at the chance rate — nothing to
+    calibrate). Exact cosine comes from an equi-join on the token hash
+    (pair cost = one row per shared distinct token, the
+    ngram_jaccard_pairs set-similarity-join shape — Σ posting² bounded
+    by token hotness, never corpus²); signatures reuse the
+    `near_dup_simhash` vote semantics (every occurrence votes, so the
+    projected vector IS the count vector) computed from the same
+    materialized (doc_id, h, n) frame. A production calibration job
+    bounds the sample COUNT (hash-threshold sample), not the fraction;
+    the plan is sample-size-bound. Exactness: dot/norms are integer
+    folds (bit-identical across engines), agreement k/{TX.SIMHASH_BITS}
+    and cosine ROUND(12) into DECIMAL accumulation, means ROUND(6)."""
+    d = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % SIMHASH_AUDIT_MOD == 0
+    )
+    tc = materialize(
+        d.select("doc_id", F.explode(TX.tokenize("text")).alias("t"))
+        .select("doc_id", TX.hash60("t").alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nrm = tc.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double")).alias("nrm")
+    )
+    dot = (
+        tc.alias("a")
+        .join(
+            tc.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
+    )
+    votes = tc.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("n"),
+                ).otherwise(-F.col("n"))
+            ).alias(f"v{i}")
+            for i in range(TX.SIMHASH_BITS)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(TX.SIMHASH_BITS)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    sig = votes.select("doc_id", total.alias("simhash"))
+    pairs = (
+        dot.join(
+            nrm.select(
+                F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            nrm.select(
+                F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")
+            ),
+            "doc_b",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("simhash").alias("sig_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("simhash").alias("sig_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")),
+                12,
+            ).alias("cos"),
+            (
+                (
+                    F.lit(TX.SIMHASH_BITS)
+                    - TX.hamming60(F.col("sig_a"), F.col("sig_b"))
+                )
+                / F.lit(float(TX.SIMHASH_BITS))
+            ).alias("agree"),
+        )
+    )
+    dec = "decimal(28,14)"
+    band = F.floor(F.col("cos") * C_BAND_W).cast("int").alias("c_band")
+    theory = spark.createDataFrame(
+        _simhash_agree_theory_rows(),
+        "c_band int, theory_agree double, theory_se double",
+    )
+    return (
+        pairs.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("cos").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cos"),
+            F.round(
+                F.sum(F.round(F.col("agree"), 12).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_agree"),
+        )
+        .join(F.broadcast(theory), "c_band")
+        .select(
+            "c_band", "n_pairs", "mean_cos", "mean_agree",
+            "theory_agree", "theory_se",
+        )
+        .orderBy("c_band")
+    )
+
+
+def _simhash_estimator_audit_sql() -> str:
+    theory_values = ", ".join(
+        f"({cb}, {p!r}, {se!r})"
+        for cb, p, se in _simhash_agree_theory_rows()
+    )
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {SIMHASH_AUDIT_MOD} = 0
+),
+toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tks FROM sampled
+),
+tc AS (
+  SELECT doc_id, {_d_hash60("t")} AS h, COUNT(*) AS n
+  FROM toks, UNNEST(tks) AS u(t)
+  GROUP BY 1, 2
+),
+nrm AS (SELECT doc_id, sqrt(CAST(SUM(n * n) AS DOUBLE)) AS nrm
+        FROM tc GROUP BY 1),
+dotp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.n * b.n) AS dot
+  FROM tc a JOIN tc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((h >> i) & 1) = 1 THEN n ELSE -n END) AS v
+  FROM tc, UNNEST(generate_series(0, {TX.SIMHASH_BITS - 1})) AS g(i)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i)
+                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+pairs AS (
+  SELECT ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cos,
+         ({TX.SIMHASH_BITS} - bit_count(xor(sa.simhash, sb.simhash)))
+           / {float(TX.SIMHASH_BITS)!r} AS agree
+  FROM dotp d
+  JOIN nrm na ON na.doc_id = d.doc_a
+  JOIN nrm nb ON nb.doc_id = d.doc_b
+  JOIN sig sa ON sa.doc_id = d.doc_a
+  JOIN sig sb ON sb.doc_id = d.doc_b
+),
+theory(c_band, theory_agree, theory_se) AS (VALUES {theory_values}),
+banded AS (
+  SELECT CAST(FLOOR(cos * {C_BAND_W}) AS INT) AS c_band,
+         COUNT(*) AS n_pairs,
+         ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,14))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_cos,
+         ROUND(CAST(SUM(CAST(ROUND(agree, 12) AS DECIMAL(28,14)))
+                    AS DOUBLE) / COUNT(*), 6) AS mean_agree
+  FROM pairs GROUP BY 1
+)
+SELECT b.c_band, b.n_pairs, b.mean_cos, b.mean_agree,
+       t.theory_agree, t.theory_se
+FROM banded b JOIN theory t USING (c_band)
+ORDER BY c_band
+"""
+
+
+SIMHASH_ESTIMATOR_AUDIT_SQL = _simhash_estimator_audit_sql()
+
+
 # --------------------------------- DSIR hashed n-gram importance weights
 
 # Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
@@ -5538,29 +5875,23 @@ DSIR_SELECT_DENOM = 5  # resample budget = top 1/5 of docs by weight
 _DSIR_SMOOTH_DENOM = DSIR_ALPHA * DSIR_BUCKETS  # 128.0, exact in double
 
 
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance resampling audit: per-source resampling
-    budget under hashed n-gram (unigram+bigram, {DSIR_BUCKETS}-bucket)
-    importance weights toward the '{DSIR_TARGET_LANG}' target
-    distribution — n_docs, mean log importance weight, docs selected
-    into the global top-1/{DSIR_SELECT_DENOM} resample, and each
-    source's share of that budget.
+def _dsir_docw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR weight construction: hashed n-gram (unigram+bigram,
+    {DSIR_BUCKETS}-bucket) log importance weights toward the
+    '{DSIR_TARGET_LANG}' target distribution. Returns one row per
+    corpus document: (doc_id, source, logw DECIMAL(28,14)).
 
-    Plan shape (100 TB): ONE corpus pass explodes n-grams into the
-    per-(doc, bucket) count frame, which is `materialize()`d and shared
-    by its four consumers (raw bucket rollup, target bucket rollup,
-    the two global totals, and the per-doc weighted sum) — per-doc
-    state is bounded by K={DSIR_BUCKETS} buckets, the distribution
-    frames are K rows, and lambda rides a broadcast join back onto the
-    count frame.  The global top-N window is the exact-spec selection;
-    at production scale the same decision is a threshold scan (compute
-    the cut weight from the sorted tail, as quality_percentile_filter
-    documents).  Determinism: ln smoothed ratios ROUND(12) per bucket,
-    per-doc terms ROUND(12) then DECIMAL-accumulated (partition-order
-    independent), selection ties broken on doc_id, outputs ROUND(6).
-
-    Reference basis: public DSIR paper; composes the feature-hash +
-    rollup + broadcast machinery already in this tier.
+    ONE corpus pass explodes n-grams into the per-(doc, bucket) count
+    frame, which is `materialize()`d and shared by its four consumers
+    (raw bucket rollup, target bucket rollup, the two global totals,
+    and the per-doc weighted sum) — per-doc state is bounded by
+    K={DSIR_BUCKETS} buckets, the distribution frames are K rows, and
+    lambda rides a broadcast join back onto the count frame.
+    Determinism: ln smoothed ratios ROUND(12) per bucket, per-doc terms
+    ROUND(12) then DECIMAL-accumulated (partition-order independent).
+    Consumed by `dsir_importance_weights` (exact-spec global ranking)
+    and `dsir_importance_weights_threshold` (the scale-safe
+    histogram-cut twin).
     """
     d = _docs(spark, sf_dir)
     toks = d.select(
@@ -5645,6 +5976,32 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("logw"), F.lit(0).cast(dec)).alias("logw"),
         )
     )
+    return docw
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling audit: per-source resampling
+    budget under hashed n-gram (unigram+bigram, {DSIR_BUCKETS}-bucket)
+    importance weights toward the '{DSIR_TARGET_LANG}' target
+    distribution — n_docs, mean log importance weight, docs selected
+    into the global top-1/{DSIR_SELECT_DENOM} resample, and each
+    source's share of that budget.
+
+    Plan shape (100 TB): weight construction is the shared
+    `_dsir_docw` pass (see its docstring — bounded per-doc state,
+    broadcast lambda). The selection here is the EXACT-SPEC form — a
+    global `row_number` window ordered by (logw desc, doc_id), which
+    funnels every doc's (logw, doc_id) through one task and is the
+    wrong shape at 100 TB; `dsir_importance_weights_threshold` is the
+    adjudicated scale-safe twin (6-dp histogram cut + boundary-bucket
+    tie-scan, identical output) — the `share_of_total` /
+    `share_of_total_broadcast` twin convention. Determinism:
+    selection ties broken on doc_id, outputs ROUND(6).
+
+    Reference basis: public DSIR paper; composes the feature-hash +
+    rollup + broadcast machinery already in this tier.
+    """
+    docw = _dsir_docw(spark, sf_dir)
     n_sel = docw.agg(
         F.floor(F.count(F.lit(1)) / DSIR_SELECT_DENOM)
         .cast("long")
@@ -5752,6 +6109,110 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+def dsir_importance_weights_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dsir_importance_weights`'s 100 TB form: the global top-1/
+    {DSIR_SELECT_DENOM} selection comes from a 6-dp logw HISTOGRAM cut
+    instead of ranking the whole corpus through one unpartitioned
+    `row_number` window. Identical output and oracle — the
+    `share_of_total` / `share_of_total_broadcast` twin convention.
+
+    Selection plan: (1) bucket every doc's logw to 6 dp and roll the
+    corpus up into a (bucket, count) histogram — one map-side-combined
+    shuffle whose key space is bounded by the 6-dp value range, not
+    the corpus; (2) a cumulative count over the histogram (window over
+    the BOUNDED histogram frame, descending buckets) finds the
+    boundary bucket where the running count first reaches
+    n_sel = floor(N/{DSIR_SELECT_DENOM}); (3) docs in strictly-higher
+    buckets are all selected via a broadcast-filter (ROUND is monotone,
+    so bucket(x) > bucket(cut) implies logw(x) > every boundary logw);
+    (4) the remaining slots come from a (logw desc, doc_id) tie-scan of
+    the boundary bucket ALONE — the only unpartitioned sort ranks that
+    single bucket's membership, not the corpus. Exactly the original's
+    (logw desc, doc_id) selection set: full-precision logw ties can
+    only occur inside one bucket. The docw frame is `materialize()`d —
+    histogram, n_sel, per-source base rollup and both selection
+    branches would each re-run the n-gram explode otherwise.
+    """
+    docw = materialize(
+        _dsir_docw(spark, sf_dir).withColumn("b", F.round(F.col("logw"), 6))
+    )
+    n_sel = docw.agg(
+        F.floor(F.count(F.lit(1)) / DSIR_SELECT_DENOM)
+        .cast("long")
+        .alias("n_sel")
+    )
+    hist = (
+        docw.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_sel))
+        .withColumn(
+            "cum", F.sum("n").over(Window.orderBy(F.col("b").desc()))
+        )
+    )
+    cut = hist.filter(F.col("cum") >= F.col("n_sel")).agg(
+        F.max("b").alias("b_cut")
+    )
+    cutinfo = hist.join(
+        F.broadcast(cut), F.col("b") == F.col("b_cut")
+    ).select(
+        "b_cut",
+        (F.col("n_sel") - (F.col("cum") - F.col("n"))).alias("r_slots"),
+    )
+    flagged = docw.crossJoin(F.broadcast(cutinfo))
+    upper = flagged.filter(F.col("b") > F.col("b_cut")).select(
+        "doc_id", "source"
+    )
+    boundary = (
+        flagged.filter(F.col("b") == F.col("b_cut"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("logw").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= F.col("r_slots"))
+        .select("doc_id", "source")
+    )
+    sel = (
+        upper.unionByName(boundary)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("logw").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logw"),
+        )
+        .join(sel, "source", "left")
+        .crossJoin(F.broadcast(n_sel))
+        .select(
+            "source",
+            "n_docs",
+            "mean_logw",
+            F.coalesce(F.col("n_selected"), F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.round(
+                F.coalesce(F.col("n_selected"), F.lit(0))
+                / F.col("n_sel").cast("double"),
+                6,
+            ).alias("budget_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# Intentionally the exact-spec global-rank SQL: a green differential
+# verdict on the threshold twin PROVES the histogram-cut selection set
+# equals the (logw desc, doc_id) global ranking's.
+DSIR_IMPORTANCE_WEIGHTS_THRESHOLD_SQL = DSIR_IMPORTANCE_WEIGHTS_SQL
 
 
 # --------------------------- interpolated n-gram LM perplexity gate

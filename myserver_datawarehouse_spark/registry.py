@@ -647,6 +647,17 @@ _SPECS: list[QuerySpec] = [
         "engines (covering the exact-dup band, se=0)",
     ),
     QuerySpec(
+        "simhash_estimator_audit",
+        LT.simhash_estimator_audit,
+        LT.SIMHASH_ESTIMATOR_AUDIT_SQL,
+        "sketch-tier accuracy audit for the SimHash estimator: per "
+        "true-cosine decile (token-count vector space), measured mean "
+        "bit-agreement vs the SRP theory rate 1 - theta/pi and its "
+        "binomial stderr as Python literals in both engines — the "
+        "calibration proof minhash_estimator_audit gave the MinHash "
+        "tier, for the other sketch family (exact-dup band covered)",
+    ),
+    QuerySpec(
         "dsir_importance_weights",
         LT.dsir_importance_weights,
         LT.DSIR_IMPORTANCE_WEIGHTS_SQL,
@@ -656,6 +667,16 @@ _SPECS: list[QuerySpec] = [
         "resampling budget; the data-driven middle of the mixture "
         "dial between data_mixture_rebalance and "
         "temperature_resampled_mix",
+    ),
+    QuerySpec(
+        "dsir_importance_weights_threshold",
+        LT.dsir_importance_weights_threshold,
+        LT.DSIR_IMPORTANCE_WEIGHTS_THRESHOLD_SQL,
+        "dsir_importance_weights' 100 TB form: 6-dp logw histogram "
+        "cut + boundary-bucket tie-scan instead of the global "
+        "unpartitioned ranking window — identical output, oracle is "
+        "the exact-spec rank SQL so the green verdict proves "
+        "algorithm equivalence (share_of_total twin convention)",
     ),
     QuerySpec(
         "ngram_lm_quality_gate",
@@ -702,6 +723,15 @@ _SPECS: list[QuerySpec] = [
         "corpus curation: per-lang top-quartile quality cut",
     ),
     QuerySpec(
+        "quality_percentile_filter_threshold",
+        LT.quality_percentile_filter_threshold,
+        LT.QUALITY_PERCENTILE_FILTER_THRESHOLD_SQL,
+        "quality_percentile_filter's 100 TB form: per-lang score-"
+        "histogram cut + boundary doc_id tie-scan instead of a full "
+        "per-lang sort — identical output, oracle is the exact-spec "
+        "rank SQL (share_of_total twin convention)",
+    ),
+    QuerySpec(
         "dedup_incremental_new_docs",
         LT.dedup_incremental_new_docs,
         LT.DEDUP_INCREMENTAL_NEW_DOCS_SQL,
@@ -718,6 +748,16 @@ _SPECS: list[QuerySpec] = [
         EM.kmeans_ivf_clusters,
         EM.KMEANS_IVF_CLUSTERS_SQL,
         "iterative ML: trained k-means coarse quantizer (Lloyd, exact)",
+    ),
+    QuerySpec(
+        "ivf_recluster_audit",
+        EM.ivf_recluster_audit,
+        EM.IVF_RECLUSTER_AUDIT_SQL,
+        "IVF index maintenance: batch re-cluster audit — seed-trained "
+        "vs full-retrained Lloyd quantizer over the whole corpus; "
+        "reassignment count, cell balance, quantization error and "
+        "recall@k vs the exact yardstick before/after (closes the "
+        "streaming_ivf_ingest n_would_move monitoring loop)",
     ),
     QuerySpec(
         "events_funnel_conversion",

@@ -96,6 +96,32 @@ ALLOW: dict[str, dict[str, str]] = {
         "per-doc weighted sum — without it each distribution estimate "
         "re-explodes the corpus"
     },
+    "dsir_importance_weights_threshold": {
+        "RDD_SCAN": _LC + "; the shared _dsir_docw count frame (as "
+        "dsir_importance_weights) PLUS the per-doc logw frame itself "
+        "— histogram, n_sel, per-source base rollup and both "
+        "selection branches would each re-run the n-gram explode "
+        "otherwise"
+    },
+    "quality_percentile_filter_threshold": {
+        "RDD_SCAN": _LC + "; the scored frame (one tokenize pass) "
+        "shared by the per-lang score histogram and both keep "
+        "branches (above-cut filter + boundary tie-scan)"
+    },
+    "simhash_estimator_audit": {
+        "RDD_SCAN": _LC + "; the sampled (doc_id, token-hash, count) "
+        "frame shared by the norm rollup, BOTH sides of the dot "
+        "equi-join and the 60-bit vote aggregate — the pair "
+        "yardstick and the signatures must project the SAME count "
+        "vectors"
+    },
+    "ivf_recluster_audit": {
+        "RDD_SCAN": _LC + "; the (vec_id, x, xx) corpus frame feeding "
+        "both Lloyd chains + both full assigns + the yardstick; both "
+        "trained centroid sets (k rows); both assignment frames "
+        "(stats + reassignment join + recall candidates); the exact "
+        "top-k yardstick shared by the two phase recall arms"
+    },
     "ngram_lm_quality_gate": {
         "RDD_SCAN": _LC + "; the trained LM's two vocabulary-bounded "
         "frames: the bigram count table (consumed by the context-"
@@ -257,6 +283,36 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "per-(doc,bucket) count frame: the target bucket rollup",
         "per-(doc,bucket) count frame: the global totals",
         "per-(doc,bucket) count frame: the per-doc weighted sum",
+    ),
+    "dsir_importance_weights_threshold": (
+        "per-(doc,bucket) count frame: the four _dsir_docw rollups "
+        "(as dsir_importance_weights)",
+        "per-doc logw frame: the 6-dp histogram",
+        "per-doc logw frame: the n_sel count",
+        "per-doc logw frame: the per-source base rollup",
+        "per-doc logw frame: the above-cut selection branch",
+        "per-doc logw frame: the boundary-bucket tie-scan",
+    ),
+    "quality_percentile_filter_threshold": (
+        "scored frame: the per-(lang, score) histogram",
+        "scored frame: the above-cut keep branch",
+        "scored frame: the boundary-score tie-scan",
+    ),
+    "simhash_estimator_audit": (
+        "token-count frame: the per-doc norm rollup",
+        "token-count frame: both sides of the dot equi-join",
+        "token-count frame: the 60-bit vote aggregate",
+    ),
+    "ivf_recluster_audit": (
+        "corpus (vec_id, x, xx) frame: the seed Lloyd chain",
+        "corpus (vec_id, x, xx) frame: the full-retrain Lloyd chain",
+        "corpus (vec_id, x, xx) frame: both final assignments + the "
+        "exact yardstick pairs",
+        "trained centroid sets: final assign + probe-cell ranking "
+        "(x2 phases)",
+        "assignment frames: cell stats + reassignment join + recall "
+        "candidates (x2 phases)",
+        "exact top-k yardstick: the before/after hit semi-joins",
     ),
     "ngram_lm_quality_gate": (
         "bigram count table: the context-total rollup",
