@@ -3092,7 +3092,9 @@ def ivf_recluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
         )
         return (
-            topk.join(exact_topk, ["query_id", "vec_id"], "left_semi")
+            topk.join(
+                F.broadcast(exact_topk), ["query_id", "vec_id"], "left_semi"
+            )
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(
                 F.round(

@@ -6190,7 +6190,7 @@ def dsir_importance_weights_threshold(
                 F.sum("logw").cast("double") / F.count(F.lit(1)), 6
             ).alias("mean_logw"),
         )
-        .join(sel, "source", "left")
+        .join(F.broadcast(sel), "source", "left")
         .crossJoin(F.broadcast(n_sel))
         .select(
             "source",
