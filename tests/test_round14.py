@@ -94,6 +94,80 @@ def test_simhash_theory_covers_all_bands_including_exact_dup():
     assert rows[-1][1] == 1.0 and rows[-1][2] == 0.0
 
 
+def test_simhash_audit_signatures_match_near_dup_simhash(spark):
+    """Drift detector: the audit computes SimHash votes from the
+    COUNT-weighted (doc_id, token-hash, n) frame, near_dup_simhash from
+    per-occurrence explode rows — mathematically the same projection.
+    Pin the signatures equal on the sampled docs so the two copies can
+    never drift apart silently (the minhash_estimator_audit role)."""
+    from pyspark.sql import functions as F
+
+    from myserver_datawarehouse_spark.operators import text as TX
+
+    d = (
+        LT._docs(spark, SF)
+        .filter(F.col("doc_id") % LT.SIMHASH_AUDIT_MOD == 0)
+        .select("doc_id", F.explode(TX.tokenize("text")).alias("t"))
+        .select("doc_id", TX.hash60("t").alias("h"))
+    )
+    # near_dup_simhash's per-occurrence vote form
+    occ_votes = d.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(TX.SIMHASH_BITS)
+        ]
+    )
+    # the audit's count-weighted form
+    tc = d.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("n"))
+    cnt_votes = tc.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("n"),
+                ).otherwise(-F.col("n"))
+            ).alias(f"v{i}")
+            for i in range(TX.SIMHASH_BITS)
+        ]
+    )
+    a = sorted(map(tuple, occ_votes.collect()))
+    b = sorted(map(tuple, cnt_votes.collect()))
+    assert a == b
+
+
+def test_round14_plan_shapes(spark):
+    """Load-bearing plan properties of the round-14 queries: heavy
+    kernels (explodes) live only behind the materialize() cuts — the
+    FINAL plans contain none — and the provably-tiny frames ride
+    broadcasts, not SortMergeJoins (checkpointed frames have no size
+    stats, so without the hints Spark plans SMJ)."""
+    import re
+
+    from myserver_datawarehouse_spark.plans import embeddings as EM
+    from tests.test_plan_shapes import plan_of
+
+    p_dsir = plan_of(LT.dsir_importance_weights_threshold(spark, SF))
+    assert not re.search(r"Generate (pos)?explode", p_dsir)
+    assert "SortMergeJoin" not in p_dsir
+
+    p_qpf = plan_of(LT.quality_percentile_filter_threshold(spark, SF))
+    assert not re.search(r"Generate (pos)?explode", p_qpf)
+    assert "SortMergeJoin" not in p_qpf
+
+    p_sim = plan_of(LT.simhash_estimator_audit(spark, SF))
+    assert not re.search(r"Generate (pos)?explode", p_sim)
+    assert "SortMergeJoin" not in p_sim
+
+    p_ivf = plan_of(EM.ivf_recluster_audit(spark, SF))
+    assert not re.search(r"Generate (pos)?explode", p_ivf)
+    # the corpus-sized reassignment join legs are the ONLY sort-merge
+    assert p_ivf.count("SortMergeJoin") <= 2
+
+
 def test_simhash_agreement_tracks_srp_theory(spark):
     """On bands with real mass, measured bit-agreement must sit within
     2 per-pair theory stderr of the 1 − θ/π rate and be monotone in the
