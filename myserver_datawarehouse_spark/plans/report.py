@@ -140,6 +140,83 @@ ORDER BY ranking, minute_count DESC, source
 """
 
 
+def chart_clock_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11's data side as a first-class query: the EXACT numbers the
+    pie-on-clock renderer consumes (cheap_expensive_chart.py:205-247),
+    computed in-plan instead of driver-side matplotlib state — per
+    (ranking, slice): the legend label ``source (HH:MM)``, the wedge
+    fraction, and the wedge's [theta1, theta2) angles under
+    matplotlib's convention (startangle=90, counterclockwise), in the
+    reference's slice order (minute_count DESC; source tie-break added
+    for determinism).
+
+    Plan: composes the adjudicated `ranking_report` output — one
+    bounded frame per ranking (|sources| slices), so the windows here
+    run over slice-count rows, never facts. Angles derive from
+    INTEGER cumulative minute counts divided once at the edge
+    (identical IEEE expression tree in both engines), ROUND(6).
+    """
+    rr = ranking_report(spark, sf_dir)
+    wr = Window.partitionBy("ranking")
+    word = wr.orderBy(F.col("minute_count").desc(), "source")
+    s = rr.select(
+        "ranking",
+        "source",
+        "color",
+        "minute_count",
+        F.concat(
+            F.col("source"), F.lit(" ("), F.col("duration"), F.lit(")")
+        ).alias("label"),
+        F.row_number().over(word).cast("long").alias("slice_order"),
+        F.sum("minute_count").over(wr).alias("t"),
+        (F.sum("minute_count").over(word) - F.col("minute_count")).alias(
+            "cb"
+        ),
+        F.sum("minute_count").over(word).alias("ci"),
+    )
+    return s.select(
+        "ranking",
+        "slice_order",
+        "source",
+        "color",
+        "label",
+        F.round(
+            F.col("minute_count").cast("double") / F.col("t"), 6
+        ).alias("frac"),
+        F.round(
+            F.lit(90.0)
+            + F.lit(360.0) * (F.col("cb").cast("double") / F.col("t")),
+            6,
+        ).alias("theta1"),
+        F.round(
+            F.lit(90.0)
+            + F.lit(360.0) * (F.col("ci").cast("double") / F.col("t")),
+            6,
+        ).alias("theta2"),
+    ).orderBy("ranking", "slice_order")
+
+
+CHART_CLOCK_PAYLOAD_SQL = f"""
+WITH rr AS ({RANKING_REPORT_SQL}),
+s AS (
+  SELECT ranking, source, color, minute_count,
+         source || ' (' || duration || ')' AS label,
+         ROW_NUMBER() OVER w AS slice_order,
+         SUM(minute_count) OVER (PARTITION BY ranking) AS t,
+         SUM(minute_count) OVER w - minute_count AS cb,
+         SUM(minute_count) OVER w AS ci
+  FROM rr
+  WINDOW w AS (PARTITION BY ranking ORDER BY minute_count DESC, source)
+)
+SELECT ranking, slice_order, source, color, label,
+       ROUND(CAST(minute_count AS DOUBLE) / t, 6) AS frac,
+       ROUND(90.0 + 360.0 * (CAST(cb AS DOUBLE) / t), 6) AS theta1,
+       ROUND(90.0 + 360.0 * (CAST(ci AS DOUBLE) / t), 6) AS theta2
+FROM s
+ORDER BY ranking, slice_order
+"""
+
+
 def freshness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/A6: per-type freshness + range probe — MAX(timestamp) is the
     reference's staleness check (fact_gold_price.py:446-452)."""

@@ -371,6 +371,15 @@ _SPECS: list[QuerySpec] = [
         FL.PIPELINE_VALIDATION_SQL,
         "V1/V2/V3",
     ),
+    QuerySpec(
+        "pipeline_status_alerts",
+        FL.pipeline_status_alerts,
+        FL.PIPELINE_STATUS_ALERTS_SQL,
+        "S12's data side as a query: per-check task ledger + the "
+        "assembled DAG status message (telegram_alert.py format) with "
+        "the Telegram caption/chunk caps computed in-plan; both "
+        "message branches exercised across the shipped fixtures",
+    ),
     QuerySpec("dedup_exact", LT.dedup_exact, LT.DEDUP_EXACT_SQL, "LLM exact dedup"),
     QuerySpec(
         "near_dup_minhash_lsh",
@@ -595,6 +604,15 @@ _SPECS: list[QuerySpec] = [
         RP.ranking_report,
         RP.RANKING_REPORT_SQL,
         "W1-W3/P14/P15 composed report",
+    ),
+    QuerySpec(
+        "chart_clock_payload",
+        RP.chart_clock_payload,
+        RP.CHART_CLOCK_PAYLOAD_SQL,
+        "S11's data side as a query: the pie-on-clock renderer's exact "
+        "per-slice payload (legend label, fraction, matplotlib "
+        "startangle-90 wedge angles) composed over ranking_report — "
+        "bounded slice-count windows only",
     ),
     QuerySpec(
         "freshness_probe", RP.freshness_probe, RP.FRESHNESS_PROBE_SQL, "A6/A7"

@@ -84,6 +84,62 @@ def test_ivf_recluster_retrain_buys_error_not_regression(spark):
         assert r.max_cell <= r.n_vecs
 
 
+# ----------------------------- S11/S12 sink data-side query surfaces
+
+
+def test_chart_clock_payload_wedge_geometry(spark):
+    """Per ranking: slices start at matplotlib's startangle 90, end at
+    450 (= 90 + 360), are contiguous (each wedge starts where the
+    previous ended), and fractions sum to ~1 — the invariants the
+    renderer silently assumes."""
+    from myserver_datawarehouse_spark.plans import report as RP
+
+    rows = RP.chart_clock_payload(spark, SF).collect()
+    by_ranking = {}
+    for r in rows:
+        by_ranking.setdefault(r.ranking, []).append(r)
+    assert set(by_ranking) == {"cheap", "expensive"}
+    for slices in by_ranking.values():
+        slices.sort(key=lambda r: r.slice_order)
+        assert slices[0].theta1 == 90.0
+        assert slices[-1].theta2 == 450.0
+        for a, b in zip(slices, slices[1:]):
+            assert a.theta2 == b.theta1
+        assert abs(sum(r.frac for r in slices) - 1.0) < 1e-4
+        assert all("(" in r.label and r.label.endswith(")") for r in slices)
+
+
+def test_pipeline_status_alerts_message_assembly(spark):
+    """The DAG row's message must re-assemble from the task rows by the
+    reference's exact rule (telegram_alert.py:181-207): ✅ + 'Completed
+    successfully' when every check passed, else ❌ + the failed check
+    names in check order. sf0.001's closed hour fails two checks, so
+    the ❌ branch is live here, and the caps hold on every row."""
+    from myserver_datawarehouse_spark.plans import flagship as FL
+
+    rows = FL.pipeline_status_alerts(spark, SF).collect()
+    tasks = [r for r in rows if r.scope == "task"]
+    dag = [r for r in rows if r.scope == "dag"]
+    assert len(tasks) == 4 and len(dag) == 1
+    dag = dag[0]
+    failed = [t.name for t in sorted(tasks, key=lambda t: t.alert_order)
+              if not t.passed]
+    if not failed:
+        expected = f"✅ {FL.ALERT_PIPE_NAME} - Completed successfully"
+    else:
+        expected = (
+            f"❌ {FL.ALERT_PIPE_NAME} - Failed "
+            f"(Failed tasks: {', '.join(failed)})"
+        )
+    assert dag.message == expected
+    assert dag.passed == (not failed)
+    assert failed == ["completeness", "interpolation_bounded"]  # sf0.001
+    for r in rows:
+        assert r.caption == r.message[:1024]
+        assert r.msg_len == len(r.message)
+        assert r.n_chunks == (len(r.message) + 4095) // 4096
+
+
 # --------------------------------------- SimHash estimator audit
 
 
