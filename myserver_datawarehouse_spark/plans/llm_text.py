@@ -7500,3 +7500,390 @@ ORDER BY l.config, l.j_band
 
 
 LSH_BAND_TUNING_SQL = _lsh_band_tuning_sql()
+
+
+# ---------------------------- seed-set quality classifier (GPT-3 style)
+
+# The production bootstrap for corpus-quality filtering at 100 TB: an
+# expensive/heuristic gate labels a seed set, a CHEAP discriminative
+# classifier is fit on it, and the classifier scores the whole corpus
+# (GPT-3's WebText-vs-CommonCrawl logistic filter; LLaMA's "looks like
+# a reference" classifier; CCNet's fastText stage). Here the seed gate
+# is the engine's own Gopher rule, the classifier is a two-class
+# multinomial Naive Bayes (the naive_bayes_langid machinery with
+# pass/fail as the classes), and the deliverable is the CALIBRATION
+# table: per fixed-width ln-odds band of the held-out half, how often
+# does the cheap score agree with the real gate?
+
+SEEDSET_BAND_WIDTH = 1.0  # ln-odds per calibration band
+SEEDSET_BAND_CLAMP = 6  # bands clamped to [-6, 6]
+
+
+def seedset_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-set quality classifier calibration: fit a two-class
+    multinomial NB (Laplace +1) on the even-doc_id half labeled by the
+    Gopher gate (expression-identical to `gopher_quality_flags` /
+    `quality_filter_agreement` — pinned by test), score the odd half
+    with the sparse log-odds
+      score(d) = lnprior + sum_{t in d} [ln(c_t+ +1) - ln(c_t- +1)]
+                 - m * [ln(n+ + V) - ln(n- + V)]
+    and report per fixed-width score band (width {SEEDSET_BAND_WIDTH},
+    clamped to ±{SEEDSET_BAND_CLAMP}) the held-out doc count, the
+    count the real gate passes, the pass rate, and the mean score —
+    the monotone calibration curve that justifies replacing the gate
+    with the classifier at scale.
+
+    Scale (100 TB): one token explode shared by labeling and scoring;
+    the model is ONE vocab-bounded (token, c+, c-) frame plus a 1-row
+    broadcast of (lnprior, lnden); scoring is a token-keyed join +
+    per-doc rollup; banding is a map-side floor — NO global sort or
+    ranking window anywhere (the band grid replaces NTILE exactly the
+    way the threshold twins replace their ranking windows). Every ln
+    is ROUND({NB_LOG_DP})-then-DECIMAL before accumulation (the
+    engine's float policy), so band assignment is bit-stable.
+    """
+    d = _docs(spark, sf_dir)
+    tks = TX.tokenize("text")
+    n_tok_c = F.size(tks)
+    n_chars_c = F.length(TX.normalize_text("text")) - (n_tok_c - F.lit(1))
+    n_stop_c = F.size(
+        F.array_intersect(tks, F.array(*[F.lit(s) for s in TX.STOPWORDS]))
+    )
+    lab = d.select(
+        "doc_id",
+        tks.alias("tks"),
+        (
+            (n_tok_c >= GOPHER_MIN_TOKENS)
+            & (n_tok_c <= GOPHER_MAX_TOKENS)
+            & (n_chars_c >= n_tok_c * GOPHER_MWL_MIN)
+            & (n_chars_c <= n_tok_c * GOPHER_MWL_MAX)
+            & (n_stop_c >= GOPHER_MIN_STOPWORD_HITS)
+        ).alias("passed"),
+    )
+    tok = lab.select(
+        "doc_id", "passed", F.explode("tks").alias("t")
+    ).filter(F.col("t") != "")
+    train = tok.filter(F.col("doc_id") % 2 == 0)
+    test = tok.filter(F.col("doc_id") % 2 == 1)
+    # Narrow decimals on purpose: ln values are < 100, m < 10^6, so
+    # (19,12) x (6,0) and the (19,12)+(31,12) addition chain never
+    # exceed precision 38 — Spark's allowPrecisionLoss can then never
+    # shave scale below 12 (the bug class a (28,12) x long multiply
+    # hits: precision 49 -> capped 38 with SCALE loss, diverging from
+    # DuckDB's exact decimal arithmetic in the 12th dp).
+    dec = f"decimal(19,{NB_LOG_DP})"
+    counts = train.groupBy("t").agg(
+        F.sum(F.col("passed").cast("long")).alias("cp"),
+        F.sum((~F.col("passed")).cast("long")).alias("cn"),
+    )
+    lnr = counts.select(
+        "t",
+        (
+            F.round(F.log(F.col("cp") + 1), NB_LOG_DP).cast(dec)
+            - F.round(F.log(F.col("cn") + 1), NB_LOG_DP).cast(dec)
+        ).alias("lnr"),
+    )
+    g = counts.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pr = (
+        train.select("doc_id", "passed")
+        .distinct()
+        .agg(
+            F.sum(F.col("passed").cast("long")).alias("dp"),
+            F.sum((~F.col("passed")).cast("long")).alias("dn"),
+        )
+    )
+    model = g.crossJoin(F.broadcast(pr)).select(
+        (
+            F.round(F.log(F.col("dp") + F.lit(1.0)), NB_LOG_DP).cast(dec)
+            - F.round(F.log(F.col("dn") + F.lit(1.0)), NB_LOG_DP).cast(dec)
+        ).alias("lnprior"),
+        (
+            F.round(
+                F.log((F.col("np") + F.col("v")).cast("double")), NB_LOG_DP
+            ).cast(dec)
+            - F.round(
+                F.log((F.col("nn") + F.col("v")).cast("double")), NB_LOG_DP
+            ).cast(dec)
+        ).alias("lnden"),
+    )
+    s = (
+        test.join(lnr, "t")
+        .groupBy("doc_id")
+        .agg(F.sum("lnr").alias("s1"), F.count(F.lit(1)).alias("m"))
+    )
+    docs_test = lab.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "passed"
+    )
+    scored = (
+        docs_test.join(s, "doc_id", "left")
+        .crossJoin(F.broadcast(model))
+        .select(
+            "passed",
+            (
+                F.col("lnprior")
+                + F.coalesce(F.col("s1"), F.lit(0).cast(dec))
+                - F.coalesce(F.col("m"), F.lit(0)).cast("decimal(6,0)")
+                * F.col("lnden")
+            ).alias("score"),
+        )
+    )
+    band = F.least(
+        F.greatest(
+            F.floor(
+                F.col("score").cast("double") / SEEDSET_BAND_WIDTH
+            ).cast("long"),
+            F.lit(-SEEDSET_BAND_CLAMP).cast("long"),
+        ),
+        F.lit(SEEDSET_BAND_CLAMP).cast("long"),
+    )
+    return (
+        scored.select(band.alias("band"), "passed", "score")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passed").cast("long")).alias("n_pass"),
+            F.sum("score").alias("ssum"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_pass",
+            F.round(
+                F.col("n_pass") / F.col("n_docs").cast("double"), 6
+            ).alias("pass_rate"),
+            F.round(F.col("ssum").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_score"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+SEEDSET_QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+feat AS (
+  SELECT doc_id, tks, len(tks) AS n_tok,
+         length(norm) - (len(tks) - 1) AS n_chars,
+         len(list_intersect(tks, {_STOP_LIST_SQL})) AS n_stop
+  FROM toks
+),
+lab AS (
+  SELECT doc_id, tks,
+         (n_tok >= {GOPHER_MIN_TOKENS} AND n_tok <= {GOPHER_MAX_TOKENS}
+          AND n_chars >= n_tok * {GOPHER_MWL_MIN}
+          AND n_chars <= n_tok * {GOPHER_MWL_MAX}
+          AND n_stop >= {GOPHER_MIN_STOPWORD_HITS}) AS passed
+  FROM feat
+),
+tok0 AS (SELECT doc_id, passed, unnest(tks) AS t FROM lab),
+tok AS (SELECT * FROM tok0 WHERE t <> ''),
+train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+counts AS (
+  SELECT t, CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM train GROUP BY 1
+),
+lnr AS (
+  SELECT t,
+         CAST(ROUND(ln(cp + 1), {NB_LOG_DP}) AS DECIMAL(19,{NB_LOG_DP}))
+         - CAST(ROUND(ln(cn + 1), {NB_LOG_DP}) AS DECIMAL(19,{NB_LOG_DP}))
+           AS lnr
+  FROM counts
+),
+g AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+         COUNT(*) AS v
+  FROM counts
+),
+pr AS (
+  SELECT CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         CAST(SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END) AS BIGINT) AS dn
+  FROM (SELECT DISTINCT doc_id, passed FROM train)
+),
+model AS (
+  SELECT CAST(ROUND(ln(dp + 1.0), {NB_LOG_DP}) AS DECIMAL(19,{NB_LOG_DP}))
+         - CAST(ROUND(ln(dn + 1.0), {NB_LOG_DP})
+                AS DECIMAL(19,{NB_LOG_DP})) AS lnprior,
+         CAST(ROUND(ln(CAST(np + v AS DOUBLE)), {NB_LOG_DP})
+              AS DECIMAL(19,{NB_LOG_DP}))
+         - CAST(ROUND(ln(CAST(nn + v AS DOUBLE)), {NB_LOG_DP})
+                AS DECIMAL(19,{NB_LOG_DP})) AS lnden
+  FROM g, pr
+),
+test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+s AS (
+  SELECT te.doc_id, SUM(l.lnr) AS s1, COUNT(*) AS m
+  FROM test te JOIN lnr l USING (t) GROUP BY 1
+),
+docs_test AS (SELECT doc_id, passed FROM lab WHERE doc_id % 2 = 1),
+scored AS (
+  SELECT d.passed,
+         m0.lnprior
+         + COALESCE(s.s1, CAST(0 AS DECIMAL(19,{NB_LOG_DP})))
+         - CAST(COALESCE(s.m, 0) AS DECIMAL(6,0)) * m0.lnden AS score
+  FROM docs_test d LEFT JOIN s USING (doc_id), model m0
+),
+banded AS (
+  SELECT LEAST(GREATEST(
+           CAST(floor(CAST(score AS DOUBLE) / {SEEDSET_BAND_WIDTH!r})
+                AS BIGINT),
+           {-SEEDSET_BAND_CLAMP}), {SEEDSET_BAND_CLAMP}) AS band,
+         passed, score
+  FROM scored
+)
+SELECT band, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS pass_rate,
+       ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS mean_score
+FROM banded GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------- UniMax language mixture
+
+# UniMax (Chung et al., "UniMax: Fairer and More Effective Language
+# Sampling for Large-Scale Multilingual Pretraining", ICLR 2023):
+# spread the token budget UNIFORMLY across languages, cap every
+# language at a fixed epoch count, and waterfill the surplus from
+# capped (low-resource) languages into the rest — the principled
+# alternative to temperature sampling that this tier already ships
+# (temperature_resampled_mix / training_epoch_plan are the alpha-temp
+# arms; this is the uniform-with-caps arm, completing the mixture
+# family: alpha=0, alpha-temp, DSIR data-driven, UniMax).
+
+UNIMAX_BUDGET_MULT = EPOCH_BUDGET_MULT  # same 2x corpus-token budget
+UNIMAX_EPOCH_CAP_NUM = 5  # per-language cap = 5/2 = 2.5 epochs —
+UNIMAX_EPOCH_CAP_DEN = 2  # .5-multiples stay EXACT in doubles
+
+
+def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax allocation over languages: water level theta solves
+    sum_l min(cap_l, theta) = budget, computed in closed form as
+    theta = MAX over languages (sorted by cap ascending) of
+    (budget - cum_cap_below) / (n_langs - k + 1) — the standard
+    waterfilling identity; alloc_l = min(cap_l, theta). Languages
+    whose 2.5-epoch cap sits under the water line are capped (the
+    low-resource branch); the rest absorb the redistributed surplus
+    (both branches are live at every shipped scale — the 'en'-heavy
+    corpus caps the four smaller languages at sf0.01/sf0.1).
+
+    Scale (100 TB): ONE corpus pass to per-language token totals
+    (map-side partials into a |langs|-row frame); the waterfilling
+    window runs over that |langs|-row frame ONLY — never facts — the
+    same bounded-window discipline as `chart_clock_payload`'s slice
+    windows. Determinism: integer token counts; caps are exact
+    .5-multiples in doubles; theta's division is one IEEE expression
+    identical in both engines; outputs ROUND(6)/ROUND(1)/ROUND(0).
+    """
+    d = _docs(spark, sf_dir)
+    totals = (
+        d.select(
+            "lang",
+            F.size(TX.tokenize("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("src_tokens"))
+    )
+    caps = totals.select(
+        "lang",
+        "src_tokens",
+        (
+            F.col("src_tokens").cast("double")
+            * UNIMAX_EPOCH_CAP_NUM
+            / UNIMAX_EPOCH_CAP_DEN
+        ).alias("cap_tokens"),
+    )
+    g = caps.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    word = Window.orderBy("cap_tokens", "lang")
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        caps.crossJoin(F.broadcast(g))
+        .select(
+            "lang",
+            "src_tokens",
+            "cap_tokens",
+            "total_tokens",
+            "n_langs",
+            F.sum("cap_tokens").over(wcum).alias("cum_cap"),
+            F.row_number().over(word).cast("long").alias("k"),
+        )
+    )
+    budget = F.col("total_tokens").cast("double") * UNIMAX_BUDGET_MULT
+    cand = ranked.select(
+        "*",
+        (
+            (budget - (F.col("cum_cap") - F.col("cap_tokens")))
+            / (F.col("n_langs") - F.col("k") + 1)
+        ).alias("theta_cand"),
+    )
+    theta = cand.agg(F.max("theta_cand").alias("theta"))
+    alloc = F.least(F.col("cap_tokens"), F.col("theta"))
+    return (
+        cand.crossJoin(F.broadcast(theta))
+        .select(
+            "lang",
+            "src_tokens",
+            F.round("cap_tokens", 1).alias("cap_tokens"),
+            F.round("theta", 6).alias("theta_tokens"),
+            F.round(alloc, 0).cast("long").alias("alloc_tokens"),
+            F.round(
+                alloc / F.col("src_tokens").cast("double"), 6
+            ).alias("epochs_served"),
+            (F.col("cap_tokens") <= F.col("theta")).alias("is_capped"),
+        )
+        .orderBy("lang")
+    )
+
+
+UNIMAX_MIXTURE_PLAN_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+  FROM per_doc GROUP BY 1
+),
+caps AS (
+  SELECT lang, src_tokens,
+         CAST(src_tokens AS DOUBLE) * {UNIMAX_EPOCH_CAP_NUM}
+           / {UNIMAX_EPOCH_CAP_DEN} AS cap_tokens
+  FROM tot
+),
+g AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_langs
+  FROM caps
+),
+ranked AS (
+  SELECT lang, src_tokens, cap_tokens, total_tokens, n_langs,
+         SUM(cap_tokens) OVER
+           (ORDER BY cap_tokens, lang ROWS UNBOUNDED PRECEDING) AS cum_cap,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS k
+  FROM caps, g
+),
+cand AS (
+  SELECT *,
+         (CAST(total_tokens AS DOUBLE) * {UNIMAX_BUDGET_MULT}
+          - (cum_cap - cap_tokens)) / (n_langs - k + 1) AS theta_cand
+  FROM ranked
+),
+th AS (SELECT MAX(theta_cand) AS theta FROM cand)
+SELECT lang, src_tokens,
+       ROUND(cap_tokens, 1) AS cap_tokens,
+       ROUND(theta, 6) AS theta_tokens,
+       CAST(ROUND(LEAST(cap_tokens, theta), 0) AS BIGINT) AS alloc_tokens,
+       ROUND(LEAST(cap_tokens, theta) / src_tokens, 6) AS epochs_served,
+       cap_tokens <= theta AS is_capped
+FROM cand, th
+ORDER BY lang
+"""

@@ -725,6 +725,28 @@ _SPECS: list[QuerySpec] = [
         "pretrain data card documents",
     ),
     QuerySpec(
+        "unimax_mixture_plan",
+        LT.unimax_mixture_plan,
+        LT.UNIMAX_MIXTURE_PLAN_SQL,
+        "corpus assembly: UniMax language allocation — uniform token "
+        "budget with a 2.5-epoch per-language cap, surplus waterfilled "
+        "via the closed-form water level over the |langs|-row totals "
+        "frame (both capped and uncapped branches live at every "
+        "shipped scale); completes the mixture dial alongside alpha=0, "
+        "alpha-temp, and DSIR",
+    ),
+    QuerySpec(
+        "seedset_quality_classifier",
+        LT.seedset_quality_classifier,
+        LT.SEEDSET_QUALITY_CLASSIFIER_SQL,
+        "corpus curation: GPT-3-style seed-set quality classifier — "
+        "two-class multinomial NB fit on the Gopher-gate-labeled even "
+        "half, held-out odd half scored by sparse log-odds, reported "
+        "as the fixed-width score-band calibration curve (band grid "
+        "instead of NTILE: no global sort; gate expression pinned to "
+        "gopher_quality_flags by test)",
+    ),
+    QuerySpec(
         "quality_filter_agreement",
         LT.quality_filter_agreement,
         LT.QUALITY_FILTER_AGREEMENT_SQL,

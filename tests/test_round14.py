@@ -240,3 +240,104 @@ def test_simhash_agreement_tracks_srp_theory(spark):
         assert abs(r.mean_agree - r.theory_agree) <= 2 * r.theory_se, r
     agrees = [r.mean_agree for r in sorted(rows, key=lambda r: r.c_band)]
     assert agrees == sorted(agrees)
+
+
+# ------------------- UniMax mixture + seed-set quality classifier
+
+
+def _py_docs():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(SF + "/documents.parquet").to_pylist()
+
+
+def _py_norm_tokens(text):
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    return norm, norm.split(" ")
+
+
+def test_unimax_waterfilling_matches_python_recompute(spark):
+    """The closed-form water level (theta = MAX of the sorted-cumulative
+    candidates) must equal a direct pure-Python waterfill over the same
+    per-language token totals — allocation, cap flags, and theta all
+    pinned exactly, and both branches (capped low-resource languages vs
+    uncapped absorbers) must be live on the fixture."""
+    import math
+
+    totals = {}
+    for r in _py_docs():
+        _, tks = _py_norm_tokens(r["text"])
+        totals[r["lang"]] = totals.get(r["lang"], 0) + len(tks)
+    caps = {
+        lang: n * LT.UNIMAX_EPOCH_CAP_NUM / LT.UNIMAX_EPOCH_CAP_DEN
+        for lang, n in totals.items()
+    }
+    budget = float(sum(totals.values()) * LT.UNIMAX_BUDGET_MULT)
+    order = sorted(caps, key=lambda lang: (caps[lang], lang))
+    n = len(order)
+    theta, cum = None, 0.0
+    for k, lang in enumerate(order, start=1):
+        cand = (budget - cum) / (n - k + 1)
+        theta = cand if theta is None else max(theta, cand)
+        cum += caps[lang]
+
+    rows = {r.lang: r for r in LT.unimax_mixture_plan(spark, SF).collect()}
+    assert set(rows) == set(totals)
+    for lang, r in rows.items():
+        alloc = min(caps[lang], theta)
+        assert r.src_tokens == totals[lang]
+        assert r.alloc_tokens == int(math.floor(alloc + 0.5))
+        assert abs(r.theta_tokens - theta) < 1e-6
+        assert abs(r.epochs_served - alloc / totals[lang]) < 1e-6
+        assert r.is_capped == (caps[lang] <= theta)
+        assert (
+            r.epochs_served
+            <= LT.UNIMAX_EPOCH_CAP_NUM / LT.UNIMAX_EPOCH_CAP_DEN + 1e-9
+        )
+    flags = {r.is_capped for r in rows.values()}
+    assert flags == {True, False}  # both branches live on the fixture
+    served = sum(min(caps[lg], theta) for lg in order)
+    assert served <= budget + 1e-6  # never over-allocates the budget
+
+
+def test_seedset_classifier_calibration_and_gate_pin(spark):
+    """The held-out banding must cover every odd doc exactly once, the
+    per-band gate counts must sum to a pure-Python recompute of the
+    Gopher gate over the odd half (pinning the embedded gate expression
+    to the real rule), the in-row arithmetic must hold, and the top
+    band must beat the bottom band's pass rate (the classifier carries
+    real signal, not noise)."""
+    from myserver_datawarehouse_spark.operators.text import STOPWORDS
+
+    n_odd, n_odd_pass = 0, 0
+    for r in _py_docs():
+        if r["doc_id"] % 2 == 0:
+            continue
+        n_odd += 1
+        norm, tks = _py_norm_tokens(r["text"])
+        n_tok = len(tks)
+        n_chars = len(norm) - (n_tok - 1)
+        n_stop = len(set(STOPWORDS).intersection(tks))
+        if (
+            LT.GOPHER_MIN_TOKENS <= n_tok <= LT.GOPHER_MAX_TOKENS
+            and LT.GOPHER_MWL_MIN * n_tok
+            <= n_chars
+            <= LT.GOPHER_MWL_MAX * n_tok
+            and n_stop >= LT.GOPHER_MIN_STOPWORD_HITS
+        ):
+            n_odd_pass += 1
+
+    rows = sorted(
+        LT.seedset_quality_classifier(spark, SF).collect(),
+        key=lambda r: r.band,
+    )
+    assert sum(r.n_docs for r in rows) == n_odd
+    assert sum(r.n_pass for r in rows) == n_odd_pass
+    for r in rows:
+        assert -LT.SEEDSET_BAND_CLAMP <= r.band <= LT.SEEDSET_BAND_CLAMP
+        assert 0 <= r.n_pass <= r.n_docs
+        assert abs(r.pass_rate - r.n_pass / r.n_docs) < 1e-6
+    assert rows[-1].pass_rate > rows[0].pass_rate  # signal, not noise
+    assert rows[-1].mean_score > rows[0].mean_score
