@@ -3690,3 +3690,226 @@ FROM served s LEFT JOIN gt g
   ON s.query_id = g.gt_query_id AND s.vec_id = g.gt_vec_id
 ORDER BY s.query_id, s.cosine DESC, s.vec_id
 """
+
+
+# ------------------------------------------ margin-based bitext mining
+
+# Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus Mining with
+# Multilingual Sentence Embeddings" — the CCMatrix/LASER criterion):
+# a cross-lingual pair is bitext not when its cosine is high in the
+# absolute, but when it stands OUT of both endpoints' neighborhoods —
+# margin = cos(x, y) / mean of the two directions' k-NN cosines. The
+# missing capability class of the curation tier: mining parallel
+# training pairs ACROSS languages rather than deduplicating within one.
+
+MARGIN_K = 3  # neighborhood size in the margin denominator
+MARGIN_TAU = 1.2  # keep pairs >= 1.2x their neighborhoods
+# Adaptive blocking: bucket bits GROW with the corpus (one more bit per
+# doubling over the reference size) so the expected bucket population —
+# and with it the candidate join's per-key cost — stays CONSTANT as the
+# corpus scales (the sign_bucket docstring's sizing rule, applied
+# in-query). An integer threshold ladder, never float log2: engines
+# disagree in the last ulp of log at exact powers of two.
+BITEXT_REF_N = 500  # corpus size at which BUCKET_BITS bits suffice
+BITEXT_MAX_DOUBLINGS = 16  # ladder cap (4 + 16 = 20 bits max)
+
+
+def _bitext_bits(n: int) -> int:
+    k = 0
+    while (
+        k < BITEXT_MAX_DOUBLINGS
+        and n >= BITEXT_REF_N * (1 << (k + 1))
+    ):
+        k += 1
+    return BUCKET_BITS + k
+
+
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-lingual pair mining over the documents'
+    embeddings (doc_id = vec_id, lang from the documents table):
+    candidates are positively-similar cross-language pairs sharing an
+    ADAPTIVE sign bucket — {BUCKET_BITS} bits at the {BITEXT_REF_N}-row
+    reference corpus plus one bit per corpus doubling (integer
+    threshold ladder, both engines), so bucket population and the
+    candidate join's per-key cost stay constant as the corpus grows
+    (the sign_bucket sizing rule, applied in-query; bucket-keyed
+    equi-join, never all-pairs); each candidate (x, y)
+    scores margin = cos / ((knn(x->lang_y) + knn(y->lang_x)) / 2) with
+    knn = the DECIMAL-exact mean of the top-{MARGIN_K} bucketed
+    cosines into the OTHER language; pairs with margin >=
+    {MARGIN_TAU} are the mined bitext, ordered per language pair by
+    margin.
+
+    Scale (100 TB): ONE bucketed candidate join feeds all three
+    consumers (both k-NN arms and the final margin join) via a
+    materialize() lineage cut — the curation-ledger lesson: without
+    the cut the bucket join re-executes 3x. k-NN windows partition by
+    (anchor, other-lang) — bounded by bucket population, never global.
+    Recall/cost trades by BUCKET_BITS exactly as the ANN tier
+    documents (multi-probe raises recall; kept single-probe here to
+    stay oracle-exact). Determinism: cosines ROUND(6) with
+    precomputed norms (the adjudicated bucketed-ANN arithmetic), k-NN
+    means DECIMAL(10,6)-accumulated, margin one IEEE expression.
+    """
+    from myserver_datawarehouse_spark.session import materialize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    # Construction-time corpus count (parquet metadata scan) sizes the
+    # blocking: bits = BUCKET_BITS + one per corpus doubling over
+    # BITEXT_REF_N, keeping bucket population — and the candidate
+    # join's quadratic-in-bucket term — constant as the corpus grows.
+    bits = _bitext_bits(e.count())
+    v = d.join(e, d.doc_id == e.vec_id).select(
+        "lang",
+        "vec_id",
+        "embedding",
+        V.sign_bucket("embedding", bits).alias("bucket"),
+        V.norm2("embedding").alias("nrm"),
+    )
+    a = v.select(
+        F.col("lang").alias("lang_a"),
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("q"),
+        "bucket",
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("lang").alias("lang_b"),
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("v"),
+        "bucket",
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        V.dot("q", "v") / (F.col("na") * F.col("nb")),
+    )
+    # materialize(): the bucketed candidate frame is consumed by BOTH
+    # k-NN arms and the final margin join (3 consumers) — the cut
+    # replaces a triple re-execution of the bucket join + dot fold.
+    cand = materialize(
+        a.join(b, "bucket")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            "doc_a",
+            "doc_b",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0)
+    )
+    # The k-NN arms keep EXACT decimal sums + counts; the margin is one
+    # tie-free ratio cos * 2*na*nb / (sa*nb + sb*na) — algebraically
+    # cos / ((sa/na + sb/nb)/2), but never materializing the per-arm
+    # mean, whose sum/2 lands EXACTLY on a half-ulp of the 6th dp
+    # whenever an arm has 2 neighbors (engines then round the tie in
+    # opposite directions — hit live at sf0.001).
+    dec = "decimal(10,6)"
+
+    def knn(anchor: str, other_lang: str, tie: str, s: str, n: str):
+        w = Window.partitionBy(anchor, other_lang).orderBy(
+            F.col("cosine").desc(), tie
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= MARGIN_K)
+            .groupBy("lang_a", "lang_b", anchor)
+            .agg(
+                F.sum(F.col("cosine").cast(dec))
+                .cast("decimal(16,6)")
+                .alias(s),
+                F.count(F.lit(1)).cast("decimal(6,0)").alias(n),
+            )
+        )
+
+    ka = knn("doc_a", "lang_b", "doc_b", "sa", "na")
+    kb = knn("doc_b", "lang_a", "doc_a", "sb", "nb")
+    denom = (
+        F.col("sa") * F.col("nb") + F.col("sb") * F.col("na")
+    ).cast("double")
+    numer = F.col("cosine") * (
+        F.lit(2).cast("decimal(6,0)") * F.col("na") * F.col("nb")
+    ).cast("double")
+    return (
+        cand.join(ka, ["lang_a", "lang_b", "doc_a"])
+        .join(kb, ["lang_a", "lang_b", "doc_b"])
+        .select(
+            "lang_a",
+            "lang_b",
+            "doc_a",
+            "doc_b",
+            "cosine",
+            F.round(numer / denom, 6).alias("margin"),
+        )
+        .filter(F.col("margin") >= MARGIN_TAU)
+        .orderBy(
+            "lang_a", "lang_b", F.col("margin").desc(), "doc_a", "doc_b"
+        )
+    )
+
+
+_BITEXT_LADDER_SQL = "".join(
+    f" WHEN cnt >= {BITEXT_REF_N * (1 << k)} THEN {BUCKET_BITS + k}"
+    for k in range(BITEXT_MAX_DOUBLINGS, 0, -1)
+)
+_BITEXT_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {i} < bits AND embedding[{i + 1}] >= 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(BUCKET_BITS + BITEXT_MAX_DOUBLINGS)
+)
+
+BITEXT_MINING_PAIRS_SQL = f"""
+WITH c0 AS (SELECT COUNT(*) AS cnt FROM embeddings),
+bc AS (SELECT CASE{_BITEXT_LADDER_SQL} ELSE {BUCKET_BITS} END AS bits
+       FROM c0),
+v AS (
+  SELECT d.lang, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec,
+         {_BITEXT_BUCKET_SQL} AS bucket
+  FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id, bc
+),
+cand AS (
+  SELECT * FROM (
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(CASE WHEN sqrt(list_dot_product(a.vec, a.vec)) > 0
+                       AND sqrt(list_dot_product(b.vec, b.vec)) > 0
+                      THEN list_dot_product(a.vec, b.vec)
+                           / (sqrt(list_dot_product(a.vec, a.vec))
+                              * sqrt(list_dot_product(b.vec, b.vec)))
+                 END, 6) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.lang < b.lang
+  ) WHERE cosine > 0
+),
+ka AS (
+  SELECT lang_a, lang_b, doc_a,
+         CAST(SUM(CAST(cosine AS DECIMAL(10,6))) AS DECIMAL(16,6)) AS sa,
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS na
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_a, lang_b ORDER BY cosine DESC, doc_b) AS rn
+        FROM cand)
+  WHERE rn <= {MARGIN_K} GROUP BY 1, 2, 3
+),
+kb AS (
+  SELECT lang_a, lang_b, doc_b,
+         CAST(SUM(CAST(cosine AS DECIMAL(10,6))) AS DECIMAL(16,6)) AS sb,
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS nb
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_b, lang_a ORDER BY cosine DESC, doc_a) AS rn
+        FROM cand)
+  WHERE rn <= {MARGIN_K} GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT lang_a, lang_b, doc_a, doc_b, cosine,
+         ROUND(cosine * CAST(CAST(2 AS DECIMAL(6,0)) * na * nb AS DOUBLE)
+               / CAST(sa * nb + sb * na AS DOUBLE), 6) AS margin
+  FROM cand JOIN ka USING (lang_a, lang_b, doc_a)
+            JOIN kb USING (lang_a, lang_b, doc_b)
+)
+SELECT lang_a, lang_b, doc_a, doc_b, cosine, margin
+FROM m
+WHERE margin >= {MARGIN_TAU!r}
+ORDER BY lang_a, lang_b, margin DESC, doc_a, doc_b
+"""

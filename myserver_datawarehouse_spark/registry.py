@@ -525,6 +525,16 @@ _SPECS: list[QuerySpec] = [
         "LLM embedding analytics: per-lang centroids + pairwise cosine",
     ),
     QuerySpec(
+        "bitext_mining_pairs",
+        EM.bitext_mining_pairs,
+        EM.BITEXT_MINING_PAIRS_SQL,
+        "cross-lingual curation: margin-based bitext mining (Artetxe "
+        "& Schwenk / CCMatrix criterion) — sign-bucketed cross-lang "
+        "candidates, bidirectional top-k neighborhood means, margin "
+        ">= 1.2 keeps the mined pairs; one materialized candidate "
+        "frame feeds both k-NN arms and the margin join",
+    ),
+    QuerySpec(
         "embedding_norm_stats_by_label",
         EM.embedding_norm_stats_by_label,
         EM.EMBEDDING_NORM_STATS_BY_LABEL_SQL,

@@ -341,3 +341,95 @@ def test_seedset_classifier_calibration_and_gate_pin(spark):
         assert abs(r.pass_rate - r.n_pass / r.n_docs) < 1e-6
     assert rows[-1].pass_rate > rows[0].pass_rate  # signal, not noise
     assert rows[-1].mean_score > rows[0].mean_score
+
+
+# ------------------------------------------ margin-based bitext mining
+
+
+def test_bitext_mining_matches_python_mirror(spark):
+    """Pure-Python mirror of the whole mining pipeline (sign buckets,
+    cross-lang candidates, top-k selection with the same tie-breaks,
+    exact-sum margin): the mined pair set must agree with Spark up to a
+    tolerance band around the threshold, and every surfaced margin must
+    match the mirror's raw value closely."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from myserver_datawarehouse_spark.plans import embeddings as EM
+
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in pq.read_table(SF + "/documents.parquet").to_pylist()
+    }
+    emb_rows = pq.read_table(SF + "/embeddings.parquet").to_pylist()
+    bits = EM._bitext_bits(len(emb_rows))  # adaptive blocking ladder
+    vecs = {}
+    for r in emb_rows:
+        v = [float(x) for x in r["embedding"]]
+        bucket = sum((1 << i) for i in range(bits) if v[i] >= 0.0)
+        nrm = math.sqrt(sum(x * x for x in v))
+        vecs[r["vec_id"]] = (v, bucket, nrm)
+
+    def r6(x):  # HALF_UP at 6 dp (positive domain)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    cand = {}
+    ids = sorted(set(docs) & set(vecs))
+    by_bucket = {}
+    for i in ids:
+        by_bucket.setdefault(vecs[i][1], []).append(i)
+    for bucket_ids in by_bucket.values():
+        for x in bucket_ids:
+            for y in bucket_ids:
+                la, lb = docs[x], docs[y]
+                if la >= lb:
+                    continue
+                vx, _, nx = vecs[x]
+                vy, _, ny = vecs[y]
+                if nx == 0 or ny == 0:
+                    continue
+                c = r6(
+                    sum(p * q for p, q in zip(vx, vy)) / (nx * ny)
+                ) if sum(p * q for p, q in zip(vx, vy)) > 0 else None
+                if c is not None and c > 0:
+                    cand[(x, y)] = c
+
+    def topk_sum(anchor_is_a):
+        # keyed by (anchor, OTHER language) — the knn neighborhood is
+        # per target language, mirroring the (doc, lang) window keys
+        out = {}
+        groups = {}
+        for (x, y), c in cand.items():
+            key = (x, docs[y]) if anchor_is_a else (y, docs[x])
+            groups.setdefault(key, []).append(
+                (-c, y if anchor_is_a else x, c)
+            )
+        for key, lst in groups.items():
+            lst.sort()
+            top = lst[: EM.MARGIN_K]
+            # exact decimal sums: cosines are 6-dp multiples
+            out[key] = (
+                round(sum(int(round(c * 1e6)) for _, _, c in top)),
+                len(top),
+            )
+        return out
+
+    ka, kb = topk_sum(True), topk_sum(False)
+    py = {}
+    for (x, y), c in cand.items():
+        sa, na = ka[(x, docs[y])]
+        sb, nb = kb[(y, docs[x])]
+        raw = c * (2 * na * nb) / ((sa * nb + sb * na) / 1e6)
+        py[(x, y)] = raw
+
+    rows = EM.bitext_mining_pairs(spark, SF).collect()
+    got = {(r.doc_a, r.doc_b): r.margin for r in rows}
+    for (x, y), m in got.items():
+        assert abs(py[(x, y)] - m) < 1e-5
+        assert m >= EM.MARGIN_TAU
+        assert docs[x] < docs[y]
+    for (x, y), raw in py.items():
+        if raw >= EM.MARGIN_TAU + 1e-4:
+            assert (x, y) in got, (x, y, raw)
+    assert len(got) > 100  # the fixture mines a real pair set

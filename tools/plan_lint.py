@@ -52,6 +52,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "every sweep point and the refined leg cut from (one "
         "training run for the whole curve)"
     },
+    "bitext_mining_pairs": {
+        "RDD_SCAN": _LC + "; the bucketed cross-lang candidate frame "
+        "shared by both k-NN neighborhood arms and the final margin "
+        "join (3 consumers; without the cut the bucket join + dot "
+        "fold re-executes 3x — the curation-ledger lesson)"
+    },
     "bloom_pruned_join": {
         "RDD_SCAN": _LC + "; tiny rollup pinned under the runtime-"
         "bloom-filter conf (same convention as the bucketed join)"
@@ -238,6 +244,11 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "exact top-k yardstick: method comparison grid",
         "nprobe-max IVFPQ candidate frame: every sweep point's cut",
         "nprobe-max IVFPQ candidate frame: the refined re-rank leg",
+    ),
+    "bitext_mining_pairs": (
+        "candidate frame: forward k-NN arm (doc_a -> lang_b)",
+        "candidate frame: reverse k-NN arm (doc_b -> lang_a)",
+        "candidate frame: the final margin join",
     ),
     "dedup_clusters": (
         "CC edge frame: every min-label propagation round",
