@@ -7887,3 +7887,111 @@ SELECT lang, src_tokens,
 FROM cand, th
 ORDER BY lang
 """
+
+
+# ---------------------------------------- source duplication matrix
+
+# The provenance complement of doc-level dedup: WHICH sources mirror
+# each other. Crawl pipelines read this before source selection —
+# two mirrored sources should not both be upweighted, and a source
+# whose docs mostly near-duplicate another adds less than its size
+# suggests (the "which dumps overlap" table of every corpus datacard).
+
+
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level near-duplication matrix over the adjudicated LSH
+    pair frame (`_minhash_pair_frame` — banded candidates, exact
+    verify, never all-pairs): one row per unordered source cell
+    (source_lo <= source_hi) with the link count, the distinct docs
+    each side contributes to those links, and the cell's max verified
+    Jaccard. Integer counts and a MAX only — no float division
+    anywhere, so nothing to round.
+
+    Scale (100 TB): the pair frame is the standing dedup pipeline's
+    output (bucket-collision bound); attaching sources is two slim
+    hash joins of (doc_id, source) onto the pair endpoints; the
+    matrix rollup keys on |sources|^2 cells. The endpoint explode
+    doubles pair rows (2 per link) before the rollup — bounded by the
+    link count, with n_links recovered exactly as count/2.
+    """
+    pairs = _minhash_pair_frame(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    lab = (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "sa",
+            "sb",
+            "doc_a",
+            "doc_b",
+            "jaccard",
+        )
+    )
+    ends = lab.select(
+        "source_lo",
+        "source_hi",
+        "jaccard",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("sa").alias("src"), F.col("doc_a").alias("doc")
+                ),
+                F.struct(
+                    F.col("sb").alias("src"), F.col("doc_b").alias("doc")
+                ),
+            )
+        ).alias("e"),
+    ).select("source_lo", "source_hi", "jaccard", "e.src", "e.doc")
+    return (
+        ends.groupBy("source_lo", "source_hi")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_links"),
+            F.countDistinct(
+                F.when(F.col("src") == F.col("source_lo"), F.col("doc"))
+            ).alias("n_docs_lo"),
+            F.countDistinct(
+                F.when(F.col("src") == F.col("source_hi"), F.col("doc"))
+            ).alias("n_docs_hi"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+SOURCE_DUP_MATRIX_SQL = f"""
+WITH pairs AS ({NEAR_DUP_MINHASH_LSH_SQL}),
+lab AS (
+  SELECT LEAST(da.source, db.source) AS source_lo,
+         GREATEST(da.source, db.source) AS source_hi,
+         da.source AS sa, db.source AS sb,
+         p.doc_a, p.doc_b, p.jaccard
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+),
+ends AS (
+  SELECT source_lo, source_hi, jaccard, sa AS src, doc_a AS doc FROM lab
+  UNION ALL
+  SELECT source_lo, source_hi, jaccard, sb AS src, doc_b AS doc FROM lab
+)
+SELECT source_lo, source_hi,
+       COUNT(*) // 2 AS n_links,
+       COUNT(DISTINCT CASE WHEN src = source_lo THEN doc END) AS n_docs_lo,
+       COUNT(DISTINCT CASE WHEN src = source_hi THEN doc END) AS n_docs_hi,
+       MAX(jaccard) AS max_jaccard
+FROM ends
+GROUP BY 1, 2
+ORDER BY source_lo, source_hi
+"""

@@ -382,6 +382,15 @@ _SPECS: list[QuerySpec] = [
     ),
     QuerySpec("dedup_exact", LT.dedup_exact, LT.DEDUP_EXACT_SQL, "LLM exact dedup"),
     QuerySpec(
+        "source_dup_matrix",
+        LT.source_dup_matrix,
+        LT.SOURCE_DUP_MATRIX_SQL,
+        "provenance: source-level near-duplication matrix over the "
+        "adjudicated LSH pair frame — per unordered source cell the "
+        "link count, each side's distinct docs, and max verified "
+        "Jaccard; integer counts + MAX only, nothing to round",
+    ),
+    QuerySpec(
         "near_dup_minhash_lsh",
         LT.near_dup_minhash_lsh,
         LT.NEAR_DUP_MINHASH_LSH_SQL,

@@ -17,7 +17,7 @@ def test_every_spec_has_an_oracle():
 def test_registry_size_matches_docs():
     # PARITY.md / SURVEY.md cite this total; bump it deliberately when
     # adding queries, never let prose drift from the registry.
-    assert len(registry.specs()) == 237
+    assert len(registry.specs()) == 238
 
 
 def test_streaming_variant_count_matches_docs():

@@ -433,3 +433,44 @@ def test_bitext_mining_matches_python_mirror(spark):
         if raw >= EM.MARGIN_TAU + 1e-4:
             assert (x, y) in got, (x, y, raw)
     assert len(got) > 100  # the fixture mines a real pair set
+
+
+# ---------------------------------------- source duplication matrix
+
+
+def test_source_dup_matrix_rolls_up_the_pair_query(spark):
+    """The matrix must be EXACTLY the Python rollup of the adjudicated
+    near_dup_minhash_lsh output under the documents' doc->source map:
+    link counts, per-side distinct docs, and max Jaccard per unordered
+    source cell."""
+    import pyarrow.parquet as pq
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in pq.read_table(SF + "/documents.parquet").to_pylist()
+    }
+    pairs = LT.near_dup_minhash_lsh(spark, SF).collect()
+    cells = {}
+    for p in pairs:
+        sa, sb = src_of[p.doc_a], src_of[p.doc_b]
+        lo, hi = min(sa, sb), max(sa, sb)
+        c = cells.setdefault((lo, hi), {"n": 0, "lo": set(), "hi": set(), "mx": None})
+        c["n"] += 1
+        for s, doc in ((sa, p.doc_a), (sb, p.doc_b)):
+            if s == lo:
+                c["lo"].add(doc)
+            if s == hi:
+                c["hi"].add(doc)
+        c["mx"] = p.jaccard if c["mx"] is None else max(c["mx"], p.jaccard)
+
+    rows = LT.source_dup_matrix(spark, SF).collect()
+    got = {(r.source_lo, r.source_hi): r for r in rows}
+    assert set(got) == set(cells)
+    for key, c in cells.items():
+        r = got[key]
+        assert r.n_links == c["n"]
+        assert r.n_docs_lo == len(c["lo"])
+        assert r.n_docs_hi == len(c["hi"])
+        assert r.max_jaccard == c["mx"]
+    assert sum(r.n_links for r in rows) == len(pairs)
+    assert any(k[0] != k[1] for k in cells)  # cross-source dup is live

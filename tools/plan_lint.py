@@ -52,6 +52,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "every sweep point and the refined leg cut from (one "
         "training run for the whole curve)"
     },
+    "source_dup_matrix": {
+        "RDD_SCAN": _LC + "; the shared shingle-hash frame "
+        "(_shingle_hash_frame, via _minhash_pair_frame) feeding the "
+        "signature aggregate and both sides of the verify join"
+    },
     "bitext_mining_pairs": {
         "RDD_SCAN": _LC + "; the bucketed cross-lang candidate frame "
         "shared by both k-NN neighborhood arms and the final margin "
@@ -244,6 +249,10 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
         "exact top-k yardstick: method comparison grid",
         "nprobe-max IVFPQ candidate frame: every sweep point's cut",
         "nprobe-max IVFPQ candidate frame: the refined re-rank leg",
+    ),
+    "source_dup_matrix": (
+        "shingle-hash frame: the 16-slot signature aggregate",
+        "shingle-hash frame: both sides of the candidate verify join",
     ),
     "bitext_mining_pairs": (
         "candidate frame: forward k-NN arm (doc_a -> lang_b)",
