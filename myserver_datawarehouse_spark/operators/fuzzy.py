@@ -160,13 +160,23 @@ def fuzzy_pairs(
         # partitioning serializes the neighborhood build on few tasks
         # (measured: ONE task at sf0.1). Repartition on the id first;
         # the tiny pre-expansion shuffle buys an evenly parallel build.
+        # The partition count MUST be pinned (r14): an unnumbered
+        # repartition(col) is AQE-coalescible, and AQE sizes partitions
+        # by MAP-OUTPUT BYTES — a few hundred KB of keys — so it merged
+        # the exchange back to ~1 partition and serialized the whole
+        # expansion + join + verify (measured 9.2 s -> 1.5 s at sf0.1
+        # when pinned). defaultParallelism = total cores, the
+        # scale-adaptive spread for compute whose cost AQE's byte
+        # heuristic structurally understates (guide §2.5).
         # NULL names can never pair (levenshtein(NULL, x) is NULL), but
         # xxhash64(NULL) is a CONSTANT, so without this filter every
         # null-name row lands in one shared variant bucket and the
         # self-join goes quadratic in the null count before the verify
         # discards it all.
         df = df.filter(F.col(name_col).isNotNull())
-        v = df.repartition(F.col(id_col)).select(
+        v = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        ).select(
             *block_cols,
             F.col(id_col).alias("_id"),
             F.explode(deletek_variant_hashes(name_col, max_edit)).alias(
