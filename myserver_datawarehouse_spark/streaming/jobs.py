@@ -1548,10 +1548,21 @@ def _near_dup_ingest_one(
 
     sub = f"b{bno}"
     hs, sz, bd = _near_dup_index_frames(one, bno)
-    # index first (self-inclusive probe); idempotent per-batch overwrite
-    bd.write.mode("overwrite").parquet(os.path.join(bands_dir, sub))
-    hs.write.mode("overwrite").parquet(os.path.join(hashes_dir, sub))
-    sz.write.mode("overwrite").parquet(os.path.join(sizes_dir, sub))
+    # index first (self-inclusive probe); idempotent per-batch
+    # overwrite. The three writes are independent jobs over O(batch)
+    # rows — run them pooled (guide §2.6); the barrier inside
+    # _parallel_actions keeps the write-before-probe ordering.
+    _parallel_actions(
+        lambda: bd.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, sub)
+        ),
+        lambda: hs.write.mode("overwrite").parquet(
+            os.path.join(hashes_dir, sub)
+        ),
+        lambda: sz.write.mode("overwrite").parquet(
+            os.path.join(sizes_dir, sub)
+        ),
+    )
     _near_dup_verified_pairs(
         sp, bands_dir, hashes_dir, sizes_dir, hs, sz, bd, bno
     ).write.mode("overwrite").parquet(os.path.join(ledger_dir, sub))
@@ -1643,6 +1654,63 @@ def _read_tree(sp: SparkSession, root: str) -> DataFrame:
     )
 
 
+def _parallel_actions(*thunks) -> None:
+    """Run independent driver-blocking Spark actions concurrently
+    (guide §2.6, overlap independent jobs): a micro-batch's index
+    writes are separate jobs over a few hundred rows each, so their
+    per-job fixed cost (schedule, commit) dominates and their task
+    tails leave almost every core idle — a small pool lets the next
+    write's tasks back-fill. BARRIER semantics: returns only when
+    every action finished (callers rely on all-indexes-written-before-
+    probe ordering), and the first exception propagates."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
+def _stage_ordered_inputs(
+    arrivals: DataFrame, work_dir: str, input_dir: str, n_batches: int
+) -> None:
+    """One file per batch_no with strictly-increasing mtimes (the
+    repo's ordered-file-source pattern, cf. watermark_audit_stream):
+    the precedence rule needs batch k indexed before batch k+1 probes.
+    The per-batch extract writes are independent jobs over disjoint
+    doc slices — pooled (guide §2.6); the mtime stamping that encodes
+    ingest order stays sequential after the barrier."""
+    import os
+    import shutil
+
+    os.makedirs(input_dir, exist_ok=True)
+    stages = [
+        os.path.join(work_dir, f"stage_{k}") for k in range(n_batches)
+    ]
+    for s in stages:
+        shutil.rmtree(s, ignore_errors=True)
+    _parallel_actions(
+        *[
+            (
+                lambda k=k, s=s: arrivals.filter(F.col("batch_no") == k)
+                .coalesce(1)
+                .write.parquet(s)
+            )
+            for k, s in enumerate(stages)
+        ]
+    )
+    mtime = 1_700_000_000
+    for k, s in enumerate(stages):
+        (name,) = [f for f in os.listdir(s) if f.endswith(".parquet")]
+        dest = os.path.join(input_dir, f"batch_{k}.parquet")
+        os.replace(os.path.join(s, name), dest)
+        shutil.rmtree(s, ignore_errors=True)
+        mtime += 10
+        os.utime(dest, (mtime, mtime))
+
+
 def near_dup_ingest_stream(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> str:
@@ -1675,7 +1743,6 @@ def near_dup_ingest_stream(
     per-batch cost is O(batch shingles) + band-bucket collisions;
     ledger and index writes are O(batch). Returns the ledger path."""
     import os
-    import shutil
 
     from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
     from myserver_datawarehouse_spark.sources.tables import load_table
@@ -1690,10 +1757,20 @@ def near_dup_ingest_stream(
     is_arrival = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
 
     # Seed the standing index (batch_no -1, the pre-stream corpus).
+    # Three independent writes off one persisted shingle frame — pooled
+    # (guide §2.6).
     hs0, sz0, bd0 = _near_dup_index_frames(docs.filter(~is_arrival), -1)
-    bd0.write.mode("overwrite").parquet(os.path.join(bands_dir, "b_base"))
-    hs0.write.mode("overwrite").parquet(os.path.join(hashes_dir, "b_base"))
-    sz0.write.mode("overwrite").parquet(os.path.join(sizes_dir, "b_base"))
+    _parallel_actions(
+        lambda: bd0.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, "b_base")
+        ),
+        lambda: hs0.write.mode("overwrite").parquet(
+            os.path.join(hashes_dir, "b_base")
+        ),
+        lambda: sz0.write.mode("overwrite").parquet(
+            os.path.join(sizes_dir, "b_base")
+        ),
+    )
     hs0.unpersist()
 
     arrivals = docs.filter(is_arrival).select(
@@ -1704,29 +1781,18 @@ def near_dup_ingest_stream(
             " AS INT)"
         ).alias("batch_no"),
     )
-    # One file per batch_no with strictly-increasing mtimes (the repo's
-    # ordered-file-source pattern, cf. watermark_audit_stream): the
-    # precedence rule needs batch k indexed before batch k+1 probes.
-    os.makedirs(input_dir, exist_ok=True)
-    mtime = 1_700_000_000
-    for k in range(NEAR_DUP_INGEST_BATCHES):
-        part = arrivals.filter(F.col("batch_no") == k)
-        stage = os.path.join(work_dir, f"stage_{k}")
-        shutil.rmtree(stage, ignore_errors=True)
-        part.coalesce(1).write.parquet(stage)
-        (name,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
-        dest = os.path.join(input_dir, f"batch_{k}.parquet")
-        os.replace(os.path.join(stage, name), dest)
-        shutil.rmtree(stage, ignore_errors=True)
-        mtime += 10
-        os.utime(dest, (mtime, mtime))
+    _stage_ordered_inputs(
+        arrivals, work_dir, input_dir, NEAR_DUP_INGEST_BATCHES
+    )
 
     # typed empty ledger leaf so a pair-free run still reads back cleanly
     spark.createDataFrame(
         [],
         "batch_no int, doc_new long, doc_partner long, jaccard double",
     ).write.mode("overwrite").parquet(os.path.join(ledger_dir, "b_init"))
-    schema = spark.read.parquet(input_dir).schema
+    # The staged files are a straight parquet round trip of `arrivals`,
+    # so its schema IS the source schema — no extra listing/footer job.
+    schema = arrivals.schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1920,21 +1986,57 @@ def mix_drift_stream(
 CURATION_BATCHES = NEAR_DUP_INGEST_BATCHES  # same arrival batching
 
 
-def _media_signature_frames(one: DataFrame, bno: int) -> dict:
-    """Per-modality fingerprint + distinct chunk frames for ONE
-    (doc_id, text) frame: image pHash (1 row/doc), audio hop windows,
-    video frames — the signature schemes of plans/multimodal's pair
-    builders (shared kernels from operators/multimodal, chunk banding
-    via operators/text.simhash_chunks, exactly as there; the
+def _media_index_build(
+    sp: SparkSession, d: dict, one: DataFrame, bno: int, sub: str
+) -> dict:
+    """Compute AND index every media modality's signatures for ONE
+    (doc_id, text) frame, returning the READ-BACK (fp, chunks) frames
+    from the just-written batch subdirs: image pHash (1 row/doc),
+    audio hop windows, video frames — the signature schemes of
+    plans/multimodal's pair builders (shared kernels from
+    operators/multimodal, chunk banding via
+    operators/text.simhash_chunks, exactly as there; the
     stream-vs-batch set-equality test in tests/test_round13.py pins
-    the edge sets to the batch builders')."""
+    the edge sets to the batch builders').
+
+    r14 restructure: the fingerprint frames used to be
+    localCheckpoint'd (so the mapInPandas kernel ran once across index
+    write + chunk derivation + probe — round-13 review finding), then
+    written. The index write IS a durable lineage cut, so write first
+    and derive the chunk index and the probe inputs from the read-back
+    instead: one kernel execution, one fewer eager job per modality
+    per micro-batch, and the probe reads exactly the bytes a restarted
+    service would. The three modality builds are independent jobs over
+    disjoint doc subsets — pooled (guide §2.6)."""
+    import os
+
     from myserver_datawarehouse_spark.operators import multimodal as MM
     from myserver_datawarehouse_spark.operators import text as TX
     from myserver_datawarehouse_spark.plans.multimodal import PHASH_CHUNKS
-    from myserver_datawarehouse_spark.session import materialize
 
     media = MM.with_fake_payload(one)
     b = F.lit(bno).cast("int").alias("batch_no")
+    hcols = {"image": "phash", "audio": "ahash", "video": "fhash"}
+    kern = {
+        "image": MM.image_phash(media),
+        "audio": MM.audio_fingerprint(media),
+        "video": MM.frame_phash(media),
+    }
+    _parallel_actions(
+        *[
+            (
+                lambda m=m: kern[m]
+                .select("doc_id", hcols[m], b)
+                .write.mode("overwrite")
+                .parquet(os.path.join(d[m + "_rows"], sub))
+            )
+            for m in hcols
+        ]
+    )
+    fps = {
+        m: sp.read.parquet(os.path.join(d[m + "_rows"], sub))
+        for m in hcols
+    }
 
     def chunks(fp: DataFrame, hcol: str) -> DataFrame:
         # distinct per (doc, chunk, value): candidate pairs are
@@ -1951,20 +2053,22 @@ def _media_signature_frames(one: DataFrame, bno: int) -> dict:
             .select("doc_id", "c", "cv", b)
         )
 
-    # materialize: each fingerprint frame feeds its index write, the
-    # chunk derivation AND the probe — without the cut the mapInPandas
-    # kernel re-executes three times per modality per micro-batch
-    # (round-13 review finding; the batch pair builders cut the same
-    # lineage for the same reason).
-    img = materialize(MM.image_phash(media).select("doc_id", "phash"))
-    aud = materialize(
-        MM.audio_fingerprint(media).select("doc_id", "ahash")
+    _parallel_actions(
+        *[
+            (
+                lambda m=m: chunks(fps[m], hcols[m])
+                .write.mode("overwrite")
+                .parquet(os.path.join(d[m + "_chunks"], sub))
+            )
+            for m in hcols
+        ]
     )
-    vid = materialize(MM.frame_phash(media).select("doc_id", "fhash"))
     return {
-        "image": (img.select("doc_id", "phash", b), chunks(img, "phash")),
-        "audio": (aud.select("doc_id", "ahash", b), chunks(aud, "ahash")),
-        "video": (vid.select("doc_id", "fhash", b), chunks(vid, "fhash")),
+        m: (
+            fps[m],
+            sp.read.parquet(os.path.join(d[m + "_chunks"], sub)),
+        )
+        for m in hcols
     }
 
 
@@ -2092,23 +2196,25 @@ def _curation_one(sp: SparkSession, d: dict, one: DataFrame, bno: int) -> None:
     import os
 
     sub = f"b{bno}"
-    # text arm: the near-dup ingest machinery verbatim
+    # text arm: the near-dup ingest machinery verbatim (writes pooled,
+    # as in _near_dup_ingest_one)
     hs, sz, bd = _near_dup_index_frames(one, bno)
-    bd.write.mode("overwrite").parquet(os.path.join(d["tbands"], sub))
-    hs.write.mode("overwrite").parquet(os.path.join(d["thashes"], sub))
-    sz.write.mode("overwrite").parquet(os.path.join(d["tsizes"], sub))
+    _parallel_actions(
+        lambda: bd.write.mode("overwrite").parquet(
+            os.path.join(d["tbands"], sub)
+        ),
+        lambda: hs.write.mode("overwrite").parquet(
+            os.path.join(d["thashes"], sub)
+        ),
+        lambda: sz.write.mode("overwrite").parquet(
+            os.path.join(d["tsizes"], sub)
+        ),
+    )
     tpairs = _near_dup_verified_pairs(
         sp, d["tbands"], d["thashes"], d["tsizes"], hs, sz, bd, bno
     ).select("doc_new", "doc_partner")
-    # media arms: index-first, then probe
-    sig = _media_signature_frames(one, bno)
-    for m, (fp, ch) in sig.items():
-        fp.write.mode("overwrite").parquet(
-            os.path.join(d[m + "_rows"], sub)
-        )
-        ch.write.mode("overwrite").parquet(
-            os.path.join(d[m + "_chunks"], sub)
-        )
+    # media arms: index-first (pooled builds + read-back), then probe
+    sig = _media_index_build(sp, d, one, bno, sub)
 
     def arm(m: str, hcol: str, rule: str) -> DataFrame:
         cand = _precedence_candidates(
@@ -2209,7 +2315,6 @@ def curation_ledger_stream(
     CANDIDATE docs only (semi-join before collect_list). Returns the
     ledger path."""
     import os
-    import shutil
 
     from myserver_datawarehouse_spark.plans.llm_text import INCR_MOD
     from myserver_datawarehouse_spark.sources.tables import load_table
@@ -2234,22 +2339,24 @@ def curation_ledger_stream(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     is_arrival = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
 
-    # Seed every index from the standing corpus (batch_no -1).
+    # Seed every index from the standing corpus (batch_no -1). Text
+    # writes pooled off the persisted shingle frame; media index
+    # builds pooled inside _media_index_build (guide §2.6).
     standing = docs.filter(~is_arrival)
     hs0, sz0, bd0 = _near_dup_index_frames(standing, -1)
-    bd0.write.mode("overwrite").parquet(os.path.join(d["tbands"], "b_base"))
-    hs0.write.mode("overwrite").parquet(
-        os.path.join(d["thashes"], "b_base")
+    _parallel_actions(
+        lambda: bd0.write.mode("overwrite").parquet(
+            os.path.join(d["tbands"], "b_base")
+        ),
+        lambda: hs0.write.mode("overwrite").parquet(
+            os.path.join(d["thashes"], "b_base")
+        ),
+        lambda: sz0.write.mode("overwrite").parquet(
+            os.path.join(d["tsizes"], "b_base")
+        ),
     )
-    sz0.write.mode("overwrite").parquet(os.path.join(d["tsizes"], "b_base"))
     hs0.unpersist()
-    for m, (fp, ch) in _media_signature_frames(standing, -1).items():
-        fp.write.mode("overwrite").parquet(
-            os.path.join(d[m + "_rows"], "b_base")
-        )
-        ch.write.mode("overwrite").parquet(
-            os.path.join(d[m + "_chunks"], "b_base")
-        )
+    _media_index_build(spark, d, standing, -1, "b_base")
 
     arrivals = docs.filter(is_arrival).select(
         "doc_id",
@@ -2258,21 +2365,7 @@ def curation_ledger_stream(
             f"CAST((doc_id DIV {INCR_MOD}) % {CURATION_BATCHES} AS INT)"
         ).alias("batch_no"),
     )
-    # One file per batch_no with strictly-increasing mtimes (the repo's
-    # ordered-file-source pattern): batch k indexes before k+1 probes.
-    os.makedirs(input_dir, exist_ok=True)
-    mtime = 1_700_000_000
-    for k in range(CURATION_BATCHES):
-        part = arrivals.filter(F.col("batch_no") == k)
-        stage = os.path.join(work_dir, f"stage_{k}")
-        shutil.rmtree(stage, ignore_errors=True)
-        part.coalesce(1).write.parquet(stage)
-        (name,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
-        dest = os.path.join(input_dir, f"batch_{k}.parquet")
-        os.replace(os.path.join(stage, name), dest)
-        shutil.rmtree(stage, ignore_errors=True)
-        mtime += 10
-        os.utime(dest, (mtime, mtime))
+    _stage_ordered_inputs(arrivals, work_dir, input_dir, CURATION_BATCHES)
 
     # typed empty ledger leaf so an arrival-free run still reads back
     spark.createDataFrame(
@@ -2280,7 +2373,9 @@ def curation_ledger_stream(
         "batch_no int, doc_id long, verdict string, retired_by string, "
         "n_partners long",
     ).write.mode("overwrite").parquet(os.path.join(d["ledger"], "b_init"))
-    schema = spark.read.parquet(input_dir).schema
+    # Straight parquet round trip of `arrivals` — its schema IS the
+    # source schema; skip the extra listing/footer job.
+    schema = arrivals.schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
