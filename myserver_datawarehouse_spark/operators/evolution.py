@@ -270,6 +270,23 @@ def _carry_root_blooms(
     )
     for col in cols:
         src = _FS._bloom_dir(cur_dir, col)
+        if not prefix and prune_to is None:
+            # Verbatim carry is a byte-identical file copy: no path
+            # rebase, no pruning — round-tripping the sidecar through a
+            # Spark read+write per commit only re-encodes the same rows
+            # at one distributed-action cost each. Copy the committed
+            # parquet files (and _META.json, below) directly.
+            dst = _FS._bloom_dir(staged, col)
+            os.makedirs(dst, exist_ok=True)
+            for rel in _FS._data_files_relative(src):
+                d = os.path.join(dst, rel)
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                shutil.copy(os.path.join(src, rel), d)
+            shutil.copy(
+                os.path.join(src, "_META.json"),
+                os.path.join(dst, "_META.json"),
+            )
+            continue
         df = spark.read.parquet(src)
         if prefix:
             df = df.select(
@@ -466,45 +483,39 @@ def evolved_merge(
         )
         expected = obs.get["rows_written"]
         cur_active = _layout_dir(cur_dir, active["id"])
+        linked: list[str] = []
         if os.path.isdir(cur_active):
-            _link_untouched(cur_active, adir)
+            linked = _link_untouched(cur_active, adir)
             # Active-layout deletes: carried MINUS the batch's keys (a
             # re-inserted key must not be suppressed by its own past).
             _rewrite_deletes(
                 spark, cur_active, adir, batch_keys, keys, subtract=True
             )
-        # AUDIT the active layout before any legacy work: the rewritten
-        # partitions must read back complete.
-        back = _read_layout(spark, staged, active["id"], schema)
-        n = 0 if back is None else back.count()
-        # The carried count must use the SAME null-safe partition
-        # predicate as the fold's touched-partition semi-join above: a
-        # plain column-list anti-join is null-UNSAFE, so a batch with a
-        # NULL partition value would count the folded null-partition
-        # rows in both `expected` and `carried` and spuriously fail the
-        # audit on a correct merge.
+        # AUDIT the active layout before any legacy work — PHYSICAL
+        # completeness: every data file's footer row count must sum to
+        # (rows this merge observed writing) + (rows of the files the
+        # carry hardlinked). The footer is the writer's durable record
+        # of each file, so a missing/truncated file or a lost partition
+        # fails this exactly as the old logical re-read did — without
+        # the two driver-blocking count jobs per micro-batch the
+        # logical form cost (and delete-sidecar-independent, so no
+        # null-safe partition-predicate subtlety). Large layouts fall
+        # back to one distributed footer-metadata count.
+        audit = M._footer_audit(spark, adir)
+        limit = int(
+            spark.conf.get(
+                M._FOOTER_AUDIT_LIMIT_CONF, M._FOOTER_AUDIT_LIMIT_DEFAULT
+            )
+        )
+        n = (
+            audit[0]
+            if audit is not None
+            else spark.read.parquet(adir).count()
+        )
         carried = (
-            0
-            if (
-                active_existing is None
-                or not partition_by
-                or not os.path.isdir(cur_active)
-            )
-            else active_existing.alias("__e")
-            .join(
-                F.broadcast(
-                    updates.select(*partition_by).distinct()
-                ).alias("__t"),
-                functools.reduce(
-                    lambda a, b: a & b,
-                    [
-                        F.col(f"__e.{c}").eqNullSafe(F.col(f"__t.{c}"))
-                        for c in partition_by
-                    ],
-                ),
-                "left_anti",
-            )
-            .count()
+            M._footer_rows(linked)
+            if len(linked) <= limit
+            else spark.read.parquet(*linked).count()
         )
         if n != expected + carried:
             raise RuntimeError(

@@ -533,6 +533,50 @@ def _commit_lock(root: str):
         os.close(fd)
 
 
+# Above this many staged data files the read-back audit runs as a
+# distributed Spark count instead of driver-side footer reads: footer
+# metadata is O(files) sequential round trips from the driver (fine for
+# the commit sizes a single writer produces; slow against an object
+# store at 1e5+ files), while the Spark count amortizes the same footer
+# reads across the cluster. Conf'd so a deployment can move the
+# crossover; the audit's guarantee is identical on both paths.
+_FOOTER_AUDIT_LIMIT_CONF = "spark.msdw.audit.footerFileLimit"
+_FOOTER_AUDIT_LIMIT_DEFAULT = "4096"
+
+
+def _footer_audit(
+    spark: SparkSession, staged_dir: str
+) -> tuple[int, set] | None:
+    """Driver-side READ-BACK audit of a freshly staged snapshot: sum of
+    parquet footer row counts + the union of footer schema names (plus
+    hive partition-dir column names) over every data file. The footer
+    is the writer's own durable record of each file's contents, so this
+    is the same physical-completeness check as re-reading the snapshot
+    through Spark — a missing, truncated or corrupt file fails the
+    footer parse; a lost row flips the sum — without one driver-blocking
+    distributed count per commit (this is how table formats audit:
+    manifest stats, not re-scans). Returns None when the staged file
+    count exceeds the conf'd limit; the caller then audits distributed."""
+    import pyarrow.parquet as pq
+
+    files = _FILES._data_files_relative(staged_dir)
+    limit = int(
+        spark.conf.get(_FOOTER_AUDIT_LIMIT_CONF, _FOOTER_AUDIT_LIMIT_DEFAULT)
+    )
+    if len(files) > limit:
+        return None
+    total = 0
+    cols: set = set()
+    for rel in files:
+        pf = pq.ParquetFile(os.path.join(staged_dir, rel))
+        total += pf.metadata.num_rows
+        cols.update(pf.schema_arrow.names)
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                cols.add(seg.split("=", 1)[0])
+    return total, cols
+
+
 def _stage_snapshot(
     spark: SparkSession,
     table_root: str,
@@ -572,11 +616,16 @@ def _stage_snapshot(
             # verify the staged dir is present and empty-readable.
             n = _read_snapshot(spark, staged).count()
         else:
-            back = spark.read.parquet(staged)
-            n = back.count()
-            if set(back.columns) != set(df.columns):
+            footer = _footer_audit(spark, staged)
+            if footer is not None:
+                n, back_cols = footer
+            else:
+                back = spark.read.parquet(staged)
+                n = back.count()
+                back_cols = set(back.columns)
+            if back_cols != set(df.columns):
                 raise RuntimeError(
-                    f"audit failed for {staged}: cols {back.columns} "
+                    f"audit failed for {staged}: cols {sorted(back_cols)} "
                     f"!= {df.columns}"
                 )
         if n != expected:
@@ -585,6 +634,16 @@ def _stage_snapshot(
                 f"(wrote {expected})"
             )
     return version
+
+
+def _footer_rows(paths: Sequence[str]) -> int:
+    """Sum of parquet footer row counts over explicit file paths —
+    the driver-side twin of `_footer_audit` for a file list the caller
+    already holds (e.g. the hardlink-carried set a merge audit adds to
+    its own written rows)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
 def _read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -649,7 +708,7 @@ def _apply_deletes(
     return df.join(dels, cond, "left_anti")
 
 
-def _link_untouched(current_dir: str, staged_dir: str) -> None:
+def _link_untouched(current_dir: str, staged_dir: str) -> list[str]:
     """Carry every partition directory the merge did NOT rewrite from the
     current snapshot into the staged one as hardlinks — copy-on-write at
     partition granularity. A subtree is 'touched' exactly when the
@@ -657,7 +716,11 @@ def _link_untouched(current_dir: str, staged_dir: str) -> None:
     output writes a dir for every partition it rewrote), recursively, so
     multi-level partitioning carries untouched leaves under a touched
     prefix. Hardlinks survive vacuuming of the source version (inode
-    refcount), so old-version cleanup never breaks a live snapshot."""
+    refcount), so old-version cleanup never breaks a live snapshot.
+    Returns the absolute paths of the data files linked (the carried
+    set — what the caller's read-back audit must add to the rows it
+    wrote itself)."""
+    linked: list[str] = []
     for entry in os.listdir(current_dir):
         if entry.startswith((".", "_")):
             continue  # markers/sidecars belong to their own version
@@ -665,22 +728,27 @@ def _link_untouched(current_dir: str, staged_dir: str) -> None:
         dst = os.path.join(staged_dir, entry)
         if os.path.isdir(src):
             if os.path.isdir(dst):
-                _link_untouched(src, dst)  # touched prefix: descend
+                linked += _link_untouched(src, dst)  # touched prefix
             else:
                 os.makedirs(dst)
-                _link_all_files(src, dst)
+                linked += _link_all_files(src, dst)
         # top-level data files of an unpartitioned table are never
         # carried: an unpartitioned merge always rewrites the full set
+    return linked
 
 
-def _link_all_files(src: str, dst: str) -> None:
+def _link_all_files(src: str, dst: str) -> list[str]:
+    linked: list[str] = []
     for root, dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         out = os.path.join(dst, rel) if rel != "." else dst
         os.makedirs(out, exist_ok=True)
         for f in files:
             if not f.startswith((".", "_")):
-                os.link(os.path.join(root, f), os.path.join(out, f))
+                target = os.path.join(out, f)
+                os.link(os.path.join(root, f), target)
+                linked.append(target)
+    return linked
 
 
 def _current_path_version(target_path: str, vroot: str) -> str | None:

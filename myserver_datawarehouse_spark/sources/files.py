@@ -178,6 +178,29 @@ def _relative_path_col(table_dir: str):
     return F.substring(absolute, len(norm) + 2, 1 << 30)
 
 
+def _sidecar_paths_local(sidecar_dir: str) -> set:
+    """The `path` column of a bloom sidecar, read DRIVER-side via
+    parquet footers (pyarrow). The sidecar is manifest-scale by design
+    (one row per data file) and every consumer of this set collects it
+    to the driver anyway — reading it without a Spark action removes
+    one driver-blocking job per commit (the guide's measure-first
+    finding for the writer tier: per-action fixed cost, not task time,
+    dominates these paths). The bloom bitsets themselves are NOT read:
+    column projection keeps this an O(files) metadata read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: set = set()
+    for rel in _data_files_relative(sidecar_dir):
+        out.update(
+            pq.read_table(
+                os.path.join(sidecar_dir, rel), columns=["path"]
+            )["path"].to_pylist()
+        )
+    return out
+
+
 def _bloom_frame(
     spark: SparkSession, table_dir: str, column: str, bits: int, paths
 ):
@@ -283,10 +306,7 @@ def _assert_sidecar_paths(
     file never reaches the per-file fold; an evolved partition-column
     bloom carries partially) and already degrades safely to
     always-candidate under bloom_prune_files."""
-    written = {
-        r["path"]
-        for r in spark.read.parquet(sidecar).select("path").collect()
-    }
+    written = _sidecar_paths_local(sidecar)
     if not written <= data_files:
         sample_w = sorted(written - data_files)[:3]
         raise ValueError(
@@ -333,10 +353,10 @@ def carry_bloom_sidecar(
     staged_files = _data_files_relative(staged_dir)
     old = spark.read.parquet(src)
     staged_set = set(staged_files)
-    # One manifest-scale collect of the old PATHS drives both the
-    # carried filter and the new-file diff (the bloom bitsets
-    # themselves never reach the driver).
-    old_paths = {r["path"] for r in old.select("path").collect()}
+    # One manifest-scale footer read of the old PATHS (driver-side, no
+    # Spark action) drives both the carried filter and the new-file
+    # diff; the bloom bitsets themselves never reach the driver.
+    old_paths = _sidecar_paths_local(src)
     covered = old_paths & staged_set
     carried = (
         old.filter(F.col("path").isin(*covered))

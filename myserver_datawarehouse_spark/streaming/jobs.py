@@ -1295,12 +1295,9 @@ def bloom_maintained_stream(
     final = os.path.join(root, M._published_version(root))
     carried = FS.bloom_sidecar_columns(final) == ["event_id"]
     if carried:
-        covered = {
-            r["path"]
-            for r in spark.read.parquet(
-                os.path.join(final, "_blooms", "event_id")
-            ).collect()
-        }
+        covered = FS._sidecar_paths_local(
+            os.path.join(final, "_blooms", "event_id")
+        )
         carried = covered == set(FS._data_files_relative(final))
     table = M.read_published(spark, root)
     probes = [
