@@ -89,6 +89,31 @@ import statistics
 import sys
 import time
 
+
+def _cpu_ticks() -> list[int]:
+    """Aggregate /proc/stat cpu ticks (user nice system idle iowait irq
+    softirq steal ...). Used to attribute per-rep wall time to host
+    phases: this sandbox is a VM whose hypervisor STEALS cpu in bursts
+    (measured 0-16% of a 32-core box for tens of seconds, with matching
+    kernel-time spikes), which is the mechanism behind the 'hot host'
+    bimodal reps every round since r12 disclosed as noise. Recording
+    steal alongside each rep turns that from a guess into data."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        return [int(x) for x in parts]
+    except (OSError, ValueError):
+        return []
+
+
+def _steal_pct(c0: list[int], c1: list[int]) -> float:
+    """% of total cpu ticks stolen by the hypervisor between snapshots."""
+    if not c0 or not c1 or len(c0) < 8 or len(c1) < 8:
+        return -1.0
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot > 0 else -1.0
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from myserver_datawarehouse_spark import registry
@@ -121,6 +146,7 @@ def build_line(
     spreads: dict[str, float] | None = None,
     warm_reps: int = 0,
     noisy: dict[str, list[float]] | None = None,
+    steal_max: float | None = None,
 ) -> str:
     """The ONE stdout line the driver records. Contract (tested in
     tests/test_plan_shapes.py): valid JSON, < 1900 chars — the driver
@@ -147,6 +173,10 @@ def build_line(
             statistics.median(spreads.values()), 3
         )
         payload["spread_max"] = round(max(spreads.values()), 3)
+    if steal_max is not None and steal_max >= 0:
+        # Worst hypervisor steal% seen over any timed rep — the host-
+        # phase disclosure for the whole run (per-rep map in the file).
+        payload["steal_pct_max"] = steal_max
     if noisy:
         # Queries whose central gap never closed: host-noise-bound, the
         # recorded time is the lower central rep (worst 5 by gap).
@@ -232,6 +262,7 @@ def main() -> None:
     spreads: dict[str, float] = {}
     noisy: dict[str, list[float]] = {}
     all_reps: dict[str, list[float]] = {}
+    all_steals: dict[str, list[float]] = {}
     families: dict[str, float] = {}
     specs = bench_order(registry.specs())
     if wanted:
@@ -248,11 +279,14 @@ def main() -> None:
                 "overwrite"
             ).save()
         times: list[float] = []
+        steals: list[float] = []
         for _ in range(reps):
+            c0 = _cpu_ticks()
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
+            steals.append(_steal_pct(c0, _cpu_ticks()))
         # Adaptive extra reps, CENTRAL-GAP criterion (round 9, per the
         # round-8 verdict #6): the round-7 rule retried on max-min
         # spread, which on a BIMODAL query (host noise doubling some
@@ -285,11 +319,13 @@ def main() -> None:
             and central_gap(times) > SPREAD_RETRY_SEC
             and extra < MAX_EXTRA_REPS
         ):
+            c0 = _cpu_ticks()
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             times.append(round(time.perf_counter() - t0, 3))
+            steals.append(_steal_pct(c0, _cpu_ticks()))
             extra += 1
         if central_gap(times) > SPREAD_RETRY_SEC:
             noisy[spec.name] = [round(min(times), 3), round(max(times), 3)]
@@ -309,6 +345,7 @@ def main() -> None:
         timings[spec.name] = med
         spreads[spec.name] = round(max(times) - min(times), 3)
         all_reps[spec.name] = times
+        all_steals[spec.name] = steals
         fam = spec.spark.__module__.rsplit(".", 1)[-1]
         families[fam] = round(families.get(fam, 0.0) + med, 3)
 
@@ -334,6 +371,12 @@ def main() -> None:
                 "queries": timings,  # medians of `reps` warm-JVM runs
                 "spreads": spreads,  # per-query max-min across reps
                 "reps_detail": all_reps,
+                # hypervisor steal% per timed rep (aligned with
+                # reps_detail): a slow rep with high steal is a host
+                # phase, not a plan regression — r14 measured the
+                # recurring 'hot host' tails at 6-16% steal while a
+                # steady rep sits under 1%.
+                "steal_pct_detail": all_steals,
                 "reps": reps,
                 "warm_reps": warm_reps,
                 "families": families,
@@ -342,9 +385,11 @@ def main() -> None:
             },
             fh,
         )
+    steal_vals = [s for ss in all_steals.values() for s in ss if s >= 0]
     line = build_line(
         timings, families, sf, reps=reps, spreads=spreads,
         warm_reps=warm_reps, noisy=noisy,
+        steal_max=(round(max(steal_vals), 2) if steal_vals else None),
     )
     sys.stdout.flush()
     print(line, flush=True)

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from myserver_datawarehouse_spark import registry
 from myserver_datawarehouse_spark.session import get_spark
+from bench import _cpu_ticks, _steal_pct
 
 
 def plan_counts(df) -> dict:
@@ -59,13 +60,16 @@ def profile_one(spark, spec, sf_dir: str, reps: int, warm: int) -> dict:
         ).save()
     group = f"profile_{spec.name}"
     times = []
+    steals = []
     sc.setJobGroup(group, spec.name)
     t_jobs0 = set(sc.statusTracker().getJobIdsForGroup(group))
     for _ in range(reps):
+        c0 = _cpu_ticks()
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
+        steals.append(_steal_pct(c0, _cpu_ticks()))
     tracker = sc.statusTracker()
     job_ids = [
         j for j in tracker.getJobIdsForGroup(group) if j not in t_jobs0
@@ -98,6 +102,9 @@ def profile_one(spark, spec, sf_dir: str, reps: int, warm: int) -> dict:
         "jobs_per_rep": round(len(job_ids) / max(1, reps), 1),
         "stages_per_rep": round(n_stages / max(1, reps), 1),
         "tasks_per_rep": round(n_tasks / max(1, reps), 1),
+        # hypervisor steal% per rep: >2-3% means the rep is a host
+        # phase, not the plan (see bench.py:_cpu_ticks).
+        "steal_pct": steals,
         **counts,
     }
 
