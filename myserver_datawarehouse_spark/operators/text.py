@@ -164,18 +164,26 @@ def minhash_signature(shingle_col: Column | str, n_hashes: int = 16) -> Column:
     )
 
 
-def lsh_band_keys(sig: Column | str, bands: int, rows: int) -> Column:
+def lsh_band_keys(
+    sig: Column | str, bands: int, rows: int, tag: str = ""
+) -> Column:
     """Band keys for LSH bucketing (array<string>, length `bands`).
 
-    Band b's key is "<b>:<hash60 of its `rows` signature slots joined>".
-    Docs sharing ANY band key become candidate pairs — the classic
-    (bands, rows) S-curve: P(candidate) = 1 - (1 - j^rows)^bands.
+    Band b's key is "<tag><b>:<hash60 of its `rows` signature slots
+    joined>". Docs sharing ANY band key become candidate pairs — the
+    classic (bands, rows) S-curve: P(candidate) = 1 - (1 - j^rows)^bands.
+
+    `tag` namespaces the keys so several (bands, rows) configurations
+    can share ONE exploded frame and ONE bucket self-join (the
+    band-tuning sweep): keys from different configs can never collide
+    because their tags differ. Built as a literal prefix in the same
+    concat — codegen'd, no higher-order-function lambda per row.
     """
     s = _c(sig)
     return F.array(
         *[
             F.concat(
-                F.lit(f"{b}:"),
+                F.lit(f"{tag}{b}:"),
                 hash60(
                     F.concat_ws(",", *[s[b * rows + r] for r in range(rows)]),
                     seed=b,

@@ -151,33 +151,24 @@ def _shingle_hash_frame(d: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_pairs_for(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
-    """The LSH pair plan over any (doc_id, text) frame — the corpus for
-    the standalone queries, the curation survivors for the composed
-    corpus build. Pass `hs` (the materialized distinct (doc_id, h)
-    shingle-hash frame) to share it with another tier in the same
-    query (lsh_recall_audit shares it with the prefix filter); default
-    builds it, plan-identical to pre-round-11."""
-    # Everything runs over ROW-wise hashed shingles (one codegen'd md5 per
-    # position — see operators/text.shingle_rows; the array-HOF form costs
-    # ~10s/pass at sf0.1 on Spark's interpreted lambda path):
-    # - the 16 signature slots are codegen'd MIN aggregates over the
-    #   hashed rows (map-side partials), not higher-order array folds;
-    # - candidate verification counts shared hashes per candidate pair via
-    #   an equi-join on the hash value — no per-pair array intersect.
-    # Docs with zero shingles drop out at the explode instead of carrying
-    # all-NULL signatures; their candidate pairs were jaccard-NULL-
-    # filtered anyway (identically in the oracle).
-    if hs is None:
-        # Three downstream passes read hs (the signature aggregate and
-        # both sides of the verify join) — the shared materialized
-        # frame keeps that to one shingle pass (measured 2.5x on the
-        # whole pair plan at sf0.1).
-        hs = _shingle_hash_frame(d)
+def _minhash_band_candidates(
+    hs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(distinct LSH band-collision candidate pairs, per-doc set sizes)
+    over the shared shingle-hash frame — the first half of
+    `_minhash_pairs_for`, factored out so an audit that already holds
+    the exact >= tau pair set (`lsh_recall_audit`) can semi-join the
+    CANDIDATES directly and skip the per-candidate Jaccard verify:
+    exact ∩ verified(cand) == exact ∩ cand, because every exact pair
+    has jaccard >= tau by the prefix-filter theorem and the verify
+    computes the identical rounded jaccard — the filter can only drop
+    pairs the exact side already excludes. `lsh_band_tuning` has used
+    this semi-join shape per config since round 13.
+
+    The shingle-set size rides along as a 17th aggregate in the
+    signature pass (one groupBy over hs instead of two full recomputes
+    of the shingle lineage — hs is lineage, not a materialized table)."""
     p = F.lit(TX.MINHASH_P)
-    # Shingle-set size rides along as a 17th aggregate in the signature
-    # pass (one groupBy over hs instead of two full recomputes of the
-    # shingle lineage — hs is lineage, not a materialized table).
     sig = (
         hs.groupBy("doc_id")
         .agg(
@@ -202,7 +193,33 @@ def _minhash_pairs_for(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sig.select("doc_id", "n")
+    return cand, sig.select("doc_id", "n")
+
+
+def _minhash_pairs_for(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
+    """The LSH pair plan over any (doc_id, text) frame — the corpus for
+    the standalone queries, the curation survivors for the composed
+    corpus build. Pass `hs` (the materialized distinct (doc_id, h)
+    shingle-hash frame) to share it with another tier in the same
+    query (lsh_recall_audit shares it with the prefix filter); default
+    builds it, plan-identical to pre-round-11."""
+    # Everything runs over ROW-wise hashed shingles (one codegen'd md5 per
+    # position — see operators/text.shingle_rows; the array-HOF form costs
+    # ~10s/pass at sf0.1 on Spark's interpreted lambda path):
+    # - the 16 signature slots are codegen'd MIN aggregates over the
+    #   hashed rows (map-side partials), not higher-order array folds;
+    # - candidate verification counts shared hashes per candidate pair via
+    #   an equi-join on the hash value — no per-pair array intersect.
+    # Docs with zero shingles drop out at the explode instead of carrying
+    # all-NULL signatures; their candidate pairs were jaccard-NULL-
+    # filtered anyway (identically in the oracle).
+    if hs is None:
+        # Three downstream passes read hs (the signature aggregate and
+        # both sides of the verify join) — the shared materialized
+        # frame keeps that to one shingle pass (measured 2.5x on the
+        # whole pair plan at sf0.1).
+        hs = _shingle_hash_frame(d)
+    cand, sizes = _minhash_band_candidates(hs)
     inter = (
         F.broadcast(cand)
         .join(hs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
@@ -4842,6 +4859,12 @@ def _prefix_filter_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame
     # BOTH sides of their joins — the shared materialized frame keeps
     # the df join + ranking window to one shingle pass.
     h = hs if hs is not None else _shingle_hash_frame(d)
+    # NOTE (r14, measured and rejected): deriving `sizes` as a
+    # projection of the materialized `sets` frame below (sets already
+    # aggregates the same n) removes this groupBy from the plan but
+    # made the query ~1 s SLOWER at sf0.1 — the broadcast build then
+    # scans the checkpointed per-doc ARRAY blocks to project two
+    # columns, where this pass scans only the narrow (doc_id, h) rows.
     sizes = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_tok = h.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     pos = F.row_number().over(
@@ -5201,7 +5224,15 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _lsh_audit_docs(_docs(spark, sf_dir))
     hs = _shingle_hash_frame(d)
     exact = _prefix_filter_pairs(d, hs=hs)
-    lsh = _minhash_pairs_for(d, hs=hs).select("doc_a", "doc_b")
+    # The LSH side contributes only its CANDIDATE set: the semi-join
+    # against `exact` IS the tau threshold (every exact pair has
+    # jaccard >= tau and the LSH verify computes the identical rounded
+    # jaccard, so exact ∩ verified(cand) == exact ∩ cand — see
+    # _minhash_band_candidates). Skipping the redundant per-candidate
+    # verify removes two hash-equi-joins over hs plus a pair-sized
+    # aggregation from the plan (r14; the band_tuning sweep has used
+    # this shape per config since round 13).
+    lsh, _ = _minhash_band_candidates(hs)
     hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     band = F.floor(F.col("jaccard") * J_BAND_W).cast("int").alias("j_band")
     eb = exact.groupBy(band).agg(F.count(F.lit(1)).alias("n_exact"))
@@ -7340,20 +7371,24 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits between).
 
     Scale: ONE shingle pass (the shared materialized hash frame), ONE
-    signature pass, ONE exact-yardstick pair plan — per config only
-    the band-key explode + bucket self-join re-runs (band keys are
-    arithmetic over the in-flight signature array). Candidate sets are
-    banded, never all-pairs; the comparison is pair-set-sized. Theory
-    values are Python-computed literals joined in (identically in the
-    oracle), so no cross-engine float-pow enters the hash."""
+    signature pass, ONE exact-yardstick pair plan, and since r14 ONE
+    band-key explode + ONE bucket self-join for the WHOLE sweep: every
+    config's keys carry a "<b>x<r>|" namespace tag, so a single tagged
+    frame holds all 28 keys/doc and a single equi-join yields every
+    config's candidate set at once (tags cannot collide across
+    configs) — one Exchange where the per-config loop paid one per
+    config per side. Candidate sets are banded, never all-pairs; the
+    comparison is pair-set-sized. Theory values are Python-computed
+    literals joined in (identically in the oracle), so no cross-engine
+    float-pow enters the hash."""
     d = _lsh_audit_docs(_docs(spark, sf_dir))
     hs = _shingle_hash_frame(d)
-    # consumed by: per-config hit semi-joins (x3) + the decile rollup
+    # consumed by: the sweep's candidate join + the decile rollup
     exact = materialize(
         _prefix_filter_pairs(d, hs=hs).select("doc_a", "doc_b", "jaccard")
     )
     p = F.lit(TX.MINHASH_P)
-    # consumed by: every config's band-key explode (x3)
+    # consumed by: both sides of the one tagged band-key self-join
     sig = materialize(
         hs.groupBy("doc_id")
         .agg(
@@ -7369,45 +7404,63 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     band_col = F.floor(F.col("jaccard") * J_BAND_W).cast("int").alias("j_band")
     eb = exact.groupBy(band_col).agg(F.count(F.lit(1)).alias("n_exact"))
-    legs = []
-    for bands_n, rows_n in LSH_TUNE_CONFIGS:
-        bands = sig.select(
-            "doc_id",
-            F.explode(
-                TX.lsh_band_keys("sig", bands_n, rows_n)
-            ).alias("bk"),
-        )
-        a, b2 = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b2,
-                (F.col("a.bk") == F.col("b.bk"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # ONE tagged band-key explode + ONE bucket self-join for the whole
+    # sweep (r14, guide §2.4): each config's keys carry a "<b>x<r>|"
+    # namespace tag, so one exploded frame holds all 28 keys/doc and
+    # one equi-join on the tagged key replaces three per-config
+    # self-joins + distincts + semi-joins — identical candidate sets
+    # per config (tags cannot collide across configs), one Exchange
+    # where the loop form paid one per config on each side.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                *[
+                    TX.lsh_band_keys(
+                        "sig", bands_n, rows_n, tag=f"{bands_n}x{rows_n}|"
+                    )
+                    for bands_n, rows_n in LSH_TUNE_CONFIGS
+                ]
             )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        ).alias("bk"),
+    )
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
-        hb = hit.groupBy(band_col).agg(F.count(F.lit(1)).alias("n_cand"))
-        legs.append(
-            eb.join(hb, "j_band", "left").select(
-                F.lit(f"{bands_n}x{rows_n}").alias("config"),
-                "j_band",
-                "n_exact",
-                F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
-                F.round(
-                    F.coalesce(F.col("n_cand"), F.lit(0)).cast("double")
-                    / F.col("n_exact"),
-                    4,
-                ).alias("recall"),
-            )
+        .select(
+            F.substring_index(F.col("a.bk"), "|", 1).alias("config"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
+        .distinct()
+    )
+    hb = (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .groupBy("config", band_col)
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    cfgs = spark.createDataFrame(
+        [(f"{b}x{r}",) for b, r in LSH_TUNE_CONFIGS], "config string"
+    )
+    out = (
+        eb.crossJoin(F.broadcast(cfgs))
+        .join(hb, ["config", "j_band"], "left")
+        .select(
+            "config",
+            "j_band",
+            "n_exact",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+            F.round(
+                F.coalesce(F.col("n_cand"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                4,
+            ).alias("recall"),
+        )
+    )
     theory = spark.createDataFrame(
         _lsh_theory_rows(), "config string, j_band int, theory double"
     )

@@ -230,9 +230,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "lsh_band_tuning": {
         "RDD_SCAN": _LC + "; the shared shingle-hash frame (as in "
         "lsh_recall_audit), the exact prefix-filter yardstick frame "
-        "consumed by every config's hit semi-join + the decile "
-        "rollup, and the signature frame every config's band-key "
-        "explode re-reads"
+        "consumed by the sweep's candidate join + the decile "
+        "rollup, and the signature frame both sides of the ONE "
+        "tagged band-key bucket self-join re-read (r14: one tagged "
+        "explode + one self-join replaced the three per-config legs)"
     },
 }
 
@@ -422,9 +423,10 @@ CONSUMERS: dict[str, tuple[str, ...]] = {
     "lsh_band_tuning": (
         "shingle-hash frame: the prefix-filter yardstick + the "
         "signature aggregate (as in lsh_recall_audit)",
-        "exact yardstick frame: per-config hit semi-joins (x3) + "
+        "exact yardstick frame: the tagged-candidate join + "
         "the decile rollup",
-        "signature frame: every config's band-key explode (x3)",
+        "signature frame: both sides of the one tagged band-key "
+        "bucket self-join",
     ),
 }
 
