@@ -347,3 +347,74 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     return auds.select("doc_id", "payload").mapInPandas(
         _audio_fp_kernel, schema=AUDIO_FP_SCHEMA
     )
+
+
+MEDIA_FP_SCHEMA = "doc_id long, modality string, mhash long"
+
+
+def _media_fp_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """ALL THREE modality fingerprint kernels in ONE pass, dispatched
+    per row on media_type (guide §2.4: the three per-modality kernels
+    each filtered a disjoint doc subset out of the same corpus scan,
+    so a consumer that needs every modality paid three full corpus
+    scans + three job launches for one corpus' worth of Python work).
+    Row-for-row identical hashes to image_phash / audio_fingerprint /
+    frame_phash — same _phash60, same windowing constants; pinned by
+    tests/test_multimodal.py::test_media_fingerprints_matches_per_modality_kernels.
+    seg/frame indexes are dropped: every fused-kernel consumer (chunk
+    banding, set-coverage verify) uses the hash multiset only."""
+    for pdf in batches:
+        rows: dict[str, list] = {"doc_id": [], "modality": [], "mhash": []}
+        ids, mods, hashes = rows["doc_id"], rows["modality"], rows["mhash"]
+        for doc_id, mt, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            bs = bytes(payload)
+            if mt == "image":
+                ids.append(doc_id)
+                mods.append("image")
+                hashes.append(_phash60(bs))
+            elif mt == "audio":
+                n_segs = max(-(-len(bs) // AUDIO_HOP) - 1, 1)
+                for i in range(n_segs):
+                    ids.append(doc_id)
+                    mods.append("audio")
+                    hashes.append(
+                        _phash60(
+                            bs[i * AUDIO_HOP : i * AUDIO_HOP + AUDIO_WINDOW]
+                        )
+                    )
+            else:  # video
+                n_frames = max(
+                    (len(bs) + FRAME_STRIDE - 1) // FRAME_STRIDE, 1
+                )
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    mods.append("video")
+                    hashes.append(
+                        _phash60(
+                            bs[i * FRAME_STRIDE : (i + 1) * FRAME_STRIDE]
+                        )
+                    )
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "modality": mods,
+                "mhash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+def media_fingerprints(media: DataFrame) -> DataFrame:
+    """Every modality's fingerprint rows from ONE corpus pass: (doc_id,
+    modality, 60-bit mhash), one row per image / audio hop window /
+    video frame — for consumers that need the whole modality matrix
+    (cross_modal_curation, the streaming curation ledger), which
+    previously ran the three per-modality kernels as three separate
+    corpus scans. Single-modality consumers keep the dedicated kernels
+    (fusing would triple their scan volume)."""
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        _media_fp_kernel, schema=MEDIA_FP_SCHEMA
+    )

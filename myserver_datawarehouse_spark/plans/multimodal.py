@@ -112,12 +112,19 @@ PHASH_HAMMING_MAX = PHASH_CHUNKS - 1  # pigeonhole-complete radius
 
 def _image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-banded pHash candidate pairs with exact Hamming verify —
-    shared by `near_dup_image_phash` (its presentation surface) and
-    `cross_modal_curation` (the image edge set). Identical op graph to
-    the pre-round-11 inline form."""
+    shared by `near_dup_image_phash` (its presentation surface) and,
+    via `_image_phash_pairs_from`, `cross_modal_curation` (the image
+    edge set over the fused one-pass fingerprint frame). Identical op
+    graph to the pre-round-11 inline form."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.with_fake_payload(docs)
-    ph = MM.image_phash(media)
+    return _image_phash_pairs_from(MM.image_phash(media))
+
+
+def _image_phash_pairs_from(ph: DataFrame) -> DataFrame:
+    """The image pair plan over any (doc_id, phash) frame. `ph` is
+    consumed by both sides of the bucket self-join — pass a
+    materialized/reusable frame when recomputing it is expensive."""
     chunks = ph.select(
         "doc_id",
         "phash",
@@ -271,7 +278,13 @@ def _video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize: the fingerprint frame feeds the chunk explode AND
     # the per-video set aggregate — without the cut the payload scan +
     # pHash kernel execute twice.
-    fp = materialize(MM.frame_phash(media))
+    return _video_frame_pairs_from(materialize(MM.frame_phash(media)))
+
+
+def _video_frame_pairs_from(fp: DataFrame) -> DataFrame:
+    """The video pair plan over any reusable (doc_id, fhash) frame —
+    callers materialize `fp` (it feeds the chunk explode AND the
+    per-video set aggregate)."""
     chunks = fp.select(
         "doc_id",
         F.posexplode(TX.simhash_chunks("fhash", PHASH_CHUNKS)).alias(
@@ -471,7 +484,15 @@ def _audio_fingerprint_pairs(media) -> DataFrame:
     # materialize: the fingerprint frame feeds the chunk explode AND
     # the per-track set aggregate — without the cut the payload scan +
     # fingerprint kernel execute twice.
-    fp = materialize(MM.audio_fingerprint(media))
+    return _audio_fingerprint_pairs_from(
+        materialize(MM.audio_fingerprint(media))
+    )
+
+
+def _audio_fingerprint_pairs_from(fp: DataFrame) -> DataFrame:
+    """The audio pair plan over any reusable (doc_id, ahash) frame —
+    callers materialize `fp` (it feeds the chunk explode AND the
+    per-track set aggregate)."""
     chunks = fp.select(
         "doc_id",
         F.posexplode(TX.simhash_chunks("ahash", PHASH_CHUNKS)).alias(
@@ -677,14 +698,38 @@ def cross_modal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the per-modality endpoint sets. The oracle recomputes all FOUR
     pair graphs, the recursive closure, and the provenance labels."""
     from myserver_datawarehouse_spark.plans import llm_text as LTX
+    from myserver_datawarehouse_spark.session import materialize
 
     docs = LTX._docs(spark, sf_dir)
     tpairs = LTX._minhash_pairs_for(docs).select("doc_a", "doc_b")
-    ipairs = _image_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    apairs = _audio_fingerprint_pairs(
-        MM.with_fake_payload(docs.select("doc_id", "text"))
+    # ONE fused fingerprint pass over the corpus for all three media
+    # arms (r15, guide §2.4/§4): the per-modality kernels each scanned
+    # the full corpus to fingerprint their disjoint doc_id % 3 subset —
+    # three Python corpus passes (the image one twice, unmaterialized on
+    # both self-join sides) for one corpus' worth of kernel work. The
+    # fused frame is materialized once; each arm's pair plan reads its
+    # modality slice of the checkpoint. Hashes are row-identical to the
+    # per-modality kernels (pinned in tests/test_multimodal.py).
+    fp = materialize(
+        MM.media_fingerprints(
+            MM.with_fake_payload(docs.select("doc_id", "text"))
+        )
+    )
+    ipairs = _image_phash_pairs_from(
+        fp.filter(F.col("modality") == "image").select(
+            "doc_id", F.col("mhash").alias("phash")
+        )
     ).select("doc_a", "doc_b")
-    vpairs = _video_frame_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    apairs = _audio_fingerprint_pairs_from(
+        fp.filter(F.col("modality") == "audio").select(
+            "doc_id", F.col("mhash").alias("ahash")
+        )
+    ).select("doc_a", "doc_b")
+    vpairs = _video_frame_pairs_from(
+        fp.filter(F.col("modality") == "video").select(
+            "doc_id", F.col("mhash").alias("fhash")
+        )
+    ).select("doc_a", "doc_b")
     edges = tpairs.union(ipairs).union(apairs).union(vpairs).distinct()
     labels = LTX._cc_min_labels(edges)
     sizes = labels.groupBy("label").agg(

@@ -1985,88 +1985,99 @@ CURATION_BATCHES = NEAR_DUP_INGEST_BATCHES  # same arrival batching
 
 def _media_index_build(
     sp: SparkSession, d: dict, one: DataFrame, bno: int, sub: str
-) -> dict:
+) -> tuple[DataFrame, DataFrame]:
     """Compute AND index every media modality's signatures for ONE
-    (doc_id, text) frame, returning the READ-BACK (fp, chunks) frames
-    from the just-written batch subdirs: image pHash (1 row/doc),
-    audio hop windows, video frames — the signature schemes of
-    plans/multimodal's pair builders (shared kernels from
+    (doc_id, text) frame, returning the READ-BACK (rows, chunks)
+    frames from the just-written batch subdirs: image pHash (1
+    row/doc), audio hop windows, video frames — the signature schemes
+    of plans/multimodal's pair builders (shared kernels from
     operators/multimodal, chunk banding via
     operators/text.simhash_chunks, exactly as there; the
     stream-vs-batch set-equality test in tests/test_round13.py pins
     the edge sets to the batch builders').
 
     r14 restructure: the fingerprint frames used to be
-    localCheckpoint'd (so the mapInPandas kernel ran once across index
-    write + chunk derivation + probe — round-13 review finding), then
-    written. The index write IS a durable lineage cut, so write first
-    and derive the chunk index and the probe inputs from the read-back
-    instead: one kernel execution, one fewer eager job per modality
-    per micro-batch, and the probe reads exactly the bytes a restarted
-    service would. The three modality builds are independent jobs over
-    disjoint doc subsets — pooled (guide §2.6)."""
+    localCheckpoint'd, then written; the index write IS a durable
+    lineage cut, so write first and derive the chunk index and the
+    probe inputs from the read-back.
+
+    r15 restructure (guide §2.4/§4): the three per-modality kernels
+    each re-scanned the full input to fingerprint their disjoint
+    doc_id % 3 subset — 3 corpus scans + 3 write jobs + 3 chunk-write
+    jobs per (seed | micro-batch) for one corpus' worth of kernel
+    work. All three modalities now fingerprint in ONE fused
+    mapInPandas pass (operators/multimodal.media_fingerprints,
+    hash-identical to the per-modality kernels — pinned in
+    tests/test_multimodal.py) into ONE (doc_id, modality, mhash,
+    batch_no) store, and ONE chunk index derives from its read-back:
+    2 jobs and 1 input scan where the r14 form paid 6 jobs and 3
+    scans. Each doc carries exactly one modality, so per-modality
+    distinct/joins filter the shared store by the modality column —
+    the probe-visible row sets are unchanged."""
+    _media_rows_write(d, one, bno, sub)
+    return _media_chunks_build(sp, d, bno, sub)
+
+
+def _media_rows_write(d: dict, one: DataFrame, bno: int, sub: str) -> None:
+    """The fused fingerprint store write alone — independent of the
+    text-arm index writes, so callers can pool it with them
+    (guide §2.6)."""
     import os
 
     from myserver_datawarehouse_spark.operators import multimodal as MM
+
+    media = MM.with_fake_payload(one)
+    (
+        MM.media_fingerprints(media)
+        .select(
+            "doc_id",
+            "modality",
+            "mhash",
+            F.lit(bno).cast("int").alias("batch_no"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d["media_rows"], sub))
+    )
+
+
+def _media_chunks_build(
+    sp: SparkSession, d: dict, bno: int, sub: str
+) -> tuple[DataFrame, DataFrame]:
+    """Derive + write the chunk-band index from the just-written
+    fingerprint store's read-back; returns the (rows, chunks)
+    read-back frames the probes consume."""
+    import os
+
     from myserver_datawarehouse_spark.operators import text as TX
     from myserver_datawarehouse_spark.plans.multimodal import PHASH_CHUNKS
 
-    media = MM.with_fake_payload(one)
-    b = F.lit(bno).cast("int").alias("batch_no")
-    hcols = {"image": "phash", "audio": "ahash", "video": "fhash"}
-    kern = {
-        "image": MM.image_phash(media),
-        "audio": MM.audio_fingerprint(media),
-        "video": MM.frame_phash(media),
-    }
-    _parallel_actions(
-        *[
-            (
-                lambda m=m: kern[m]
-                .select("doc_id", hcols[m], b)
-                .write.mode("overwrite")
-                .parquet(os.path.join(d[m + "_rows"], sub))
-            )
-            for m in hcols
-        ]
-    )
-    fps = {
-        m: sp.read.parquet(os.path.join(d[m + "_rows"], sub))
-        for m in hcols
-    }
-
-    def chunks(fp: DataFrame, hcol: str) -> DataFrame:
-        # distinct per (doc, chunk, value): candidate pairs are
-        # de-duplicated after the bucket join anyway, so the index
-        # stores each doc's bucket memberships once.
-        return (
-            fp.select(
-                "doc_id",
-                F.posexplode(
-                    TX.simhash_chunks(hcol, PHASH_CHUNKS)
-                ).alias("c", "cv"),
-            )
-            .distinct()
-            .select("doc_id", "c", "cv", b)
+    rows_rb = sp.read.parquet(os.path.join(d["media_rows"], sub))
+    # distinct per (doc, chunk, value): candidate pairs are
+    # de-duplicated after the bucket join anyway, so the index stores
+    # each doc's bucket memberships once. doc_id determines modality,
+    # so the per-(doc, c, cv) distinct is identical to the r14
+    # per-modality distincts.
+    (
+        rows_rb.select(
+            "doc_id",
+            "modality",
+            F.posexplode(
+                TX.simhash_chunks("mhash", PHASH_CHUNKS)
+            ).alias("c", "cv"),
         )
-
-    _parallel_actions(
-        *[
-            (
-                lambda m=m: chunks(fps[m], hcols[m])
-                .write.mode("overwrite")
-                .parquet(os.path.join(d[m + "_chunks"], sub))
-            )
-            for m in hcols
-        ]
-    )
-    return {
-        m: (
-            fps[m],
-            sp.read.parquet(os.path.join(d[m + "_chunks"], sub)),
+        .distinct()
+        .select(
+            "doc_id",
+            "modality",
+            "c",
+            "cv",
+            F.lit(bno).cast("int").alias("batch_no"),
         )
-        for m in hcols
-    }
+        .write.mode("overwrite")
+        .parquet(os.path.join(d["media_chunks"], sub))
+    )
+    chunks_rb = sp.read.parquet(os.path.join(d["media_chunks"], sub))
+    return rows_rb, chunks_rb
 
 
 def _precedence_candidates(
@@ -2193,8 +2204,10 @@ def _curation_one(sp: SparkSession, d: dict, one: DataFrame, bno: int) -> None:
     import os
 
     sub = f"b{bno}"
-    # text arm: the near-dup ingest machinery verbatim (writes pooled,
-    # as in _near_dup_ingest_one)
+    # Index writes first (self-inclusive probes): the three text-arm
+    # writes AND the fused media fingerprint write are independent jobs
+    # over O(batch) rows — all four pooled (guide §2.6); the barrier
+    # keeps the write-before-probe ordering.
     hs, sz, bd = _near_dup_index_frames(one, bno)
     _parallel_actions(
         lambda: bd.write.mode("overwrite").parquet(
@@ -2206,18 +2219,27 @@ def _curation_one(sp: SparkSession, d: dict, one: DataFrame, bno: int) -> None:
         lambda: sz.write.mode("overwrite").parquet(
             os.path.join(d["tsizes"], sub)
         ),
+        lambda: _media_rows_write(d, one, bno, sub),
     )
     tpairs = _near_dup_verified_pairs(
         sp, d["tbands"], d["thashes"], d["tsizes"], hs, sz, bd, bno
     ).select("doc_new", "doc_partner")
-    # media arms: index-first (pooled builds + read-back), then probe
-    sig = _media_index_build(sp, d, one, bno, sub)
+    # media arms: chunk index from the store's read-back, then probe
+    # each arm over its modality slice of the shared store.
+    bd_rows, bd_chunks = _media_chunks_build(sp, d, bno, sub)
+    idx_rows_all = _read_tree(sp, d["media_rows"])
+    idx_chunks_all = _read_tree(sp, d["media_chunks"])
 
     def arm(m: str, hcol: str, rule: str) -> DataFrame:
         cand = _precedence_candidates(
-            sig[m][1], _read_tree(sp, d[m + "_chunks"])
+            bd_chunks.filter(F.col("modality") == m).drop("modality"),
+            idx_chunks_all.filter(F.col("modality") == m).drop(
+                "modality"
+            ),
         )
-        idx_rows = _read_tree(sp, d[m + "_rows"]).select("doc_id", hcol)
+        idx_rows = idx_rows_all.filter(F.col("modality") == m).select(
+            "doc_id", F.col("mhash").alias(hcol)
+        )
         if m == "image":
             v = _phash_verified_pairs(cand, idx_rows)
         else:
@@ -2322,12 +2344,8 @@ def curation_ledger_stream(
             "tbands",
             "thashes",
             "tsizes",
-            "image_rows",
-            "image_chunks",
-            "audio_rows",
-            "audio_chunks",
-            "video_rows",
-            "video_chunks",
+            "media_rows",
+            "media_chunks",
             "ledger",
         )
     }
@@ -2337,8 +2355,10 @@ def curation_ledger_stream(
     is_arrival = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
 
     # Seed every index from the standing corpus (batch_no -1). Text
-    # writes pooled off the persisted shingle frame; media index
-    # builds pooled inside _media_index_build (guide §2.6).
+    # writes pooled off the persisted shingle frame (guide §2.6); all
+    # three media modalities fingerprint + index in ONE fused pass
+    # (r15, _media_index_build) — the seed now scans the standing
+    # corpus twice (text shingles + fused media kernel) instead of 4x.
     standing = docs.filter(~is_arrival)
     hs0, sz0, bd0 = _near_dup_index_frames(standing, -1)
     _parallel_actions(
@@ -2351,9 +2371,10 @@ def curation_ledger_stream(
         lambda: sz0.write.mode("overwrite").parquet(
             os.path.join(d["tsizes"], "b_base")
         ),
+        lambda: _media_rows_write(d, standing, -1, "b_base"),
     )
     hs0.unpersist()
-    _media_index_build(spark, d, standing, -1, "b_base")
+    _media_chunks_build(spark, d, -1, "b_base")
 
     arrivals = docs.filter(is_arrival).select(
         "doc_id",

@@ -94,3 +94,44 @@ def test_resize_image_stub_gates_on_pil():
 
         with pytest.raises(NotImplementedError):
             MM.resize_image(b"xx", 4, 4)
+
+
+def test_media_fingerprints_matches_per_modality_kernels(spark):
+    """The fused one-pass kernel (r15) must emit hash-for-hash the same
+    fingerprint multisets as the three per-modality kernels it replaces
+    (image_phash / audio_fingerprint / frame_phash) — the equivalence
+    the curation consumers' one-scan restructure rests on."""
+    wide = spark.createDataFrame(
+        [(i, f"payload text number {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = MM.with_fake_payload(wide)
+    fused = MM.media_fingerprints(media).collect()
+
+    def multiset(rows):
+        out = {}
+        for t in rows:
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    got = {
+        m: multiset(
+            (r.doc_id, r.mhash) for r in fused if r.modality == m
+        )
+        for m in ("image", "audio", "video")
+    }
+    want = {
+        "image": multiset(
+            (r.doc_id, r.phash) for r in MM.image_phash(media).collect()
+        ),
+        "audio": multiset(
+            (r.doc_id, r.ahash)
+            for r in MM.audio_fingerprint(media).collect()
+        ),
+        "video": multiset(
+            (r.doc_id, r.fhash) for r in MM.frame_phash(media).collect()
+        ),
+    }
+    assert got == want
+    # every modality actually present in the fixture
+    assert all(got[m] for m in got)

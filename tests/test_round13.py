@@ -329,9 +329,8 @@ def test_streaming_curation_replay_is_idempotent(spark):
     trees = [
         ledger_dir,
         os.path.join(work, "thashes"),
-        os.path.join(work, "image_rows"),
-        os.path.join(work, "audio_chunks"),
-        os.path.join(work, "video_rows"),
+        os.path.join(work, "media_rows"),
+        os.path.join(work, "media_chunks"),
     ]
 
     def snapshot():
@@ -358,9 +357,7 @@ def test_streaming_curation_replay_is_idempotent(spark):
         k: os.path.join(work, k)
         for k in (
             "tbands", "thashes", "tsizes",
-            "image_rows", "image_chunks",
-            "audio_rows", "audio_chunks",
-            "video_rows", "video_chunks",
+            "media_rows", "media_chunks",
             "ledger",
         )
     }
