@@ -1096,20 +1096,35 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut the brute-force gemm plan would re-execute once per
     # consumer (6x before the round-8 restructure). N_PROBES x RECALL_K
     # rows, executor-side.
-    exact = materialize(
-        embedding_topk_gemm(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("query_id", "vec_id")
-    )
+    #
+    # The exact yardstick and the IVFPQ candidate pipeline are
+    # INDEPENDENT eager chains — materialized from a 2-thread pool so
+    # the gemm pass back-fills cores the Lloyd chain's stage tails
+    # leave idle (guide §2.6); each chain's internal order is
+    # unchanged. One candidate pipeline at the sweep's max nprobe;
+    # every sweep point (and the refined leg's shortlist) is a
+    # probe_rank / est_raw cut over this single materialized frame —
+    # training runs ONCE, so the nprobe curve costs filters, not
+    # re-trainings.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return materialize(
+            embedding_topk_gemm(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= RECALL_K)
+            .select("query_id", "vec_id")
+        )
+
+    def _cand4():
+        return materialize(
+            _ivfpq_candidates(spark, sf_dir, max(RECALL_NPROBE_SWEEP))
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact, f_cand4 = pool.submit(_exact), pool.submit(_cand4)
+        exact, cand4 = f_exact.result(), f_cand4.result()
     ivf = embedding_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
-    # One candidate pipeline at the sweep's max nprobe; every sweep
-    # point (and the refined leg's shortlist) is a probe_rank /
-    # est_raw cut over this single materialized frame — training runs
-    # ONCE, so the nprobe curve costs filters, not re-trainings.
-    cand4 = materialize(
-        _ivfpq_candidates(spark, sf_dir, max(RECALL_NPROBE_SWEEP))
-    )
     w_adc = Window.partitionBy("query_id").orderBy("est_raw", "vec_id")
 
     def _np_leg(np: int) -> DataFrame:
@@ -2023,7 +2038,12 @@ def _ivfpq_candidates(
     slots = spark.range(PQ_M * PQ_K).select(
         F.col("id").cast("int").alias("slot")
     )
-    lut_arr = materialize(
+    # NOT materialized (r15): the LUT frame is consumed exactly once,
+    # as the hinted broadcast below — folding it into the consumer's
+    # BroadcastExchange builds it inside that one job, where the old
+    # eager localCheckpoint paid ~12 driver-blocking AQE/broadcast jobs
+    # per pipeline construction for the same work (guide §1.2/§5).
+    lut_arr = (
         probe_cells.select("query_id", "cell", "probe_rank")
         .crossJoin(F.broadcast(slots))
         .join(lut_vals, ["query_id", "cell", "slot"], "left")
