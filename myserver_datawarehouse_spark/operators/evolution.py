@@ -397,6 +397,16 @@ def evolved_merge(
     version = _claim_next_version(table_root)
     staged = os.path.join(table_root, version)
     try:
+        from myserver_datawarehouse_spark.session import materialize
+
+        # Stage the batch ONCE (r15, guide §1.2/§2.4): the update frame
+        # feeds the fold, the broadcast key set, the touched-partition
+        # prune AND each legacy layout's delete probe + sidecar rewrite
+        # — five consumers that each re-ran the caller's full batch
+        # lineage (measured: the legacy _rewrite_deletes alone re-paid
+        # two source scans per merge). One O(batch) lineage cut; a
+        # production merge stages its source the same way.
+        updates = materialize(updates)
         # --- Legacy lookup: the batch keys' current rows in every
         # legacy layout must enter the precedence fold (a newer legacy
         # row beats a stale replay under order_by).
@@ -535,10 +545,18 @@ def evolved_merge(
             dst = _layout_dir(staged, s["id"])
             _link_all_files(src, dst)
             hit = legacy_hits.get(s["id"])
+            # Materialize the layout's hit-key set ONCE (r15): the
+            # sidecar rewrite consumes it twice (emptiness probe +
+            # delete write), and each un-cut consumption re-ran the
+            # legacy scan + semi-join + dedup (measured 8 jobs / two
+            # layout scans per merge for this one step). O(superseded
+            # keys) rows, the same bound the sidecar itself carries.
             hit_keys = (
                 None
                 if hit is None
-                else hit.select(*keys).dropDuplicates(list(keys))
+                else materialize(
+                    hit.select(*keys).dropDuplicates(list(keys))
+                )
             )
             _rewrite_deletes(
                 spark, src, dst, hit_keys, keys, subtract=False

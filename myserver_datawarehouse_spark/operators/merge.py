@@ -1358,9 +1358,26 @@ def delete_where(
             f"missing={sorted(missing)[:3]}, "
             f"inode-mismatch={sorted(relinked)[:3]})"
         )
-    back = spark.read.parquet(ddir).count()
+    # Delete sets are manifest-scale metadata: audit their read-back
+    # from parquet footers driver-side (r15 — the same physical-
+    # completeness guarantee as the distributed counts this replaces:
+    # a missing/truncated delete file fails the footer parse, a lost
+    # row flips the sum — minus two driver-blocking jobs per delete
+    # commit), falling back to the distributed count past the same
+    # conf'd file limit as _footer_audit.
+    limit = int(
+        spark.conf.get(_FOOTER_AUDIT_LIMIT_CONF, _FOOTER_AUDIT_LIMIT_DEFAULT)
+    )
+
+    def _delete_rows(d: str) -> int:
+        files = _FILES._data_files_relative(d)
+        if len(files) > limit:
+            return spark.read.parquet(d).count()
+        return _footer_rows(os.path.join(d, f) for f in files)
+
+    back = _delete_rows(ddir)
     prior = (
-        spark.read.parquet(os.path.join(cur_dir, _DELETES)).count()
+        _delete_rows(os.path.join(cur_dir, _DELETES))
         if _delete_meta(cur_dir) is not None
         else 0
     )

@@ -5478,17 +5478,19 @@ def bloom_evolved_carry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deliberately an INDEPENDENT read of the committed sidecar (not a
     # value surfaced by bloom_prune_files): the audit's coverage claim
     # must come from the on-disk artifact, so a prune-path bookkeeping
-    # bug cannot vouch for itself. Manifest-scale paths only.
-    covered = {
-        r["path"]
-        for r in spark.read.parquet(_FS._bloom_dir(snapshot, "event_id"))
-        .select("path")
-        .collect()
-    }
+    # bug cannot vouch for itself. Manifest-scale paths only — read
+    # driver-side from the sidecar's parquet footers with column
+    # projection (r15: same artifact, one fewer driver-blocking job
+    # per rep; the writer-tier rule from sources/files.
+    # _sidecar_paths_local).
+    covered = _FS._sidecar_paths_local(_FS._bloom_dir(snapshot, "event_id"))
     bloom_covered = covered == set(_FS._data_files_relative(snapshot))
-    pruned = _FS.read_pruned(
-        spark, snapshot, "event_id", BLOOM_EVOLVE_PROBES
-    ).filter(F.col("event_id").isin(*BLOOM_EVOLVE_PROBES))
+    # Reuse the flag probe's own candidate list for the read (r15):
+    # read_pruned would re-run the identical bloom prune — same keys,
+    # same sidecar — a second time inside one audit.
+    pruned = _FS.read_pruned_files(spark, snapshot, keep).filter(
+        F.col("event_id").isin(*BLOOM_EVOLVE_PROBES)
+    )
     return (
         pruned.groupBy("event_id", "event_type")
         .agg(
@@ -6655,14 +6657,27 @@ def partition_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_value"),
     ]
-    before = {
-        r.event_type: (r.n_rows, r.sum_value)
-        for r in EV.read_evolved(spark, root)
+    # Pre-compaction rollup pinned to the published version dir, then
+    # collected CONCURRENTLY with the compaction rewrite (r15, guide
+    # §2.6): both read the same immutable v3 snapshot — the pin makes
+    # that explicit (no read-through-manifest race), and the rollup's
+    # tasks back-fill the rewrite's stage tails. ~12 driver-blocking
+    # jobs of rollup+compact previously ran strictly serialized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    v3_pre = os.path.join(root, M._published_version(root))
+    before_rows = (
+        EV.read_snapshot_dir(spark, v3_pre)
         .groupBy("event_type")
         .agg(*rollup_cols)
-        .collect()
-    }
-    EV.compact_evolved(spark, root)
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_before = pool.submit(before_rows.collect)
+        f_compact = pool.submit(EV.compact_evolved, spark, root)
+        before = {
+            r.event_type: (r.n_rows, r.sum_value) for r in f_before.result()
+        }
+        f_compact.result()
     after = {
         r.event_type: (r.n_rows, r.sum_value)
         for r in M.read_published(spark, root)

@@ -450,15 +450,19 @@ def bloom_prune_files(
             F.expr(f"try_cast(`{column}` AS {meta['type']})").alias(column)
         )
     )
-    if typed.filter(F.col(column).isNull()).count():
+    # ONE collect for both the cast check and the bucket ids (r15,
+    # guide §1.2: these are driver-blocking jobs over a probe-count-
+    # sized local frame; the former null-check count + bucket collect
+    # paid two).
+    probe_rows = typed.select(
+        F.col(column).isNull().alias("bad"), bucket.alias("bucket")
+    ).collect()
+    if any(r["bad"] for r in probe_rows):
         raise ValueError(
             f"probe keys {keys!r} do not all cast to the sidecar's "
             f"column type {meta['type']!r}"
         )
-    probe_buckets = [
-        int(r["bucket"])
-        for r in typed.select(bucket.alias("bucket")).collect()
-    ]
+    probe_buckets = [int(r["bucket"]) for r in probe_rows]
 
     def bit_set(b: int):
         byte = F.conv(
@@ -470,11 +474,14 @@ def bloom_prune_files(
     for b in probe_buckets[1:]:
         admits = admits | bit_set(b)
     blooms = spark.read.parquet(sidecar)
-    covered = {r["path"] for r in blooms.select("path").collect()}
-    admitted = {
-        r["path"]
-        for r in blooms.filter(admits).select("path").collect()
-    }
+    # ONE sidecar scan for both the coverage set and the admitted set
+    # (r15): the bit tests stay executor-side (codegen'd byte-ANDs over
+    # the bloom column — bitsets never reach the driver); only the
+    # manifest-scale (path, admitted) rows collect, where the previous
+    # form paid two separate collect jobs over the same scan.
+    flags = blooms.select("path", admits.alias("adm")).collect()
+    covered = {r["path"] for r in flags}
+    admitted = {r["path"] for r in flags if r["adm"]}
     keep = [
         os.path.join(table_dir, f)
         for f in data_files
@@ -498,6 +505,19 @@ def read_pruned(
     union under the snapshot schema. Bloom false positives mean rows
     for OTHER keys may appear: filter to the probed keys downstream
     (kept here so the helper composes with range probes too)."""
+    keep, _total = bloom_prune_files(spark, table_dir, column, keys)
+    return read_pruned_files(spark, table_dir, keep)
+
+
+def read_pruned_files(
+    spark: SparkSession, table_dir: str, keep: list
+) -> DataFrame:
+    """The delete-aware read half of `read_pruned`, for a caller that
+    already holds the pruned candidate list from its own
+    `bloom_prune_files` call (r15: the bloom audits probe once for
+    their file-skipping flags and previously paid a SECOND full prune
+    inside read_pruned for the same keys). Pairs the candidate read
+    with each layout's `_deletes` anti-join exactly as read_pruned."""
     import functools
     import os
 
@@ -505,7 +525,6 @@ def read_pruned(
 
     from myserver_datawarehouse_spark.operators import merge as _MG
 
-    keep, _total = bloom_prune_files(spark, table_dir, column, keys)
     if not keep:
         return _MG._read_snapshot(spark, table_dir).filter(F.lit(False))
     if os.path.isfile(os.path.join(table_dir, "_SPECS.json")):
