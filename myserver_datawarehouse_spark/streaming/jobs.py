@@ -1128,8 +1128,14 @@ def outer_attribution_stream(
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo) / OUTER_ATTR_BATCHES
-    mtime = 1_700_000_000
-    for k in range(OUTER_ATTR_BATCHES):
+    stages = [
+        os.path.join(work_dir, f"stage_{k}")
+        for k in range(OUTER_ATTR_BATCHES)
+    ]
+    for s in stages:
+        shutil.rmtree(s, ignore_errors=True)
+
+    def _extract(k: int) -> None:
         cut_lo = lo + span * k
         cut_hi = lo + span * (k + 1)
         # Last batch is UNBOUNDED above: timedelta division loses
@@ -1140,10 +1146,17 @@ def outer_attribution_stream(
         cond = F.col("ts") >= F.lit(cut_lo)
         if k < OUTER_ATTR_BATCHES - 1:
             cond = cond & (F.col("ts") < F.lit(cut_hi))
-        part = base.filter(cond)
-        stage = os.path.join(work_dir, f"stage_{k}")
-        shutil.rmtree(stage, ignore_errors=True)
-        part.coalesce(1).write.parquet(stage)
+        base.filter(cond).coalesce(1).write.parquet(stages[k])
+
+    # The per-batch extracts are independent jobs over disjoint time
+    # slices — pooled (guide §2.6, the _stage_ordered_inputs pattern);
+    # the mtime stamping that encodes replay order stays sequential
+    # after the barrier.
+    _parallel_actions(
+        *[(lambda k=k: _extract(k)) for k in range(OUTER_ATTR_BATCHES)]
+    )
+    mtime = 1_700_000_000
+    for k, stage in enumerate(stages):
         (name,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
         dest = os.path.join(src, f"batch_{k}.parquet")
         os.replace(os.path.join(stage, name), dest)
@@ -1305,12 +1318,21 @@ def bloom_maintained_stream(
         for r in table.orderBy("event_id").limit(3).collect()
     ]
     keep, _total = FS.bloom_prune_files(spark, final, "event_id", probes)
-    pruned_n = (
-        spark.read.parquet(*keep)
-        .filter(F.col("event_id").isin(*probes))
-        .count()
+    # The pruned-read count and the full-scan count are independent
+    # jobs over the same snapshot — pooled (guide §2.6).
+    counts: dict[str, int] = {}
+    _parallel_actions(
+        lambda: counts.__setitem__(
+            "pruned",
+            spark.read.parquet(*keep)
+            .filter(F.col("event_id").isin(*probes))
+            .count(),
+        ),
+        lambda: counts.__setitem__(
+            "full", table.filter(F.col("event_id").isin(*probes)).count()
+        ),
     )
-    full_n = table.filter(F.col("event_id").isin(*probes)).count()
+    pruned_n, full_n = counts["pruned"], counts["full"]
     flags = {
         "bloom_carried": bool(carried),
         "zero_false_negatives": bool(pruned_n == full_n and full_n > 0),
